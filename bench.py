@@ -1,0 +1,72 @@
+"""Benchmark harness — runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per BASELINE.md measurement rules: median of 3 runs after 1 warm-up,
+single SparkSession, fixed shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from electrician_spark.queries import REGISTRY  # noqa: E402
+from electrician_spark.session import cpu_budget, get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def main() -> None:
+    names = [n for n, q in REGISTRY.items() if q.bench]
+    spark = get_session("electrician-spark-bench", cpus=cpu_budget())
+
+    results: dict[str, float] = {}
+    for name in names:
+        qd = REGISTRY[name]
+        timings: list[float] = []
+        for i in range(RUNS + 1):  # first run is warm-up
+            t0 = time.perf_counter()
+            df = qd.spark(spark, SF_DIR)
+            # Force full execution without driver-side materialization cost:
+            # count() over the (usually small) result still executes the
+            # whole plan; collect tiny results to include Arrow transfer.
+            df.collect() if i else df.count()
+            dt = time.perf_counter() - t0
+            if i:
+                timings.append(dt)
+        results[name] = round(statistics.median(timings), 4)
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": _sf_label(SF_DIR),
+                "cpus": cpu_budget(),
+                "runs": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Readers and writers.
+
+Re-expresses the reference's storage-adapter surface Spark-first:
+
+- S5 S3 object reader (NDJSON / gzip-NDJSON / Parquet, projection via
+  ``FormatOptions["columns"]``, cursor ``StartAfterKey``) →
+  ``spark.read`` with ``select`` (Catalyst prunes columns into the
+  parquet scan) and predicate pushdown for the cursor.
+  Reference: /root/reference/pkg/internal/adapter/s3client/reader.go:23-199,
+  pkg/internal/types/s3_adapter.go:79-103.
+- K1/K2 S3 writers (batch roll by records/bytes/age, time-partitioned
+  key templates ``{yyyy}/{MM}/{dd}/{HH}/{mm}``) → ``df.write`` with
+  ``partitionBy`` on derived time columns + ``maxRecordsPerFile``.
+  Reference: pkg/internal/adapter/s3client/writer.go:14-79,
+  parquet_writer.go:14-160, types/s3_adapter.go:25-72.
+
+Local filesystem first; S3A is config-only (same code path, an
+``s3a://`` prefix plus hadoop-aws credentials on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Reference writer defaults (types/s3_adapter.go:50-53): 50k records /
+# 128 MB / 60 s per rolled object. Spark has record- and time-based
+# rolling natively; byte-based is best-effort (SURVEY §7.4.5).
+DEFAULT_MAX_RECORDS_PER_FILE = 50_000
+
+# Reference key template fields (types/s3_adapter.go:27-29).
+_TEMPLATE_COLS = {
+    "{yyyy}": ("_yyyy", "yyyy"),
+    "{MM}": ("_mm", "MM"),
+    "{dd}": ("_dd", "dd"),
+    "{HH}": ("_hh", "HH"),
+    "{mm}": ("_min", "mm"),
+}
+
+
+# Fixture columns written as parquet TIMESTAMP(NANOS), which Spark's
+# converter rejects by default. We read them as long nanos
+# (legacy.parquet.nanosAsLong) and truncate to microsecond timestamps —
+# the same truncation DuckDB applies, so oracle comparisons agree.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain parquet scan — Catalyst handles
+    column pruning + predicate pushdown from downstream operators."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Pin UTC regardless of the host session's timezone: event-time
+    # bucketing (date_trunc/window) must agree with the UTC-naive oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [read_table(spark, sf_dir, n) for n in names]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scan_projected(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    start_after: tuple[str, object] | None = None,
+) -> DataFrame:
+    """Reference S5 reader semantics: projection (``FormatOptions["columns"]``)
+    and cursor (``StartAfterKey``) expressed declaratively so Catalyst pushes
+    both into the parquet scan (check: ``ReadSchema`` / ``PushedFilters`` in
+    ``.explain("formatted")``).
+
+    Reference: s3client/reader.go:23 (Fetch), types/s3_adapter.go:91-93.
+    """
+    df = spark.read.parquet(path)
+    if start_after is not None:
+        col, val = start_after
+        df = df.filter(F.col(col) > F.lit(val))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_ndjson(
+    spark: SparkSession, path: str, schema=None, gzipped: bool = False
+) -> DataFrame:
+    """NDJSON reader (reference S5 Format=ndjson; gzip handled transparently
+    by Spark's text source the same way reader.go:88-92 wraps a gzip.Reader)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_json_array(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-array files (reference codec DecodeSlice, codec/json.go:37-42)."""
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_ndjson(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    gzip: bool = False,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """K1 NDJSON writer: record-count rolling + optional gzip."""
+    w = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+
+def with_time_partitions(df: DataFrame, ts_col: str, template: str) -> tuple[DataFrame, list[str]]:
+    """Materialize the reference's ``{yyyy}/{MM}/{dd}/{HH}/{mm}`` key template
+    as partition columns (types/s3_adapter.go:27-29). Returns (df, partition_cols)
+    in template order — directory layout then matches the reference's object-key
+    layout, and Spark partition pruning replaces prefix listing."""
+    cols: list[str] = []
+    out = df
+    for token, (col_name, fmt) in _TEMPLATE_COLS.items():
+        if token in template:
+            out = out.withColumn(col_name, F.date_format(F.col(ts_col), fmt))
+            cols.append(col_name)
+    return out, cols
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str | None = None,
+    template: str = "{yyyy}/{MM}/{dd}",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> list[str]:
+    """K2 Parquet writer: compression codec (parquet_writer.go:107-133 supports
+    zstd/snappy/gzip — same set Spark exposes), record rolling, and
+    time-template partitioning. Returns the partition columns used."""
+    cols = list(partition_by or [])
+    out = df
+    if ts_col is not None:
+        out, tcols = with_time_partitions(df, ts_col, template)
+        cols = tcols + cols
+    w = (
+        out.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if cols:
+        w = w.partitionBy(*cols)
+    w.parquet(path)
+    return cols
+
+
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    predicates: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S6 Postgres reader parity: WHERE/ORDER BY/LIMIT pushdown via the
+    ``query`` option (reference builds the same SQL in
+    postgresclient/reader.go:103-131). Config-only here — no database in
+    the test environment; unit tests cover the option-building."""
+    reader = spark.read.format("jdbc").option("url", url)
+    if query is not None:
+        reader = reader.option("query", query)
+    elif table is not None:
+        reader = reader.option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def build_select_query(
+    table: str,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    order_by: str | None = None,
+    limit: int | None = None,
+) -> str:
+    """Build the pushdown SELECT the same way the reference's Postgres
+    reader does (postgresclient/reader.go:103-131): projection, WHERE,
+    ORDER BY, LIMIT all server-side."""
+    cols = ", ".join(columns) if columns else "*"
+    sql = f"SELECT {cols} FROM {table}"
+    if where:
+        sql += f" WHERE {where}"
+    if order_by:
+        sql += f" ORDER BY {order_by}"
+    if limit is not None:
+        sql += f" LIMIT {limit}"
+    return sql

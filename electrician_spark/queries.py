@@ -1,0 +1,801 @@
+"""Declared-query registry — the driver correctness surface.
+
+Every operator capability from SURVEY.md §2 gets:
+- a Spark implementation ``(spark, sf_dir) -> DataFrame`` routed through
+  the engine API (electrician_spark.operators / functions / streaming),
+- an equivalent ANSI-SQL oracle string for DuckDB over the same parquet
+  fixtures (views: region nation customer supplier part orders lineitem
+  events documents embeddings).
+
+Determinism rules (FIXTURES.md §4): every LIMIT carries a total-order
+tiebreak; double aggregates rounded (sums 2dp, ratios/avgs 6dp)
+identically on both sides; column names aliased identically on both
+sides (the driver sorts columns by name before hashing).
+
+NOTE: the driver fixtures differ from FIXTURES.md in places (events has
+``ts/event_type/props`` rather than the envelope columns; lineitem has
+no comment/shipmode columns) — queries below target the *actual* schemas
+observed in /root/testdata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from electrician_spark.functions import scalar as sf
+from electrician_spark.io import read_table
+from electrician_spark.operators import relational as rel
+from electrician_spark.operators import priority as prio
+from electrician_spark.streaming import windows as win
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    bench: bool = False
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def TS(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Sources / scans (S5/S6 pushdown semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_s1_full_scan",
+    "SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty FROM lineitem",
+    tags=("scan",),
+    bench=True,
+)
+def q_s1(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"), rel.round2(F.sum("l_quantity")).alias("sum_qty")
+    )
+
+
+@query(
+    "q_s2_projection_pushdown",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    tags=("scan",),
+)
+def q_s2(spark, sf_dir):
+    # Reference S5 FormatOptions["columns"] projection — Catalyst prunes
+    # the parquet ReadSchema to exactly these columns.
+    from electrician_spark.io import scan_projected
+    import os
+
+    df = scan_projected(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return rel.top_k(df, [F.col("l_orderkey"), F.col("l_linenumber")], 100)
+
+
+@query(
+    "q_s3_predicate_pushdown",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000 "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    tags=("scan",),
+)
+def q_s3(spark, sf_dir):
+    # Reference S6 Postgres reader WHERE/ORDER BY/LIMIT pushdown
+    # (postgresclient/reader.go:103-131) — here the filter pushes into
+    # the parquet scan and the sort+limit is TakeOrderedAndProject.
+    df = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return rel.top_k(
+        df.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@query(
+    "q_s4_cursor_scan",
+    "SELECT count(*) AS n FROM orders WHERE o_orderkey > 1000",
+    tags=("scan",),
+)
+def q_s4(spark, sf_dir):
+    # Reference S5 StartAfterKey cursor (types/s3_adapter.go:83-85).
+    from electrician_spark.io import scan_projected
+    import os
+
+    df = scan_projected(
+        spark, os.path.join(sf_dir, "orders.parquet"), start_after=("o_orderkey", 1000)
+    )
+    return df.agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Transforms (projection / filter / classify / hash / encode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_t1_revenue_projection",
+    "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 2) AS revenue "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    tags=("transform",),
+)
+def q_t1(spark, sf_dir):
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= TS("1998-09-02"))
+        .select("l_orderkey", "l_linenumber", rel.round2(rel.revenue_expr()).alias("revenue"))
+    )
+    return rel.top_k(df, [F.col("l_orderkey"), F.col("l_linenumber")], 100)
+
+
+@query(
+    "q_t3_keyword_filter",
+    "SELECT count(*) AS n_matched FROM documents "
+    "WHERE text LIKE '%slow%' OR text LIKE '%error%' OR text LIKE '%big%'",
+    tags=("transform",),
+)
+def q_t3(spark, sf_dir):
+    # negativeFilter shape (chain/main.go:21-30) over the documents table.
+    df = _t(spark, sf_dir, "documents")
+    return df.filter(sf.contains_any(F.col("text"), ["slow", "error", "big"])).agg(
+        F.count("*").alias("n_matched")
+    )
+
+
+@query(
+    "q_t5_classifier",
+    "SELECT CASE WHEN text LIKE '%join%' THEN 'Join' "
+    "WHEN text LIKE '%window%' THEN 'Window' "
+    "WHEN text LIKE '%stream%' THEN 'Stream' ELSE 'General' END AS category, "
+    "count(*) AS n FROM documents GROUP BY 1 ORDER BY 1",
+    tags=("transform",),
+)
+def q_t5(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    cat = sf.classify(
+        F.col("text"), [("join", "Join"), ("window", "Window"), ("stream", "Stream")]
+    )
+    return (
+        df.select(cat.alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+        .orderBy("category")
+    )
+
+
+@query(
+    "q_t9_sha256",
+    "SELECT c_custkey, sha256(c_name) AS name_hash FROM customer ORDER BY c_custkey LIMIT 50",
+    tags=("transform",),
+)
+def q_t9(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer").select(
+        "c_custkey", sf.sha256_hex(F.col("c_name")).alias("name_hash")
+    )
+    return rel.top_k(df, [F.col("c_custkey")], 50)
+
+
+@query(
+    "q_t10_json_encode",
+    "SELECT o_orderkey, to_json(struct_pack(o_orderkey := o_orderkey, "
+    "o_orderstatus := o_orderstatus)) AS js FROM orders ORDER BY o_orderkey LIMIT 20",
+    tags=("transform",),
+)
+def q_t10(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", sf.json_encode("o_orderkey", "o_orderstatus").alias("js")
+    )
+    return rel.top_k(df, [F.col("o_orderkey")], 20)
+
+
+@query(
+    "q_t11_key_template",
+    "SELECT o_orderkey, 'orders/' || CAST(o_custkey AS VARCHAR) || '/' || o_orderstatus AS obj_key "
+    "FROM orders ORDER BY o_orderkey LIMIT 20",
+    tags=("transform",),
+)
+def q_t11(spark, sf_dir):
+    # Kafka/S3 {field} key templates (adapter/kafkaclient/templates.go:9-60).
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        sf.expand_template("orders/{o_custkey}/{o_orderstatus}").alias("obj_key"),
+    )
+    return rel.top_k(df, [F.col("o_orderkey")], 20)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations (meter family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_a1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, "
+    "round(sum(l_extendedprice),2) AS sum_base_price, "
+    "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, "
+    "round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, "
+    "round(avg(l_quantity),6) AS avg_qty, round(avg(l_extendedprice),6) AS avg_price, "
+    "round(avg(l_discount),6) AS avg_disc, count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    tags=("agg",),
+    bench=True,
+)
+def q_a1(spark, sf_dir):
+    return rel.pricing_summary(_t(spark, sf_dir, "lineitem"), "2000-09-02")
+
+
+@query(
+    "q_a2_rate_per_hour",
+    "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n FROM events "
+    "GROUP BY 1 ORDER BY 1",
+    tags=("agg", "events"),
+)
+def q_a2(spark, sf_dir):
+    # Meter processed/sec rates (types/meter.go:16-25) as time buckets.
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_a3_error_ratio",
+    "SELECT round(100.0 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / count(*), 6) "
+    "AS error_pct FROM events",
+    tags=("agg", "events"),
+)
+def q_a3(spark, sf_dir):
+    # Meter error-percentage (meter/registry_definitions.go:5-12).
+    df = _t(spark, sf_dir, "events")
+    errors = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return df.agg(F.round(100.0 * errors / F.count("*"), 6).alias("error_pct"))
+
+
+@query(
+    "q_a4_count_distinct",
+    "SELECT count(DISTINCT o_custkey) AS n_custs FROM orders",
+    tags=("agg",),
+)
+def q_a4(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(F.countDistinct("o_custkey").alias("n_custs"))
+
+
+@query(
+    "q_a5_peak_rate",
+    "SELECT max(n) AS peak FROM (SELECT count(*) AS n FROM events "
+    "GROUP BY date_trunc('hour', ts)) t",
+    tags=("agg", "events"),
+)
+def q_a5(spark, sf_dir):
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    return hourly.agg(F.max("n").alias("peak"))
+
+
+@query(
+    "q_a6_grouped_stats",
+    "SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    tags=("agg", "events"),
+)
+def q_a6(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_j1_broadcast_inner",
+    "SELECT n_name, count(*) AS n_cust FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    tags=("join",),
+    bench=True,
+)
+def q_j1(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q_j2_shipping_priority",
+    "SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, "
+    "o_orderdate, o_orderpriority FROM customer "
+    "JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01' "
+    "AND l_shipdate > TIMESTAMP '1998-06-01' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    tags=("join",),
+    bench=True,
+)
+def q_j2(spark, sf_dir):
+    # TPC-H Q3 shape (SURVEY Q-J2) adapted to fixture columns/date range.
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < TS("1998-06-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > TS("1998-06-01"))
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, li.l_orderkey == orders.o_orderkey
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        rel.round2(F.sum(rel.revenue_expr())).alias("revenue")
+    )
+    return rel.top_k(
+        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.col("revenue").desc(), F.col("l_orderkey")],
+        10,
+    )
+
+
+@query(
+    "q_j3_left_join_counts",
+    "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey "
+    "ORDER BY n_orders DESC, c_custkey LIMIT 20",
+    tags=("join",),
+)
+def q_j3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    agg = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return rel.top_k(agg, [F.col("n_orders").desc(), F.col("c_custkey")], 20)
+
+
+@query(
+    "q_j4_semi_join",
+    "SELECT count(*) AS n FROM part WHERE p_partkey IN "
+    "(SELECT l_partkey FROM lineitem WHERE l_quantity > 45)",
+    tags=("join",),
+)
+def q_j4(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_semi"
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_j5_anti_join",
+    "SELECT count(*) AS n FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    tags=("join",),
+)
+def q_j5(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_j6_range_join",
+    "SELECT count(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY",
+    tags=("join",),
+)
+def q_j6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return li.join(orders, cond, "inner").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Ordering / top-k + priority queue (resister O1/O2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_o1_global_topk",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25",
+    tags=("order",),
+)
+def q_o1(spark, sf_dir):
+    return rel.top_k(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        25,
+    )
+
+
+@query(
+    "q_o2_grouped_topk",
+    "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders WHERE o_custkey <= 100) t WHERE rn <= 3 ORDER BY o_custkey, rn",
+    tags=("order",),
+    bench=True,
+)
+def q_o2(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    top = rel.grouped_top_k(
+        df, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", "rn").orderBy("o_custkey", "rn")
+
+
+@query(
+    "q_o3_priority_drain",
+    "SELECT event_id, (event_id % 10) + CAST(floor((epoch_us(TIMESTAMP '2024-02-01 00:00:00') "
+    "- epoch_us(ts)) / 60000000.0) AS BIGINT) AS eff_priority FROM events "
+    "ORDER BY eff_priority DESC, event_id LIMIT 25",
+    tags=("order", "events"),
+)
+def q_o3(spark, sf_dir):
+    # Resister priority aging: base + minutes-in-queue (element.go:80-98).
+    df = _t(spark, sf_dir, "events")
+    eff = prio.effective_priority(
+        F.col("event_id") % 10, F.col("ts"), TS("2024-02-01 00:00:00")
+    ).alias("eff_priority")
+    df = df.select("event_id", eff)
+    return prio.drain(df, F.col("eff_priority"), 25, [F.col("event_id")])
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Event-time windows (batch-equivalence mode over events)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_w1_tumbling_hour",
+    "SELECT date_trunc('hour', ts) AS window_start, count(*) AS n, "
+    "round(sum(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY 1",
+    tags=("window", "events"),
+    bench=True,
+)
+def q_w1(spark, sf_dir):
+    return win.tumbling(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        F.count("*").alias("n"),
+        rel.round2(F.sum("value")).alias("sum_value"),
+    ).orderBy("window_start")
+
+
+@query(
+    "q_w2_sliding_30m_15m",
+    "SELECT window_start, count(*) AS n FROM ("
+    "SELECT make_timestamp(CAST(floor(epoch_us(ts) / 900000000.0) * 900000000 AS BIGINT)) "
+    "AS window_start FROM events "
+    "UNION ALL "
+    "SELECT make_timestamp(CAST(floor(epoch_us(ts) / 900000000.0) * 900000000 AS BIGINT)) "
+    "- INTERVAL 15 MINUTE AS window_start FROM events) t "
+    "GROUP BY 1 ORDER BY 1",
+    tags=("window", "events"),
+)
+def q_w2(spark, sf_dir):
+    # 30-minute windows sliding every 15 minutes: each event belongs to
+    # exactly two windows; the oracle materializes both memberships.
+    return win.sliding(
+        _t(spark, sf_dir, "events"), "ts", "30 minutes", "15 minutes", F.count("*").alias("n")
+    ).orderBy("window_start")
+
+
+@query(
+    "q_w3_session_counts",
+    "SELECT user_id, sum(new_s) AS n_sessions FROM ("
+    "SELECT user_id, CASE WHEN prev_ts IS NULL OR "
+    "epoch_us(ts) - epoch_us(prev_ts) >= 600000000 THEN 1 ELSE 0 END AS new_s FROM ("
+    "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
+    "FROM events) a) b GROUP BY user_id ORDER BY user_id",
+    tags=("window", "events"),
+    bench=True,
+)
+def q_w3(spark, sf_dir):
+    # Spark session_window merges events with gap < 10 min; the oracle is
+    # the classic gaps-and-islands rewrite (new session when gap >= 10 min).
+    return win.session_counts(_t(spark, sf_dir, "events"), "ts", "user_id", "10 minutes").orderBy(
+        "user_id"
+    )
+
+
+@query(
+    "q_w8_dedupe_key",
+    "SELECT count(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) t",
+    tags=("window", "events"),
+)
+def q_w8(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return win.dedupe(df, ["user_id", "event_type"]).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_w9_ordered_replay",
+    "SELECT user_id, min(event_id) AS first_seq, max(event_id) AS last_seq, count(*) AS n "
+    "FROM events GROUP BY user_id ORDER BY user_id LIMIT 50",
+    tags=("window", "events"),
+)
+def q_w9(spark, sf_dir):
+    out = win.ordered_replay_summary(_t(spark, sf_dir, "events"), "user_id", "event_id")
+    return rel.top_k(out, [F.col("user_id")], 50)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Analytic window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wf1_rank",
+    "SELECT o_custkey, o_orderkey, rank() OVER w AS rnk, dense_rank() OVER w AS drnk "
+    "FROM orders WHERE o_custkey <= 100 "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+    "ORDER BY o_custkey, rnk, o_orderkey",
+    tags=("winfunc",),
+)
+def q_wf1(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@query(
+    "q_wf2_lag_gap",
+    "SELECT o_custkey, o_orderkey, CAST(date_diff('day', "
+    "lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), "
+    "o_orderdate) AS BIGINT) AS gap_days FROM orders WHERE o_custkey <= 50 "
+    "ORDER BY o_custkey, o_orderdate, o_orderkey",
+    tags=("winfunc",),
+)
+def q_wf2(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .drop("o_orderdate")
+    )
+
+
+@query(
+    "q_wf3_running_sum",
+    "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running "
+    "FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderdate, o_orderkey",
+    tags=("winfunc",),
+)
+def q_wf3(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            rel.round2(F.sum("o_totalprice").over(w)).alias("running"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .drop("o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Set operations (fan-in C3 = UNION ALL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_u1_union_all",
+    "SELECT count(*) AS n FROM (SELECT o_custkey AS k FROM orders "
+    "UNION ALL SELECT c_custkey AS k FROM customer) t",
+    tags=("setop",),
+)
+def q_u1(spark, sf_dir):
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return a.unionByName(b).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_u2_union_distinct",
+    "SELECT count(*) AS n FROM (SELECT o_custkey AS k FROM orders "
+    "UNION SELECT c_custkey AS k FROM customer) t",
+    tags=("setop",),
+)
+def q_u2(spark, sf_dir):
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return a.unionByName(b).distinct().agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_u3_except",
+    "SELECT count(*) AS n FROM (SELECT c_custkey AS k FROM customer "
+    "EXCEPT SELECT o_custkey AS k FROM orders) t",
+    tags=("setop",),
+)
+def q_u3(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).distinct().agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_u4_intersect",
+    "SELECT count(*) AS n FROM (SELECT c_custkey AS k FROM customer "
+    "INTERSECT SELECT o_custkey AS k FROM orders) t",
+    tags=("setop",),
+)
+def q_u4(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 Scalar functions (string / date / math / array / json)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_f1_string",
+    "SELECT c_custkey, upper(c_name) AS name_upper, length(c_mktsegment) AS seg_len, "
+    "c_name || '#' || c_mktsegment AS tagged FROM customer ORDER BY c_custkey LIMIT 20",
+    tags=("scalar",),
+)
+def q_f1(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_mktsegment").alias("seg_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+    )
+    return rel.top_k(df, [F.col("c_custkey")], 20)
+
+
+@query(
+    "q_f2_date",
+    "SELECT o_orderkey, CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, "
+    "CAST(date_part('month', o_orderdate) AS INTEGER) AS order_month, "
+    "o_orderdate + INTERVAL 30 DAY AS due_ts FROM orders ORDER BY o_orderkey LIMIT 20",
+    tags=("scalar",),
+)
+def q_f2(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+    )
+    return rel.top_k(df, [F.col("o_orderkey")], 20)
+
+
+@query(
+    "q_f3_math",
+    "SELECT l_orderkey, l_linenumber, round(log10(l_extendedprice), 6) AS log_price, "
+    "round(sqrt(l_quantity), 6) AS sqrt_qty, round(pow(l_discount, 2), 6) AS disc_sq "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20",
+    tags=("scalar",),
+)
+def q_f3(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log10("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+    )
+    return rel.top_k(df, [F.col("l_orderkey"), F.col("l_linenumber")], 20)
+
+
+@query(
+    "q_f4_array_agg",
+    "SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys "
+    "FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey ORDER BY o_custkey",
+    tags=("scalar",),
+)
+def q_f4(spark, sf_dir):
+    # collect_list → sort → join: deterministic string form so the hash
+    # comparison is representation-stable across engines.
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 20)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("order_keys")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_f5_json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+    "FROM events ORDER BY event_id LIMIT 20",
+    tags=("scalar", "events"),
+)
+def q_f5(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id", sf.json_get(F.col("props"), "$.k").cast("int").alias("k")
+    )
+    return rel.top_k(df, [F.col("event_id")], 20)
