@@ -1,0 +1,130 @@
+"""Text-analysis function pack for large-scale training-data pipelines.
+
+All hot-path functions are built-in Column expressions (JVM-side,
+whole-stage codegen) — no Python UDFs. Shingling uses
+``transform(sequence(...))`` over the token array, so it scales
+linearly with document length and never leaves the executor.
+
+Capabilities: tokenization/token counting, quality scoring
+(length/stopword/alpha ratios), n-gram shingling, deterministic
+document fingerprinting, and a heuristic stopword-based language ID.
+The reference's text ops are keyword containment + tagging
+(/root/reference/example/conduit_example/chain/main.go:21-59);
+everything beyond that is the mandated LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Tiny per-language stopword profiles for the heuristic language ID.
+# Real deployments plug in fastText/CLD3 via a pandas UDF; the heuristic
+# keeps the engine dependency-free and deterministic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (collapses runs; trims ends)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    toks = tokens(text)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return stops / F.size(toks)
+
+
+def quality_score(text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    """Composite quality heuristic in [0,1]: favors mid-length documents
+    with a natural stopword rate — the length/punct/stopword family of
+    filters used to score LLM training text."""
+    n_tok = token_count(text)
+    length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    stop = stopword_ratio(text, stopwords)
+    stop_term = F.lit(1.0) - F.abs(stop - F.lit(0.08)) * 4
+    return F.round(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), (length_term + stop_term) / 2)), 6
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (deduplicated). Built from the token
+    array with sequence+transform — one codegen'd expression."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+    )
+    # sequence(1, x) runs DESCENDING for x < 1 — guard short docs to an
+    # empty shingle set instead.
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized, lower-cased text (reference analog: sha256
+    element hash, types/element.go:29-37)."""
+    normalized = F.lower(F.concat_ws(" ", tokens(text)))
+    return F.md5(normalized)
+
+
+def language_scores(text: Column) -> Column:
+    """Map of lang → matched-stopword count (the n-gram/stopword
+    heuristic). Deterministic; ties broken by lang code order in
+    :func:`language_id`."""
+    toks = tokens(F.lower(text))
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in sorted(LANG_PROFILES)]),
+        F.array(
+            *[
+                F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES[lang])))
+                for lang in sorted(LANG_PROFILES)
+            ]
+        ),
+    )
+
+
+def language_id(text: Column, default: str = "en") -> Column:
+    """Argmax over language_scores with deterministic tie-break
+    (first lang code in sorted order wins; all-zero → default)."""
+    toks = tokens(F.lower(text))
+
+    def _score(lang: str) -> Column:
+        words = LANG_PROFILES[lang]
+        # NB: the filter lambda must take exactly one arg — PySpark treats
+        # a second parameter as the element index.
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [(lang, _score(lang)) for lang in sorted(LANG_PROFILES)]
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit(default)
+    # Build reversed so earlier langs take precedence on ties.
+    for lang, score in reversed(scores):
+        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
+    return expr

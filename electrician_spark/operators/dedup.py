@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all expressed as DataFrame plans (no driver-side
+loops, no Python UDFs in the hot path):
+
+- exact:         hash-groupBy on a normalized fingerprint
+- n-gram Jaccard: shingle explode → equi-join on shingle → count/union
+- MinHash + LSH:  shingle → k min-hashes → band buckets → bucket join
+- SimHash:        shingle bit-vote → 32-bit signature → hamming pairs
+- embedding:      cosine over an embedding column (see similarity.py)
+
+Scale notes (100 TB):
+- The pairwise Jaccard join is *blocked on shingle* — only documents
+  sharing a shingle ever meet, and the hot-shingle skew is capped with
+  a document-frequency filter (``max_df``), the standard trick for
+  making the shingle join tractable at corpus scale.
+- MinHash/LSH is the real scale path: candidate generation is a
+  group-by on (band_id, band_hash) — linear shuffle, no quadratic
+  blow-up. Hash functions are md5-seeded so signatures are
+  deterministic across engines and runs (no RNG state to ship).
+- SimHash reduces each doc to one 32-bit int; the pair join is on
+  signature buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from electrician_spark.functions import text as tx
+
+
+def normalize_text(text: Column) -> Column:
+    return F.lower(F.concat_ws(" ", tx.tokens(text)))
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_rows vs n_distinct normalized fingerprints (hash-groupBy dedup)."""
+    return df.select(tx.fingerprint(F.col(text_col)).alias("fp")).agg(
+        F.count("*").alias("n_rows"), F.countDistinct("fp").alias("n_distinct")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", keep_col: str | None = None) -> DataFrame:
+    """Keep one row per normalized text. With ``keep_col`` the minimum
+    value wins (deterministic); otherwise dropDuplicates on the
+    fingerprint."""
+    with_fp = df.withColumn("_fp", tx.fingerprint(F.col(text_col)))
+    if keep_col is None:
+        return with_fp.dropDuplicates(["_fp"]).drop("_fp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp").orderBy(F.col(keep_col))
+    return (
+        with_fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """(id, shingle) pairs, deduplicated; optionally drop shingles that
+    occur in more than ``max_df`` documents (hot-key / stopword-shingle
+    guard: at corpus scale a shingle present in millions of docs would
+    otherwise dominate the join)."""
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(tx.shingles(F.col(text_col), n)).alias("_s"))
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        counts = sh.groupBy("_s").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+        sh = sh.join(F.broadcast(counts.select("_s")), "_s")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Plan shape: shingle explode → self equi-join on shingle (blocked —
+    only co-shingled docs meet) → intersection counts → join per-doc
+    sizes → |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard rounded to 6dp.
+    """
+    sh = _shingle_table(df, id_col, text_col, n, max_df)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "_s")
+    b = sh.select(F.col("_id").alias("id_b"), "_s")
+    inter = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_i") / (F.col("_sza") + F.col("_szb") - F.col("_i")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """k deterministic min-hashes per document: h_i(doc) =
+    min over shingles of md5(i || ':' || shingle). md5-seeding makes the
+    signature reproducible across engines (the DuckDB oracle computes
+    the identical signature) and across cluster runs — no RNG to seed.
+    One groupBy pass computes all k columns (map-side partial min)."""
+    sh = _shingle_table(df, id_col, text_col, n, None)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    Candidate pairs = docs sharing any band hash (band = md5 of its
+    rows' concatenated min-hashes). Candidates are then verified with
+    exact n-gram Jaccard and filtered to ≥ threshold, so the output is
+    deterministic (no LSH false positives leak through). Returns
+    (id_a, id_b, jaccard), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    buckets = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("b")
+    ).select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
+    right = buckets.select(F.col("_id").alias("id_b"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, bits: int = 32) -> DataFrame:
+    """Per-document SimHash signature over n-gram shingles.
+
+    bit b of the signature = majority vote of bit b across
+    md5-derived shingle hashes (sum of ±1 ≥ 0). The shingle hash is the
+    first 8 hex chars of md5 → 32-bit int via base-16 conv — the same
+    arithmetic the oracle runs, so signatures match exactly.
+    One groupBy computes all bit sums (map-side combine)."""
+    sh = _shingle_table(df, id_col, text_col, n, None)
+    h = F.conv(F.substring(F.md5(F.col("_s")), 1, 8), 16, 10).cast("long")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = sh.groupBy(F.col("_id").alias(id_col)).agg(*sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pair generation is blocked on 8-bit signature *bytes* (pigeonhole:
+    at distance ≤ 3 over 32 bits, at least one of the 4 bytes is
+    identical) — the standard SimHash sharding that avoids the
+    quadratic self-join at corpus scale."""
+    sig = simhash(df, id_col, text_col, n, bits)
+    n_bytes = bits // 8
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("pos"),
+                F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("chunk"),
+            )
+            for i in range(n_bytes)
+        ]
+    )
+    keyed = sig.select(F.col(id_col).alias("_id"), "simhash", F.explode(chunks).alias("c")).select(
+        "_id", "simhash", F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk")
+    )
+    left = keyed.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sig_a"), "pos", "chunk")
+    right = keyed.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sig_b"), "pos", "chunk")
+    pairs = (
+        left.join(right, ["pos", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  The dot product is a single ``aggregate(zip_with(...))`` fold per
+  pair: JVM-side, codegen'd, deterministic accumulation order (matches
+  the oracle's sequential sum), no explode and no Python.
+- ``ivf_topk``: the scale path — inverted-file (IVF) search: assign
+  every vector to its nearest partition centroid, then search only the
+  probed partition(s). Here centroids come from the ``label`` column
+  (precomputed partition assignment); a k-means bootstrap would slot in
+  the same plan. Cross-join cost drops from O(N·Q) to O(N·Q/partitions).
+- ``random_hyperplane_buckets``: LSH bucketing with md5-derived
+  deterministic hyperplanes — candidate generation without any
+  pairwise work at all.
+
+Scale notes (100 TB): queries are broadcast (Q is small); the corpus
+side never shuffles for brute force. IVF adds one small centroid
+cross-join (broadcast) + a partition-pruned join keyed on centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+    Returns (id_a, id_b, cos) with id_a < id_b, cos rounded to 4dp."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k neighbors per query (self-matches
+    excluded). Queries are broadcast; ranking is a window per query with
+    deterministic (cos desc, neighbor id) tie-break.
+    Returns (query_id, neighbor_id, cos, rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def label_centroids(df: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Elementwise mean vector per label — the IVF coarse quantizer
+    (posexplode → avg per (label, dim) → re-assemble sorted by dim)."""
+    exploded = df.select(
+        F.col(label_col).alias("cl"), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    means = exploded.groupBy("cl", "dim").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return means.groupBy("cl").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("m")))
+        ).getField("m").alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: route each query to its nearest label-centroid,
+    then brute-force only within that partition. Returns
+    (query_id, neighbor_id, cos, rank) — approximate: recall < 1 when a
+    true neighbor lives in another partition."""
+    cents = label_centroids(corpus, label_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    routed = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qv", "cl", cosine(F.col("qv"), F.col("centroid")).alias("ccos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cl"))
+    probe = routed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "query_id", "qv", "cl"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col(label_col).alias("cl")
+    )
+    scored = c.join(F.broadcast(probe), "cl").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH bucket id per vector using deterministic md5-derived
+    hyperplanes: plane p, dim d gets weight in [-1,1) from
+    conv(md5('p:d')[1:8], 16, 10) — reproducible across runs/engines
+    with no RNG broadcast. Bucket = bits of sign(v·plane)."""
+    sig = None
+    for p in range(n_planes):
+        terms = None
+        for d in range(dim):
+            w = (
+                F.conv(F.md5(F.lit(f"{p}:{d}")).substr(1, 8), 16, 10).cast("double")
+                / F.lit(float(2**31))
+                - 1.0
+            )
+            t = F.element_at(F.col(vec_col), d + 1).cast("double") * w
+            terms = t if terms is None else terms + t
+        bit = F.when(terms >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return df.select(F.col(id_col), sig.alias("bucket"))

@@ -799,3 +799,299 @@ def q_f5(spark, sf_dir):
         "event_id", sf.json_get(F.col("props"), "$.k").cast("int").alias("k")
     )
     return rel.top_k(df, [F.col("event_id")], 20)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline extension; SURVEY §7.2.9)
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE: tokens + distinct 3-gram shingles per document —
+# mirrors functions.text.tokens / shingles exactly.
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_SHINGLES_CTE = (
+    "t AS (SELECT doc_id, " + _SQL_TOKENS + " AS ws FROM documents), "
+    "idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM t), "
+    "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx)"
+)
+
+
+@query(
+    "q_x1_token_stats",
+    f"SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens, "
+    "CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents "
+    "ORDER BY doc_id LIMIT 50",
+    tags=("text",),
+)
+def q_x1(spark, sf_dir):
+    from electrician_spark.functions import text as tx
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        tx.char_count(F.col("text")).cast("long").alias("n_chars_actual"),
+    )
+    return rel.top_k(df, [F.col("doc_id")], 50)
+
+
+@query(
+    "q_x2_quality_metrics",
+    f"SELECT doc_id, round(len(list_filter({_SQL_TOKENS}, x -> x IN "
+    "('the','a','of','and','to','in','is','it'))) * 1.0 / "
+    f"len({_SQL_TOKENS}), 6) AS stop_ratio, "
+    f"round(list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) * 1.0 / "
+    f"len({_SQL_TOKENS}), 6) AS avg_tok_len "
+    "FROM documents ORDER BY doc_id LIMIT 50",
+    tags=("text",),
+)
+def q_x2(spark, sf_dir):
+    from electrician_spark.functions import text as tx
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(tx.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(tx.avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
+    )
+    return rel.top_k(df, [F.col("doc_id")], 50)
+
+
+def _langid_oracle() -> str:
+    from electrician_spark.functions.text import LANG_PROFILES
+
+    score_cols = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score_cols.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"x -> x IN ({words}))) AS s_{lang}"
+        )
+    langs = sorted(LANG_PROFILES)
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'en' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {g} THEN '{lang}' "
+    case += "END"
+    return (
+        "SELECT predicted_lang, count(*) AS n FROM ("
+        f"SELECT {case} AS predicted_lang FROM ("
+        f"SELECT {', '.join(score_cols)} FROM documents) sc) p "
+        "GROUP BY predicted_lang ORDER BY predicted_lang"
+    )
+
+
+@query("q_x3_language_id", _langid_oracle(), tags=("text",))
+def q_x3(spark, sf_dir):
+    from electrician_spark.functions import text as tx
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(tx.language_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("predicted_lang")
+    )
+
+
+@query(
+    "q_x4_fingerprint",
+    f"SELECT doc_id, md5(lower(array_to_string({_SQL_TOKENS}, ' '))) AS fp "
+    "FROM documents ORDER BY doc_id LIMIT 50",
+    tags=("text",),
+)
+def q_x4(spark, sf_dir):
+    from electrician_spark.functions import text as tx
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    )
+    return rel.top_k(df, [F.col("doc_id")], 50)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_d1_exact_dedup",
+    f"SELECT count(*) AS n_rows, count(DISTINCT md5(lower(array_to_string({_SQL_TOKENS}, ' ')))) "
+    "AS n_distinct FROM documents",
+    tags=("dedup",),
+)
+def q_d1(spark, sf_dir):
+    from electrician_spark.operators import dedup
+
+    return dedup.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+_SQL_JACCARD_CTES = (
+    _SQL_SHINGLES_CTE + ", "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "jac AS (SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)"
+)
+
+
+@query(
+    "q_d2_ngram_jaccard",
+    f"WITH {_SQL_JACCARD_CTES} "
+    "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b",
+    tags=("dedup",),
+    bench=True,
+)
+def q_d2(spark, sf_dir):
+    from electrician_spark.operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH {_SQL_JACCARD_CTES}, "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands_sql}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id) "
+        "SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j ON j.id_a = c.id_a "
+        f"AND j.id_b = c.id_b WHERE j.jaccard >= {threshold} ORDER BY c.id_a, c.id_b"
+    )
+
+
+@query("q_d3_minhash_lsh", _minhash_oracle(), tags=("dedup",), bench=True)
+def q_d3(spark, sf_dir):
+    from electrician_spark.operators import dedup
+
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.8
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    sig_expr = " + ".join(
+        f"CASE WHEN b{b} >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(bits)
+    )
+    n_bytes = bits // 8
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS pos, (simhash >> {i * 8}) & 255 AS chunk FROM sig"
+        for i in range(n_bytes)
+    )
+    return (
+        f"WITH {_SQL_SHINGLES_CTE}, "
+        f"votes AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {sig_expr} AS simhash FROM votes), "
+        f"chunks AS ({chunk_selects}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.simhash AS sig_a, b.simhash AS sig_b FROM chunks a JOIN chunks b "
+        "ON a.pos = b.pos AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming} ORDER BY id_a, id_b"
+    )
+
+
+@query("q_d4_simhash", _simhash_oracle(), tags=("dedup",))
+def q_d4(spark, sf_dir):
+    from electrician_spark.operators import dedup
+
+    pairs = dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(64), i -> "
+    "CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+)
+_SQL_NORM_CTE = (
+    "norms AS (SELECT vec_id, embedding, "
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "AS nrm FROM embeddings)"
+)
+
+
+@query(
+    "q_d5_embedding_near_dup",
+    f"WITH {_SQL_NORM_CTE}, "
+    "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    f"round({_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) AS cos "
+    "FROM norms a JOIN norms b ON a.vec_id < b.vec_id) "
+    "SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4 ORDER BY id_a, id_b",
+    tags=("similarity",),
+)
+def q_d5(spark, sf_dir):
+    from electrician_spark.operators import similarity as sim
+
+    return sim.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q_n1_ann_bruteforce",
+    f"WITH {_SQL_NORM_CTE}, "
+    "q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM norms WHERE vec_id < 10), "
+    "scored AS (SELECT query_id, c.vec_id AS neighbor_id, "
+    f"round({_SQL_DOT.format(a='qv', b='c.embedding')} / (qn * c.nrm), 4) AS cos "
+    "FROM q JOIN norms c ON c.vec_id != query_id), "
+    "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
+    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5 "
+    "ORDER BY query_id, rank",
+    tags=("similarity",),
+    bench=True,
+)
+def q_n1(spark, sf_dir):
+    from electrician_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+@query(
+    "q_n2_ann_ivf",
+    "WITH ex AS (SELECT label AS cl, d.dim AS dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v "
+    "FROM embeddings, (SELECT unnest(range(64)) AS dim) d), "
+    "means AS (SELECT cl, dim, avg(v) AS m FROM ex GROUP BY cl, dim), "
+    "cents AS (SELECT cl, list(m ORDER BY dim) AS centroid FROM means GROUP BY cl), "
+    f"{_SQL_NORM_CTE}, "
+    "q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM norms WHERE vec_id < 10), "
+    "routed AS (SELECT query_id, qv, qn, cl, "
+    + _SQL_DOT.format(a="qv", b="centroid")
+    + " / (qn * sqrt(list_sum(list_transform(centroid, x -> x * x)))) AS ccos FROM q, cents), "
+    "probe AS (SELECT query_id, qv, qn, cl FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY ccos DESC, cl) AS rn FROM routed) r WHERE rn = 1), "
+    "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
+    f"round({_SQL_DOT.format(a='qv', b='e.embedding')} / (qn * n2.nrm), 4) AS cos "
+    "FROM probe p JOIN embeddings e ON e.label = p.cl AND e.vec_id != p.query_id "
+    "JOIN norms n2 ON n2.vec_id = e.vec_id), "
+    "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
+    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5 "
+    "ORDER BY query_id, rank",
+    tags=("similarity",),
+)
+def q_n2(spark, sf_dir):
+    from electrician_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
