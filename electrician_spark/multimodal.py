@@ -1,0 +1,140 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed
+metadata (LLM-pipeline extension).
+
+Design: media travels as a ``binary`` column with a metadata struct
+(modality, mime, width/height/duration, source uri). Decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so each partition processes a bounded batch of
+blobs without ever collecting to the driver.
+
+The container has no image/audio codecs, so the actual byte→pixels
+decode is STUBBED (deterministic fake or NotImplementedError, clearly
+marked). Everything around it — schema, batch shape, partition sizing,
+UDF signatures — is real and tested; swapping in PIL/ffmpeg is a
+one-function change on the executor side.
+
+Scale notes: blobs dominate partition bytes — size partitions by
+``spark.sql.files.maxPartitionBytes`` (or repartition by byte budget
+via ``size_partitions``) so a 100 TB media table doesn't produce 2 GB
+Arrow batches; ``spark.sql.execution.arrow.maxRecordsPerBatch`` caps
+the batch row count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("source_uri", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str, modality: str = "image") -> DataFrame:
+    """Build a media frame from any table for plumbing tests: payload =
+    utf-8 bytes of a text column. Real pipelines read binary files via
+    ``spark.read.format('binaryFile')`` — same downstream plan."""
+    return df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col(text_col), "utf-8").cast("binary").alias("payload"),
+        F.lit("synthetic://fixture").alias("source_uri"),
+    )
+
+
+def _decode_stub(payload: bytes, mime: str) -> tuple[int, int]:
+    """STUB decode: derive deterministic fake (width, height) from the
+    payload hash. Replace with PIL.Image.open for real images — the
+    surrounding plumbing (batching, schema, error column) is unchanged.
+    Raises for modalities the stub doesn't model, exercising the error
+    path the way a corrupt blob would."""
+    if payload is None:
+        raise ValueError("empty payload")
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: byte stats +
+    stubbed decode, failures captured in the ``ok`` column (DLQ column
+    pattern, reliability.py) instead of failing the task."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                payload = r["payload"]
+                rec = {
+                    "media_id": r["media_id"],
+                    "modality": r["modality"],
+                    "n_bytes": len(payload) if payload is not None else 0,
+                    "sha256": hashlib.sha256(payload).hexdigest() if payload is not None else None,
+                    "width": None,
+                    "height": None,
+                    "ok": "ok",
+                }
+                try:
+                    w, h = _decode_stub(payload, r["mime"])
+                    rec["width"], rec["height"] = w, h
+                except Exception as exc:  # noqa: BLE001 — error → column, not task failure
+                    rec["ok"] = f"error: {exc}"
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: explode a (stubbed) frame index
+    list per video, keyed for downstream image processing. Real decode
+    would emit actual frames; the partitioning/explode shape is what
+    matters at scale (one video → many frame rows, so repartition after
+    explode to rebalance)."""
+    n_frames = (F.length(F.col("payload")) / 100).cast("int") + 1
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return df.select(
+        "media_id",
+        F.explode(idx).alias("frame_idx"),
+        F.sha2(F.concat(F.col("payload"), F.lit(":frame:")), 256).alias("frame_key"),
+    ).repartition("media_id")
+
+
+def size_partitions(df: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """Spread blobs across ``n_buckets`` hash partitions keyed on
+    media_id — deterministic, shuffle-friendly balancing so no single
+    partition accumulates outsized payloads. (A cumulative-bytes
+    running sum would balance perfectly but needs a global order —
+    not viable at 100 TB; hash spreading is the scale answer, with
+    ``files.maxPartitionBytes`` bounding the read side.)"""
+    return df.repartition(n_buckets, F.crc32(F.col("media_id").cast("string")))

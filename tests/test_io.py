@@ -1,0 +1,80 @@
+"""IO tests — mirrors the reference's codec round-trips and writer-roll
+semantics (codec_test.go; s3client writer key templates)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from electrician_spark import io as eio
+from tests.conftest import SF_SMOKE
+
+
+def test_ndjson_round_trip(spark, tmp_path):
+    """K1/Q-K2: write NDJSON, read back, order-insensitive equality."""
+    orders = eio.read_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_ndjson")
+    eio.write_ndjson(orders.withColumn("o_orderdate", F.col("o_orderdate").cast("string")), path)
+    back = eio.read_ndjson(spark, path)
+    assert back.count() == orders.count()
+    a = {r.o_orderkey: r.o_totalprice for r in back.collect()}
+    b = {r.o_orderkey: r.o_totalprice for r in orders.collect()}
+    assert a == b
+
+
+def test_ndjson_gzip_round_trip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    path = str(tmp_path / "gz")
+    eio.write_ndjson(df, path, gzip=True)
+    assert glob.glob(os.path.join(path, "*.gz"))
+    assert eio.read_ndjson(spark, path).count() == 2
+
+
+def test_parquet_time_partitioned_write(spark, tmp_path):
+    """K2 + key template {yyyy}/{MM}: directory layout matches the
+    reference's time-partitioned object keys; partition pruning applies
+    on read (Q-K1 round trip)."""
+    orders = eio.read_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_parts")
+    cols = eio.write_parquet_partitioned(orders, path, ts_col="o_orderdate", template="{yyyy}/{MM}")
+    assert cols == ["_yyyy", "_mm"]
+    assert glob.glob(os.path.join(path, "_yyyy=*/_mm=*"))
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: filter on partition col reads only those dirs
+    one_year = back.filter(F.col("_yyyy") == "1996")
+    expected = orders.filter(F.year("o_orderdate") == 1996).count()
+    assert one_year.count() == expected
+
+
+def test_projection_and_cursor_pushdown_in_plan(spark):
+    """S5 columns/StartAfter must reach the parquet scan: ReadSchema
+    pruned + PushedFilters populated (SURVEY §4.1)."""
+    df = eio.scan_projected(
+        spark,
+        os.path.join(SF_SMOKE, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+        start_after=("l_orderkey", 100),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)]" in plan
+    assert "l_quantity" not in plan  # pruned column never read
+
+
+def test_build_select_query_pushdown_sql():
+    """S6 Postgres reader query building (reader.go:103-131 parity)."""
+    sql = eio.build_select_query(
+        "events", columns=["id", "payload"], where="id > 10", order_by="id DESC", limit=5
+    )
+    assert sql == "SELECT id, payload FROM events WHERE id > 10 ORDER BY id DESC LIMIT 5"
+
+
+def test_max_records_per_file_rolls(spark, tmp_path):
+    """W1 record-count batch roll (50k default scaled down)."""
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "rolled")
+    df.coalesce(1).write.option("maxRecordsPerFile", 30).mode("overwrite").parquet(path)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) == 4  # 30+30+30+10
