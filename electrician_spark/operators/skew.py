@@ -1,0 +1,90 @@
+"""Skew & join-strategy helpers (SURVEY §7.2.9 scale hygiene).
+
+At 100 TB the failure modes are: one hot key owning a shuffle
+partition, and a sort-merge join where a broadcast would do. AQE
+(enabled by the session factory) already splits skewed *shuffle
+partitions*; the salting here handles the harder case — skewed *join
+keys* in aggregations and joins AQE can't split (e.g. a single key
+bigger than any partition split).
+
+- ``salted_agg``: two-phase aggregation — salt the key, partial-agg on
+  (key, salt), then final-agg on key. Turns one hot reducer into
+  ``n_salts`` parallel ones. Only associative aggregates qualify.
+- ``salted_join``: replicate the *small* side per salt, salt the big
+  side — classic replicated skew join.
+- ``broadcast_if_small``: explicit broadcast below a row/size budget;
+  otherwise leave Catalyst to choose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic-per-row salt (hash of all columns, not rand(), so
+    retried tasks produce identical output — required for
+    exactly-once sinks)."""
+    return df.withColumn(
+        salt_col, (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % n_salts).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation for associative aggregates
+    (sum/count/min/max). ``aggs``: output_name → 'fn(col)' spec, e.g.
+    {'total': 'sum(v)', 'n': 'count(*)'}."""
+    partial_exprs = []
+    final_exprs = []
+    for out, spec in aggs.items():
+        fn, col = spec.rstrip(")").split("(")
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+            final_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(f"_p_{out}"))
+            final_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(f"_p_{out}"))
+            final_exprs.append(F.min(f"_p_{out}").alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(f"_p_{out}"))
+            final_exprs.append(F.max(f"_p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-associative aggregate {fn!r} cannot be salted")
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicated skew join: big side gets a hash salt; small side is
+    exploded ×n_salts so every (key, salt) bucket finds its match. Use
+    when one join key dominates and the small side fits ×n_salts."""
+    big_s = with_salt(big, n_salts)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    out = big_s.join(small_s, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
+    """Broadcast hint gated on a cheap row bound. Counting is acceptable
+    for dimension tables; for unknown sizes rely on Catalyst's
+    autoBroadcastJoinThreshold instead."""
+    if df.count() <= max_rows:
+        return F.broadcast(df)
+    return df

@@ -1095,3 +1095,71 @@ def q_n2(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# §2.11 Sinks — round-trip and upsert semantics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_k1_parquet_roundtrip",
+    "SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, count(*) AS n "
+    "FROM orders GROUP BY 1 ORDER BY 1",
+    tags=("sink",),
+)
+def q_k1(spark, sf_dir):
+    # K2 parquet writer with {yyyy} time-partition template → read back →
+    # per-partition counts must equal the source aggregation (Q-K1).
+    import tempfile
+
+    from electrician_spark.io import write_parquet_partitioned
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="esk_k1_") + "/orders"
+    write_parquet_partitioned(orders, path, ts_col="o_orderdate", template="{yyyy}")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("_yyyy").cast("int").alias("order_year"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "q_k2_ndjson_roundtrip",
+    "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders",
+    tags=("sink",),
+)
+def q_k2(spark, sf_dir):
+    # K1 NDJSON writer round-trip: write, read back, order-insensitive
+    # aggregate equality (Q-K2).
+    import tempfile
+
+    from electrician_spark.io import read_ndjson, write_ndjson
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="esk_k2_") + "/orders"
+    write_ndjson(orders, path)
+    back = read_ndjson(spark, path)
+    return back.agg(
+        F.count("*").alias("n"), rel.round2(F.sum("o_totalprice")).alias("total")
+    )
+
+
+@query(
+    "q_k4_upsert_idempotent",
+    "SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_keys FROM "
+    "(SELECT DISTINCT o_custkey FROM orders) t",
+    tags=("sink",),
+)
+def q_k4(spark, sf_dir):
+    # K4 ON CONFLICT DO UPDATE semantics: applying the same keyed batch
+    # twice leaves exactly one row per key (Q-K4).
+    from electrician_spark.operators.upsert import apply_idempotent
+
+    batch = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    final = apply_idempotent(batch, keys=["o_custkey"], times=2)
+    return final.agg(
+        F.count("*").alias("n_rows"), F.countDistinct("o_custkey").alias("n_keys")
+    )

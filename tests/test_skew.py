@@ -1,0 +1,64 @@
+"""Skew helpers: salted aggregation/join equivalence to the unsalted
+plans, salt determinism, and broadcast plan assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from electrician_spark.operators.skew import (
+    broadcast_if_small,
+    salted_agg,
+    salted_join,
+    with_salt,
+)
+
+
+@pytest.fixture()
+def skewed(spark):
+    # key 'hot' owns 90% of rows
+    return spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_matches_plain(spark, skewed):
+    plain = {
+        r.k: (r.total, r.n, r.mx)
+        for r in skewed.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("*").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.total, r.n, r.mx)
+        for r in salted_agg(
+            skewed, ["k"], {"total": "sum(v)", "n": "count(*)", "mx": "max(v)"}
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_non_associative(skewed):
+    with pytest.raises(ValueError, match="non-associative"):
+        salted_agg(skewed, ["k"], {"a": "avg(v)"})
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame([("hot", "H"), ("k950", "C")], "k string, label string")
+    plain = sorted((r.k, r.v, r.label) for r in skewed.join(dim, "k").collect())
+    salted = sorted((r.k, r.v, r.label) for r in salted_join(skewed, dim, "k", n_salts=4).collect())
+    assert salted == plain
+
+
+def test_salt_is_deterministic(spark, skewed):
+    a = with_salt(skewed, 8).collect()
+    b = with_salt(skewed, 8).collect()
+    assert a == b  # hash-based, not rand(): task retries are idempotent
+
+
+def test_broadcast_hint_in_plan(spark, skewed):
+    dim = spark.createDataFrame([("hot", 1)], "k string, x int")
+    joined = skewed.join(broadcast_if_small(dim), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
