@@ -70,10 +70,12 @@ def quality_score(text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) 
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (deduplicated). Built from the token
-    array with sequence+transform — one codegen'd expression."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (deduplicated) from an already-computed
+    token array column. Prefer this in hot paths: materialize the token
+    array in its own projection first, so ``toks`` is an attribute
+    reference — every ``element_at`` below re-evaluates ``toks``, and
+    re-running ``split()`` per gram element is O(len²) per document."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = F.transform(
         idx,
@@ -84,6 +86,18 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (deduplicated), one expression.
+
+    Binds the token array once as a lambda variable (transform over a
+    one-element array) so ``split`` runs once per row, not once per
+    gram element. For the hottest paths, pre-project the token array
+    and use :func:`shingles_from_tokens` instead (lambda-variable
+    evaluation is interpreted, ~3× slower than a codegen'd attribute)."""
+    bound = F.transform(F.array(tokens(text)), lambda tk: shingles_from_tokens(tk, n))
+    return F.element_at(bound, 1)
 
 
 def fingerprint(text: Column) -> Column:

@@ -65,7 +65,13 @@ def _shingle_table(
     occur in more than ``max_df`` documents (hot-key / stopword-shingle
     guard: at corpus scale a shingle present in millions of docs would
     otherwise dominate the join)."""
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(tx.shingles(F.col(text_col), n)).alias("_s"))
+    # Two projections on purpose: the token array must be an attribute
+    # reference before shingling, or every element_at re-runs split()
+    # (O(len²) per doc — 13× slower measured at sf0.1). CollapseProject
+    # keeps them separate because _tk is referenced n times above.
+    sh = df.select(F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_tk")).select(
+        "_id", F.explode(tx.shingles_from_tokens(F.col("_tk"), n)).alias("_s")
+    )
     if max_df is not None:
         from pyspark.sql import Window
 

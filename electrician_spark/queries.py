@@ -1035,6 +1035,7 @@ _SQL_NORM_CTE = (
     "FROM norms a JOIN norms b ON a.vec_id < b.vec_id) "
     "SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4 ORDER BY id_a, id_b",
     tags=("similarity",),
+    bench=True,
 )
 def q_d5(spark, sf_dir):
     from electrician_spark.operators import similarity as sim

@@ -1,0 +1,59 @@
+"""Similarity-search operator tests.
+
+The block-GEMM all-pairs plan must be *exactly* equivalent to the
+naive theta-join reference (same pairs, same 4dp cosines), for any
+block count — including blocks larger than the vector count (empty
+block pairs) and blocks=1 (single diagonal group).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from electrician_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from electrician_spark.io import read_table
+
+    return read_table(spark, SF_DIR, "embeddings")
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b): r.cos for r in df.collect()}
+
+
+def test_gemm_matches_naive(spark, emb):
+    naive = _pairs(sim.cosine_pairs_naive(emb, threshold=0.4))
+    gemm = _pairs(sim.cosine_pairs(emb, threshold=0.4))
+    assert naive == gemm
+    assert len(naive) > 0
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 64])
+def test_gemm_block_counts(spark, emb, blocks):
+    base = _pairs(sim.cosine_pairs(emb, threshold=0.4, blocks=8))
+    assert _pairs(sim.cosine_pairs(emb, threshold=0.4, blocks=blocks)) == base
+
+
+def test_pairs_ordered_and_thresholded(spark, emb):
+    rows = sim.cosine_pairs(emb, threshold=0.4).collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.cos >= 0.4
+
+
+def test_topk_rank_contract(spark, emb):
+    out = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, len(rows) + 1)
+        )
+        assert all(r.neighbor_id != q for r in rows)
+        cs = [r.cos for r in sorted(rows, key=lambda r: r.rank)]
+        assert cs == sorted(cs, reverse=True)
