@@ -1,0 +1,82 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is
+the one that survives 100 TB: filters reach the parquet scan, scans
+read only the projected columns, dimension joins broadcast, top-k uses
+TakeOrderedAndProject (no global sort), and no query ever falls back to
+row-at-a-time Python evaluation (BatchEvalPython) — Python stays on the
+Arrow path (reference analog: the allocation-budget regression test,
+/root/reference/pkg/internal/wire/wire_test.go:141).
+"""
+
+import io
+import contextlib
+
+import pytest
+
+from electrician_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = plan_of(REGISTRY[name].spark(spark, SF_DIR))
+        return cache[name]
+
+    return get
+
+
+def test_predicate_pushdown_reaches_scan(plans):
+    p = plans("q_s3_predicate_pushdown")
+    assert "GreaterThan(o_totalprice" in p, p
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in p
+
+
+def test_projection_prunes_scan_columns(plans):
+    p = plans("q_s2_projection_pushdown")
+    # lineitem has 16 columns; the scan must read only the projected ones
+    # (+ the limit tiebreak key).
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>" in p
+
+
+def test_dimension_join_broadcasts(plans):
+    p = plans("q_j1_broadcast_inner")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_filter_pushdown_under_join(plans):
+    p = plans("q_j2_shipping_priority")
+    # each of the three scans keeps its own pushed predicate
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate," in p
+    assert "GreaterThan(l_shipdate," in p
+
+
+def test_topk_avoids_global_sort(plans):
+    assert "TakeOrderedAndProject" in plans("q_o1_global_topk")
+
+
+def test_revenue_filter_pushed(plans):
+    p = plans("q_t1_revenue_projection")
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_python_row_fallback(plans, name):
+    # BatchEvalPython = per-row pickled Python UDF (the 10-100x slow
+    # path). Pandas UDFs appear as ArrowEvalPython / *InPandas and are
+    # allowed.
+    assert "BatchEvalPython" not in plans(name)
