@@ -1,0 +1,157 @@
+"""Cross-service payload envelope — the relay surface, Spark-first.
+
+The reference ships records between services as a protobuf
+``WrappedPayload``: id, timestamp, payload bytes, per-session seq,
+encoding/compression/encryption markers, delivery mode, ordering key,
+dedupe key and TTL (/root/reference/proto/electrician_relay.proto:16-43),
+produced by the forward relay (encode → compress → encrypt → seq,
+forwardrelay/submit.go:13-68, relaycodec/codec.go:85-200) and consumed
+by receiving relays that decrypt → decompress → decode → ack with
+dedupe/TTL/ordering semantics (receivingrelay/receive.go:13).
+
+Spark mapping: the "wire" between jobs is a Kafka topic or a staging
+table; the envelope is ordinary columns. Wrap/unwrap are column
+pipelines (JSON encode → deflate/gzip/… → AES-GCM), seq is a window
+per ordering key, TTL is a filter, dedupe is dropDuplicates (or
+dropDuplicatesWithinWatermark on a stream), and per-key ordered
+delivery is repartition(key) + sortWithinPartitions(seq) — Spark only
+guarantees order within a partition, which is exactly the reference's
+per-session guarantee (SURVEY §7.4.4).
+
+At scale: every step is narrow except the seq window and the final
+repartition, both keyed by ordering_key — one shuffle each, and the
+same partitioning is reused by a keyed Kafka sink downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from electrician_spark.functions import codecs
+
+ENVELOPE_COLS = (
+    "id",
+    "ts",
+    "payload",
+    "seq",
+    "encoding",
+    "compression",
+    "encryption",
+    "ordering_key",
+    "dedupe_key",
+    "expires_at",
+)
+
+
+def wrap(
+    df: DataFrame,
+    payload_cols: list[str] | None = None,
+    *,
+    ordering_key: Column | str | None = None,
+    dedupe_key: Column | str | None = None,
+    ts: Column | None = None,
+    ttl_seconds: int | None = None,
+    compression: str | None = None,
+    encryption_key: str | None = None,
+) -> DataFrame:
+    """Payload columns → one envelope row per record.
+
+    ``id`` is content-derived (sha256 of payload + seq) so re-wrapping
+    the same batch is idempotent — the deterministic analog of the
+    reference's ULID ids. ``seq`` is a per-ordering-key row_number in
+    ``ts`` order (per-session seq, forwardrelay/submit.go:29); without
+    an ordering key it is a global zipWithIndex-free constant 0 — the
+    unordered delivery mode.
+    """
+    cols = payload_cols or df.columns
+    okey = F.col(ordering_key) if isinstance(ordering_key, str) else ordering_key
+    dkey = F.col(dedupe_key) if isinstance(dedupe_key, str) else dedupe_key
+    ts_col = ts if ts is not None else F.current_timestamp()
+
+    out = df.select(
+        F.to_json(F.struct(*cols)).alias("_json"),
+        ts_col.alias("ts"),
+        (okey if okey is not None else F.lit(None).cast("string")).alias("ordering_key"),
+        (dkey if dkey is not None else F.lit(None).cast("string")).alias("dedupe_key"),
+    )
+    if okey is not None:
+        w = Window.partitionBy("ordering_key").orderBy("ts", "_json")
+        out = out.withColumn("seq", F.row_number().over(w).cast("long"))
+    else:
+        out = out.withColumn("seq", F.lit(0).cast("long"))
+
+    payload: Column = F.encode(F.col("_json"), "utf-8").cast("binary")
+    if compression:
+        payload = codecs.compress(payload, compression)
+    if encryption_key:
+        payload = codecs.aes_encrypt(payload, encryption_key)
+
+    expires = (
+        (F.col("ts") + F.expr(f"INTERVAL {int(ttl_seconds)} SECOND"))
+        if ttl_seconds is not None
+        else F.lit(None).cast("timestamp")
+    )
+    return out.select(
+        F.sha2(F.concat(F.col("_json"), F.col("seq").cast("string")), 256).alias("id"),
+        "ts",
+        payload.alias("payload"),
+        "seq",
+        F.lit("json").alias("encoding"),
+        F.lit(compression or "none").alias("compression"),
+        F.lit("aes-gcm" if encryption_key else "none").alias("encryption"),
+        "ordering_key",
+        "dedupe_key",
+        expires.alias("expires_at"),
+    )
+
+
+def unwrap(
+    df: DataFrame,
+    payload_schema: str,
+    *,
+    compression: str | None = None,
+    encryption_key: str | None = None,
+    drop_expired_at: Column | None = None,
+    dedupe: bool = False,
+) -> DataFrame:
+    """Envelope rows → payload columns (receiving-relay semantics).
+
+    Steps mirror receivingrelay/receive.go:13: decrypt → decompress →
+    decode, then DropPolicy EXPIRED (``expires_at <= now``) and
+    receiver-side dedupe on ``dedupe_key`` (proto:31-33). Malformed
+    payloads decode to NULL structs rather than failing the task (the
+    DLQ column pattern — filter on ``payload_ok``)."""
+    payload: Column = F.col("payload")
+    if encryption_key:
+        payload = codecs.aes_decrypt(payload, encryption_key)
+    if compression:
+        payload = codecs.decompress(payload, compression)
+    decoded = F.from_json(F.decode(payload, "utf-8"), payload_schema)
+
+    # PERMISSIVE from_json yields a struct of all-nulls for corrupt
+    # input (never a null struct); to_json drops null fields, so '{}'
+    # marks a failed decode.
+    out = df.withColumn("_decoded", decoded).withColumn(
+        "payload_ok",
+        F.col("_decoded").isNotNull() & (F.to_json(F.col("_decoded")) != F.lit("{}")),
+    )
+    if drop_expired_at is not None:
+        out = out.filter(
+            F.col("expires_at").isNull() | (F.col("expires_at") > drop_expired_at)
+        )
+    if dedupe:
+        # Batch receiver dedupe; on a stream use
+        # dropDuplicatesWithinWatermark(["dedupe_key"]) after withWatermark.
+        out = out.dropDuplicates(["dedupe_key"])
+    return out
+
+
+def ordered_delivery(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """DELIVERY_RELIABLE_ORDERED (proto:168-173): co-locate each
+    ordering_key in one partition and sort by seq within it. Spark's
+    per-partition order guarantee then gives per-key in-order consume —
+    the same contract as the reference's per-target session streams."""
+    parts = [F.col("ordering_key")]
+    rep = df.repartition(num_partitions, *parts) if num_partitions else df.repartition(*parts)
+    return rep.sortWithinPartitions("ordering_key", "seq")

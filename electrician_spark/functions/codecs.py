@@ -104,6 +104,84 @@ def aes_decrypt(col: Column, key: str, mode: str = "GCM") -> Column:
     return F.aes_decrypt(col, F.lit(key), F.lit(mode))
 
 
+# -- payload compression (relaycodec/codec.go:152-183: deflate/snappy/
+#    zstd/brotli/lz4; parquet codec map parquet_writer.go:107-133) -------------
+#
+# stdlib codecs are always available; optional ones are import-gated and
+# raise a clear error naming the missing library. All run as
+# Arrow-batched pandas UDFs over BinaryType (never per-row pickled).
+
+import bz2 as _bz2
+import gzip as _gzip
+import lzma as _lzma
+import zlib as _zlib
+
+_COMPRESSORS: dict[str, tuple] = {
+    "deflate": (_zlib.compress, _zlib.decompress),
+    "gzip": (_gzip.compress, _gzip.decompress),
+    "bz2": (_bz2.compress, _bz2.decompress),
+    "xz": (_lzma.compress, _lzma.decompress),
+}
+
+try:  # optional codecs, mirroring the reference's pluggable set
+    import snappy as _snappy  # type: ignore
+
+    _COMPRESSORS["snappy"] = (_snappy.compress, _snappy.decompress)
+except ImportError:
+    pass
+try:
+    import zstandard as _zstd  # type: ignore
+
+    _COMPRESSORS["zstd"] = (
+        lambda b: _zstd.ZstdCompressor().compress(b),
+        lambda b: _zstd.ZstdDecompressor().decompress(b),
+    )
+except ImportError:
+    pass
+try:
+    import lz4.frame as _lz4  # type: ignore
+
+    _COMPRESSORS["lz4"] = (_lz4.compress, _lz4.decompress)
+except ImportError:
+    pass
+
+
+def _codec_fns(codec: str) -> tuple:
+    if codec not in _COMPRESSORS:
+        raise ValueError(
+            f"compression codec {codec!r} not available (have: {sorted(_COMPRESSORS)})"
+        )
+    return _COMPRESSORS[codec]
+
+
+def compress(col: Column, codec: str = "deflate") -> Column:
+    comp, _ = _codec_fns(codec)
+
+    @F.pandas_udf(BinaryType())
+    def _c(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: None if x is None else comp(bytes(x)))
+
+    return _c(col.cast("binary"))
+
+
+def decompress(col: Column, codec: str = "deflate") -> Column:
+    _, decomp = _codec_fns(codec)
+
+    @F.pandas_udf(BinaryType())
+    def _d(b: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            try:
+                return decomp(bytes(x))
+            except Exception:  # malformed → NULL (error-column pattern)
+                return None
+
+        return b.map(one)
+
+    return _d(col)
+
+
 # -- wave binary codec (codec/wave.go:14-151 capability) ------------------------
 
 WAVE_STRUCT = StructType(

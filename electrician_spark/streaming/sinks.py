@@ -135,3 +135,85 @@ class ForEachBatchRouter:
         finally:
             if len(self.sinks) > 1:
                 main.unpersist()
+
+
+# -- Kafka producer frame (K3, types/kafka_adapter.go:48-81) -----------------
+
+
+def kafka_frame(
+    df: DataFrame,
+    value_cols: list[str] | None = None,
+    *,
+    key_template: str | None = None,
+    header_templates: dict[str, str] | None = None,
+    topic: str | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Shape a DataFrame into the columns Spark's Kafka sink consumes:
+    ``key``, ``value``, optional ``headers``/``topic``/``partition``.
+
+    The reference's per-record ``{field}`` key and header templates
+    (adapter/kafkaclient/templates.go:9-60, writer.go:16-58) compile to
+    concat expressions — codegen'd, no UDF. Partition strategies map as:
+    hash → Kafka's default key-hash partitioner (just set the key),
+    manual → an explicit ``partition`` column, round-robin → null key.
+    """
+    from pyspark.sql import functions as F
+
+    from electrician_spark.functions.scalar import expand_template
+
+    cols = [
+        F.to_json(F.struct(*(value_cols or df.columns))).alias("value"),
+    ]
+    if key_template is not None:
+        cols.insert(0, expand_template(key_template).alias("key"))
+    else:
+        cols.insert(0, F.lit(None).cast("string").alias("key"))
+    if header_templates:
+        cols.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key"),
+                        F.encode(expand_template(v), "utf-8").cast("binary").alias("value"),
+                    )
+                    for k, v in sorted(header_templates.items())
+                ]
+            ).alias("headers")
+        )
+    if topic is not None:
+        cols.append(F.lit(topic).alias("topic"))
+    if partition_col is not None:
+        cols.append(F.col(partition_col).cast("int").alias("partition"))
+    return df.select(*cols)
+
+
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str | None = None,
+    acks: str = "all",
+    compression: str | None = None,
+    batch_size: int | None = None,
+    linger_ms: int | None = None,
+    dlq_topic: str | None = None,
+) -> dict[str, str]:
+    """Producer option map from the reference's writer config
+    (types/kafka_adapter.go:48-81): acks 0/1/all, batch sizing, codec.
+    ``dlq_topic`` is consumed by ForEachBatchRouter's dlq_sink, not the
+    Kafka client. ``includeHeaders`` is set so the headers column ships."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "kafka.acks": acks,
+        "includeHeaders": "true",
+    }
+    if topic is not None:
+        opts["topic"] = topic
+    if compression is not None:
+        opts["kafka.compression.type"] = compression
+    if batch_size is not None:
+        opts["kafka.batch.size"] = str(batch_size)
+    if linger_ms is not None:
+        opts["kafka.linger.ms"] = str(linger_ms)
+    if dlq_topic is not None:
+        opts["electrician.dlq.topic"] = dlq_topic
+    return opts
