@@ -1164,3 +1164,56 @@ def q_k4(spark, sf_dir):
     return final.agg(
         F.count("*").alias("n_rows"), F.countDistinct("o_custkey").alias("n_keys")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 W9 / §3.3 — custom stateful streaming (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_r1_resequenced_replay",
+    "SELECT CAST(user_id AS VARCHAR) AS key, "
+    "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq, "
+    "CAST(event_id AS VARCHAR) AS payload "
+    "FROM events WHERE user_id <= 20 ORDER BY key, seq",
+    tags=("stateful", "streaming"),
+)
+def q_r1(spark, sf_dir):
+    # DELIVERY_RELIABLE_ORDERED receiver: events are seq-stamped per
+    # user, written out hash-shuffled (arrival order destroyed), then
+    # replayed through readStream micro-batches into the
+    # applyInPandasWithState resequencer — which must reconstruct exact
+    # per-key seq order, buffering gaps across batch boundaries. The
+    # oracle is the order the forward relay stamped.
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from electrician_spark.streaming import stateful
+    from electrician_spark.streaming.sources import file_stream
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.col("event_id").cast("string").alias("payload"),
+    )
+    base = tempfile.mkdtemp(prefix="esk_r1_")
+    src = base + "/src"
+    seqd.repartition(8).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, seqd.schema, max_files_per_trigger=3)
+    name = "t_r1_" + uuid.uuid4().hex[:8]
+    q = (
+        stateful.resequence(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", base + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).orderBy("key", "seq")
