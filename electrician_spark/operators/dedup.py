@@ -113,35 +113,53 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold, with
     prefix filtering (the ppjoin-family blocking that makes exact
     set-similarity joins tractable at corpus scale).
 
     Candidate generation joins only each document's *prefix* — its
-    |A| - ceil(t·|A|) + 1 globally-rarest shingles (order: document
-    frequency asc, shingle asc). Prefix-filter lemma: any pair with
-    Jaccard ≥ t must share a prefix shingle, so the candidate set is a
-    superset of the answer; candidates are then verified exactly via
+    first |A| - ceil(t·|A|) + 1 shingles under a fixed global shingle
+    order. Prefix-filter lemma: any pair with Jaccard ≥ t must share a
+    prefix shingle under ANY fixed total order, so the candidate set is
+    a superset of the answer; candidates are then verified exactly via
     array_intersect. Same output as the naive full shingle self-join,
-    but the join touches rare keys only — at sf0.1 this is ~20× fewer
-    join rows, and the gap widens with corpus size because hot
-    (high-df) shingles never enter the join.
+    but the join touches a ~(1-t) fraction of shingle rows.
+
+    ``prefix_order``:
+    - ``"df"`` (default): document-frequency ascending — costs two
+      extra shuffles (df count + per-doc rank) but prefixes hold the
+      globally rarest shingles, so far fewer candidates reach the
+      exact-verify stage (measured ~2× fewer at sf0.1; the gap widens
+      on skewed corpora where boilerplate shingles are hot).
+    - ``"lex"``: lexicographic — the per-doc sorted shingle array
+      already exists, so the prefix is a plain ``slice`` and candidate
+      generation adds zero shuffles beyond the one groupBy. Use when
+      shuffle count matters more than candidate count (very wide
+      clusters, cheap verify). ``max_df`` caps hot shingles in either
+      mode.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard to 6dp.
     """
-    from pyspark.sql import Window
-
     sh = _shingle_table(df, id_col, text_col, n, max_df)
     docs = _doc_shingle_arrays(sh)
-    dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
-    ranked = sh.join(dfreq, "_s").withColumn(
-        "_pos", F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_s"))
-    )
-    sized = ranked.join(docs.select("_id", "_sz"), "_id")
-    prefix = sized.filter(
-        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select("_id", "_s")
+    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    if prefix_order == "lex":
+        prefix = docs.select(
+            "_id", F.explode(F.slice("_arr", F.lit(1), prefix_len.cast("int"))).alias("_s")
+        )
+    elif prefix_order == "df":
+        from pyspark.sql import Window
+
+        dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
+        ranked = sh.join(dfreq, "_s").withColumn(
+            "_pos", F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_s"))
+        )
+        sized = ranked.join(docs.select("_id", "_sz"), "_id")
+        prefix = sized.filter(F.col("_pos") <= prefix_len).select("_id", "_s")
+    else:
+        raise ValueError(f"prefix_order must be 'lex' or 'df', got {prefix_order!r}")
     cand = (
         prefix.select(F.col("_id").alias("id_a"), "_s")
         .join(prefix.select(F.col("_id").alias("id_b"), "_s"), "_s")

@@ -1,0 +1,59 @@
+"""Dedup operator unit tests (the oracle harness covers end-to-end
+values; these pin operator-level contracts)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from electrician_spark.io import read_table
+from electrician_spark.operators import dedup
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_SMOKE, "documents")
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
+
+
+def test_prefix_orders_equivalent(spark, docs):
+    """lex and df prefixes are different blockings of the SAME exact
+    join — outputs must be identical (prefix-filter lemma holds for any
+    fixed global order)."""
+    lex = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8, prefix_order="lex"))
+    dfo = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8, prefix_order="df"))
+    assert lex == dfo
+
+
+def test_bad_prefix_order_rejected(spark, docs):
+    with pytest.raises(ValueError, match="prefix_order"):
+        dedup.ngram_jaccard_pairs(docs, prefix_order="nope")
+
+
+def test_lsh_pairs_subset_of_exact(spark, docs):
+    """LSH candidates are verified exactly, so every emitted pair must
+    also appear in the exhaustive exact join (no false positives)."""
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
+    lsh = _pairs(dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.8))
+    assert lsh <= exact
+
+
+def test_exact_dedup_keeps_one_per_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello World"), (3, "other text")], "id long, text string"
+    )
+    out = dedup.exact_dedup(df, keep_col="id")
+    kept = sorted(r.id for r in out.collect())
+    assert kept == [1, 3]  # case/whitespace-normalized dupes collapse, min id wins
+
+
+def test_max_df_guards_hot_shingles(spark):
+    # every doc shares the hot shingle; with max_df it can't generate
+    # candidates on its own
+    rows = [(i, f"common shingle here unique{i} a b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup._shingle_table(df, "doc_id", "text", 3, max_df=3)
+    hot = sh.filter(F.col("_s") == "common shingle here").count()
+    assert hot == 0
