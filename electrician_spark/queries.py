@@ -1217,3 +1217,92 @@ def q_r1(spark, sf_dir):
     )
     q.awaitTermination(180)
     return spark.table(name).orderBy("key", "seq")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 DSP pack — the SQL-expressible subset gets oracle checks
+# (FFT/Haar keep analytic-identity tests in tests/test_dsp.py instead)
+# ---------------------------------------------------------------------------
+
+
+def _zeros_like(vec):
+    return F.transform(vec, lambda _: F.lit(0.0))
+
+
+def _as_doubles(col_name: str):
+    return F.col(col_name).cast("array<double>")
+
+
+@query(
+    "q_p1_signal_energy",
+    "SELECT vec_id, round(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy "
+    "FROM embeddings ORDER BY vec_id LIMIT 50",
+    tags=("dsp",),
+)
+def q_p1(spark, sf_dir):
+    # TotalEnergy (utils.go:167-175) over the embedding vectors treated
+    # as real-valued samples (im = 0).
+    from electrician_spark.functions import dsp
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", _as_doubles("embedding").alias("re"))
+    out = emb.select(
+        "vec_id",
+        F.round(dsp.total_energy(F.col("re"), _zeros_like(F.col("re"))), 6).alias("energy"),
+    )
+    return rel.top_k(out, [F.col("vec_id")], 50)
+
+
+@query(
+    "q_p2_snr",
+    "WITH e AS (SELECT vec_id, list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS en FROM embeddings) "
+    "SELECT a.vec_id, round(10.0 * log10(a.en / b.en), 6) AS snr_db "
+    "FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 ORDER BY a.vec_id LIMIT 50",
+    tags=("dsp",),
+)
+def q_p2(spark, sf_dir):
+    # SNR = 10·log10(E_signal/E_noise) (utils.go:200-216), signal i vs
+    # noise i+1 — adjacent-vector pairing so the query works at any SF.
+    from electrician_spark.functions import dsp
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", _as_doubles("embedding").alias("v"))
+    a = emb.select(F.col("vec_id"), F.col("v").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb"))
+    joined = a.join(b, "vec_id")
+    out = joined.select(
+        "vec_id",
+        F.round(
+            dsp.snr_db(
+                F.col("va"), _zeros_like(F.col("va")), F.col("vb"), _zeros_like(F.col("vb"))
+            ),
+            6,
+        ).alias("snr_db"),
+    )
+    return rel.top_k(out, [F.col("vec_id")], 50)
+
+
+@query(
+    "q_p3_wave_roundtrip",
+    "SELECT vec_id, round(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy "
+    "FROM embeddings ORDER BY vec_id LIMIT 50",
+    tags=("dsp", "codec"),
+)
+def q_p3(spark, sf_dir):
+    # Wave binary codec round-trip (codec/wave.go capability): pack the
+    # vector into the LE binary format, decode it back, and compute the
+    # energy of the decoded samples — must equal the energy computed
+    # directly from the source column (q_p1's oracle).
+    from electrician_spark.functions import codecs, dsp
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", _as_doubles("embedding").alias("re"))
+    packed = emb.select(
+        "vec_id", codecs.wave_encode(F.col("re"), _zeros_like(F.col("re"))).alias("blob")
+    )
+    decoded = packed.select("vec_id", codecs.wave_decode(F.col("blob")).alias("w"))
+    out = decoded.select(
+        "vec_id",
+        F.round(dsp.total_energy(F.col("w.re"), F.col("w.im")), 6).alias("energy"),
+    )
+    return rel.top_k(out, [F.col("vec_id")], 50)
