@@ -1306,3 +1306,30 @@ def q_p3(spark, sf_dir):
         F.round(dsp.total_energy(F.col("w.re"), F.col("w.im")), 6).alias("energy"),
     )
     return rel.top_k(out, [F.col("vec_id")], 50)
+
+
+# ---------------------------------------------------------------------------
+# Scale hygiene — skew-safe aggregation must be value-identical
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sk1_salted_agg",
+    "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    tags=("skew",),
+)
+def q_sk1(spark, sf_dir):
+    # Three hot keys own the whole table — the shape AQE can't split
+    # when a single key exceeds any partition. Two-phase salted
+    # aggregation must produce bit-identical results to the plain
+    # groupBy oracle.
+    from electrician_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    out = salted_agg(
+        li, ["l_returnflag"], {"n": "count(*)", "sum_qty": "sum(l_quantity)"}, n_salts=16
+    )
+    return out.select(
+        "l_returnflag", F.col("n"), rel.round2(F.col("sum_qty")).alias("sum_qty")
+    ).orderBy("l_returnflag")
