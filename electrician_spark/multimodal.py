@@ -60,12 +60,15 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def attach_binary(df: DataFrame, text_col: str, modality: str = "image") -> DataFrame:
+def attach_binary(
+    df: DataFrame, text_col: str, modality: str = "image", id_col: str | None = None
+) -> DataFrame:
     """Build a media frame from any table for plumbing tests: payload =
     utf-8 bytes of a text column. Real pipelines read binary files via
-    ``spark.read.format('binaryFile')`` — same downstream plan."""
+    ``spark.read.format('binaryFile')`` — same downstream plan.
+    ``id_col`` keeps a stable key; the default synthesizes one."""
     return df.select(
-        F.monotonically_increasing_id().alias("media_id"),
+        (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("media_id"),
         F.lit(modality).alias("modality"),
         F.lit("application/octet-stream").alias("mime"),
         F.encode(F.col(text_col), "utf-8").cast("binary").alias("payload"),

@@ -1333,3 +1333,36 @@ def q_sk1(spark, sf_dir):
     return out.select(
         "l_returnflag", F.col("n"), rel.round2(F.col("sum_qty")).alias("sum_qty")
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing — binary payload features through mapInPandas
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_m1_media_features",
+    "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
+    "sha256(text) AS sha, "
+    "64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 192 AS width, "
+    "64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 192 AS height "
+    "FROM documents ORDER BY media_id LIMIT 50",
+    tags=("multimodal",),
+)
+def q_m1(spark, sf_dir):
+    # The full binary-column path: attach payload → mapInPandas feature
+    # extraction (byte stats + stub decode). The stub derives fake
+    # (width, height) from the sha256 digest, so even the decode output
+    # is oracle-checkable — the oracle recomputes it from the hash.
+    from electrician_spark import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs, "text", id_col="doc_id")
+    feats = mm.extract_features(media).select(
+        "media_id",
+        "n_bytes",
+        F.col("sha256").alias("sha"),
+        "width",
+        "height",
+    )
+    return rel.top_k(feats, [F.col("media_id")], 50)
