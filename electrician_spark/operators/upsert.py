@@ -48,3 +48,53 @@ def apply_idempotent(batch: DataFrame, keys: list[str], times: int = 2) -> DataF
     for _ in range(times):
         state = upsert(state, batch, keys)
     return state
+
+
+# -- SQL generation for JDBC sinks (postgresclient/sql.go:167-268) -----------
+
+_PG_TYPES = {
+    "string": "TEXT",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "short": "SMALLINT",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "binary": "BYTEA",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "date": "DATE",
+}
+
+
+def create_table_ddl(df: DataFrame, table: str, keys: list[str] | None = None) -> str:
+    """CREATE TABLE IF NOT EXISTS from the DataFrame schema — the
+    reference writer's auto-create DDL (sql.go buildCreateTable).
+    Map/struct/array columns land as JSONB (the reference's metadata
+    JSONB column)."""
+    cols = []
+    for f in df.schema.fields:
+        pg = _PG_TYPES.get(f.dataType.typeName(), "JSONB")
+        null = "" if f.nullable else " NOT NULL"
+        cols.append(f'"{f.name}" {pg}{null}')
+    pk = f', PRIMARY KEY ({", ".join(keys)})' if keys else ""
+    return f'CREATE TABLE IF NOT EXISTS {table} ({", ".join(cols)}{pk})'
+
+
+def upsert_sql(df: DataFrame, table: str, keys: list[str]) -> str:
+    """INSERT ... ON CONFLICT (keys) DO UPDATE statement template with
+    positional placeholders, for a foreachBatch JDBC executor
+    (sql.go buildUpsert). Non-key columns take EXCLUDED values —
+    last-writer-wins, matching :func:`upsert`."""
+    names = [f.name for f in df.schema.fields]
+    non_keys = [c for c in names if c not in keys]
+    sets = ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in non_keys)
+    action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
+    quoted = ", ".join(f'"{c}"' for c in names)
+    placeholders = ", ".join("?" for _ in names)
+    return (
+        f"INSERT INTO {table} ({quoted}) VALUES ({placeholders}) "
+        f'ON CONFLICT ({", ".join(keys)}) {action}'
+    )

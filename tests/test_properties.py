@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the pure kernels behind the
+pandas UDFs — the analytic-identity layer of the test strategy
+(SURVEY §5.2). These run Python-side (no Spark job per example): the
+pandas_udf wrappers expose the underlying function via ``.func``, and
+the Haar/threshold kernels are module-level numpy functions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from electrician_spark.functions import codecs, dsp
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+)
+
+
+def arrays(min_len=0, max_len=64):
+    return st.lists(finite, min_size=min_len, max_size=max_len)
+
+
+# -- wave binary codec -------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(arrays())
+def test_wave_codec_roundtrip(re):
+    im = [x / 2 for x in re]
+    blob = codecs.wave_encode.func(pd.Series([re]), pd.Series([im])).iloc[0]
+    out = codecs.wave_decode.func(pd.Series([blob]))
+    np.testing.assert_allclose(out["re"].iloc[0], re, rtol=0, atol=0)
+    np.testing.assert_allclose(out["im"].iloc[0], im, rtol=0, atol=0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=64))
+def test_wave_decode_never_crashes_on_garbage(blob):
+    out = codecs.wave_decode.func(pd.Series([blob]))
+    row = out.iloc[0]
+    # either decoded cleanly (only if it happens to be well-formed) or NULL
+    if row["re"] is not None:
+        n = len(row["re"])
+        assert len(blob) >= 4 + 16 * n
+
+
+@settings(max_examples=100, deadline=None)
+@given(arrays(min_len=1))
+def test_wave_encode_length_exact(re):
+    blob = codecs.wave_encode.func(pd.Series([re]), pd.Series([re])).iloc[0]
+    assert len(blob) == 4 + 16 * len(re)
+
+
+# -- Haar wavelet ------------------------------------------------------------
+
+
+def pow2_arrays():
+    return st.integers(min_value=0, max_value=6).flatmap(
+        lambda k: st.lists(finite, min_size=2**k, max_size=2**k)
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(pow2_arrays())
+def test_haar_roundtrip_identity(xs):
+    x = np.asarray(xs, dtype=np.complex128)
+    back = dsp._haar_inv(dsp._haar_fwd(x))
+    np.testing.assert_allclose(back, x, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=100, deadline=None)
+@given(pow2_arrays())
+def test_haar_preserves_mean(xs):
+    # coefficient 0 of the full Haar transform is the global average
+    x = np.asarray(xs, dtype=np.complex128)
+    fwd = dsp._haar_fwd(x)
+    np.testing.assert_allclose(fwd[0], x.mean(), rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=100, deadline=None)
+@given(pow2_arrays(), st.floats(min_value=0, max_value=10, allow_nan=False))
+def test_denoise_only_zeroes_coefficients(xs, thresh):
+    x = np.asarray(xs, dtype=np.complex128)
+    y = dsp._threshold(x, thresh)
+    for a, b in zip(x, y):
+        assert b == a or b == 0
+
+
+# -- FFT identities ----------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(arrays(min_len=1, max_len=64))
+def test_parseval(re):
+    # Σ|x|² == (1/N)·Σ|X|² — time-domain energy equals scaled spectral sum
+    e_time = dsp.total_energy.func(pd.Series([re]), pd.Series([[0.0] * len(re)])).iloc[0]
+    spec = dsp.power_spectrum.func(pd.Series([re]), pd.Series([[0.0] * len(re)])).iloc[0]
+    np.testing.assert_allclose(e_time, sum(spec) / len(re), rtol=1e-6, atol=1e-6)
+
+
+# -- compression codecs ------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096), st.sampled_from(["deflate", "gzip", "bz2", "xz"]))
+def test_compression_roundtrip(payload, codec):
+    comp, decomp = codecs._codec_fns(codec)
+    assert decomp(comp(payload)) == payload

@@ -62,3 +62,30 @@ def test_broadcast_hint_in_plan(spark, skewed):
     joined = skewed.join(broadcast_if_small(dim), "k")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# -- SQL generation for JDBC upsert sinks (appended here to avoid a
+#    one-test module; exercises operators/upsert.py DDL builders) ------------
+
+
+def test_create_table_ddl_and_upsert_sql(spark):
+    from electrician_spark.operators import upsert
+
+    df = spark.createDataFrame([(1, "a", 1.5)], "id long, name string, v double")
+    ddl = upsert.create_table_ddl(df, "events", keys=["id"])
+    assert ddl == (
+        'CREATE TABLE IF NOT EXISTS events ("id" BIGINT, "name" TEXT, '
+        '"v" DOUBLE PRECISION, PRIMARY KEY (id))'
+    )
+    sql = upsert.upsert_sql(df, "events", keys=["id"])
+    assert sql == (
+        'INSERT INTO events ("id", "name", "v") VALUES (?, ?, ?) '
+        'ON CONFLICT (id) DO UPDATE SET "name" = EXCLUDED."name", "v" = EXCLUDED."v"'
+    )
+
+
+def test_upsert_sql_all_keys_do_nothing(spark):
+    from electrician_spark.operators import upsert
+
+    df = spark.createDataFrame([(1,)], "id long")
+    assert upsert.upsert_sql(df, "t", keys=["id"]).endswith("DO NOTHING")
