@@ -1004,7 +1004,7 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     )
 
 
-@query("q_d4_simhash", _simhash_oracle(), tags=("dedup",))
+@query("q_d4_simhash", _simhash_oracle(), tags=("dedup",), bench=True)
 def q_d4(spark, sf_dir):
     from electrician_spark.operators import dedup
 
