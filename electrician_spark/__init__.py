@@ -20,3 +20,7 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from electrician_spark.session import get_session  # noqa: E402,F401
+from electrician_spark.io import read_table, register_views  # noqa: E402,F401
+from electrician_spark.pipeline import Pipeline  # noqa: E402,F401
