@@ -78,3 +78,102 @@ def streaming_rates(query) -> dict:
         "numInputRows": p.get("numInputRows"),
         "batchId": p.get("batchId"),
     }
+
+
+# -- streaming meter (reference meter/display.go + monitor.go over time) ------
+
+try:  # StreamingQueryListener requires a classic (non-connect) session
+    from pyspark.sql.streaming import StreamingQueryListener
+except ImportError:  # pragma: no cover
+    StreamingQueryListener = None  # type: ignore[assignment]
+
+
+if StreamingQueryListener is not None:
+
+    class MeterListener(StreamingQueryListener):
+        """Accumulates per-query totals, rates, and peaks from progress
+        events — the meter's processed/sec + peak tracking
+        (types/meter.go:16-25) fed by Spark's own telemetry instead of
+        hand-maintained atomics. Register with
+        ``spark.streams.addListener(listener)``."""
+
+        def __init__(self) -> None:
+            self.readings: dict[str, dict] = {}
+
+        def onQueryStarted(self, event) -> None:
+            self.readings[str(event.id)] = {
+                "name": event.name,
+                "batches": 0,
+                "total_rows": 0,
+                "peak_rows_per_sec": 0.0,
+                "terminated": False,
+                "exception": None,
+            }
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            r = self.readings.setdefault(str(p.id), {
+                "name": p.name, "batches": 0, "total_rows": 0,
+                "peak_rows_per_sec": 0.0, "terminated": False, "exception": None,
+            })
+            r["batches"] += 1
+            r["total_rows"] += p.numInputRows or 0
+            rate = p.processedRowsPerSecond or 0.0
+            if rate > r["peak_rows_per_sec"]:
+                r["peak_rows_per_sec"] = rate
+
+        def onQueryIdle(self, event) -> None:  # pragma: no cover — timing
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            r = self.readings.get(str(event.id))
+            if r is not None:
+                r["terminated"] = True
+                r["exception"] = event.exception
+
+
+# -- structured log records (pkg/logschema/logschema.go:4-25) -----------------
+
+LOG_SCHEMA_ID = "electrician.log.v1"
+
+LOG_RECORD_DDL = (
+    "log_schema string, ts timestamp, level string, msg string, logger string, "
+    "caller string, stack string, component string, event string, result string, "
+    "error string, trace_id string, span_id string"
+)
+
+
+def log_record(
+    level: str,
+    msg: str,
+    *,
+    component: str | None = None,
+    event: str | None = None,
+    result: str | None = None,
+    error: str | None = None,
+    logger: str | None = None,
+    trace_id: str | None = None,
+    span_id: str | None = None,
+    ts=None,
+) -> dict:
+    """One structured log entry in the reference's ``electrician.log.v1``
+    shape (logs-as-data: write batches of these with ``spark.createDataFrame
+    (records, LOG_RECORD_DDL)`` and query them like any table — the
+    log-relay-sink capability K7)."""
+    import datetime as _dt
+
+    return {
+        "log_schema": LOG_SCHEMA_ID,
+        "ts": ts or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+        "level": level,
+        "msg": msg,
+        "logger": logger,
+        "caller": None,
+        "stack": None,
+        "component": component,
+        "event": event,
+        "result": result,
+        "error": error,
+        "trace_id": trace_id,
+        "span_id": span_id,
+    }
