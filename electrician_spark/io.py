@@ -81,6 +81,27 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
     return [read_table(spark, sf_dir, n) for n in names]
 
 
+def fan_out_small(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Guarantee at least ``target`` partitions before CPU-heavy per-row
+    map work (shingling, per-pair cosine folds, signature hashing).
+
+    A small scan (one parquet file → one split) otherwise serializes the
+    expensive map stage on a single core while the rest of the cluster
+    idles. The repartition fires ONLY when the scan is narrower than the
+    session's parallelism — exactly the small-input case where the
+    round-robin shuffle is trivially cheap. A 100 TB scan already yields
+    thousands of splits, so at production scale this is a no-op (no
+    unconditional full-corpus shuffle). Bonus: the exchange it inserts is
+    deduplicated by ReuseExchange when the same base feeds several
+    branches of one plan (signature + verify in MinHash-LSH), so the scan
+    and projection above it run once."""
+    sc = df.sparkSession.sparkContext
+    t = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < t:
+        return df.repartition(t)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -65,11 +65,14 @@ def _shingle_table(
     occur in more than ``max_df`` documents (hot-key / stopword-shingle
     guard: at corpus scale a shingle present in millions of docs would
     otherwise dominate the join)."""
+    from electrician_spark.io import fan_out_small
+
     # Two projections on purpose: the token array must be an attribute
     # reference before shingling, or every element_at re-runs split()
     # (O(len²) per doc — 13× slower measured at sf0.1). CollapseProject
     # keeps them separate because _tk is referenced n times above.
-    sh = df.select(F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_tk")).select(
+    base = fan_out_small(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
+    sh = base.select("_id", tx.tokens(F.col("_txt")).alias("_tk")).select(
         "_id", F.explode(tx.shingles_from_tokens(F.col("_tk"), n)).alias("_s")
     )
     if max_df is not None:
@@ -80,10 +83,32 @@ def _shingle_table(
     return sh
 
 
-def _doc_shingle_arrays(sh: DataFrame) -> DataFrame:
-    """(id, sorted shingle array, size) per document."""
-    return sh.groupBy("_id").agg(
-        F.array_sort(F.collect_list("_s")).alias("_arr"), F.count("*").alias("_sz")
+def _doc_shingle_arrays(sh: DataFrame, order: str = "lex") -> DataFrame:
+    """(id, shingle array sorted under a fixed global order, size) per
+    document — the compact per-doc representation every dedup family
+    derives from (prefixes = slice, signatures = transform/aggregate,
+    verify = array_intersect). One groupBy instead of one explode+shuffle
+    per derived quantity; when two branches of a plan consume the same
+    arrays (e.g. LSH signatures + exact verify), the shared groupBy
+    exchange is deduplicated by ReuseExchange, so the shingle explode
+    runs once.
+
+    ``order="lex"``: lexicographic. ``order="df"``: document-frequency
+    ascending (rarest first, ties lexicographic) — one extra dfreq
+    aggregate + join, used for ppjoin-style prefixes."""
+    if order == "lex":
+        return sh.groupBy("_id").agg(
+            F.array_sort(F.collect_list("_s")).alias("_arr"), F.count("*").alias("_sz")
+        )
+    if order != "df":
+        raise ValueError(f"order must be 'lex' or 'df', got {order!r}")
+    dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
+    keyed = sh.join(dfreq, "_s")
+    docs = keyed.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("_df", "_s"))).alias("_ka")
+    )
+    return docs.select(
+        "_id", F.col("_ka._s").alias("_arr"), F.size("_ka").alias("_sz")
     )
 
 
@@ -142,24 +167,18 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard to 6dp.
     """
-    sh = _shingle_table(df, id_col, text_col, n, max_df)
-    docs = _doc_shingle_arrays(sh)
-    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    if prefix_order == "lex":
-        prefix = docs.select(
-            "_id", F.explode(F.slice("_arr", F.lit(1), prefix_len.cast("int"))).alias("_s")
-        )
-    elif prefix_order == "df":
-        from pyspark.sql import Window
-
-        dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
-        ranked = sh.join(dfreq, "_s").withColumn(
-            "_pos", F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_s"))
-        )
-        sized = ranked.join(docs.select("_id", "_sz"), "_id")
-        prefix = sized.filter(F.col("_pos") <= prefix_len).select("_id", "_s")
-    else:
+    if prefix_order not in ("lex", "df"):
         raise ValueError(f"prefix_order must be 'lex' or 'df', got {prefix_order!r}")
+    sh = _shingle_table(df, id_col, text_col, n, max_df)
+    # One doc-arrays table serves BOTH the prefix extraction (slice of
+    # the globally-ordered array) and the exact verify (array_intersect
+    # is order-agnostic) — its groupBy exchange is computed once and
+    # reused across the two branches.
+    docs = _doc_shingle_arrays(sh, order=prefix_order)
+    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    prefix = docs.select(
+        "_id", F.explode(F.slice("_arr", F.lit(1), prefix_len.cast("int"))).alias("_s")
+    )
     cand = (
         prefix.select(F.col("_id").alias("id_a"), "_s")
         .join(prefix.select(F.col("_id").alias("id_b"), "_s"), "_s")
@@ -181,7 +200,11 @@ def minhash_signatures(
     min over shingles of md5(i || ':' || shingle). md5-seeding makes the
     signature reproducible across engines (the DuckDB oracle computes
     the identical signature) and across cluster runs — no RNG to seed.
-    One groupBy pass computes all k columns (map-side partial min)."""
+    One groupBy pass computes all k columns: whole-stage-codegen'd md5 +
+    map-side partial min, so the shuffle carries one k-column row per
+    (partition, doc). (An array_min/transform formulation over the
+    per-doc shingle arrays was measured 2× slower — higher-order
+    functions evaluate interpreted, outside codegen.)"""
     sh = _shingle_table(df, id_col, text_col, n, None)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"h{i}")
@@ -238,7 +261,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: in
     md5-derived shingle hashes (sum of ±1 ≥ 0). The shingle hash is the
     first 8 hex chars of md5 → 32-bit int via base-16 conv — the same
     arithmetic the oracle runs, so signatures match exactly.
-    One groupBy computes all bit sums (map-side combine)."""
+    One groupBy computes all bit sums (codegen'd, map-side combine —
+    measured faster than aggregate() folds over per-doc arrays, which
+    evaluate interpreted outside whole-stage codegen)."""
     sh = _shingle_table(df, id_col, text_col, n, None)
     h = F.conv(F.substring(F.md5(F.col("_s")), 1, 8), 16, 10).cast("long")
     sums = [

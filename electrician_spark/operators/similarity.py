@@ -92,6 +92,8 @@ def cosine_pairs(
 
     spark = df.sparkSession
     b_count = max(1, blocks)
+    # No fan-out repartition here: the block-pair groupBy below already
+    # redistributes, and everything above it is a cheap hash projection.
     nv = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
         "_blk", F.pmod(F.hash(F.col("_id")), F.lit(b_count))
     )
@@ -151,8 +153,10 @@ def cosine_topk(
     excluded). Queries are broadcast; ranking is a window per query with
     deterministic (cos desc, neighbor id) tie-break.
     Returns (query_id, neighbor_id, cos, rank)."""
+    from electrician_spark.io import fan_out_small
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = fan_out_small(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -205,8 +209,14 @@ def ivf_topk(
     probe = routed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
         "query_id", "qv", "cl"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col(label_col).alias("cl")
+    from electrician_spark.io import fan_out_small
+
+    c = fan_out_small(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("cl"),
+        )
     )
     scored = c.join(F.broadcast(probe), "cl").filter(
         F.col("query_id") != F.col("neighbor_id")

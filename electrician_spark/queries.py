@@ -1040,9 +1040,12 @@ _SQL_NORM_CTE = (
 def q_d5(spark, sf_dir):
     from electrician_spark.operators import similarity as sim
 
-    return sim.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4).orderBy(
-        "id_a", "id_b"
-    )
+    # blocks=4 → 10 block-pair tasks: at this corpus size (2k vectors)
+    # fewer, larger numpy matmuls beat 36 small ones, and only 10 Python
+    # workers ever spawn (cold-start dominates the small-N regime).
+    return sim.cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocks=4
+    ).orderBy("id_a", "id_b")
 
 
 @query(
