@@ -78,3 +78,15 @@ def test_max_records_per_file_rolls(spark, tmp_path):
     df.coalesce(1).write.option("maxRecordsPerFile", 30).mode("overwrite").parquet(path)
     files = glob.glob(os.path.join(path, "*.parquet"))
     assert len(files) == 4  # 30+30+30+10
+
+
+def test_fan_out_small_widens_narrow_scan(spark):
+    """A single-partition input must be widened to the session's
+    parallelism before CPU-heavy map work; an already-wide input is
+    returned unchanged (no gratuitous shuffle at scale)."""
+    narrow = spark.range(100).coalesce(1)
+    widened = eio.fan_out_small(narrow)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.count() == 100
+    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism + 4)
+    assert eio.fan_out_small(wide) is wide
