@@ -95,11 +95,13 @@ def fan_out_small(df: DataFrame, target: int | None = None) -> DataFrame:
     deduplicated by ReuseExchange when the same base feeds several
     branches of one plan (signature + verify in MinHash-LSH), so the scan
     and projection above it run once."""
-    sc = df.sparkSession.sparkContext
-    t = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < t:
-        return df.repartition(t)
-    return df
+    try:  # .rdd / sparkContext are unavailable on Spark Connect sessions
+        sc = df.sparkSession.sparkContext
+        t = target or sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — degrade to the unmodified plan
+        return df
+    return df.repartition(t) if n < t else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
