@@ -36,6 +36,19 @@ def main() -> None:
     names = [n for n, q in REGISTRY.items() if q.bench]
     spark = get_session("electrician-spark-bench", cpus=cpu_budget())
 
+    # Session-level warm-up (outside all timings): spawn the Python
+    # worker pool once so pandas-UDF queries measure steady-state
+    # compute, not worker fork + numpy import (5-15 s one-time cost
+    # that otherwise lands in whichever applyInPandas query runs first).
+    def _warm(pdf):
+        import numpy  # noqa: F401 — pre-import in the worker process
+
+        return pdf
+
+    spark.range(cpu_budget() * 4).repartition(cpu_budget()).groupBy("id").applyInPandas(
+        _warm, "id long"
+    ).count()
+
     results: dict[str, float] = {}
     for name in names:
         qd = REGISTRY[name]

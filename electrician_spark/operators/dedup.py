@@ -322,3 +322,65 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster assignment over a near-duplicate pair graph: each node
+    gets the minimum doc id reachable from it (``rep``) — the canonical
+    document its cluster deduplicates to. Returns (node, rep) for every
+    node that appears in ``pairs`` (singletons never enter the graph).
+
+    Min-label propagation: every round each node takes the least of its
+    own label and its neighbors' labels; converged when no label
+    changes. Rounds needed = graph diameter, and near-dup graphs are
+    shallow (duplicates are mutual, mostly cliques), so this terminates
+    in a few rounds; ``max_iterations`` bounds adversarial chains.
+
+    Scale notes (100 TB): each round is one join + one groupBy on the
+    edge list — linear shuffles, no driver-side graph. Labels are
+    localCheckpoint'ed per round to truncate lineage (production:
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    executor-loss resilience). For graphs with huge components, swap
+    the propagation loop for alternating large-star/small-star rounds —
+    the same join/groupBy primitives with O(log n) round bound.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    try:
+        edges = edges.localCheckpoint()
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute instead
+        pass
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "rep", F.col("node")
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("rep").alias("nrep")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nrep").alias("min_nbr"))
+        )
+        proposed = labels.join(
+            nbr.select(F.col("src").alias("node"), "min_nbr"), "node", "left"
+        ).select(
+            "node",
+            F.least(F.col("rep"), F.coalesce(F.col("min_nbr"), F.col("rep"))).alias("rep"),
+            (F.col("min_nbr") < F.col("rep")).alias("_changed"),
+        )
+        try:
+            proposed = proposed.localCheckpoint()
+        except Exception:  # noqa: BLE001
+            pass
+        changed = proposed.filter(F.col("_changed")).limit(1).count()
+        labels = proposed.drop("_changed")
+        if changed == 0:
+            break
+    return labels

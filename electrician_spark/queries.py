@@ -978,6 +978,31 @@ def q_d3(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+@query(
+    "q_d6_dup_clusters",
+    # Oracle = two rounds of min-label propagation in SQL. The engine
+    # iterates to a true fixpoint; two rounds are exact whenever every
+    # component has diameter ≤ 2, which holds for the fixture pair graph
+    # (near-duplicate clusters are cliques — verified max diameter 1 at
+    # sf0.01 and sf0.1).
+    f"WITH {_SQL_JACCARD_CTES}, "
+    "p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8), "
+    "sym AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION ALL SELECT id_b, id_a FROM p), "
+    "l0 AS (SELECT src AS node, least(src, min(dst)) AS rep FROM sym GROUP BY src), "
+    "l1 AS (SELECT l0.node, least(l0.rep, min(ln.rep)) AS rep "
+    "FROM l0 JOIN sym ON sym.src = l0.node JOIN l0 ln ON ln.node = sym.dst "
+    "GROUP BY l0.node, l0.rep) "
+    "SELECT node, rep FROM l1 ORDER BY node",
+    tags=("dedup",),
+)
+def q_d6(spark, sf_dir):
+    from electrician_spark.operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup.connected_components(pairs).orderBy("node")
+
+
 def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
     bit_sums = ", ".join(

@@ -57,3 +57,23 @@ def test_max_df_guards_hot_shingles(spark):
     sh = dedup._shingle_table(df, "doc_id", "text", 3, max_df=3)
     hot = sh.filter(F.col("_s") == "common shingle here").count()
     assert hot == 0
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation must traverse chains (diameter > 2) and
+    keep disjoint cliques apart; singletons never enter the graph."""
+    from electrician_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    got = sorted((r.node, r.rep) for r in connected_components(pairs).collect())
+    assert got == [(2, 2), (3, 2), (4, 2), (5, 2), (10, 10), (11, 10), (12, 10)]
+
+
+def test_connected_components_empty_pairs(spark):
+    from electrician_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
