@@ -384,3 +384,34 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: keep every document except
+    non-canonical members of a near-duplicate cluster (nodes whose
+    cluster rep — the minimum reachable doc id — is a different doc).
+    Singletons and the cluster representative survive untouched.
+
+    This is the terminal step of the dedup pipeline:
+    ``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` → pair graph →
+    ``connected_components`` → drop-list → anti-join.
+
+    Scale notes (100 TB): the drop-list is |corpus| × dup-rate rows of a
+    single id column — typically orders of magnitude smaller than the
+    corpus, so AQE plans the anti-join as a broadcast; when the dup rate
+    is high it degrades gracefully to a shuffled anti-join on the id
+    key. Either way the corpus is scanned once with no wide rows
+    shuffled.
+    """
+    drop = (
+        connected_components(pairs, id_a=id_a, id_b=id_b)
+        .filter(F.col("rep") != F.col("node"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(drop, id_col, "left_anti")

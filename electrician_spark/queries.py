@@ -1003,6 +1003,36 @@ def q_d6(spark, sf_dir):
     return dedup.connected_components(pairs).orderBy("node")
 
 
+@query(
+    "q_d7_canonical_docs",
+    # Terminal dedup materialization: the corpus minus non-canonical
+    # near-dup cluster members. Same 2-round propagation oracle as q_d6
+    # (exact on clique-shaped fixture clusters).
+    f"WITH {_SQL_JACCARD_CTES}, "
+    "p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8), "
+    "sym AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION ALL SELECT id_b, id_a FROM p), "
+    "l0 AS (SELECT src AS node, least(src, min(dst)) AS rep FROM sym GROUP BY src), "
+    "l1 AS (SELECT l0.node, least(l0.rep, min(ln.rep)) AS rep "
+    "FROM l0 JOIN sym ON sym.src = l0.node JOIN l0 ln ON ln.node = sym.dst "
+    "GROUP BY l0.node, l0.rep) "
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE doc_id NOT IN (SELECT node FROM l1 WHERE rep <> node) "
+    "ORDER BY doc_id",
+    tags=("dedup",),
+)
+def q_d7(spark, sf_dir):
+    from electrician_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return (
+        dedup.canonical_docs(docs, pairs)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
     bit_sums = ", ".join(

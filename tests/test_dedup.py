@@ -72,6 +72,17 @@ def test_connected_components_chain_and_cliques(spark):
     assert got == [(2, 2), (3, 2), (4, 2), (5, 2), (10, 10), (11, 10), (12, 10)]
 
 
+def test_canonical_docs_keeps_reps_and_singletons(spark):
+    from electrician_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 3), (3, 4)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in canonical_docs(docs, pairs).collect())
+    assert kept == [1, 2]  # singleton 1 + rep 2 survive; 3, 4 dropped
+
+
 def test_connected_components_empty_pairs(spark):
     from electrician_spark.operators.dedup import connected_components
 
