@@ -415,3 +415,61 @@ def canonical_docs(
         .select(F.col("node").alias(id_col))
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    testset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_testset: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination scores: for each corpus document, the
+    fraction of its word n-gram shingles that appear anywhere in the
+    held-out test set (``containment``). A doc with high containment
+    embeds test material and must not be trained on.
+
+    Returns (id, n_shingles, n_hits, containment) for every corpus doc
+    that has at least one shingle (docs shorter than ``n`` tokens have
+    no shingles and are trivially clean).
+
+    Scale notes (100 TB): benchmark sets are tiny next to a training
+    corpus, so the distinct test-shingle set is broadcast — the corpus
+    shingle stream is probed map-side with no shuffle of corpus text.
+    Set ``broadcast_testset=False`` when the test set is itself huge;
+    the join then shuffles on the shingle key, still linear.
+    """
+    sh_c = _shingle_table(corpus, id_col, text_col, n, None)
+    sh_t = _shingle_table(testset, id_col, text_col, n, None).select("_s").distinct()
+    if broadcast_testset:
+        sh_t = F.broadcast(sh_t)
+    sz = sh_c.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    hits = sh_c.join(sh_t, "_s").groupBy("_id").agg(F.count("*").alias("n_hits"))
+    return sz.join(hits, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles")).alias("containment"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    testset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_testset: bool = True,
+) -> DataFrame:
+    """Drop corpus documents whose test-set shingle containment is at
+    or above ``threshold`` (see ``contamination_scores``)."""
+    drop = (
+        contamination_scores(
+            corpus, testset, id_col, text_col, n, broadcast_testset
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(id_col)
+    )
+    return corpus.join(drop, id_col, "left_anti")

@@ -1033,6 +1033,42 @@ def q_d7(spark, sf_dir):
     )
 
 
+@query(
+    "q_d8_decontaminate",
+    # Benchmark decontamination: docs with id % 20 = 0 play the held-out
+    # test set; corpus docs whose 3-gram shingle containment in the test
+    # set is >= 0.5 are flagged (and dropped by dedup.decontaminate).
+    f"WITH {_SQL_SHINGLES_CTE}, "
+    "tsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0), "
+    "csh AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id), "
+    "hits AS (SELECT doc_id, count(*) AS h FROM csh JOIN tsh USING (s) "
+    "GROUP BY doc_id) "
+    "SELECT sz.doc_id, sz.n AS n_shingles, h AS n_hits, "
+    "round(h * 1.0 / sz.n, 6) AS containment "
+    "FROM sz JOIN hits ON hits.doc_id = sz.doc_id "
+    "WHERE h * 1.0 / sz.n >= 0.5 ORDER BY sz.doc_id",
+    tags=("dedup",),
+)
+def q_d8(spark, sf_dir):
+    from electrician_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    testset = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    scores = dedup.contamination_scores(corpus, testset)
+    return (
+        scores.filter(F.col("containment") >= 0.5)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
     bit_sums = ", ".join(

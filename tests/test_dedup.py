@@ -83,6 +83,27 @@ def test_canonical_docs_keeps_reps_and_singletons(spark):
     assert kept == [1, 2]  # singleton 1 + rep 2 survive; 3, 4 dropped
 
 
+def test_decontaminate_drops_test_set_copies(spark):
+    from electrician_spark.operators.dedup import contamination_scores, decontaminate
+
+    testset = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # full copy
+            (2, "completely unrelated words about spark engines here"),
+            (3, "hi"),  # < 3 tokens: no shingles, trivially clean
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.containment for r in contamination_scores(corpus, testset).collect()}
+    assert scores[1] == 1.0 and scores[2] == 0.0 and 3 not in scores
+    kept = sorted(r.doc_id for r in decontaminate(corpus, testset).collect())
+    assert kept == [2, 3]
+
+
 def test_connected_components_empty_pairs(spark):
     from electrician_spark.operators.dedup import connected_components
 
