@@ -1069,6 +1069,46 @@ def q_d8(spark, sf_dir):
     )
 
 
+# Deterministic md5-derived sample key, identical in Spark
+# (conv(substring(md5, 1, 8), 16, 10)) and DuckDB:
+_SQL_SAMPLE_KEY = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+@query(
+    "q_sm1_stratified_sample",
+    # Quota sampling for data mixing: 5 docs per lang, chosen by the
+    # md5 key so the sample is reproducible across runs and engines.
+    f"WITH keyed AS (SELECT lang, doc_id, {_SQL_SAMPLE_KEY} AS k FROM documents), "
+    "r AS (SELECT lang, doc_id, ROW_NUMBER() OVER "
+    "(PARTITION BY lang ORDER BY k, doc_id) AS rn FROM keyed) "
+    "SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id",
+    tags=("sampling",),
+)
+def q_sm1(spark, sf_dir):
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(docs, ["lang"], 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "q_sm2_hash_sample",
+    # Deterministic 25% Bernoulli sample: pure filter, no shuffle.
+    f"SELECT doc_id, lang FROM documents WHERE {_SQL_SAMPLE_KEY} < 1073741824 "
+    "ORDER BY doc_id",
+    tags=("sampling",),
+)
+def q_sm2(spark, sf_dir):
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, 0.25).select("doc_id", "lang").orderBy("doc_id")
+
+
 def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
     bit_sums = ", ".join(
