@@ -66,6 +66,25 @@ def compare(name: str, spark_df, oracle_pdf: pd.DataFrame) -> CompareResult:
             len(oracle_pdf),
             f"column mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}",
         )
+    # Dtype-kind check: the external driver hash-compares typed values, so a
+    # DuckDB HUGEINT (pandas object/float) vs Spark bigint (int64) fails there
+    # even when stringified values agree. Compare numpy dtype *kinds* (int vs
+    # int ok regardless of width; ns-vs-us timestamps ok) to mirror that gate
+    # without false positives. Empty results can't expose a kind, skip those.
+    if len(spark_pdf) and len(oracle_pdf):
+        for c in sorted(spark_pdf.columns):
+            ka, kb = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+            if ka != kb and not ({ka, kb} <= {"i", "u"}):
+                # Both-object (strings, arrays, decimals) is fine; a numeric
+                # column arriving as object on one side only is the artifact.
+                return CompareResult(
+                    name,
+                    False,
+                    len(spark_pdf),
+                    len(oracle_pdf),
+                    f"dtype-kind mismatch on {c!r}: spark={spark_pdf[c].dtype} "
+                    f"oracle={oracle_pdf[c].dtype} (driver hash would differ)",
+                )
     a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
     if a == b:
         return CompareResult(name, True, len(spark_pdf), len(oracle_pdf))
