@@ -1111,18 +1111,26 @@ def q_sm2(spark, sf_dir):
     return sampling.hash_sample(docs, 0.25).select("doc_id", "lang").orderBy("doc_id")
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
-    h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+def _simhash_oracle(bits: int = 64, max_hamming: int = 3, block_bits: int = 16) -> str:
+    # Mirrors operators/dedup.simhash: two 32-bit md5 halves (no u64
+    # composition — it would overflow signed BIGINT), bit 63 assembled as
+    # the two's-complement -2^63 term, blocks = masked arithmetic shifts.
+    lo = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    hi = "CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)"
     bit_sums = ", ".join(
-        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+        f"sum(CASE WHEN ({lo if b < 32 else hi} >> {b if b < 32 else b - 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
     )
     sig_expr = " + ".join(
-        f"CASE WHEN b{b} >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(bits)
+        f"CASE WHEN b{b} >= 0 THEN CAST({-(2**63) if b == 63 else 2**b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
     )
-    n_bytes = bits // 8
+    n_blocks = bits // block_bits
+    mask = (1 << block_bits) - 1
     chunk_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS pos, (simhash >> {i * 8}) & 255 AS chunk FROM sig"
-        for i in range(n_bytes)
+        f"SELECT doc_id, simhash, {i} AS pos, (simhash >> {i * block_bits}) & {mask} AS chunk FROM sig"
+        for i in range(n_blocks)
     )
     return (
         f"WITH {_SQL_SHINGLES_CTE}, "
