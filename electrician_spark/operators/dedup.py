@@ -6,7 +6,7 @@ loops, no Python UDFs in the hot path):
 - exact:         hash-groupBy on a normalized fingerprint
 - n-gram Jaccard: shingle explode → equi-join on shingle → count/union
 - MinHash + LSH:  shingle → k min-hashes → band buckets → bucket join
-- SimHash:        shingle bit-vote → 32-bit signature → hamming pairs
+- SimHash:        shingle bit-vote → 64-bit signature → hamming pairs
 - embedding:      cosine over an embedding column (see similarity.py)
 
 Scale notes (100 TB):
@@ -18,8 +18,8 @@ Scale notes (100 TB):
   group-by on (band_id, band_hash) — linear shuffle, no quadratic
   blow-up. Hash functions are md5-seeded so signatures are
   deterministic across engines and runs (no RNG state to ship).
-- SimHash reduces each doc to one 32-bit int; the pair join is on
-  signature buckets.
+- SimHash reduces each doc to one 64-bit int; the pair join is on
+  16-bit signature-slice buckets (65,536 keys per position).
 """
 
 from __future__ import annotations
@@ -76,10 +76,12 @@ def _shingle_table(
         "_id", F.explode(tx.shingles_from_tokens(F.col("_tk"), n)).alias("_s")
     )
     if max_df is not None:
-        from pyspark.sql import Window
-
-        counts = sh.groupBy("_s").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
-        sh = sh.join(F.broadcast(counts.select("_s")), "_s")
+        # Anti-join against the HOT set (df > max_df): at corpus scale the
+        # survivors are nearly all shingles (unbroadcastable), while the
+        # over-cap set is a handful of boilerplate shingles — that is the
+        # side to broadcast.
+        hot = sh.groupBy("_s").agg(F.count("*").alias("_df")).filter(F.col("_df") > max_df)
+        sh = sh.join(F.broadcast(hot.select("_s")), "_s", "left_anti")
     return sh
 
 
@@ -137,7 +139,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 100_000,
     prefix_order: str = "df",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold, with
@@ -164,6 +166,16 @@ def ngram_jaccard_pairs(
       shuffle count matters more than candidate count (very wide
       clusters, cheap verify). ``max_df`` caps hot shingles in either
       mode.
+
+    ``max_df`` defaults ON (100k): prefix filtering reduces but does not
+    eliminate hot-shingle skew — boilerplate/license-header shingles sit
+    in many documents' prefixes at t=0.8, and one shingle present in M
+    docs alone contributes ~M²/2 candidate pairs. Dropping shingles with
+    df > 100k perturbs Jaccard only for pairs sharing such a shingle
+    (which near-duplicate detection should ignore anyway — it is corpus
+    boilerplate, not content). Pass ``max_df=None`` to disable for
+    small-corpus exactness; the fixtures never reach the cap, so the
+    default is a no-op below ~100k docs.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard to 6dp.
     """

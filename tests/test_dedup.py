@@ -109,3 +109,29 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_max_df_default_is_noop_on_fixtures(spark, docs):
+    """The default guard (100k df) must not change output below the cap —
+    identical pairs with the guard on (default) and off (None)."""
+    guarded = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
+    unguarded = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_df=None))
+    assert guarded == unguarded
+
+
+def test_max_df_drops_boilerplate_pairs(spark):
+    """Docs similar only through an over-cap boilerplate shingle stop
+    pairing once the guard removes it."""
+    # 6 docs share a boilerplate phrase; docs 0/1 are near-identical
+    rows = [(0, "licensed under apache two point zero alpha beta gamma"),
+            (1, "licensed under apache two point zero alpha beta delta")] + [
+        (i, f"licensed under apache two point zero unique{i} u{i}a u{i}b u{i}c u{i}d u{i}e")
+        for i in range(2, 8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lo = _pairs(dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=4))
+    hi = _pairs(dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=None))
+    lo_ids = {(a, b) for a, b, _ in lo}
+    hi_ids = {(a, b) for a, b, _ in hi}
+    assert (0, 1) in lo_ids  # genuine near-dup survives the guard
+    assert lo_ids < hi_ids  # boilerplate-only pairs dropped
