@@ -20,8 +20,32 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+
+def energy(re: Column, im: Column | None = None) -> Column:
+    """Σ|x|² as a JVM expression: a strictly *sequential* left fold, the
+    same associativity as DuckDB's ``list_sum`` — so cross-engine checks
+    agree bit-for-bit, unlike numpy's pairwise summation (whose
+    different rounding path can land ``round(·, 6)`` on the other side
+    of a 6th-decimal boundary). No Python worker, no Arrow transfer.
+    (Reference TotalEnergy, utils.go:167-175.)"""
+    sq = (
+        F.transform(re, lambda x: x * x)
+        if im is None
+        else F.zip_with(re, im, lambda r, i: r * r + i * i)
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def snr(re_signal: Column, im_signal: Column, re_noise: Column, im_noise: Column) -> Column:
+    """10·log10(E_signal / E_noise) as a JVM expression over the
+    sequential-fold energies (utils.go:200-216 SNR). Deterministic
+    across engines; use this — not the pandas UDF — wherever the wave
+    is already split into (re, im) arrays."""
+    return 10.0 * F.log10(energy(re_signal, im_signal) / energy(re_noise, im_noise))
 
 
 def _to_complex(re: pd.Series, im: pd.Series) -> list[np.ndarray]:
@@ -49,20 +73,29 @@ def dominant_frequency(re: pd.Series, im: pd.Series, sample_rate: pd.Series) -> 
 
 @F.pandas_udf(DoubleType())
 def total_energy(re: pd.Series, im: pd.Series) -> pd.Series:
-    """Σ|x|² in the time domain (utils.go TotalEnergy)."""
-    return pd.Series([float(np.sum(np.abs(x) ** 2)) for x in _to_complex(re, im)])
+    """Σ|x|² in the time domain (utils.go TotalEnergy). Prefer the JVM
+    :func:`energy` expression — numpy's pairwise summation has a
+    different rounding path than a sequential fold, so this form is not
+    cross-engine hash-stable; kept for parity with the numpy pipeline
+    (FFT/Haar chains already inside a UDF)."""
+    return pd.Series([float(np.abs(x).dot(np.abs(x))) for x in _to_complex(re, im)])
 
 
 @F.pandas_udf(DoubleType())
 def snr_db(re_signal: pd.Series, im_signal: pd.Series, re_noise: pd.Series, im_noise: pd.Series) -> pd.Series:
-    """10·log10(E_signal / E_noise) (utils.go:200-216 SNR)."""
-    out = []
-    for rs, is_, rn, in_ in zip(re_signal, im_signal, re_noise, im_noise):
-        s = np.asarray(rs) + 1j * np.asarray(is_)
-        n = np.asarray(rn) + 1j * np.asarray(in_)
-        es = float(np.sum(np.abs(s) ** 2))
-        en = float(np.sum(np.abs(n) ** 2))
-        out.append(10.0 * np.log10(es / en) if en > 0 else float("inf"))
+    """10·log10(E_signal / E_noise) (utils.go:200-216 SNR). Prefer the
+    JVM :func:`snr` expression (see :func:`energy` note); vectorized
+    per-batch here, no per-row Python loop."""
+    es = np.array(
+        [float(np.asarray(r).dot(np.asarray(r)) + np.asarray(i).dot(np.asarray(i)))
+         for r, i in zip(re_signal, im_signal)]
+    )
+    en = np.array(
+        [float(np.asarray(r).dot(np.asarray(r)) + np.asarray(i).dot(np.asarray(i)))
+         for r, i in zip(re_noise, im_noise)]
+    )
+    with np.errstate(divide="ignore"):
+        out = np.where(en > 0, 10.0 * np.log10(es / np.where(en > 0, en, 1.0)), np.inf)
     return pd.Series(out)
 
 

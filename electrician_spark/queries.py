@@ -1386,14 +1386,12 @@ def _as_doubles(col_name: str):
 )
 def q_p1(spark, sf_dir):
     # TotalEnergy (utils.go:167-175) over the embedding vectors treated
-    # as real-valued samples (im = 0).
+    # as real-valued samples — JVM-side sequential fold, same summation
+    # order as the oracle's list_sum.
     from electrician_spark.functions import dsp
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", _as_doubles("embedding").alias("re"))
-    out = emb.select(
-        "vec_id",
-        F.round(dsp.total_energy(F.col("re"), _zeros_like(F.col("re"))), 6).alias("energy"),
-    )
+    out = emb.select("vec_id", F.round(dsp.energy(F.col("re")), 6).alias("energy"))
     return rel.top_k(out, [F.col("vec_id")], 50)
 
 
@@ -1407,21 +1405,18 @@ def q_p1(spark, sf_dir):
 )
 def q_p2(spark, sf_dir):
     # SNR = 10·log10(E_signal/E_noise) (utils.go:200-216), signal i vs
-    # noise i+1 — adjacent-vector pairing so the query works at any SF.
+    # noise i+1. Energies are computed per-vector *before* the self-join
+    # with the JVM sequential fold — exactly the oracle's CTE shape and
+    # list_sum associativity, so round(·,6) agrees across engines.
     from electrician_spark.functions import dsp
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", _as_doubles("embedding").alias("v"))
-    a = emb.select(F.col("vec_id"), F.col("v").alias("va"))
-    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb"))
-    joined = a.join(b, "vec_id")
-    out = joined.select(
-        "vec_id",
-        F.round(
-            dsp.snr_db(
-                F.col("va"), _zeros_like(F.col("va")), F.col("vb"), _zeros_like(F.col("vb"))
-            ),
-            6,
-        ).alias("snr_db"),
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", dsp.energy(_as_doubles("embedding")).alias("en")
+    )
+    a = emb.select(F.col("vec_id"), F.col("en").alias("ea"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("en").alias("eb"))
+    out = a.join(b, "vec_id").select(
+        "vec_id", F.round(10.0 * F.log10(F.col("ea") / F.col("eb")), 6).alias("snr_db")
     )
     return rel.top_k(out, [F.col("vec_id")], 50)
 
@@ -1447,7 +1442,7 @@ def q_p3(spark, sf_dir):
     decoded = packed.select("vec_id", codecs.wave_decode(F.col("blob")).alias("w"))
     out = decoded.select(
         "vec_id",
-        F.round(dsp.total_energy(F.col("w.re"), F.col("w.im")), 6).alias("energy"),
+        F.round(dsp.energy(F.col("w.re"), F.col("w.im")), 6).alias("energy"),
     )
     return rel.top_k(out, [F.col("vec_id")], 50)
 
