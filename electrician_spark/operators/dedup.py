@@ -75,6 +75,14 @@ def _shingle_table(
     sh = base.select("_id", tx.tokens(F.col("_txt")).alias("_tk")).select(
         "_id", F.explode(tx.shingles_from_tokens(F.col("_tk"), n)).alias("_s")
     )
+    if max_df is not None and df.count() <= max_df:
+        # A shingle's document frequency is bounded by the corpus row
+        # count (shingles are distinct per doc), so when n_docs ≤ max_df
+        # the guard cannot filter anything — skip the full-table df
+        # aggregation + anti-join rather than pay for a provable no-op
+        # (it cost q_d2 +35% at bench scale). One metadata-cheap count
+        # of the *input* table, not the exploded shingle table.
+        max_df = None
     if max_df is not None:
         # Anti-join against the HOT set (df > max_df): at corpus scale the
         # survivors are nearly all shingles (unbroadcastable), while the
@@ -167,15 +175,19 @@ def ngram_jaccard_pairs(
       clusters, cheap verify). ``max_df`` caps hot shingles in either
       mode.
 
-    ``max_df`` defaults ON (100k): prefix filtering reduces but does not
-    eliminate hot-shingle skew — boilerplate/license-header shingles sit
-    in many documents' prefixes at t=0.8, and one shingle present in M
-    docs alone contributes ~M²/2 candidate pairs. Dropping shingles with
-    df > 100k perturbs Jaccard only for pairs sharing such a shingle
-    (which near-duplicate detection should ignore anyway — it is corpus
-    boilerplate, not content). Pass ``max_df=None`` to disable for
-    small-corpus exactness; the fixtures never reach the cap, so the
-    default is a no-op below ~100k docs.
+    ``max_df`` defaults ON (100k; a silent-behavior change vs the
+    pre-r2 ``None`` default — callers needing exactness must pass
+    ``max_df=None``): prefix filtering reduces but does not eliminate
+    hot-shingle skew — boilerplate/license-header shingles sit in many
+    documents' prefixes at t=0.8, and one shingle present in M docs
+    alone contributes ~M²/2 candidate pairs. Dropping a hot shingle
+    shrinks |A| for *every* document that held it, so the Jaccard of
+    every pair touching such a document is perturbed (it can only
+    increase — the union shrinks at least as much as the intersection),
+    and borderline pairs may newly cross the threshold; treat the
+    result as approximate whenever the cap fires. Below the cap it is
+    provably exact: when the corpus has ≤ max_df rows the df pass is
+    skipped entirely (no extra aggregation).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard to 6dp.
     """
