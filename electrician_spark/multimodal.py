@@ -95,25 +95,39 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
-            for _, r in b.iterrows():
-                payload = r["payload"]
-                rec = {
-                    "media_id": r["media_id"],
-                    "modality": r["modality"],
-                    "n_bytes": len(payload) if payload is not None else 0,
-                    "sha256": hashlib.sha256(payload).hexdigest() if payload is not None else None,
-                    "width": None,
-                    "height": None,
-                    "ok": "ok",
+            payload = b["payload"]
+            # Column-wise byte stats (Series.map over the blob column —
+            # no per-row DataFrame materialization); only the decode
+            # stub itself runs per row, since a real codec would too.
+            out = pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "modality": b["modality"],
+                    "n_bytes": payload.map(lambda p: len(p) if p is not None else 0).astype(
+                        "int64"
+                    ),
+                    "sha256": payload.map(
+                        lambda p: hashlib.sha256(p).hexdigest() if p is not None else None
+                    ),
                 }
+            )
+            widths: list[int | None] = []
+            heights: list[int | None] = []
+            oks: list[str] = []
+            for p, mime in zip(payload, b["mime"]):
                 try:
-                    w, h = _decode_stub(payload, r["mime"])
-                    rec["width"], rec["height"] = w, h
+                    w, h = _decode_stub(p, mime)
+                    widths.append(w)
+                    heights.append(h)
+                    oks.append("ok")
                 except Exception as exc:  # noqa: BLE001 — error → column, not task failure
-                    rec["ok"] = f"error: {exc}"
-                rows.append(rec)
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+                    widths.append(None)
+                    heights.append(None)
+                    oks.append(f"error: {exc}")
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["ok"] = oks
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
 
     return df.mapInPandas(gen, FEATURE_SCHEMA)
 

@@ -80,3 +80,21 @@ def test_no_python_row_fallback(plans, name):
     # path). Pandas UDFs appear as ArrowEvalPython / *InPandas and are
     # allowed.
     assert "BatchEvalPython" not in plans(name)
+
+
+def test_no_iterrows_in_source():
+    # iterrows() inside an Arrow batch body re-materializes every row as
+    # a pandas Series — the per-row slow path the Arrow transfer was
+    # supposed to avoid. Column-wise ops (Series.map, vstack) only.
+    import pathlib
+
+    import electrician_spark
+
+    pkg = pathlib.Path(electrician_spark.__file__).parent
+    hits = [
+        f"{p}:{i}"
+        for p in sorted(pkg.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if "iterrows" in line
+    ]
+    assert not hits, hits
