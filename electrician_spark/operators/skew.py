@@ -23,12 +23,20 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic-per-row salt (hash of all columns, not rand(), so
-    retried tasks produce identical output — required for
-    exactly-once sinks)."""
-    return df.withColumn(
-        salt_col, (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % n_salts).cast("int")
-    )
+    """Per-row salt that spreads even byte-identical duplicate rows.
+
+    Hashing row *content* alone sends identical rows — the common shape
+    of a hot key in dedup corpora — to one salt, recreating the skew the
+    salt exists to break. The mix therefore includes the row's physical
+    position (``monotonically_increasing_id`` = partition_id << 33 |
+    row-in-partition), which spreads duplicates uniformly. A retried
+    task recomputes the same partition with the same scan order, so the
+    salts it emits are identical — exactly-once sinks stay safe. Across
+    *runs* with a different input layout the salt values may differ;
+    salts are a partitioning device and must never leak into results
+    (``salted_agg``/``salted_join`` drop them before returning)."""
+    mix = F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id())
+    return df.withColumn(salt_col, F.pmod(mix, F.lit(n_salts)).cast("int"))
 
 
 def salted_agg(
@@ -81,10 +89,15 @@ def salted_join(
     return out.drop("_salt")
 
 
-def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
-    """Broadcast hint gated on a cheap row bound. Counting is acceptable
-    for dimension tables; for unknown sizes rely on Catalyst's
-    autoBroadcastJoinThreshold instead."""
-    if df.count() <= max_rows:
+def broadcast_if_small(df: DataFrame, max_bytes: int = 64 << 20) -> DataFrame:
+    """Broadcast hint gated on the optimizer's size estimate — no job
+    runs at plan-construction time (an eager ``count()`` here would be
+    a full scan of a 100 TB table before the query even starts). The
+    estimate is the same statistic Catalyst's autoBroadcastJoinThreshold
+    consults (file sizes for scans, propagated through projections), so
+    this differs from relying on Catalyst only in applying a *caller's*
+    budget — e.g. hinting a dimension Catalyst under-estimates."""
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size <= max_bytes:
         return F.broadcast(df)
     return df

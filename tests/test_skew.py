@@ -54,7 +54,18 @@ def test_salted_join_matches_plain(spark, skewed):
 def test_salt_is_deterministic(spark, skewed):
     a = with_salt(skewed, 8).collect()
     b = with_salt(skewed, 8).collect()
-    assert a == b  # hash-based, not rand(): task retries are idempotent
+    assert a == b  # position+hash based, not rand(): same plan, same salts
+
+
+def test_identical_duplicate_rows_spread_across_salts(spark):
+    # The dedup-corpus hot key: thousands of byte-identical rows. A
+    # content-only hash would give them all ONE salt (one reducer — the
+    # exact skew salting exists to break); the position mix must spread
+    # them across most of the salt space.
+    n_salts = 16
+    dupes = spark.range(4000).select(F.lit("hot").alias("k"), F.lit(1.0).alias("v"))
+    n_distinct = with_salt(dupes, n_salts).select("_salt").distinct().count()
+    assert n_distinct >= n_salts // 2, n_distinct
 
 
 def test_broadcast_hint_in_plan(spark, skewed):
@@ -62,6 +73,24 @@ def test_broadcast_hint_in_plan(spark, skewed):
     joined = skewed.join(broadcast_if_small(dim), "k")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_broadcast_gate_runs_no_job(spark):
+    # The size gate must read optimizer statistics, not execute the
+    # plan: a DataFrame whose evaluation would raise still passes
+    # through plan construction untouched.
+    @F.udf("int")
+    def boom(x):
+        raise RuntimeError("plan was executed at construction time")
+
+    df = spark.range(10).select(boom("id").alias("x"))
+    broadcast_if_small(df)  # must not raise
+
+
+def test_broadcast_gate_skips_large(spark):
+    big = spark.range(1_000_000).selectExpr("id", "repeat('x', 100) AS pad")
+    out = broadcast_if_small(big, max_bytes=1024)
+    assert out is big  # no hint attached above the byte budget
 
 
 # -- SQL generation for JDBC upsert sinks (appended here to avoid a
