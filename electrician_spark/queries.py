@@ -1310,6 +1310,100 @@ def q_k4(spark, sf_dir):
     )
 
 
+@query(
+    "q_k3_kafka_frame_roundtrip",
+    "SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS key, "
+    "o_orderkey, round(o_totalprice, 2) AS total, "
+    "o_orderpriority AS hdr_priority, 'orders' AS topic "
+    "FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
+    tags=("sink", "kafka"),
+)
+def q_k3(spark, sf_dir):
+    # K3 producer contract (adapter/kafkaclient/writer.go:16-58,
+    # templates.go:9-60): kafka_frame shapes records into the exact
+    # key/value/headers/topic columns Spark's Kafka sink consumes. No
+    # broker in the sandbox, so the framed batch round-trips through a
+    # file stand-in; the oracle recomputes the template key, the JSON
+    # value payload, and the header bytes from the source table — so the
+    # frame itself (not just row counts) is verified.
+    import tempfile
+
+    from electrician_spark.streaming.sinks import kafka_frame, kafka_sink_options
+    from electrician_spark.streaming.sources import kafka_source_options
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    frame = kafka_frame(
+        orders,
+        value_cols=["o_orderkey", "o_totalprice"],
+        key_template="orders:{o_orderkey}",
+        header_templates={"priority": "{o_orderpriority}"},
+        topic="orders",
+    )
+    # The producer/consumer option maps must agree on the wire contract
+    # (headers shipped, same topic) even though no broker runs here.
+    sink_opts = kafka_sink_options("broker:9092", topic="orders", acks="all")
+    src_opts = kafka_source_options(["orders"], "broker:9092", start_at="earliest")
+    assert sink_opts["includeHeaders"] == "true" and src_opts["subscribe"] == "orders"
+    path = tempfile.mkdtemp(prefix="esk_k3_") + "/topic"
+    frame.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"key", "value", "headers", "topic"}, back.columns
+    return back.select(
+        "key",
+        F.get_json_object("value", "$.o_orderkey").cast("long").alias("o_orderkey"),
+        F.round(F.get_json_object("value", "$.o_totalprice").cast("double"), 2).alias("total"),
+        F.decode(F.element_at(F.col("headers"), 1).getField("value"), "utf-8").alias(
+            "hdr_priority"
+        ),
+        "topic",
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q_k5_upsert_executed",
+    "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn "
+    "FROM orders WHERE o_custkey < 500) t WHERE rn = 1 ORDER BY o_custkey",
+    tags=("sink", "jdbc"),
+)
+def q_k5(spark, sf_dir):
+    # K4 executed: the generated CREATE TABLE / INSERT ... ON CONFLICT
+    # DO UPDATE SQL (postgresclient/sql.go:167-268) actually runs
+    # against a SQL engine (DuckDB speaks the same ON CONFLICT dialect),
+    # with the batch applied TWICE — idempotent last-writer-wins, the
+    # reference writer's semantics, verified by the oracle's
+    # max-o_orderkey-per-key window. Rows insert in (key, o_orderkey)
+    # order so "last writer" is deterministic.
+    import duckdb
+
+    from electrician_spark.operators.upsert import create_table_ddl, upsert_sql
+
+    batch = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+    ddl = create_table_ddl(batch, "upsert_target", keys=["o_custkey"])
+    sql = upsert_sql(batch, "upsert_target", keys=["o_custkey"])
+    rows = [(r["o_custkey"], r["o_orderkey"], r["o_totalprice"]) for r in batch.collect()]
+    con = duckdb.connect()
+    con.execute(ddl)
+    for _ in range(2):  # re-applying the batch must be a no-op
+        con.executemany(sql, rows)
+    final = con.execute(
+        "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total "
+        "FROM upsert_target ORDER BY o_custkey"
+    ).fetch_df()
+    con.close()
+    return spark.createDataFrame(final).orderBy("o_custkey")
+
+
 # ---------------------------------------------------------------------------
 # §2.7 W9 / §3.3 — custom stateful streaming (applyInPandasWithState)
 # ---------------------------------------------------------------------------
