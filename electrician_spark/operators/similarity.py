@@ -187,6 +187,87 @@ def label_centroids(df: DataFrame, label_col: str = "label", vec_col: str = "emb
     )
 
 
+def _nearest_centroid(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every (_kid, _kv) row to its highest-cosine centroid;
+    ties break on the lowest cluster id. Centroids are broadcast (k·d
+    doubles), so the corpus never shuffles for assignment — the window
+    ranks the k candidate rows per vector."""
+    scored = v.join(F.broadcast(cents)).withColumn(
+        "_ccos", cosine(F.col("_kv"), F.col("centroid"))
+    )
+    w = Window.partitionBy("_kid").orderBy(F.col("_ccos").desc(), F.col("cl"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_kid", "_kv", "cl")
+    )
+
+
+def kmeans_labels(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label_km",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic k-means bootstrap for IVF — produces the partition
+    ``label_col`` that :func:`ivf_topk` needs, for corpora with no
+    precomputed assignment.
+
+    Lloyd's algorithm with every source of nondeterminism removed so the
+    result is engine-replayable (same clusters in Spark and a SQL
+    oracle): seeds are the ``k`` vectors with the smallest
+    ``md5(cast(id as string))`` (a deterministic pseudo-random draw —
+    TakeOrderedAndProject top-k, no RNG, no global sort
+    materialization); a *fixed* iteration count (no convergence test —
+    a float-sensitive stopping rule could diverge across engines);
+    per-dimension centroid means rounded to ``round_dp`` each iteration
+    (damps cross-engine summation-order noise at the only place it
+    could accumulate); assignment ties break on cluster id.
+
+    Scale shape: centroids (k·d doubles) live on the driver between
+    iterations — the canonical distributed Lloyd's. Each iteration is
+    one broadcast-join assignment over the corpus plus one (cl, dim)
+    aggregation; the corpus itself never collects and never shuffles
+    for assignment. The iterative refinement in dedup.py (min-label
+    propagation) uses the same bounded-rounds pattern.
+    """
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_kv")
+    )
+    seed_key = F.md5(F.col("_kid").cast("string"))
+    seeds = v.orderBy(seed_key, "_kid").limit(k).collect()
+    cents = [(i, list(r["_kv"])) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cl int, centroid array<double>")
+        assigned = _nearest_centroid(v, cdf)
+        means = (
+            assigned.select("cl", F.posexplode("_kv").alias("dim", "val"))
+            .groupBy("cl", "dim")
+            .agg(F.round(F.avg("val"), round_dp).alias("m"))
+        )
+        new_cents = (
+            means.groupBy("cl")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).getField("m").alias("centroid")
+            )
+            .collect()
+        )
+        # A cluster that loses all members is dropped (not re-seeded):
+        # the simplest semantics a SQL replay reproduces — a GROUP BY
+        # has no row for an empty cluster, so keeping/reviving it here
+        # would diverge from any set-based oracle.
+        cents = sorted((r["cl"], list(r["centroid"])) for r in new_cents)
+    cdf = spark.createDataFrame(cents, "cl int, centroid array<double>")
+    final = _nearest_centroid(v, cdf).select(
+        F.col("_kid").alias(id_col), F.col("cl").cast("long").alias(label_col)
+    )
+    return df.join(final, id_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

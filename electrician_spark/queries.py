@@ -1242,6 +1242,97 @@ def q_n2(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs — the SQL replay of
+    ``similarity.kmeans_labels`` + ``ivf_topk``. Every float operation
+    mirrors the Spark plan: sequential-fold dot products, per-iteration
+    centroid means rounded to 6dp, (cos DESC, cl) assignment
+    tie-break, and the final IVF stage identical to q_n2's oracle but
+    with the k-means assignment in place of the label column."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range({dim}), i -> {a}[i+1] * {b}[i+1])) / "
+            f"(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+            f"sqrt(list_sum(list_transform({b}, x -> x * x))))"
+        )
+
+    dims = f"(SELECT unnest(range({dim})) AS dim) d"
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv "
+        "FROM embeddings)",
+        # md5-seeded deterministic init: the k smallest hash keys
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+        "vec_id) - 1 AS INTEGER) AS cl, vv AS centroid FROM v "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, vv, cl FROM (SELECT v.vec_id, v.vv, c.cl, "
+            f"row_number() OVER (PARTITION BY v.vec_id ORDER BY "
+            f"{cos('v.vv', 'c.centroid')} DESC, c.cl) AS rn FROM v, c{it - 1} c) t "
+            "WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT cl, d.dim AS dim, round(avg(vv[d.dim + 1]), 6) AS m "
+            f"FROM a{it}, {dims} GROUP BY cl, d.dim)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cl, list(m ORDER BY dim) AS centroid FROM m{it} GROUP BY cl)"
+        )
+    ctes.append(
+        f"af AS (SELECT vec_id, vv, cl FROM (SELECT v.vec_id, v.vv, c.cl, "
+        f"row_number() OVER (PARTITION BY v.vec_id ORDER BY "
+        f"{cos('v.vv', 'c.centroid')} DESC, c.cl) AS rn FROM v, c{iters} c) t WHERE rn = 1)"
+    )
+    # Final IVF stage == q_n2's oracle with af as the label assignment:
+    # member-mean centroids (unrounded — label_centroids), route, probe,
+    # in-partition brute force.
+    ctes += [
+        f"mf AS (SELECT cl, d.dim AS dim, avg(vv[d.dim + 1]) AS m FROM af, {dims} "
+        "GROUP BY cl, d.dim)",
+        "cf AS (SELECT cl, list(m ORDER BY dim) AS centroid FROM mf GROUP BY cl)",
+        "norms AS (SELECT vec_id, vv, sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm "
+        "FROM v)",
+        "q AS (SELECT vec_id AS query_id, vv AS qv, nrm AS qn FROM norms WHERE vec_id < 10)",
+        "routed AS (SELECT query_id, qv, qn, cl, "
+        f"{cos('qv', 'centroid')} AS ccos FROM q, cf)",
+        "probe AS (SELECT query_id, qv, qn, cl FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY ccos DESC, cl) AS rn FROM routed) r WHERE rn = 1)",
+        "scored AS (SELECT query_id, a.vec_id AS neighbor_id, "
+        f"round(list_sum(list_transform(range({dim}), i -> qv[i+1] * a.vv[i+1])) "
+        "/ (qn * n2.nrm), 4) AS cos "
+        "FROM probe p JOIN af a ON a.cl = p.cl AND a.vec_id != p.query_id "
+        "JOIN norms n2 ON n2.vec_id = a.vec_id)",
+        "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT query_id, neighbor_id, cos, rank "
+        "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"
+    )
+
+
+@query(
+    "q_n3_ann_ivf_kmeans",
+    _kmeans_oracle_sql(),
+    tags=("similarity",),
+)
+def q_n3(spark, sf_dir):
+    # IVF on an UNLABELED corpus: deterministic k-means bootstrap
+    # (md5-seeded init, fixed 2 iterations, 6dp-rounded centroid means)
+    # produces the partition assignment, then the q_n2 IVF plan runs on
+    # it. The oracle replays the identical Lloyd's iterations in SQL.
+    from electrician_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").drop("label")  # prove no label needed
+    labeled = sim.kmeans_labels(emb, k=4, iters=2)
+    out = sim.ivf_topk(
+        labeled, emb.filter(F.col("vec_id") < 10), k=5, label_col="label_km"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # §2.11 Sinks — round-trip and upsert semantics
 # ---------------------------------------------------------------------------

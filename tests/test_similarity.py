@@ -57,3 +57,22 @@ def test_topk_rank_contract(spark, emb):
         assert all(r.neighbor_id != q for r in rows)
         cs = [r.cos for r in sorted(rows, key=lambda r: r.rank)]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_kmeans_labels_total_and_deterministic(spark, emb):
+    unlabeled = emb.drop("label")
+    a = sim.kmeans_labels(unlabeled, k=3, iters=2)
+    counts = {r["label_km"]: r["count"] for r in a.groupBy("label_km").count().collect()}
+    assert sum(counts.values()) == unlabeled.count()  # every vector assigned once
+    assert 1 <= len(counts) <= 3
+    b = sim.kmeans_labels(unlabeled, k=3, iters=2)
+    key = lambda df: sorted((r["vec_id"], r["label_km"]) for r in df.select("vec_id", "label_km").collect())
+    assert key(a) == key(b)  # md5 seeding + fixed iters: no RNG anywhere
+
+
+def test_kmeans_feeds_ivf_without_label_column(spark, emb):
+    labeled = sim.kmeans_labels(emb.drop("label"), k=3, iters=1)
+    out = sim.ivf_topk(labeled, labeled.filter(F.col("vec_id") < 3), k=2, label_col="label_km")
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(r["rank"] <= 2 for r in rows)
