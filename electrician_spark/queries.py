@@ -1702,42 +1702,51 @@ def q_m1(spark, sf_dir):
 # already covered by a kept sibling (extra join/set/window/date variants)
 # rotate past the cap and keep their local tools/check.py coverage.
 
+# Round-3 rotation policy (no query goes >1 round without a driver row):
+# IN: the 3 new queries (q_k3/k5/n3), the 17 checked only in r1
+# (a3-a6, f2, f3, j3-j5, t10, t11, u2-u4, w2, wf2, wf3), the 17 first
+# checked in r2 (d4, d5, d7, d8, k1, k2, k4, m1, n1, n2, p1-p3, r1,
+# sk1, sm1, sm2), and 13 twice-green rows kept because their code
+# changed this round (d2, sk1 path) or they pin heavyweight plans.
+# OUT (all green in BOTH r1 and r2, unchanged this round): q_s1, q_s4,
+# q_t1, q_t3, q_t5, q_t9, q_a1, q_a2, q_f1, q_f4, q_f5, q_j1, q_o1,
+# q_o3, q_u1, q_w1, q_x1, q_x2, q_x3, q_x4 — they keep local
+# tools/check.py coverage and rotate back in next round.
 _DRIVER_PRIORITY = [
     # scans + pushdown
-    "q_s1_full_scan",
     "q_s2_projection_pushdown",
     "q_s3_predicate_pushdown",
-    # transforms
-    "q_t1_revenue_projection",
-    "q_t9_sha256",
-    # aggregates
-    "q_a1_pricing_summary",
-    "q_a2_rate_per_hour",
+    # transforms (encoder tap + key templates, last checked r1)
+    "q_t10_json_encode",
+    "q_t11_key_template",
+    # aggregates (last checked r1)
+    "q_a3_error_ratio",
+    "q_a4_count_distinct",
+    "q_a5_peak_rate",
+    "q_a6_grouped_stats",
     # joins
-    "q_j1_broadcast_inner",
     "q_j2_shipping_priority",
+    "q_j3_left_join_counts",
+    "q_j4_semi_join",
+    "q_j5_anti_join",
     "q_j6_range_join",
     # ordering / top-k
-    "q_o1_global_topk",
     "q_o2_grouped_topk",
-    "q_o3_priority_drain",
-    # windows (time + session + dedupe + resequence)
-    "q_w1_tumbling_hour",
+    # windows + window functions
+    "q_w2_sliding_30m_15m",
     "q_w3_session_counts",
     "q_w8_dedupe_key",
     "q_w9_ordered_replay",
     "q_wf1_rank",
-    # set ops
-    "q_u1_union_all",
-    # scalar/array/json functions
-    "q_f1_string",
-    "q_f4_array_agg",
-    "q_f5_json_extract",
-    # text analysis
-    "q_x1_token_stats",
-    "q_x2_quality_metrics",
-    "q_x3_language_id",
-    "q_x4_fingerprint",
+    "q_wf2_lag_gap",
+    "q_wf3_running_sum",
+    # set ops (last checked r1)
+    "q_u2_union_distinct",
+    "q_u3_except",
+    "q_u4_intersect",
+    # date/math functions (last checked r1)
+    "q_f2_date",
+    "q_f3_math",
     # dedup family (all of it)
     "q_d1_exact_dedup",
     "q_d2_ngram_jaccard",
@@ -1771,7 +1780,12 @@ _DRIVER_PRIORITY = [
 
 
 def _reorder_registry() -> None:
-    ordered = {n: REGISTRY[n] for n in _DRIVER_PRIORITY if n in REGISTRY}
+    unknown = set(_DRIVER_PRIORITY) - set(REGISTRY)
+    assert not unknown, (
+        f"_DRIVER_PRIORITY names not in REGISTRY (typo would silently "
+        f"rotate a query out of external verification): {sorted(unknown)}"
+    )
+    ordered = {n: REGISTRY[n] for n in _DRIVER_PRIORITY}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -74,6 +74,23 @@ def compare(name: str, spark_df, oracle_pdf: pd.DataFrame) -> CompareResult:
     if len(spark_pdf) and len(oracle_pdf):
         for c in sorted(spark_pdf.columns):
             ka, kb = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+            # toPandas turns a bigint-with-NULLs into float64 ('f') while
+            # DuckDB keeps int64 — the real driver still sees bigint on
+            # the Spark side, so an integral-WITH-NaN float is the
+            # conversion artifact, not a mismatch. A NaN-free float
+            # column is a genuine double (the driver would hash it as
+            # one) and still fails against int.
+            def _nullable_int_artifact(pdf_col, kind):
+                if kind != "f":
+                    return False
+                s = pdf_col.dropna()
+                return bool(pdf_col.isna().any() and (s == s.round()).all())
+
+            if ka != kb and {ka, kb} <= {"i", "u", "f"}:
+                if _nullable_int_artifact(spark_pdf[c], ka) or _nullable_int_artifact(
+                    oracle_pdf[c], kb
+                ):
+                    continue
             if ka != kb and not ({ka, kb} <= {"i", "u"}):
                 # Both-object (strings, arrays, decimals) is fine; a numeric
                 # column arriving as object on one side only is the artifact.
