@@ -23,6 +23,12 @@ from electrician_spark.session import cpu_budget, get_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Timed and reported separately from the 12 bench=True headline queries
+# so the headline total stays comparable round-over-round while the
+# heavyweight iterative operators (cluster propagation, decontamination)
+# still get a tracked number.
+EXTRA_QUERIES = ["q_d6_dup_clusters", "q_d8_decontaminate"]
+
 
 def _sf_label(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -49,21 +55,27 @@ def main() -> None:
         _warm, "id long"
     ).count()
 
-    results: dict[str, float] = {}
-    for name in names:
-        qd = REGISTRY[name]
-        timings: list[float] = []
-        for i in range(RUNS + 1):  # first run is warm-up
-            t0 = time.perf_counter()
-            df = qd.spark(spark, SF_DIR)
-            # Force full execution without driver-side materialization cost:
-            # count() over the (usually small) result still executes the
-            # whole plan; collect tiny results to include Arrow transfer.
-            df.collect() if i else df.count()
-            dt = time.perf_counter() - t0
-            if i:
-                timings.append(dt)
-        results[name] = round(statistics.median(timings), 4)
+    def run_set(query_names: list[str]) -> dict[str, float]:
+        results: dict[str, float] = {}
+        for name in query_names:
+            qd = REGISTRY[name]
+            timings: list[float] = []
+            for i in range(RUNS + 1):  # first run is warm-up
+                t0 = time.perf_counter()
+                df = qd.spark(spark, SF_DIR)
+                # Force full execution without driver-side materialization
+                # cost: count() over the (usually small) result still
+                # executes the whole plan; collect tiny results to include
+                # Arrow transfer.
+                df.collect() if i else df.count()
+                dt = time.perf_counter() - t0
+                if i:
+                    timings.append(dt)
+            results[name] = round(statistics.median(timings), 4)
+        return results
+
+    results = run_set(names)
+    extras = run_set([n for n in EXTRA_QUERIES if n in REGISTRY])
 
     total = round(sum(results.values()), 4)
     print(
@@ -73,6 +85,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "extra_queries": extras,
+                "extras_total_sec": round(sum(extras.values()), 4),
                 "sf": _sf_label(SF_DIR),
                 "cpus": cpu_budget(),
                 "runs": RUNS,

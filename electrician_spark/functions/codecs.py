@@ -144,6 +144,20 @@ try:
     _COMPRESSORS["lz4"] = (_lz4.compress, _lz4.decompress)
 except ImportError:
     pass
+# Reference relay codec also speaks brotli (relaycodec/codec.go:152-183);
+# neither brotli nor brotlicffi ships in this container, so the codec
+# registers only where one is importable.
+try:
+    import brotli as _brotli  # type: ignore
+
+    _COMPRESSORS["brotli"] = (_brotli.compress, _brotli.decompress)
+except ImportError:
+    try:
+        import brotlicffi as _brotli  # type: ignore
+
+        _COMPRESSORS["brotli"] = (_brotli.compress, _brotli.decompress)
+    except ImportError:
+        pass
 
 
 def _codec_fns(codec: str) -> tuple:

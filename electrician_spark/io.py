@@ -251,3 +251,69 @@ def build_select_query(
     if limit is not None:
         sql += f" LIMIT {limit}"
     return sql
+
+
+# -- Wave binary FILE source/sink (reference codec/wave.go:14-151) -----------
+# The reference treats the wave format as a file codec, not only a column
+# codec. Spark-first mapping: the built-in binaryFile DSv2 source scans
+# files in parallel (pathGlobFilter/modifiedAfter pushdown, one row per
+# file with path/length metadata), and the decode is the SAME
+# Arrow-batched wave_decode used for in-row blobs — a file is a one-blob
+# row. Writes happen on the executors via mapInPandas (distributed; the
+# driver never sees payload bytes), returning a manifest the caller
+# materializes with an action.
+
+
+def read_wave_files(spark: SparkSession, path: str, glob: str = "*.wave") -> DataFrame:
+    """Scan a directory of wave-format binary files into
+    (path, length, re[], im[]) rows. Decode errors surface as NULL
+    arrays (wave_decode's malformed-input contract), never task
+    failures."""
+    from electrician_spark.functions import codecs
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "length", codecs.wave_decode(F.col("content")).alias("_w"))
+    )
+    return df.select(
+        "path", "length", F.col("_w.re").alias("re"), F.col("_w.im").alias("im")
+    )
+
+
+def write_wave_files(
+    df: DataFrame,
+    directory: str,
+    id_col: str = "vec_id",
+    re_col: str = "re",
+    im_col: str = "im",
+) -> DataFrame:
+    """Write one ``<id>.wave`` file per row from the executors and
+    return a (path, n_bytes) manifest (lazy — run an action on it to
+    execute the write). Requires ``directory`` to be a filesystem all
+    executors can reach (true for local mode and any shared/object
+    store mount)."""
+    import os as _os
+
+    import numpy as _np
+    import pandas as _pd
+
+    def _write(batches):
+        import struct
+
+        _os.makedirs(directory, exist_ok=True)
+        for b in batches:
+            paths, sizes = [], []
+            for rid, re_v, im_v in zip(b[id_col], b[re_col], b[im_col]):
+                rr = _np.asarray(re_v, dtype="<f8")
+                ii = _np.asarray(im_v, dtype="<f8")
+                blob = struct.pack("<I", len(rr)) + rr.tobytes() + ii.tobytes()
+                p = _os.path.join(directory, f"{rid}.wave")
+                with open(p, "wb") as fh:
+                    fh.write(blob)
+                paths.append(p)
+                sizes.append(len(blob))
+            yield _pd.DataFrame({"path": paths, "n_bytes": sizes})
+
+    return df.select(id_col, re_col, im_col).mapInPandas(_write, "path string, n_bytes long")
