@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from electrician_spark.functions import scalar as sf
 from electrician_spark.io import read_table
 from electrician_spark.operators import relational as rel
+from electrician_spark.operators import temporal
 from electrician_spark.operators import priority as prio
 from electrician_spark.streaming import windows as win
 
@@ -1690,6 +1691,95 @@ def q_m1(spark, sf_dir):
         "height",
     )
     return rel.top_k(feats, [F.col("media_id")], 50)
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators — as-of join, bucketized range join, hypertable rollup
+# (operators/temporal.py; the batch analogues of the reference's ordered
+# event handling, receiver.go resequencing / trigger time windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_aj1_asof_join",
+    "SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts, r.value AS view_value "
+    "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r "
+    "ON l.user_id = r.user_id AND l.ts >= r.ts",
+    tags=("temporal", "events"),
+)
+def q_aj1(spark, sf_dir):
+    # For every click, the most recent prior view by the same user —
+    # the "join each event to the latest state before it" shape. The
+    # union+window implementation is one shuffle on user_id, no Python.
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = temporal.asof_join(clicks, views, on="ts", by=["user_id"])
+    return out.select(
+        "event_id", "user_id", "ts", F.col("ts_r").alias("view_ts"), "view_value"
+    )
+
+
+@query(
+    "q_rj1_range_join",
+    "SELECT p.event_id AS purchase_id, count(*) AS n_clicks, "
+    "round(sum(c.value), 2) AS sum_click_value "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 10 MINUTE "
+    "GROUP BY purchase_id",
+    tags=("temporal", "events"),
+)
+def q_rj1(spark, sf_dir):
+    # Clicks landing inside the 10 minutes after each purchase — a pure
+    # inequality join (no equi-key). Bucketizing on 10-minute epochs
+    # turns the nested-loop plan into a shuffle hash join.
+    ev = _t(spark, sf_dir, "events")
+    width_us = 600 * 1_000_000  # bucket = the interval length
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + F.lit(width_us)).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.unix_micros("ts").alias("c_us"), F.col("value").alias("c_value")
+    )
+    pairs = temporal.range_join(clicks, "c_us", purchases, "lo", "hi", bucket_width=width_us)
+    return pairs.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        rel.round2(F.sum("c_value")).alias("sum_click_value"),
+    )
+
+
+@query(
+    "q_ht1_hypertable_rollup",
+    "SELECT grain, bucket_ts, n, sum_value, min_value, max_value FROM ("
+    "SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket_ts, count(*) AS n, "
+    "round(sum(value), 2) AS sum_value, min(value) AS min_value, max(value) AS max_value "
+    "FROM events GROUP BY bucket_ts "
+    "UNION ALL SELECT 'hour', date_trunc('hour', ts), count(*), round(sum(value), 2), "
+    "min(value), max(value) FROM events GROUP BY 2 "
+    "UNION ALL SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP), count(*), "
+    "round(sum(value), 2), min(value), max(value) FROM events GROUP BY 2)",
+    tags=("temporal", "events"),
+)
+def q_ht1(spark, sf_dir):
+    # Minute/hour/day rollup in one cascaded job: raw is shuffled once
+    # (minute grain); hour and day re-aggregate the partials via a
+    # ReusedExchange (pinned in test_temporal).
+    ev = _t(spark, sf_dir, "events")
+    out = temporal.hypertable_rollup(ev, "ts", "value")
+    return out.select(
+        "grain",
+        "bucket_ts",
+        "n",
+        rel.round2(F.col("sum_value")).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
 
 
 # ---------------------------------------------------------------------------
