@@ -27,7 +27,13 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # so the headline total stays comparable round-over-round while the
 # heavyweight iterative operators (cluster propagation, decontamination)
 # still get a tracked number.
-EXTRA_QUERIES = ["q_d6_dup_clusters", "q_d8_decontaminate"]
+EXTRA_QUERIES = [
+    "q_d6_dup_clusters",
+    "q_d8_decontaminate",
+    "q_aj1_asof_join",
+    "q_rj1_range_join",
+    "q_ht1_hypertable_rollup",
+]
 
 
 def _sf_label(path: str) -> float:

@@ -1694,6 +1694,192 @@ def q_m1(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Families previously covered only by local tests — tagger, map headers,
+# blackout / TTL windows, retry semantics, compression codecs — each now
+# with a driver-gated oracle row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_t6_tagger",
+    "SELECT event_id, [event_type] "
+    "|| (CASE WHEN value > 100 THEN ['high_value'] ELSE CAST([] AS VARCHAR[]) END) "
+    "|| (CASE WHEN user_id % 2 = 0 THEN ['even_user'] ELSE CAST([] AS VARCHAR[]) END) "
+    "AS tags FROM events",
+    tags=("transform",),
+)
+def q_t6(spark, sf_dir):
+    # Sentiment-tagger shape (chain/main.go:49-59): conditional
+    # array_union appends; all inside codegen, no shuffle at all.
+    ev = _t(spark, sf_dir, "events")
+    tags = F.array(F.col("event_type"))
+    tags = sf.tag_when(tags, F.col("value") > 100, "high_value")
+    tags = sf.tag_when(tags, F.col("user_id") % 2 == 0, "even_user")
+    return ev.select("event_id", tags.alias("tags"))
+
+
+@query(
+    "q_fm1_headers_map",
+    "SELECT event_id, event_type AS h_type, CAST(user_id AS VARCHAR) AS h_user "
+    "FROM events",
+    tags=("functions",),
+)
+def q_fm1(spark, sf_dir):
+    # Header-map construction + typed access (the reference carries
+    # per-message string headers; proto header map). Build the map,
+    # read it back by key — both sides stay JVM expressions.
+    ev = _t(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("h_type"),
+        F.element_at(m, "user").alias("h_user"),
+    )
+
+
+@query(
+    "q_w5_blackout_filter",
+    "SELECT event_type, count(*) AS n FROM events WHERE NOT ("
+    "date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts) >= 5400 "
+    "AND date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts) < 10800"
+    ") GROUP BY event_type",
+    tags=("window", "events"),
+)
+def q_w5(spark, sf_dir):
+    # Blackout window 01:30–03:00 applied at event time (the batch /
+    # backfill form of the sink-side wall-clock blackout).
+    import datetime as dt
+
+    from electrician_spark.streaming.sinks import outside_blackout
+
+    ev = _t(spark, sf_dir, "events")
+    keep = outside_blackout(F.col("ts"), dt.time(1, 30), dt.time(3, 0))
+    return ev.filter(keep).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_w7_ttl_expiry",
+    "SELECT event_type, count(*) AS n FROM events "
+    "WHERE ts > TIMESTAMP '2024-01-08 00:00:00' GROUP BY event_type",
+    tags=("window", "relay"),
+)
+def q_w7(spark, sf_dir):
+    # DropPolicy EXPIRED through the full envelope stack: wrap events
+    # with a 7-day TTL (compressed + encrypted payloads), unwrap at a
+    # fixed replay instant, count survivors from the DECODED payload —
+    # so the oracle row proves TTL filtering AND the
+    # encrypt→compress→decode roundtrip in one pass.
+    from electrician_spark import envelope
+
+    ev = _t(spark, sf_dir, "events")
+    wrapped = envelope.wrap(
+        ev.select("event_id", "event_type", "ts"),
+        payload_cols=["event_id", "event_type"],
+        ts=F.col("ts"),
+        ttl_seconds=7 * 86400,
+        compression="deflate",
+        encryption_key="0123456789abcdef",
+    )
+    un = envelope.unwrap(
+        wrapped,
+        "event_id bigint, event_type string",
+        compression="deflate",
+        encryption_key="0123456789abcdef",
+        drop_expired_at=TS("2024-01-15 00:00:00"),
+    )
+    return (
+        un.filter(F.col("payload_ok"))
+        .groupBy(F.col("_decoded.event_type").alias("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_r2_retry_backoff",
+    "SELECT 3 AS n_calls, '1.0,2.0' AS backoff_schedule, count(*) AS n_errors "
+    "FROM events WHERE event_type = 'error'",
+    tags=("reliability",),
+)
+def q_r2(spark, sf_dir):
+    # Executes retry_call for real: the batch loader fails twice, the
+    # insulator re-attempts with exponential backoff, and the recorded
+    # call count + sleep schedule are emitted as columns the oracle
+    # pins. Reference: wire/transform.go:60-77.
+    from electrician_spark import reliability
+
+    delays: list[float] = []
+    calls = {"n": 0}
+
+    def flaky_load():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient source failure")
+        return _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+
+    df = reliability.retry_call(
+        flaky_load, max_retries=3, interval_sec=1.0, backoff=2.0, sleep=delays.append
+    )
+    return df.agg(
+        F.lit(calls["n"]).alias("n_calls"),
+        F.lit(",".join(str(d) for d in delays)).alias("backoff_schedule"),
+        F.count("*").alias("n_errors"),
+    )
+
+
+@query(
+    "q_r4_retry_table",
+    "SELECT event_id, event_id % 5 AS priority, 2 AS retry_count "
+    "FROM events WHERE event_type = 'error'",
+    tags=("reliability",),
+)
+def q_r4(spark, sf_dir):
+    # Two failure rounds through the resister retry table: retry_count
+    # bumps per requeue (element.go:80-98's requeue path); the
+    # deterministic columns are oracle-checked, the _enqueued_at stamp
+    # (wall clock, drain-time aging input) is dropped from the surface.
+    from electrician_spark import reliability
+
+    failed = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", (F.col("event_id") % 5).alias("priority"))
+    )
+    once = reliability.to_retry_table(failed)
+    twice = reliability.to_retry_table(once.drop("_enqueued_at"))
+    return twice.select("event_id", "priority", "retry_count")
+
+
+@query(
+    "q_z1_compression_roundtrip",
+    "SELECT doc_id, sha256(text) AS sha_orig, sha256(text) AS sha_deflate, "
+    "sha256(text) AS sha_gzip, sha256(text) AS sha_bz2, sha256(text) AS sha_xz "
+    "FROM documents",
+    tags=("codecs",),
+)
+def q_z1(spark, sf_dir):
+    # Every stdlib-backed relay codec (relaycodec/codec.go:152-183)
+    # round-trips each document body; equality with the original is
+    # proven through the content hash, which the oracle recomputes from
+    # the source text (so a codec that corrupts even one byte fails the
+    # driver hash).
+    from electrician_spark.functions import codecs
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.encode(F.col("text"), "utf-8").cast("binary")
+    out = [F.sha2(raw, 256).alias("sha_orig")]
+    for codec in ("deflate", "gzip", "bz2", "xz"):
+        out.append(
+            F.sha2(codecs.decompress(codecs.compress(raw, codec), codec), 256).alias(
+                f"sha_{codec}"
+            )
+        )
+    return docs.select("doc_id", *out)
+
+
+# ---------------------------------------------------------------------------
 # Temporal operators — as-of join, bucketized range join, hypertable rollup
 # (operators/temporal.py; the batch analogues of the reference's ordered
 # event handling, receiver.go resequencing / trigger time windows)
@@ -1792,53 +1978,57 @@ def q_ht1(spark, sf_dir):
 # already covered by a kept sibling (extra join/set/window/date variants)
 # rotate past the cap and keep their local tools/check.py coverage.
 
-# Round-3 rotation policy (no query goes >1 round without a driver row):
-# IN: the 3 new queries (q_k3/k5/n3), the 17 checked only in r1
-# (a3-a6, f2, f3, j3-j5, t10, t11, u2-u4, w2, wf2, wf3), the 17 first
-# checked in r2 (d4, d5, d7, d8, k1, k2, k4, m1, n1, n2, p1-p3, r1,
-# sk1, sm1, sm2), and 13 twice-green rows kept because their code
-# changed this round (d2, sk1 path) or they pin heavyweight plans.
-# OUT (all green in BOTH r1 and r2, unchanged this round): q_s1, q_s4,
-# q_t1, q_t3, q_t5, q_t9, q_a1, q_a2, q_f1, q_f4, q_f5, q_j1, q_o1,
-# q_o3, q_u1, q_w1, q_x1, q_x2, q_x3, q_x4 — they keep local
-# tools/check.py coverage and rotate back in next round.
+# Round-3 rotation policy (no query goes >1 round without a driver row).
+# 80 declared queries, 50-slot window. Locked in:
+# - the 10 queries new this round (aj1, rj1, ht1, t6, fm1, w5, w7, r2,
+#   r4, z1) and the 3 de-phantomed ones (k3, k5, n3) — never checked;
+# - q_p2_snr — the only red row in r2; its fix must be proven;
+# - the 17 checked only in r1 (t10, t11, a3-a6, j3-j5, u2-u4, f2, f3,
+#   w2, wf2, wf3) — skipping them again would breach the one-round rule.
+# The remaining 19 slots go to r2-green queries whose implementation
+# changed this round (dedup max_df short-circuit, skew salt, similarity
+# k-means, DSP folds, multimodal vectorize, upsert execution) or that
+# pin heavyweight plans (d-family, j2, w3).
+# OUT (all r2-green, unchanged, back in r4): s1-s4, t1, t3, t5, t9, a1,
+# a2, f1, f4, f5, j1, j6, o1-o3, u1, w1, w8, w9, wf1, x1-x4, d1, k1, k2.
 _DRIVER_PRIORITY = [
-    # scans + pushdown
-    "q_s2_projection_pushdown",
-    "q_s3_predicate_pushdown",
-    # transforms (encoder tap + key templates, last checked r1)
+    # new this round: temporal operators
+    "q_aj1_asof_join",
+    "q_rj1_range_join",
+    "q_ht1_hypertable_rollup",
+    # new this round: first driver rows for tests-only families
+    "q_t6_tagger",
+    "q_fm1_headers_map",
+    "q_w5_blackout_filter",
+    "q_w7_ttl_expiry",
+    "q_r2_retry_backoff",
+    "q_r4_retry_table",
+    "q_z1_compression_roundtrip",
+    # de-phantomed this round (never driver-checked before)
+    "q_k3_kafka_frame_roundtrip",
+    "q_k5_upsert_executed",
+    "q_n3_ann_ivf_kmeans",
+    # the r2 red row — fixed, must re-prove
+    "q_p2_snr",
+    # last checked r1 (one-round rule)
     "q_t10_json_encode",
     "q_t11_key_template",
-    # aggregates (last checked r1)
     "q_a3_error_ratio",
     "q_a4_count_distinct",
     "q_a5_peak_rate",
     "q_a6_grouped_stats",
-    # joins
-    "q_j2_shipping_priority",
     "q_j3_left_join_counts",
     "q_j4_semi_join",
     "q_j5_anti_join",
-    "q_j6_range_join",
-    # ordering / top-k
-    "q_o2_grouped_topk",
-    # windows + window functions
-    "q_w2_sliding_30m_15m",
-    "q_w3_session_counts",
-    "q_w8_dedupe_key",
-    "q_w9_ordered_replay",
-    "q_wf1_rank",
-    "q_wf2_lag_gap",
-    "q_wf3_running_sum",
-    # set ops (last checked r1)
     "q_u2_union_distinct",
     "q_u3_except",
     "q_u4_intersect",
-    # date/math functions (last checked r1)
     "q_f2_date",
     "q_f3_math",
-    # dedup family (all of it)
-    "q_d1_exact_dedup",
+    "q_w2_sliding_30m_15m",
+    "q_wf2_lag_gap",
+    "q_wf3_running_sum",
+    # r2-green, code changed this round or heavyweight plan pins
     "q_d2_ngram_jaccard",
     "q_d3_minhash_lsh",
     "q_d4_simhash",
@@ -1846,26 +2036,18 @@ _DRIVER_PRIORITY = [
     "q_d6_dup_clusters",
     "q_d7_canonical_docs",
     "q_d8_decontaminate",
-    # sampling
     "q_sm1_stratified_sample",
     "q_sm2_hash_sample",
-    # similarity / ANN
     "q_n1_ann_bruteforce",
     "q_n2_ann_ivf",
-    "q_n3_ann_ivf_kmeans",
-    # sinks / round-trips
-    "q_k1_parquet_roundtrip",
-    "q_k2_ndjson_roundtrip",
-    "q_k3_kafka_frame_roundtrip",
     "q_k4_upsert_idempotent",
-    "q_k5_upsert_executed",
-    # relay / DSP / skew / multimodal
     "q_r1_resequenced_replay",
     "q_p1_signal_energy",
-    "q_p2_snr",
     "q_p3_wave_roundtrip",
     "q_sk1_salted_agg",
     "q_m1_media_features",
+    "q_w3_session_counts",
+    "q_j2_shipping_priority",
 ]
 
 

@@ -68,6 +68,27 @@ class Blackout:
         return now >= self.start or now < self.end  # crosses midnight
 
 
+def outside_blackout(ts, start: dt.time, end: dt.time):
+    """Event-time form of the blackout window: a Column predicate that
+    is True for rows whose time-of-day falls OUTSIDE [start, end) —
+    same half-open / midnight-crossing semantics as
+    :meth:`Blackout.active`, but applied to a timestamp column so
+    batch replays and backfills honor the window row-by-row instead of
+    by wall clock. Whole-second resolution (sub-second timestamps
+    truncate toward the earlier second, matching ``date_part`` in ANSI
+    engines)."""
+    from pyspark.sql import functions as F
+
+    sod = F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
+    s = start.hour * 3600 + start.minute * 60 + start.second
+    e = end.hour * 3600 + end.minute * 60 + end.second
+    if s <= e:
+        inside = (sod >= F.lit(s)) & (sod < F.lit(e))
+    else:  # crosses midnight
+        inside = (sod >= F.lit(s)) | (sod < F.lit(e))
+    return ~inside
+
+
 @dataclass
 class ForEachBatchRouter:
     """The foreachBatch body: fan-out + blackout + breaker/backup + DLQ.
