@@ -40,6 +40,44 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataF
     return df.filter(sample_key(F.col(id_col)) < F.lit(threshold))
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-domain Bernoulli sampling — the data-mixing
+    primitive: each domain keeps its own fraction of rows (e.g. keep
+    100% of a scarce high-quality source, 5% of a huge crawl), chosen
+    by the same md5 key as :func:`hash_sample` so the mixture is
+    reproducible across runs, cluster sizes, and engines.
+
+    Domains absent from ``rates`` keep ``default_rate`` of their rows
+    (0.0 = drop unlisted domains).
+
+    Rates are *sampling fractions*; to hit target mixture *proportions*
+    compute fractions from observed domain counts first (one cheap
+    count-by-domain agg) — the operator stays a pure filter either way:
+    no shuffle, pushed next to the scan, trivially parallel at 100 TB.
+    The per-domain threshold is a when/otherwise chain (codegen), not a
+    join — domain cardinality is assumed human-scale (sources, langs).
+    """
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for domain {d!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold = None
+    for d, r in sorted(rates.items()):
+        t = F.lit(int(r * (1 << 32)))
+        branch = F.when(F.col(domain_col) == d, t)
+        threshold = branch if threshold is None else threshold.when(F.col(domain_col) == d, t)
+    default_t = F.lit(int(default_rate * (1 << 32)))
+    threshold = default_t if threshold is None else threshold.otherwise(default_t)
+    return df.filter(sample_key(F.col(id_col)) < threshold)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: Sequence[str],

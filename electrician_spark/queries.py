@@ -1112,6 +1112,61 @@ def q_sm2(spark, sf_dir):
     return sampling.hash_sample(docs, 0.25).select("doc_id", "lang").orderBy("doc_id")
 
 
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{d}' THEN {int(r * (1 << 32))}" for d, r in sorted(_MIXTURE_RATES.items())
+    )
+    default = int(0.05 * (1 << 32))
+    return (
+        f"SELECT doc_id, source FROM documents WHERE {_SQL_SAMPLE_KEY} < "
+        f"(CASE source {cases} ELSE {default} END)"
+    )
+
+
+@query("q_sm3_mixture_sample", _mixture_oracle(), tags=("sampling",))
+def q_sm3(spark, sf_dir):
+    # Data mixing: keep all of a scarce premium source, thin the rest at
+    # per-domain rates, drop-to-5% anything unlisted — one deterministic
+    # md5-keyed filter, no shuffle, reproducible on any cluster size.
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        docs, "source", _MIXTURE_RATES, default_rate=0.05
+    ).select("doc_id", "source")
+
+
+@query(
+    "q_sp1_sequence_packing",
+    # Concat-and-chunk packing into 2048-token sequences over 8
+    # md5-derived shards; integer window cumsum, exact in both engines.
+    "WITH sharded AS (SELECT doc_id, n_chars, "
+    f"{_SQL_SAMPLE_KEY} % 8 AS shard FROM documents), "
+    "c AS (SELECT doc_id, n_chars, shard, "
+    "CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_chars AS start_offset FROM sharded) "
+    "SELECT doc_id, shard, start_offset, "
+    "CAST(floor(start_offset / 2048.0) AS BIGINT) AS pack_id, "
+    "CAST(floor((start_offset + n_chars - 1) / 2048.0) AS BIGINT) "
+    "- CAST(floor(start_offset / 2048.0) AS BIGINT) + 1 AS n_splits "
+    "FROM c",
+    tags=("packing",),
+)
+def q_sp1(spark, sf_dir):
+    # Sequence packing for training: documents laid end-to-end per
+    # shard, cut every 2048 tokens (n_chars stands in for the token
+    # count; any tokenizer output column plugs in unchanged).
+    from electrician_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, "n_chars", budget=2048, n_shards=8).select(
+        "doc_id", "shard", "start_offset", "pack_id", "n_splits"
+    )
+
+
 def _simhash_oracle(bits: int = 64, max_hamming: int = 3, block_bits: int = 16) -> str:
     # Mirrors operators/dedup.simhash: two 32-bit md5 halves (no u64
     # composition — it would overflow signed BIGINT), bit 63 assembled as
@@ -1979,9 +2034,10 @@ def q_ht1(spark, sf_dir):
 # rotate past the cap and keep their local tools/check.py coverage.
 
 # Round-3 rotation policy (no query goes >1 round without a driver row).
-# 80 declared queries, 50-slot window. Locked in:
-# - the 10 queries new this round (aj1, rj1, ht1, t6, fm1, w5, w7, r2,
-#   r4, z1) and the 3 de-phantomed ones (k3, k5, n3) — never checked;
+# 82 declared queries, 50-slot window. Locked in:
+# - the 12 queries new this round (aj1, rj1, ht1, t6, fm1, w5, w7, r2,
+#   r4, z1, sm3, sp1) and the 3 de-phantomed ones (k3, k5, n3) — never
+#   checked;
 # - q_p2_snr — the only red row in r2; its fix must be proven;
 # - the 17 checked only in r1 (t10, t11, a3-a6, j3-j5, u2-u4, f2, f3,
 #   w2, wf2, wf3) — skipping them again would breach the one-round rule.
@@ -1990,7 +2046,8 @@ def q_ht1(spark, sf_dir):
 # k-means, DSP folds, multimodal vectorize, upsert execution) or that
 # pin heavyweight plans (d-family, j2, w3).
 # OUT (all r2-green, unchanged, back in r4): s1-s4, t1, t3, t5, t9, a1,
-# a2, f1, f4, f5, j1, j6, o1-o3, u1, w1, w8, w9, wf1, x1-x4, d1, k1, k2.
+# a2, f1, f4, f5, j1, j6, o1-o3, u1, w1, w3, w8, w9, wf1, x1-x4, d1, k1,
+# k2, j2.
 _DRIVER_PRIORITY = [
     # new this round: temporal operators
     "q_aj1_asof_join",
@@ -2004,6 +2061,8 @@ _DRIVER_PRIORITY = [
     "q_r2_retry_backoff",
     "q_r4_retry_table",
     "q_z1_compression_roundtrip",
+    "q_sm3_mixture_sample",
+    "q_sp1_sequence_packing",
     # de-phantomed this round (never driver-checked before)
     "q_k3_kafka_frame_roundtrip",
     "q_k5_upsert_executed",
@@ -2046,8 +2105,6 @@ _DRIVER_PRIORITY = [
     "q_p3_wave_roundtrip",
     "q_sk1_salted_agg",
     "q_m1_media_features",
-    "q_w3_session_counts",
-    "q_j2_shipping_priority",
 ]
 
 

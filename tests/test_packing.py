@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from electrician_spark.operators import packing, sampling
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i % 2 else "premium") for i in range(400)], "doc_id long, source string"
+    )
+    out = sampling.mixture_sample(df, "source", {"premium": 1.0, "big": 0.25})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["premium"] == 200  # rate 1.0 keeps everything
+    assert 20 <= counts["big"] <= 80  # ~25% of 200, md5-spread
+    # byte-identical on re-run (no RNG state)
+    again = sampling.mixture_sample(df, "source", {"premium": 1.0, "big": 0.25})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
+
+
+def test_mixture_sample_default_rate_drops_unlisted(spark):
+    df = spark.createDataFrame([(i, "unknown") for i in range(50)], "doc_id long, source string")
+    assert sampling.mixture_sample(df, "source", {"listed": 1.0}).count() == 0
+    assert sampling.mixture_sample(df, "source", {}, default_rate=1.0).count() == 50
+    with pytest.raises(ValueError, match="rate"):
+        sampling.mixture_sample(df, "source", {"x": 1.5})
+
+
+def test_pack_sequences_chunking_arithmetic(spark):
+    # Single shard so the stream order is fully known.
+    df = spark.createDataFrame([(i, 60) for i in range(10)], "doc_id long, tok long")
+    out = packing.pack_sequences(df, "tok", budget=100, n_shards=1).orderBy("doc_id").collect()
+    assert [r["start_offset"] for r in out] == [60 * i for i in range(10)]
+    assert [r["pack_id"] for r in out] == [0, 0, 1, 1, 2, 3, 3, 4, 4, 5]
+    # docs crossing a 100-token cut touch two packs
+    assert [r["n_splits"] for r in out] == [1, 2, 1, 2, 1, 1, 2, 1, 2, 1]
+
+
+def test_pack_sequences_shards_are_stable_and_balanced(spark):
+    df = spark.createDataFrame([(i, 10) for i in range(2000)], "doc_id long, tok long")
+    out = packing.pack_sequences(df, "tok", budget=100, n_shards=8)
+    per_shard = [r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(per_shard) == 8 and min(per_shard) > 100  # md5 spreads evenly-ish
+    # within every shard the stream is gapless: offsets tile exactly
+    total = out.groupBy("shard").agg(
+        (F.max(F.col("start_offset") + F.col("tok"))).alias("stream_len"),
+        F.sum("tok").alias("tok_sum"),
+    )
+    assert all(r["stream_len"] == r["tok_sum"] for r in total.collect())
+
+
+def test_pack_sequences_validates_args(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, tok long")
+    with pytest.raises(ValueError, match="budget"):
+        packing.pack_sequences(df, "tok", budget=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        packing.pack_sequences(df, "tok", budget=10, n_shards=0)
