@@ -1167,6 +1167,45 @@ def q_sp1(spark, sf_dir):
     )
 
 
+def _kmv_oracle(k: int = 16) -> str:
+    # Register i = min over rows of the seed-prefixed md5 key — the
+    # exact expression operators/sketch.py builds, replayed in SQL.
+    regs = ", ".join(
+        "min(CAST('0x' || substr(md5('" + str(i) + ":' || CAST(o_custkey AS VARCHAR)), "
+        f"1, 8) AS BIGINT)) AS h{i}"
+        for i in range(k)
+    )
+    # Left-associative sum chain — same IEEE evaluation order as the
+    # Spark expression, so the double estimate is bit-identical.
+    total = " + ".join(f"(h{i} + 1) / 4294967296.0" for i in range(k))
+    return (
+        f"WITH s AS (SELECT o_orderpriority AS grp, {regs} FROM orders GROUP BY 1) "
+        f"SELECT grp, round({float(k)} / ({total}) - 1.0, 6) AS distinct_est "
+        "FROM s ORDER BY grp"
+    )
+
+
+@query(
+    "q_ds1_distinct_sketch",
+    _kmv_oracle(),
+    tags=("sketch",),
+)
+def q_ds1(spark, sf_dir):
+    # KMV-family distinct-count sketch: k MIN registers, full map-side
+    # combine, shuffle carries 8·k bytes per group instead of every
+    # distinct value — the scale path next to q_a4's exact
+    # count(DISTINCT). Estimate is md5-keyed and expression-ordered, so
+    # DuckDB replays it bit-identically.
+    from electrician_spark.operators import sketch
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_custkey"
+    )
+    return sketch.sketch_distinct(orders, "o_custkey", k=16, group_cols=["grp"]).orderBy(
+        "grp"
+    )
+
+
 def _simhash_oracle(bits: int = 64, max_hamming: int = 3, block_bits: int = 16) -> str:
     # Mirrors operators/dedup.simhash: two 32-bit md5 halves (no u64
     # composition — it would overflow signed BIGINT), bit 63 assembled as
@@ -2063,6 +2102,7 @@ _DRIVER_PRIORITY = [
     "q_z1_compression_roundtrip",
     "q_sm3_mixture_sample",
     "q_sp1_sequence_packing",
+    "q_ds1_distinct_sketch",
     # de-phantomed this round (never driver-checked before)
     "q_k3_kafka_frame_roundtrip",
     "q_k5_upsert_executed",
@@ -2096,7 +2136,6 @@ _DRIVER_PRIORITY = [
     "q_d7_canonical_docs",
     "q_d8_decontaminate",
     "q_sm1_stratified_sample",
-    "q_sm2_hash_sample",
     "q_n1_ann_bruteforce",
     "q_n2_ann_ivf",
     "q_k4_upsert_idempotent",

@@ -1,0 +1,85 @@
+"""KMV distinct-count sketch: accuracy, mergeability, determinism.
+
+Reference parity: the meter's exact per-name counters
+(pkg/internal/meter/metrics.go:59-97) answered "how many distinct X"
+by holding every key; at corpus scale the sketch replaces that with k
+fixed registers. These tests pin the estimator's error bound, the
+monoid merge law (merge of part-sketches == sketch of the whole), and
+bit-exact determinism across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from electrician_spark.operators import sketch
+
+
+def _ids(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").cast("string").alias("v")
+    )
+
+
+def test_estimate_within_kmv_error_bound(spark):
+    # k=64 → stderr ≈ 1/√64 = 12.5 %; assert a generous 3σ envelope.
+    n = 5000
+    est = sketch.sketch_distinct(_ids(spark, n), "v", k=64).collect()[0][
+        "distinct_est"
+    ]
+    assert abs(est - n) / n < 0.375, est
+
+
+def test_duplicates_do_not_change_estimate(spark):
+    base = _ids(spark, 1000)
+    dup = base.unionAll(base).unionAll(base)
+    e1 = sketch.sketch_distinct(base, "v", k=32).collect()[0]["distinct_est"]
+    e2 = sketch.sketch_distinct(dup, "v", k=32).collect()[0]["distinct_est"]
+    assert e1 == e2
+
+
+def test_merge_equals_sketch_of_union(spark):
+    # Monoid law: elementwise-min merge of two part-sketches must be
+    # bit-identical to sketching the concatenated input (overlap included).
+    a, b = _ids(spark, 800), _ids(spark, 800, start=400)
+    merged = sketch.merge_sketches(
+        sketch.distinct_sketch(a, "v", k=16),
+        sketch.distinct_sketch(b, "v", k=16),
+        k=16,
+    )
+    whole = sketch.distinct_sketch(a.unionAll(b), "v", k=16)
+    assert merged.collect() == whole.collect()
+
+
+def test_grouped_registers_deterministic(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    r1 = sorted(sketch.distinct_sketch(df, "v", k=8, group_cols=["g"]).collect())
+    r2 = sorted(sketch.distinct_sketch(df, "v", k=8, group_cols=["g"]).collect())
+    assert r1 == r2
+    assert len(r1) == 3 and all(len(row) == 9 for row in r1)
+
+
+def test_map_side_combinable_plan(spark):
+    # The whole point at 100 TB: partial_min before the shuffle. The
+    # physical plan must show a partial HashAggregate (map-side combine),
+    # i.e. two aggregate stages around the exchange.
+    plan = sketch.distinct_sketch(
+        _ids(spark, 100), "v", k=4, group_cols=["v"]
+    )._sc is not None  # touch to build
+    explained = sketch.distinct_sketch(
+        spark.range(100).select((F.col("id") % 5).alias("g"), F.col("id").alias("v")),
+        "v",
+        k=4,
+        group_cols=["g"],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert explained.count("HashAggregate") >= 2, explained
+
+
+def test_k_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sketch.distinct_sketch(_ids(spark, 10), "v", k=0)
