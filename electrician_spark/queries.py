@@ -321,6 +321,80 @@ def q_a6(spark, sf_dir):
     )
 
 
+@query(
+    "q_q1_grouped_quantiles",
+    "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, "
+    "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90, "
+    "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    tags=("agg", "quantile"),
+)
+def q_q1(spark, sf_dir):
+    # Exact percentiles (ANSI percentile_cont semantics: linear
+    # interpolation at rank p*(n-1)); operators/olap.approx_quantiles is
+    # the sketch-backed scale path with the same call shape.
+    from electrician_spark.operators import olap
+
+    return olap.grouped_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        probs=(0.5, 0.9, 0.99),
+        group_cols=["l_returnflag"],
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_a7_rollup_subtotals",
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+    "coalesce(l_linestatus, 'ALL') AS linestatus, "
+    "GROUPING(l_returnflag, l_linestatus) AS grouping_level, "
+    "round(sum(l_quantity), 2) AS sum_qty, count(*) AS n "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+    "ORDER BY grouping_level, returnflag, linestatus",
+    tags=("agg", "rollup"),
+)
+def q_a7(spark, sf_dir):
+    # Hierarchical subtotal grid in ONE shuffle: Spark's Expand feeds a
+    # partial HashAggregate, so the exchange carries one row per
+    # (group, level), not per input row per level. grouping_id() uses
+    # the same bitmask convention as ANSI GROUPING(a, b).
+    from electrician_spark.operators import olap
+
+    rolled = olap.rollup_agg(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [rel.round2(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n")],
+    )
+    return rolled.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "grouping_level",
+        "sum_qty",
+        "n",
+    ).orderBy("grouping_level", "returnflag", "linestatus")
+
+
+@query(
+    "q_hg1_price_histogram",
+    "SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 23) "
+    "AS BIGINT) AS bucket, count(*) AS n, "
+    "round(0.0 + CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 23) "
+    "AS BIGINT) * 5000.0, 6) AS bucket_lo "
+    "FROM lineitem GROUP BY 1 ORDER BY bucket",
+    tags=("agg", "histogram"),
+)
+def q_hg1(spark, sf_dir):
+    # Equi-width histogram as an integer-bucket groupBy: no sort, full
+    # map-side combine, the shuffle carries at most nbins rows per
+    # group. Only IEEE double +,-,*,/ and floor — bit-identical in any
+    # engine, hence oracle-able without rounding slop.
+    from electrician_spark.operators import olap
+
+    return olap.histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", lo=0.0, hi=120_000.0, nbins=24
+    ).orderBy("bucket")
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Joins
 # ---------------------------------------------------------------------------
