@@ -78,6 +78,39 @@ def mixture_sample(
     return df.filter(sample_key(F.col(id_col)) < threshold)
 
 
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    weight_col: str,
+    base_rate: float,
+    scale: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli (Poisson) sample:
+    row inclusion probability = min(1, base_rate · weight / scale).
+
+    The data-mixing use case: thin a corpus while preserving its token
+    mass — weight by length (or a quality score) so long/high-value
+    documents survive proportionally more often, instead of uniform
+    row sampling that under-represents them.
+
+    Determinism across engines: the include test is
+    ``md5_key(id) < weight · c`` with ``c = base_rate · 2^32 / scale``
+    folded to one double literal at plan time — a single IEEE multiply
+    and an integer-vs-double compare, so Spark and any SQL oracle agree
+    bit-for-bit (no libm, no RNG). Rows with weight ≥ scale/base_rate
+    are always kept (the key space caps at 2^32). Pure filter: no
+    shuffle, pushed next to the scan, trivially parallel at 100 TB.
+    """
+    if base_rate < 0.0:
+        raise ValueError(f"base_rate must be >= 0, got {base_rate}")
+    if scale <= 0.0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    c = base_rate * float(1 << 32) / scale
+    return df.filter(
+        sample_key(F.col(id_col)) < F.col(weight_col).cast("double") * F.lit(c)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: Sequence[str],

@@ -731,6 +731,42 @@ def q_wf3(spark, sf_dir):
     )
 
 
+@query(
+    "q_wf4_distribution_ranks",
+    # Total order inside the window (price, key tiebreak) → rank has no
+    # ties → percent_rank/cume_dist are engine-independent rationals.
+    "WITH r AS (SELECT o_orderpriority, "
+    "ntile(4) OVER w AS quartile, "
+    "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd "
+    "FROM orders WINDOW w AS (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey)) "
+    "SELECT o_orderpriority, quartile, count(*) AS n, "
+    "round(avg(pr), 6) AS avg_pct_rank, round(max(cd), 6) AS max_cume_dist "
+    "FROM r GROUP BY o_orderpriority, quartile "
+    "ORDER BY o_orderpriority, quartile",
+    tags=("winfunc",),
+)
+def q_wf4(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 Set operations (fan-in C3 = UNION ALL)
 # ---------------------------------------------------------------------------
@@ -1211,6 +1247,38 @@ def q_sm3(spark, sf_dir):
     return sampling.mixture_sample(
         docs, "source", _MIXTURE_RATES, default_rate=0.05
     ).select("doc_id", "source")
+
+
+_WEIGHTED_C = 0.3 * float(1 << 32) / 800.0  # base_rate=0.3, scale=800 chars
+
+
+@query(
+    "q_sm4_weighted_sample",
+    # Include iff md5_key < n_chars * c — one IEEE multiply and an
+    # integer-vs-double compare; both engines agree bit-for-bit.
+    f"WITH s AS (SELECT lang, n_chars FROM documents WHERE {_SQL_SAMPLE_KEY} < "
+    f"n_chars * {_WEIGHTED_C!r}) "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM s GROUP BY lang ORDER BY lang",
+    tags=("sampling",),
+)
+def q_sm4(spark, sf_dir):
+    # Length-weighted corpus thinning: inclusion probability
+    # ∝ n_chars, so the sample preserves token mass instead of
+    # under-representing long documents the way uniform row sampling
+    # does. Pure deterministic filter — no shuffle, reproducible on
+    # any cluster size.
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = sampling.weighted_bernoulli_sample(
+        docs, "n_chars", base_rate=0.3, scale=800.0
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("lang")
+    )
 
 
 @query(

@@ -31,3 +31,46 @@ def test_stratified_sample_quota_per_stratum(spark):
     # small stratum keeps everything
     tiny = df.filter(F.col("doc_id") < 2)
     assert sampling.stratified_sample(tiny, ["lang"], 7).count() == 2
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    # Two weight classes, 10:1 — inclusion rates must track ~10:1.
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 1000).otherwise(100).alias("w"),
+    )
+    out = sampling.weighted_bernoulli_sample(df, "w", base_rate=0.2, scale=1000.0)
+    rows = out.collect()
+    heavy = sum(1 for r in rows if r.w == 1000)
+    light = sum(1 for r in rows if r.w == 100)
+    # heavy: p=0.2 of 2000 → ~400; light: p=0.02 of 2000 → ~40
+    assert 300 < heavy < 500, heavy
+    assert 15 < light < 75, light
+    # deterministic
+    again = sampling.weighted_bernoulli_sample(df, "w", base_rate=0.2, scale=1000.0)
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again.collect())
+
+
+def test_weighted_sample_saturates_at_one(spark):
+    # weight >= scale/base_rate → always kept.
+    df = spark.range(500).select(F.col("id").alias("doc_id"), F.lit(10_000).alias("w"))
+    assert sampling.weighted_bernoulli_sample(df, "w", 1.0, scale=100.0).count() == 500
+
+
+def test_weighted_sample_validation(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"), F.lit(1).alias("w"))
+    with pytest.raises(ValueError):
+        sampling.weighted_bernoulli_sample(df, "w", -0.1)
+    with pytest.raises(ValueError):
+        sampling.weighted_bernoulli_sample(df, "w", 0.5, scale=0.0)
+
+
+def test_weighted_sample_is_pure_filter_plan(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit(50).alias("w"))
+    plan = (
+        sampling.weighted_bernoulli_sample(df, "w", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
