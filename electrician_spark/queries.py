@@ -375,6 +375,24 @@ def q_a7(spark, sf_dir):
 
 
 @query(
+    "q_hh1_heavy_hitters",
+    "SELECT user_id, count(*) AS n FROM events "
+    "GROUP BY user_id HAVING count(*) >= 75 ORDER BY user_id",
+    tags=("agg", "heavyhitters"),
+)
+def q_hh1(spark, sf_dir):
+    # Misra-Gries candidates per partition (O(k) memory), broadcast
+    # semi-join, exact count of candidates only — the full distinct-key
+    # set never shuffles. Output is exact and partitioning-independent,
+    # hence oracle-able against plain GROUP BY ... HAVING.
+    from electrician_spark.operators import heavyhitters
+
+    return heavyhitters.heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", threshold=75, k=64
+    ).orderBy("user_id")
+
+
+@query(
     "q_hg1_price_histogram",
     "SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 23) "
     "AS BIGINT) AS bucket, count(*) AS n, "
