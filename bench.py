@@ -33,6 +33,7 @@ EXTRA_QUERIES = [
     "q_aj1_asof_join",
     "q_rj1_range_join",
     "q_ht1_hypertable_rollup",
+    "q_j7_regional_revenue",
 ]
 
 

@@ -65,6 +65,20 @@ def test_filter_pushdown_under_join(plans):
     assert "GreaterThan(l_shipdate," in p
 
 
+def test_regional_revenue_plan_shape(plans):
+    p = plans("q_j7_regional_revenue")
+    # date range pushed to the orders scan, region filter to its scan
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "In(r_name" in p
+    # dims broadcast; the big-big joins must NOT be broadcast
+    assert "BroadcastHashJoin" in p
+    # lineitem scan pruned to the 4 needed columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,"
+        "l_extendedprice:double,l_discount:double>" in p
+    )
+
+
 def test_topk_avoids_global_sort(plans):
     assert "TakeOrderedAndProject" in plans("q_o1_global_topk")
 
