@@ -142,3 +142,50 @@ def language_id(text: Column, default: str = "en") -> Column:
     for lang, score in reversed(scores):
         expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+# Redaction patterns share Java-regex / RE2 syntax (char classes,
+# bounded repeats only — no lookaround), so a SQL oracle replays them.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_PATTERN = r"[0-9]{9,}"
+
+
+def redact_pii(
+    text: Column,
+    email_token: str = "<EMAIL>",
+    number_token: str = "<NUM>",
+) -> Column:
+    """Scrub obvious PII shapes from a text column: email addresses,
+    then 9+-digit runs (phone/SSN/account-shaped). Pure
+    ``regexp_replace`` chain — JVM-side, codegen, no UDF; the pattern
+    subset is dialect-portable so the same regexes run in any SQL
+    oracle. Deliberately shape-based (a recall-first pre-filter for
+    training corpora), not an NER system — plug a model-based scrubber
+    in as a pandas UDF stage where precision matters."""
+    scrubbed = F.regexp_replace(text, EMAIL_PATTERN, email_token)
+    return F.regexp_replace(scrubbed, LONG_NUMBER_PATTERN, number_token)
+
+
+def token_repetition_stats(toks: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals from a token
+    array column (pre-project the array; see shingles_from_tokens):
+
+    - ``dup_token_frac``: 1 − distinct/total tokens,
+    - ``dup_bigram_frac``: 1 − distinct/total word bigrams
+
+    Both are array expressions — per-row, no shuffle, no UDF. The
+    heaviest-token share (``top_token_frac``) needs a per-token count
+    and is computed relationally in queries (explode → groupBy keeps
+    it codegen'd; an aggregate() HOF would run interpreted)."""
+    n = F.size(toks)
+    n_bi = F.greatest(n - 1, F.lit(0))
+    # shingles_from_tokens already dedupes; raw bigram count is n-1.
+    distinct_bi = F.size(shingles_from_tokens(toks, 2))
+    return {
+        "dup_token_frac": F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(toks)) / n
+        ).otherwise(F.lit(0.0)),
+        "dup_bigram_frac": F.when(n_bi > 0, 1.0 - distinct_bi / n_bi).otherwise(
+            F.lit(0.0)
+        ),
+    }

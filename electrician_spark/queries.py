@@ -1097,6 +1097,128 @@ def q_x4(spark, sf_dir):
     return rel.top_k(df, [F.col("doc_id")], 50)
 
 
+@query(
+    "q_x5_repetition_stats",
+    f"WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents), "
+    "s AS (SELECT doc_id, lang, len(toks) AS n, "
+    "1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS dtf, "
+    "CASE WHEN len(toks) > 1 THEN 1.0 - len(list_distinct("
+    "[toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) * 1.0 "
+    "/ (len(toks) - 1) ELSE 0.0 END AS dbf "
+    "FROM t WHERE len(toks) > 0), "
+    "m AS (SELECT doc_id, max(c) AS mx FROM (SELECT doc_id, tok, count(*) AS c "
+    "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok) "
+    "GROUP BY doc_id) "
+    "SELECT lang, count(*) AS n_docs, round(avg(dtf), 6) AS avg_dup_token_frac, "
+    "round(avg(dbf), 6) AS avg_dup_bigram_frac, "
+    "round(avg(mx * 1.0 / n), 6) AS avg_top_token_frac "
+    "FROM s JOIN m USING (doc_id) GROUP BY lang ORDER BY lang",
+    tags=("text",),
+)
+def q_x5(spark, sf_dir):
+    # Gopher-style repetition quality signals. Fractions are per-row
+    # array expressions (codegen, no shuffle); the heaviest-token share
+    # goes explode → groupBy — the codegen path — rather than an
+    # aggregate() HOF, which runs interpreted.
+    from electrician_spark.functions import text as tx
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tx.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    reps = tx.token_repetition_stats(F.col("toks"))
+    stats = base.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n"),
+        reps["dup_token_frac"].alias("dtf"),
+        reps["dup_bigram_frac"].alias("dbf"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    return (
+        stats.join(top, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dtf"), 6).alias("avg_dup_token_frac"),
+            F.round(F.avg("dbf"), 6).alias("avg_dup_bigram_frac"),
+            F.round(F.avg(F.col("mx") / F.col("n")), 6).alias("avg_top_token_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUM = r"[0-9]{9,}"
+
+
+@query(
+    "q_x6_pii_redaction",
+    # Plant a synthetic email + long number on every 7th doc, scrub,
+    # prove nothing email-shaped survives. Patterns stay in the
+    # Java-regex ∩ RE2 dialect so both engines run the same scrub.
+    "WITH t AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 THEN "
+    "' contact: user' || doc_id || '@example.com ref 1234567890' ELSE '' END "
+    "AS text FROM documents), "
+    "r AS (SELECT doc_id, text, regexp_replace(regexp_replace(text, "
+    f"'{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_NUM}', '<NUM>', 'g') AS clean FROM t) "
+    "SELECT count(*) AS n_docs, "
+    "CAST(sum(CASE WHEN contains(text, '@') THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS docs_with_email, "
+    "CAST(sum(CASE WHEN text <> clean THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted, "
+    "CAST(sum(len(clean) - len(replace(clean, '<EMAIL>', ''))) / 7 AS BIGINT) "
+    "AS email_tokens, "
+    "CAST(sum(CASE WHEN regexp_matches(clean, '[0-9]{9,}') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS long_numbers_left FROM r",
+    tags=("text",),
+)
+def q_x6(spark, sf_dir):
+    from electrician_spark.functions import text as tx
+
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com ref 1234567890"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = planted.withColumn("clean", tx.redact_pii(F.col("text")))
+    return scrubbed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("text").contains("@"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_email"),
+        F.sum(F.when(F.col("text") != F.col("clean"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_redacted"),
+        (
+            F.sum(
+                F.length("clean") - F.length(F.regexp_replace("clean", "<EMAIL>", ""))
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("email_tokens"),
+        F.sum(F.when(F.col("clean").rlike(_PII_NUM), 1).otherwise(0))
+        .cast("long")
+        .alias("long_numbers_left"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (LLM-pipeline extension)
 # ---------------------------------------------------------------------------
@@ -2323,6 +2445,15 @@ _DRIVER_PRIORITY = [
     "q_sm3_mixture_sample",
     "q_sp1_sequence_packing",
     "q_ds1_distinct_sketch",
+    "q_q1_grouped_quantiles",
+    "q_a7_rollup_subtotals",
+    "q_hg1_price_histogram",
+    "q_hh1_heavy_hitters",
+    "q_sm4_weighted_sample",
+    "q_wf4_distribution_ranks",
+    "q_j7_regional_revenue",
+    "q_x5_repetition_stats",
+    "q_x6_pii_redaction",
     # de-phantomed this round (never driver-checked before)
     "q_k3_kafka_frame_roundtrip",
     "q_k5_upsert_executed",
@@ -2347,19 +2478,17 @@ _DRIVER_PRIORITY = [
     "q_w2_sliding_30m_15m",
     "q_wf2_lag_gap",
     "q_wf3_running_sum",
-    # r2-green, code changed this round or heavyweight plan pins
+    # r2-green, code changed this round or heavyweight plan pins.
+    # Rotated out to make room for the 7 new-operator queries (all
+    # r2-green, families still pinned by a kept sibling): d3/d6/d7
+    # (dedup family pinned by d2/d4/d5/d8), sm1 (sampling pinned by
+    # sm3/sm4), n1/n2 (similarity k-means path pinned by n3), k4
+    # (upsert execution pinned by k5); d8/r1 likewise rotated for
+    # q_x5/q_x6 (decontaminate path untouched this round; envelope
+    # unchanged). Back in r4.
     "q_d2_ngram_jaccard",
-    "q_d3_minhash_lsh",
     "q_d4_simhash",
     "q_d5_embedding_near_dup",
-    "q_d6_dup_clusters",
-    "q_d7_canonical_docs",
-    "q_d8_decontaminate",
-    "q_sm1_stratified_sample",
-    "q_n1_ann_bruteforce",
-    "q_n2_ann_ivf",
-    "q_k4_upsert_idempotent",
-    "q_r1_resequenced_replay",
     "q_p1_signal_energy",
     "q_p3_wave_roundtrip",
     "q_sk1_salted_agg",

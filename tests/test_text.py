@@ -1,0 +1,60 @@
+"""Text-analysis functions: PII redaction shapes and repetition
+signals (the q_x* oracle rows cover the rest end-to-end)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from electrician_spark.functions import text as tx
+
+
+def _one(spark, s: str, col):
+    return spark.createDataFrame([(s,)], ["text"]).select(col.alias("out")).first()["out"]
+
+
+def test_redact_email_and_long_numbers(spark):
+    out = _one(
+        spark,
+        "mail bob.smith+x@sub.example.co.uk or call 12345678901 now",
+        tx.redact_pii(F.col("text")),
+    )
+    assert out == "mail <EMAIL> or call <NUM> now"
+
+
+def test_redact_preserves_short_numbers_and_plain_text(spark):
+    s = "order 42 of 1969 items at 3.14 each"
+    assert _one(spark, s, tx.redact_pii(F.col("text"))) == s
+
+
+def test_redact_all_occurrences(spark):
+    out = _one(spark, "a@b.com c@d.org", tx.redact_pii(F.col("text")))
+    assert out == "<EMAIL> <EMAIL>"
+
+
+def test_repetition_fractions(spark):
+    df = spark.createDataFrame(
+        [("a a a a",), ("a b c d",), ("a b a b",)], ["text"]
+    ).select(tx.tokens(F.col("text")).alias("toks"))
+    reps = tx.token_repetition_stats(F.col("toks"))
+    rows = df.select(
+        reps["dup_token_frac"].alias("dtf"), reps["dup_bigram_frac"].alias("dbf")
+    ).collect()
+    # "a a a a": 1 distinct of 4 → 0.75; bigrams: ["a a"]x3 → 1 - 1/3
+    assert abs(rows[0]["dtf"] - 0.75) < 1e-9
+    assert abs(rows[0]["dbf"] - (1 - 1 / 3)) < 1e-9
+    # all distinct → 0 dup
+    assert rows[1]["dtf"] == 0.0 and rows[1]["dbf"] == 0.0
+    # "a b a b": 2 distinct of 4 → 0.5; bigrams ab,ba,ab → 1 - 2/3
+    assert abs(rows[2]["dtf"] - 0.5) < 1e-9
+    assert abs(rows[2]["dbf"] - (1 - 2 / 3)) < 1e-9
+
+
+def test_repetition_empty_and_single_token(spark):
+    df = spark.createDataFrame([("solo",)], ["text"]).select(
+        tx.tokens(F.col("text")).alias("toks")
+    )
+    reps = tx.token_repetition_stats(F.col("toks"))
+    row = df.select(
+        reps["dup_token_frac"].alias("dtf"), reps["dup_bigram_frac"].alias("dbf")
+    ).first()
+    assert row["dtf"] == 0.0 and row["dbf"] == 0.0
