@@ -167,6 +167,53 @@ def write_ndjson(
     w.json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    sep: str = ",",
+):
+    """CSV reader (line-codec analog of the reference's line/text
+    codecs, pkg/internal/codec/line.go). Pass an explicit ``schema``
+    for typed reads: ``inferSchema`` costs a FULL extra pass over the
+    data — a non-starter at 100 TB — so it is never enabled here;
+    without a schema every column arrives as string. ``mode``:
+    PERMISSIVE (bad rows null-filled, kept in ``_corrupt_record`` if
+    the schema declares it) / DROPMALFORMED / FAILFAST."""
+    r = (
+        spark.read.option("header", header)
+        .option("mode", mode)
+        .option("sep", sep)
+    )
+    if schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    gzip: bool = False,
+    sep: str = ",",
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """CSV writer with the same record-count rolling as the NDJSON
+    sink; one file per task otherwise, no driver funnel."""
+    w = (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("sep", sep)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.csv(path)
+
+
 def with_time_partitions(df: DataFrame, ts_col: str, template: str) -> tuple[DataFrame, list[str]]:
     """Materialize the reference's ``{yyyy}/{MM}/{dd}/{HH}/{mm}`` key template
     as partition columns (types/s3_adapter.go:27-29). Returns (df, partition_cols)

@@ -1821,6 +1821,50 @@ def q_k2(spark, sf_dir):
 
 
 @query(
+    "q_k6_csv_roundtrip",
+    "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, "
+    "count(DISTINCT o_orderstatus) AS n_status FROM orders",
+    tags=("sink",),
+)
+def q_k6(spark, sf_dir):
+    # CSV writer/reader round-trip with an explicit typed schema (no
+    # inferSchema — that's a full extra scan at 100 TB).
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from electrician_spark.io import read_csv, write_csv
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="esk_k6_") + "/orders"
+    write_csv(orders, path)
+    back = read_csv(
+        spark,
+        path,
+        schema=StructType(
+            [
+                StructField("o_orderkey", LongType()),
+                StructField("o_totalprice", DoubleType()),
+                StructField("o_orderstatus", StringType()),
+            ]
+        ),
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        rel.round2(F.sum("o_totalprice")).alias("total"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+
+
+@query(
     "q_k4_upsert_idempotent",
     "SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_keys FROM "
     "(SELECT DISTINCT o_custkey FROM orders) t",
@@ -2454,6 +2498,7 @@ _DRIVER_PRIORITY = [
     "q_j7_regional_revenue",
     "q_x5_repetition_stats",
     "q_x6_pii_redaction",
+    "q_k6_csv_roundtrip",
     # de-phantomed this round (never driver-checked before)
     "q_k3_kafka_frame_roundtrip",
     "q_k5_upsert_executed",
@@ -2485,11 +2530,11 @@ _DRIVER_PRIORITY = [
     # sm3/sm4), n1/n2 (similarity k-means path pinned by n3), k4
     # (upsert execution pinned by k5); d8/r1 likewise rotated for
     # q_x5/q_x6 (decontaminate path untouched this round; envelope
-    # unchanged). Back in r4.
+    # unchanged), p1 for q_k6 (the DSP sequential-fold fix is re-proven
+    # by p2, the same code path, still in-window). Back in r4.
     "q_d2_ngram_jaccard",
     "q_d4_simhash",
     "q_d5_embedding_near_dup",
-    "q_p1_signal_energy",
     "q_p3_wave_roundtrip",
     "q_sk1_salted_agg",
     "q_m1_media_features",

@@ -118,3 +118,38 @@ def test_wave_file_source_tolerates_corrupt_file(spark, tmp_path):
 
     rows = read_wave_files(spark, str(d)).collect()
     assert len(rows) == 1 and rows[0]["re"] is None  # error -> NULL, not a crash
+
+
+def test_csv_roundtrip_and_malformed_modes(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from electrician_spark.io import read_csv, write_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    p = str(tmp_path / "csv_out")
+    write_csv(df, p)
+    schema = StructType([StructField("k", LongType()), StructField("v", StringType())])
+    back = read_csv(spark, p, schema=schema)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+    # Hand-written file with a malformed row.
+    bad = tmp_path / "bad" / "part.csv"
+    bad.parent.mkdir()
+    bad.write_text("k,v\n1,a\nnot_a_number,b\n3,c\n")
+    # PERMISSIVE: bad cell -> NULL, row kept.
+    perm = read_csv(spark, str(bad.parent), schema=schema).collect()
+    assert len(perm) == 3 and any(r.k is None for r in perm)
+    # DROPMALFORMED: row gone. NB: count() would report 3 — CSV column
+    # pruning parses zero columns for a bare count, so no row can fail
+    # conversion; materialize the rows to exercise the parser.
+    dropped = read_csv(spark, str(bad.parent), schema=schema, mode="DROPMALFORMED")
+    assert len(dropped.collect()) == 2
+
+    # Untyped read (no schema): everything is a string, no inference scan.
+    untyped = read_csv(spark, p)
+    assert [f.dataType.simpleString() for f in untyped.schema.fields] == ["string", "string"]
