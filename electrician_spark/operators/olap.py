@@ -98,6 +98,44 @@ def approx_quantiles(
     return df.agg(*aggs)
 
 
+def clip_quantiles(
+    df: DataFrame,
+    value_col: str,
+    plo: float = 0.01,
+    phi: float = 0.99,
+    group_cols: Sequence[str] = (),
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Winsorize: clamp ``value_col`` into its per-group
+    [plo, phi] quantile range, appended as ``{value_col}_clipped`` —
+    the standard outlier guard before training-statistics aggregation.
+
+    Two jobs by construction: a quantile pass over the groups, then a
+    broadcast join of the tiny bounds table back onto the input (group
+    cardinality is human-scale; the input never shuffles). ``approx``
+    swaps the exact sort-based percentile for the Greenwald-Khanna
+    sketch — at 100 TB bounds don't need the exact rank."""
+    if not 0.0 <= plo <= phi <= 1.0:
+        raise ValueError(f"need 0 <= plo <= phi <= 1, got [{plo}, {phi}]")
+    # Bounds rounded to 6dp (the quantile functions' default): a raw
+    # interpolated double can differ in the last ulp across engines,
+    # and the clip comparison would amplify that; 6dp is bit-stable.
+    if approx:
+        bounds = approx_quantiles(df, value_col, (plo, phi), group_cols, accuracy)
+    else:
+        bounds = grouped_quantiles(df, value_col, (plo, phi), group_cols)
+    lo_name, hi_name = _prob_alias(plo), _prob_alias(phi)
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col(lo_name)), F.col(hi_name)
+    ).alias(f"{value_col}_clipped")
+    if group_cols:
+        joined = df.join(F.broadcast(bounds), list(group_cols))
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    return joined.select(*df.columns, clipped)
+
+
 def rollup_agg(
     df: DataFrame, group_cols: Sequence[str], aggs: Sequence[Column]
 ) -> DataFrame:

@@ -344,6 +344,46 @@ def q_q1(spark, sf_dir):
 
 
 @query(
+    "q_q2_winsorized_stats",
+    "WITH b AS (SELECT l_returnflag, "
+    "round(quantile_cont(l_extendedprice, 0.05), 6) AS p5, "
+    "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95 "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT l_returnflag, count(*) AS n, "
+    "round(avg(least(greatest(l_extendedprice, p5), p95)), 6) AS avg_clipped, "
+    "round(min(least(greatest(l_extendedprice, p5), p95)), 6) AS min_clipped, "
+    "round(max(least(greatest(l_extendedprice, p5), p95)), 6) AS max_clipped "
+    "FROM lineitem JOIN b USING (l_returnflag) "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+    tags=("agg", "quantile"),
+)
+def q_q2(spark, sf_dir):
+    # Winsorized robust statistics: per-group [p5, p95] clamp (bounds
+    # pass + broadcast join — the big table never shuffles), then the
+    # usual aggregates over the clipped values.
+    from electrician_spark.operators import olap
+
+    clipped = olap.clip_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        plo=0.05,
+        phi=0.95,
+        group_cols=["l_returnflag"],
+    )
+    c = F.col("l_extendedprice_clipped")
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(c), 6).alias("avg_clipped"),
+            F.round(F.min(c), 6).alias("min_clipped"),
+            F.round(F.max(c), 6).alias("max_clipped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q_a7_rollup_subtotals",
     "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
     "coalesce(l_linestatus, 'ALL') AS linestatus, "
@@ -390,6 +430,34 @@ def q_hh1(spark, sf_dir):
     return heavyhitters.heavy_hitters(
         _t(spark, sf_dir, "events"), "user_id", threshold=75, k=64
     ).orderBy("user_id")
+
+
+_PROFILE_COLS = ("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "q_pr1_table_profile",
+    " UNION ALL ".join(
+        f'SELECT \'{c}\' AS "column", count(*) AS n_rows, '
+        f"count(*) - count({c}) AS n_nulls, "
+        f"count(DISTINCT {c}) AS n_distinct, CAST(min({c}) AS VARCHAR) AS min_value, "
+        f"CAST(max({c}) AS VARCHAR) AS max_value FROM orders"
+        for c in _PROFILE_COLS
+    )
+    + ' ORDER BY "column"',
+    tags=("agg", "profile"),
+)
+def q_pr1(spark, sf_dir):
+    # One wide aggregate (single scan) exploded to long format. Exact
+    # distincts here for the oracle gate; approx=True (HLL++, no
+    # distinct-value shuffle) is the 100 TB default. Columns are
+    # int/varchar only — float min/max string-formatting is not
+    # portable across engines.
+    from electrician_spark.operators import profile
+
+    return profile.profile_table(
+        _t(spark, sf_dir, "orders"), list(_PROFILE_COLS), approx=False
+    ).orderBy("column")
 
 
 @query(
@@ -2499,6 +2567,8 @@ _DRIVER_PRIORITY = [
     "q_x5_repetition_stats",
     "q_x6_pii_redaction",
     "q_k6_csv_roundtrip",
+    "q_pr1_table_profile",
+    "q_q2_winsorized_stats",
     # de-phantomed this round (never driver-checked before)
     "q_k3_kafka_frame_roundtrip",
     "q_k5_upsert_executed",
@@ -2531,10 +2601,10 @@ _DRIVER_PRIORITY = [
     # (upsert execution pinned by k5); d8/r1 likewise rotated for
     # q_x5/q_x6 (decontaminate path untouched this round; envelope
     # unchanged), p1 for q_k6 (the DSP sequential-fold fix is re-proven
-    # by p2, the same code path, still in-window). Back in r4.
+    # by p2, the same code path, still in-window), d4/d5 for q_pr1/q_q2
+    # (simhash and block-GEMM untouched this round, r2-green, heavy
+    # plans pinned locally). Back in r4.
     "q_d2_ngram_jaccard",
-    "q_d4_simhash",
-    "q_d5_embedding_near_dup",
     "q_p3_wave_roundtrip",
     "q_sk1_salted_agg",
     "q_m1_media_features",

@@ -103,3 +103,79 @@ def test_histogram_map_side_combine_plan(spark, values):
         .toString()
     )
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_clip_quantiles_bounds_applied(spark):
+    df = spark.range(101).select(F.col("id").cast("double").alias("v"))
+    out = olap.clip_quantiles(df, "v", plo=0.1, phi=0.9)
+    vals = sorted(r["v_clipped"] for r in out.collect())
+    # p10 of 0..100 = 10.0, p90 = 90.0
+    assert vals[0] == 10.0 and vals[-1] == 90.0
+    assert len(vals) == 101  # every row kept, original column intact
+
+
+def test_clip_quantiles_grouped_and_validation(spark):
+    df = spark.range(200).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = olap.clip_quantiles(df, "v", 0.0, 1.0, ["g"])
+    assert out.count() == 200  # identity clip keeps everything
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        olap.clip_quantiles(df, "v", 0.9, 0.1)
+
+
+def test_clip_quantiles_broadcasts_bounds(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plan = (
+        olap.clip_quantiles(df, "v", 0.05, 0.95, ["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_profile_exact_and_approx(spark):
+    from electrician_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], ["k", "v"]
+    )
+    rows = {r["column"]: r for r in profile.profile_table(df, approx=False).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 2 and rows["k"]["min_value"] == "1"
+    assert rows["v"]["n_distinct"] == 2 and rows["v"]["max_value"] == "b"
+    # approx: HLL estimate within rsd on tiny cardinalities is exact
+    arows = {r["column"]: r for r in profile.profile_table(df).collect()}
+    assert arows["k"]["n_distinct"] == 2
+
+
+def test_profile_single_scan_plan(spark):
+    from electrician_spark.operators import profile
+
+    df = spark.range(100).select(F.col("id").alias("a"), (F.col("id") % 3).alias("b"))
+    plan = (
+        profile.profile_table(df, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # approx profile: one aggregate pass, no Expand (exact multi-distinct
+    # would expand), no per-column jobs.
+    assert "Expand" not in plan, plan
+
+
+def test_profile_validation(spark):
+    from electrician_spark.operators import profile
+
+    df = spark.range(1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile.profile_table(df, [])
