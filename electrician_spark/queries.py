@@ -1838,6 +1838,40 @@ def q_n3(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+@query(
+    "q_e1_quantize_embeddings",
+    # Same double-cast-first arithmetic and exact floor bucketing as
+    # the operator — codes are bit-identical across engines.
+    "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+    "generate_subscripts(embedding, 1) AS pos FROM embeddings), "
+    "b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos), "
+    "c AS (SELECT vec_id, CASE WHEN hi > lo THEN "
+    "least(255, greatest(0, CAST(floor((x - lo) * 256.0 / (hi - lo)) AS BIGINT))) "
+    "ELSE 0 END AS code FROM e JOIN b USING (pos)) "
+    "SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum, "
+    "CAST(min(code) AS BIGINT) AS code_min, CAST(max(code) AS BIGINT) AS code_max "
+    "FROM c GROUP BY vec_id ORDER BY vec_id LIMIT 50",
+    tags=("similarity", "quantize"),
+)
+def q_e1(spark, sf_dir):
+    # int8 scalar quantization: 4× memory reduction for ANN working
+    # sets. Bounds pass is a codegen posexplode agg (d rows out);
+    # encoding is a broadcast of the bounds row + a transform — the
+    # vectors themselves never shuffle.
+    from electrician_spark.operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coded = quantize.quantize_embeddings(emb, "embedding", bits=8)
+    per_vec = coded.select(
+        "vec_id", F.explode("embedding_q").alias("code")
+    ).groupBy("vec_id").agg(
+        F.sum("code").cast("long").alias("code_sum"),
+        F.min("code").cast("long").alias("code_min"),
+        F.max("code").cast("long").alias("code_max"),
+    )
+    return rel.top_k(per_vec, [F.col("vec_id")], 50)
+
+
 # ---------------------------------------------------------------------------
 # §2.11 Sinks — round-trip and upsert semantics
 # ---------------------------------------------------------------------------
@@ -2569,6 +2603,7 @@ _DRIVER_PRIORITY = [
     "q_k6_csv_roundtrip",
     "q_pr1_table_profile",
     "q_q2_winsorized_stats",
+    "q_e1_quantize_embeddings",
     # de-phantomed this round (never driver-checked before)
     "q_k3_kafka_frame_roundtrip",
     "q_k5_upsert_executed",
@@ -2603,9 +2638,9 @@ _DRIVER_PRIORITY = [
     # unchanged), p1 for q_k6 (the DSP sequential-fold fix is re-proven
     # by p2, the same code path, still in-window), d4/d5 for q_pr1/q_q2
     # (simhash and block-GEMM untouched this round, r2-green, heavy
-    # plans pinned locally). Back in r4.
+    # plans pinned locally), p3 for q_e1 (wave column codec r2-green;
+    # the new wave FILE source has test_io coverage). Back in r4.
     "q_d2_ngram_jaccard",
-    "q_p3_wave_roundtrip",
     "q_sk1_salted_agg",
     "q_m1_media_features",
 ]
