@@ -21,6 +21,7 @@ Local filesystem first; S3A is config-only (same code path, an
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -165,6 +166,41 @@ def write_ndjson(
     if gzip:
         w = w.option("compression", "gzip")
     w.json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str] | str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist with Spark bucketing: rows are hash-partitioned into
+    ``n_buckets`` files by ``bucket_cols`` AT WRITE TIME, so every
+    later join/aggregate on those columns skips its shuffle entirely
+    (the scan's output partitioning already matches — verified
+    exchange-free in test_plans). This is the 100 TB lever for fact
+    tables joined repeatedly on the same key: pay one shuffle at
+    ingest, never again. Bucketing metadata lives in the session
+    catalog, hence ``saveAsTable`` (path-based ``save`` cannot record
+    it); ``sort`` additionally orders within buckets so sort-merge
+    joins skip their sort stage too."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = df.write.mode(mode).format(format).bucketBy(n_buckets, *cols)
+    if sort:
+        w = w.sortBy(*cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket spec intact (a plain
+    ``spark.read.parquet`` of the files would lose the metadata and
+    reintroduce the shuffle)."""
+    return spark.table(table)
 
 
 def read_csv(

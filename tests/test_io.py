@@ -153,3 +153,55 @@ def test_csv_roundtrip_and_malformed_modes(spark, tmp_path):
     # Untyped read (no schema): everything is a string, no inference scan.
     untyped = read_csv(spark, p)
     assert [f.dataType.simpleString() for f in untyped.schema.fields] == ["string", "string"]
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    # The 100 TB story: pay the shuffle once at write time, then every
+    # join on the bucket key is co-located. Pin: bucketed⋈bucketed has
+    # ZERO Exchange operators (and no per-side sort when sortBy was
+    # used); the same join over plain parquet shuffles both sides.
+    from electrician_spark.io import read_bucketed, write_bucketed
+
+    df = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    # warehouse.dir is static per-session; tables land in the default
+    # warehouse and are dropped (managed => files deleted) in finally.
+    write_bucketed(df, "es_bucket_a", "k", 8)
+    write_bucketed(df.withColumnRenamed("v", "w"), "es_bucket_b", "k", 8)
+    try:
+        a, b = read_bucketed(spark, "es_bucket_a"), read_bucketed(spark, "es_bucket_b")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                a.join(b, "k")._jdf.queryExecution().executedPlan().toString()
+            )
+            assert plan.count("Exchange") == 0, plan
+            assert "SortMergeJoin" in plan
+
+            plain = str(tmp_path / "plain")
+            df.write.mode("overwrite").parquet(plain)
+            p = spark.read.parquet(plain)
+            plan2 = (
+                p.join(p.withColumnRenamed("v", "w"), "k")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert plan2.count("Exchange") >= 2, plan2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS es_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS es_bucket_b")
+
+
+def test_bucketed_validation(spark):
+    from electrician_spark.io import write_bucketed
+
+    df = spark.range(2).select(F.col("id").alias("k"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_bucketed(df, "es_bad", "k", 0)
