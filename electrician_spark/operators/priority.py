@@ -25,7 +25,13 @@ def effective_priority(
 ) -> Column:
     """base + minutes-in-queue + retry_count
     (types/element.go:80-87 ComputeEffectivePriority)."""
-    age_minutes = F.floor((F.unix_micros(now) - F.unix_micros(event_time)) / 60_000_000)
+    # cast("timestamp") accepts both TIMESTAMP and TIMESTAMP_NTZ parquet
+    # columns (Spark 4 infers NTZ for non-UTC-adjusted files); with the
+    # session pinned to UTC the numeric micros are identical either way.
+    age_minutes = F.floor(
+        (F.unix_micros(now.cast("timestamp")) - F.unix_micros(event_time.cast("timestamp")))
+        / 60_000_000
+    )
     eff = base_priority + age_minutes
     if retry_count is not None:
         eff = eff + retry_count

@@ -2507,13 +2507,16 @@ def q_rj1(spark, sf_dir):
     # turns the nested-loop plan into a shuffle hash join.
     ev = _t(spark, sf_dir, "events")
     width_us = 600 * 1_000_000  # bucket = the interval length
+    # cast("timestamp") tolerates TIMESTAMP_NTZ parquet columns (Spark 4
+    # NTZ inference); identity micros under the UTC session timezone.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
-        F.unix_micros("ts").alias("lo"),
-        (F.unix_micros("ts") + F.lit(width_us)).alias("hi"),
+        ts_us.alias("lo"),
+        (ts_us + F.lit(width_us)).alias("hi"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.unix_micros("ts").alias("c_us"), F.col("value").alias("c_value")
+        ts_us.alias("c_us"), F.col("value").alias("c_value")
     )
     pairs = temporal.range_join(clicks, "c_us", purchases, "lo", "hi", bucket_width=width_us)
     return pairs.groupBy("purchase_id").agg(
