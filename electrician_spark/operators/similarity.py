@@ -275,11 +275,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: route each query to its nearest label-centroid,
-    then brute-force only within that partition. Returns
-    (query_id, neighbor_id, cos, rank) — approximate: recall < 1 when a
-    true neighbor lives in another partition."""
+    """IVF-style ANN: route each query to its ``nprobe`` nearest
+    label-centroids, then brute-force only within those partitions.
+    Returns (query_id, neighbor_id, cos, rank) — approximate: recall <
+    1 when a true neighbor lives in an unprobed partition; raising
+    nprobe trades scan cost for recall (the classic IVF knob). Each
+    corpus vector belongs to exactly one partition, so the multi-probe
+    union needs no dedup."""
     cents = label_centroids(corpus, label_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     routed = (
@@ -287,7 +291,7 @@ def ivf_topk(
         .select("query_id", "qv", "cl", cosine(F.col("qv"), F.col("centroid")).alias("ccos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cl"))
-    probe = routed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+    probe = routed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= nprobe).select(
         "query_id", "qv", "cl"
     )
     from electrician_spark.io import fan_out_small

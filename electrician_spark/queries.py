@@ -1287,6 +1287,65 @@ def q_x6(spark, sf_dir):
     )
 
 
+_X7_STOPS = "'the','a','of','and','to','in','is','it'"
+
+
+@query(
+    "q_x7_quality_filter_pipeline",
+    f"WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks, "
+    "string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents), "
+    "m AS (SELECT doc_id, len(toks) AS n_tokens, "
+    f"len(list_filter(toks, x -> x IN ({_X7_STOPS}))) AS n_stop, "
+    "list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS avg_len, "
+    "len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS s_de, "
+    "len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) AS s_en, "
+    "len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es, "
+    "len(list_filter(ltoks, x -> x IN ('le','la','et','les','des'))) AS s_fr, "
+    "len(list_filter(ltoks, x -> x IN ('的','是','了','在','我'))) AS s_zh FROM t), "
+    "p AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM m), "
+    "langed AS (SELECT doc_id, n_tokens, n_stop, avg_len, "
+    "CASE WHEN g = 0 THEN 'en' WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' "
+    "WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS lang_pred FROM p), "
+    "kept AS (SELECT * FROM langed WHERE n_tokens >= 10 "
+    "AND avg_len >= 2.0 AND avg_len <= 15.0) "
+    "SELECT lang_pred, count(*) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+    "round(sum(n_stop) * 1.0 / sum(n_tokens), 6) AS corpus_stop_ratio "
+    "FROM kept GROUP BY lang_pred ORDER BY lang_pred",
+    tags=("text",),
+)
+def q_x7(spark, sf_dir):
+    # The composed training-data filter chain a corpus build runs
+    # before tokenization: language-ID + token/length gates, then
+    # per-language corpus stats. One scan, one shuffle (the groupBy on
+    # ≤5 language keys, map-side combined); every heuristic stays a
+    # codegen'd JVM expression — no Python in the hot path. The stop
+    # ratio aggregates exact integer sums (not per-doc doubles), so the
+    # single final division is cross-engine deterministic.
+    from electrician_spark.functions import text as tx
+
+    toks = tx.tokens(F.col("text"))
+    enriched = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.language_id(F.col("text")).alias("lang_pred"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*tx.DEFAULT_STOPWORDS))).alias("n_stop"),
+        tx.avg_token_len(F.col("text")).alias("avg_len"),
+    )
+    kept = enriched.filter(
+        (F.col("n_tokens") >= 10) & (F.col("avg_len") >= 2.0) & (F.col("avg_len") <= 15.0)
+    )
+    return (
+        kept.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_stop") * 1.0 / F.sum("n_tokens"), 6).alias("corpus_stop_ratio"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (LLM-pipeline extension)
 # ---------------------------------------------------------------------------
@@ -1747,6 +1806,42 @@ def q_n2(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+@query(
+    "q_n4_ann_ivf_probes",
+    "WITH ex AS (SELECT label AS cl, d.dim AS dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v "
+    "FROM embeddings, (SELECT unnest(range(64)) AS dim) d), "
+    "means AS (SELECT cl, dim, avg(v) AS m FROM ex GROUP BY cl, dim), "
+    "cents AS (SELECT cl, list(m ORDER BY dim) AS centroid FROM means GROUP BY cl), "
+    f"{_SQL_NORM_CTE}, "
+    "q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM norms WHERE vec_id < 10), "
+    "routed AS (SELECT query_id, qv, qn, cl, "
+    + _SQL_DOT.format(a="qv", b="centroid")
+    + " / (qn * sqrt(list_sum(list_transform(centroid, x -> x * x)))) AS ccos FROM q, cents), "
+    "probe AS (SELECT query_id, qv, qn, cl FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY ccos DESC, cl) AS rn FROM routed) r WHERE rn <= 2), "
+    "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
+    f"round({_SQL_DOT.format(a='qv', b='e.embedding')} / (qn * n2.nrm), 4) AS cos "
+    "FROM probe p JOIN embeddings e ON e.label = p.cl AND e.vec_id != p.query_id "
+    "JOIN norms n2 ON n2.vec_id = e.vec_id), "
+    "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
+    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5 "
+    "ORDER BY query_id, rank",
+    tags=("similarity",),
+)
+def q_n4(spark, sf_dir):
+    # Multi-probe IVF (nprobe=2): the recall knob on q_n2's routed
+    # scan — probe the two nearest centroids, brute-force only inside
+    # those partitions, rank across the probed union. At 100 TB the
+    # probed-partition join stays a broadcast of (query × nprobe) rows
+    # against a label-partitioned corpus scan.
+    from electrician_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs — the SQL replay of
     ``similarity.kmeans_labels`` + ``ivf_topk``. Every float operation
@@ -2167,7 +2262,7 @@ def q_p1(spark, sf_dir):
     "q_p2_snr",
     "WITH e AS (SELECT vec_id, list_sum(list_transform(embedding, "
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS en FROM embeddings) "
-    "SELECT a.vec_id, round(10.0 * log10(a.en / b.en), 6) AS snr_db "
+    "SELECT a.vec_id, round(10.0 * log10(a.en / b.en), 6) + 0.0 AS snr_db "
     "FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 ORDER BY a.vec_id LIMIT 50",
     tags=("dsp",),
 )
@@ -2176,6 +2271,8 @@ def q_p2(spark, sf_dir):
     # noise i+1. Energies are computed per-vector *before* the self-join
     # with the JVM sequential fold — exactly the oracle's CTE shape and
     # list_sum associativity, so round(·,6) agrees across engines.
+    # `+ 0.0` on both sides: DuckDB's round keeps IEEE -0.0 where Spark
+    # normalizes to +0.0; adding +0.0 collapses both to +0.0.
     from electrician_spark.functions import dsp
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -2184,7 +2281,8 @@ def q_p2(spark, sf_dir):
     a = emb.select(F.col("vec_id"), F.col("en").alias("ea"))
     b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("en").alias("eb"))
     out = a.join(b, "vec_id").select(
-        "vec_id", F.round(10.0 * F.log10(F.col("ea") / F.col("eb")), 6).alias("snr_db")
+        "vec_id",
+        (F.round(10.0 * F.log10(F.col("ea") / F.col("eb")), 6) + F.lit(0.0)).alias("snr_db"),
     )
     return rel.top_k(out, [F.col("vec_id")], 50)
 
@@ -2284,20 +2382,23 @@ def q_m1(spark, sf_dir):
 
 @query(
     "q_t6_tagger",
-    "SELECT event_id, [event_type] "
+    "SELECT event_id, array_to_string([event_type] "
     "|| (CASE WHEN value > 100 THEN ['high_value'] ELSE CAST([] AS VARCHAR[]) END) "
-    "|| (CASE WHEN user_id % 2 = 0 THEN ['even_user'] ELSE CAST([] AS VARCHAR[]) END) "
-    "AS tags FROM events",
+    "|| (CASE WHEN user_id % 2 = 0 THEN ['even_user'] ELSE CAST([] AS VARCHAR[]) END), "
+    "',') AS tags FROM events",
     tags=("transform",),
 )
 def q_t6(spark, sf_dir):
     # Sentiment-tagger shape (chain/main.go:49-59): conditional
     # array_union appends; all inside codegen, no shuffle at all.
+    # Output is the ','-joined tag list: the driver canonicalizer
+    # sorts result columns with pandas, which cannot sort raw list
+    # cells (r3 ERR) — the join serializes without losing order.
     ev = _t(spark, sf_dir, "events")
     tags = F.array(F.col("event_type"))
     tags = sf.tag_when(tags, F.col("value") > 100, "high_value")
     tags = sf.tag_when(tags, F.col("user_id") % 2 == 0, "even_user")
-    return ev.select("event_id", tags.alias("tags"))
+    return ev.select("event_id", F.array_join(tags, ",").alias("tags"))
 
 
 @query(
@@ -2563,89 +2664,73 @@ def q_ht1(spark, sf_dir):
 # already covered by a kept sibling (extra join/set/window/date variants)
 # rotate past the cap and keep their local tools/check.py coverage.
 
-# Round-3 rotation policy (no query goes >1 round without a driver row).
-# 82 declared queries, 50-slot window. Locked in:
-# - the 12 queries new this round (aj1, rj1, ht1, t6, fm1, w5, w7, r2,
-#   r4, z1, sm3, sp1) and the 3 de-phantomed ones (k3, k5, n3) — never
-#   checked;
-# - q_p2_snr — the only red row in r2; its fix must be proven;
-# - the 17 checked only in r1 (t10, t11, a3-a6, j3-j5, u2-u4, f2, f3,
-#   w2, wf2, wf3) — skipping them again would breach the one-round rule.
-# The remaining 19 slots go to r2-green queries whose implementation
-# changed this round (dedup max_df short-circuit, skew salt, similarity
-# k-means, DSP folds, multimodal vectorize, upsert execution) or that
-# pin heavyweight plans (d-family, j2, w3).
-# OUT (all r2-green, unchanged, back in r4): s1-s4, t1, t3, t5, t9, a1,
-# a2, f1, f4, f5, j1, j6, o1-o3, u1, w1, w3, w8, w9, wf1, x1-x4, d1, k1,
-# k2, j2.
+# Round-4 rotation policy (no query goes >1 round without a driver row).
+# 96 declared queries, 50-slot window. Locked in:
+# - the 2 red rows from r3, both fixed this round and re-proven first:
+#   q_t6_tagger (driver canon crashed on a raw array column — output is
+#   now the ','-joined string) and q_p2_snr (DuckDB round() keeps IEEE
+#   -0.0 where Spark normalizes — both sides now add +0.0);
+# - all 46 queries whose latest driver row is r2 (they were rotated out
+#   of the r3 window); skipping any would breach the one-round rule.
+# That fills 48 slots; the remaining 2 go to queries new this round.
+# OUT (all green in r3, unchanged semantics, back in r5): aj1, rj1,
+# ht1, fm1, w5, w7, r2, r4, z1, sm3, sp1, ds1, q1, a7, hg1, hh1, sm4,
+# wf4, j7, x5, x6, k6, pr1, q2, e1, k3, k5, n3, t10, t11, a3-a6,
+# j3-j5, u2-u4, f2, f3, w2, wf2, wf3, d2, sk1, m1.
 _DRIVER_PRIORITY = [
-    # new this round: temporal operators
-    "q_aj1_asof_join",
-    "q_rj1_range_join",
-    "q_ht1_hypertable_rollup",
-    # new this round: first driver rows for tests-only families
+    # r3 red rows — fixed, must re-prove
     "q_t6_tagger",
-    "q_fm1_headers_map",
-    "q_w5_blackout_filter",
-    "q_w7_ttl_expiry",
-    "q_r2_retry_backoff",
-    "q_r4_retry_table",
-    "q_z1_compression_roundtrip",
-    "q_sm3_mixture_sample",
-    "q_sp1_sequence_packing",
-    "q_ds1_distinct_sketch",
-    "q_q1_grouped_quantiles",
-    "q_a7_rollup_subtotals",
-    "q_hg1_price_histogram",
-    "q_hh1_heavy_hitters",
-    "q_sm4_weighted_sample",
-    "q_wf4_distribution_ranks",
-    "q_j7_regional_revenue",
-    "q_x5_repetition_stats",
-    "q_x6_pii_redaction",
-    "q_k6_csv_roundtrip",
-    "q_pr1_table_profile",
-    "q_q2_winsorized_stats",
-    "q_e1_quantize_embeddings",
-    # de-phantomed this round (never driver-checked before)
-    "q_k3_kafka_frame_roundtrip",
-    "q_k5_upsert_executed",
-    "q_n3_ann_ivf_kmeans",
-    # the r2 red row — fixed, must re-prove
     "q_p2_snr",
-    # last checked r1 (one-round rule)
-    "q_t10_json_encode",
-    "q_t11_key_template",
-    "q_a3_error_ratio",
-    "q_a4_count_distinct",
-    "q_a5_peak_rate",
-    "q_a6_grouped_stats",
-    "q_j3_left_join_counts",
-    "q_j4_semi_join",
-    "q_j5_anti_join",
-    "q_u2_union_distinct",
-    "q_u3_except",
-    "q_u4_intersect",
-    "q_f2_date",
-    "q_f3_math",
-    "q_w2_sliding_30m_15m",
-    "q_wf2_lag_gap",
-    "q_wf3_running_sum",
-    # r2-green, code changed this round or heavyweight plan pins.
-    # Rotated out to make room for the 7 new-operator queries (all
-    # r2-green, families still pinned by a kept sibling): d3/d6/d7
-    # (dedup family pinned by d2/d4/d5/d8), sm1 (sampling pinned by
-    # sm3/sm4), n1/n2 (similarity k-means path pinned by n3), k4
-    # (upsert execution pinned by k5); d8/r1 likewise rotated for
-    # q_x5/q_x6 (decontaminate path untouched this round; envelope
-    # unchanged), p1 for q_k6 (the DSP sequential-fold fix is re-proven
-    # by p2, the same code path, still in-window), d4/d5 for q_pr1/q_q2
-    # (simhash and block-GEMM untouched this round, r2-green, heavy
-    # plans pinned locally), p3 for q_e1 (wave column codec r2-green;
-    # the new wave FILE source has test_io coverage). Back in r4.
-    "q_d2_ngram_jaccard",
-    "q_sk1_salted_agg",
-    "q_m1_media_features",
+    # new this round (never driver-checked)
+    "q_x7_quality_filter_pipeline",
+    "q_n4_ann_ivf_probes",
+    # latest row is r2 (one-round rule)
+    "q_s1_full_scan",
+    "q_s2_projection_pushdown",
+    "q_s3_predicate_pushdown",
+    "q_s4_cursor_scan",
+    "q_t1_revenue_projection",
+    "q_t3_keyword_filter",
+    "q_t5_classifier",
+    "q_t9_sha256",
+    "q_a1_pricing_summary",
+    "q_a2_rate_per_hour",
+    "q_j1_broadcast_inner",
+    "q_j2_shipping_priority",
+    "q_j6_range_join",
+    "q_o1_global_topk",
+    "q_o2_grouped_topk",
+    "q_o3_priority_drain",
+    "q_w1_tumbling_hour",
+    "q_w3_session_counts",
+    "q_w8_dedupe_key",
+    "q_w9_ordered_replay",
+    "q_wf1_rank",
+    "q_u1_union_all",
+    "q_f1_string",
+    "q_f4_array_agg",
+    "q_f5_json_extract",
+    "q_x1_token_stats",
+    "q_x2_quality_metrics",
+    "q_x3_language_id",
+    "q_x4_fingerprint",
+    "q_d1_exact_dedup",
+    "q_d3_minhash_lsh",
+    "q_d6_dup_clusters",
+    "q_d7_canonical_docs",
+    "q_d8_decontaminate",
+    "q_sm1_stratified_sample",
+    "q_sm2_hash_sample",
+    "q_d4_simhash",
+    "q_d5_embedding_near_dup",
+    "q_n1_ann_bruteforce",
+    "q_n2_ann_ivf",
+    "q_k1_parquet_roundtrip",
+    "q_k2_ndjson_roundtrip",
+    "q_k4_upsert_idempotent",
+    "q_r1_resequenced_replay",
+    "q_p1_signal_energy",
+    "q_p3_wave_roundtrip",
 ]
 
 

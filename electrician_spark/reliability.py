@@ -217,6 +217,13 @@ def drain_retry_table(
     total sort at scale)."""
     from electrician_spark.operators.priority import drain, effective_priority
 
+    # effective_priority's NTZ->TIMESTAMP cast is instant-preserving
+    # only under a UTC session. io.read_table pins this for tables we
+    # load, but a retry table can arrive from any host session
+    # (getOrCreate ignores our builder conf if one is live) — re-assert
+    # here so aging never silently shifts by the host TZ offset.
+    table.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+
     eff = effective_priority(
         F.col(priority_col), F.col("_enqueued_at"), F.current_timestamp(), F.col(retry_col)
     )
