@@ -303,8 +303,10 @@ def jdbc_read(
 ) -> DataFrame:
     """S6 Postgres reader parity: WHERE/ORDER BY/LIMIT pushdown via the
     ``query`` option (reference builds the same SQL in
-    postgresclient/reader.go:103-131). Config-only here — no database in
-    the test environment; unit tests cover the option-building."""
+    postgresclient/reader.go:103-131). Executed end-to-end in
+    tests/test_io.py against embedded Derby (write → pushdown SELECT →
+    PushedFilters-verified dbtable read); point ``url``/``driver`` at
+    Postgres for production."""
     reader = spark.read.format("jdbc").option("url", url)
     if query is not None:
         reader = reader.option("query", query)

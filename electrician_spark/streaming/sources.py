@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def file_stream(
@@ -31,11 +32,24 @@ def file_stream(
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Tail a directory of files (reference S5 Serve() poll-tail)."""
+    """Tail a directory of files (reference S5 Serve() poll-tail).
+
+    TIMESTAMP_NTZ columns are cast to TIMESTAMP on the way in: Spark
+    rejects watermarks on NTZ event time, and parquet written with
+    isAdjustedToUTC=false (what the fixtures and many lakehouse writers
+    produce) infers NTZ. The session is pinned to UTC first, so the
+    cast is instant-preserving."""
+    from pyspark.sql.types import TimestampNTZType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.format(fmt).load(path)
+    df = reader.format(fmt).load(path)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

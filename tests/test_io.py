@@ -71,6 +71,45 @@ def test_build_select_query_pushdown_sql():
     assert sql == "SELECT id, payload FROM events WHERE id > 10 ORDER BY id DESC LIMIT 5"
 
 
+def test_jdbc_executes_real_database_roundtrip(spark, tmp_path):
+    """S6 executed end-to-end against a real JDBC database (embedded
+    Derby, shipped in Spark's jars): write a table over JDBC, read it
+    back (a) via a server-side pushdown SELECT built by
+    build_select_query — the reference's reader.go:103-131 shape — and
+    (b) via dbtable + Spark filter, asserting the predicate reaches the
+    JDBC scan as PushedFilters (sent to the database as WHERE, not
+    evaluated in Spark). Derby folds unquoted identifiers to upper case
+    and Spark quotes identifiers on write, so the pushdown SQL quotes
+    them — exactly what the Postgres reader does with its column list."""
+    spark._jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(100).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    src.write.format("jdbc").option("url", url).option("dbtable", "t1").option(
+        "driver", props["driver"]
+    ).mode("overwrite").save()
+
+    pushed_sql = eio.jdbc_read(
+        spark,
+        url,
+        query=eio.build_select_query("t1", columns=['"id"', '"k"'], where='"k" = 3'),
+        properties=props,
+    )
+    assert pushed_sql.columns == ["id", "k"]
+    assert pushed_sql.count() == 20
+
+    tbl = (
+        eio.jdbc_read(spark, url, table="t1", properties=props)
+        .filter(F.col("k") == 2)
+        .select("id")
+    )
+    plan = tbl._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [*IsNotNull(k), *EqualTo(k,2)]" in plan
+    assert sorted(r.id for r in tbl.collect()) == [i for i in range(100) if i % 5 == 2]
+
+
 def test_max_records_per_file_rolls(spark, tmp_path):
     """W1 record-count batch roll (50k default scaled down)."""
     df = spark.range(100).withColumn("v", F.col("id") * 2)

@@ -76,3 +76,29 @@ def test_kmeans_feeds_ivf_without_label_column(spark, emb):
     rows = out.collect()
     assert {r["query_id"] for r in rows} == {0, 1, 2}
     assert all(r["rank"] <= 2 for r in rows)
+
+
+def test_ivf_nprobe_recall_monotone_and_exhaustive_equals_bruteforce(spark, emb):
+    """Multi-probe contract: probing every partition IS brute force
+    (identical pairs and 4dp cosines), and recall vs brute force is
+    non-decreasing in nprobe."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    n_parts = emb.select("label").distinct().count()
+    truth = {
+        (r.query_id, r.neighbor_id): r.cos for r in sim.cosine_topk(emb, queries, k=3).collect()
+    }
+    exhaustive = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in sim.ivf_topk(emb, queries, k=3, nprobe=n_parts).collect()
+    }
+    assert exhaustive == truth
+
+    recalls = []
+    for nprobe in (1, 2, n_parts):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_topk(emb, queries, k=3, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & set(truth)) / len(truth))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
