@@ -96,6 +96,29 @@ def test_no_python_row_fallback(plans, name):
     assert "BatchEvalPython" not in plans(name)
 
 
+# The ANN family intentionally crosses the (tiny, broadcast) query or
+# centroid set against the corpus — BroadcastNestedLoopJoin with a
+# broadcast build side, which never shuffles the corpus. Everything
+# else must use an equi/range join.
+_BNLJ_ALLOWED = {
+    "q_n1_ann_bruteforce",
+    "q_n2_ann_ivf",
+    "q_n3_ann_ivf_kmeans",
+    "q_n4_ann_ivf_probes",
+    "q_e1_quantize_embeddings",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbroadcast_cross_join(plans, name):
+    # CartesianProduct = both sides shuffled through a full cross — the
+    # plan that dies first at 100 TB. Zero tolerance anywhere.
+    p = plans(name)
+    assert "CartesianProduct" not in p
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_no_iterrows_in_source():
     # iterrows() inside an Arrow batch body re-materializes every row as
     # a pandas Series — the per-row slow path the Arrow transfer was
