@@ -135,3 +135,53 @@ def test_max_df_drops_boilerplate_pairs(spark):
     hi_ids = {(a, b) for a, b, _ in hi}
     assert (0, 1) in lo_ids  # genuine near-dup survives the guard
     assert lo_ids < hi_ids  # boilerplate-only pairs dropped
+
+
+def test_prefix_and_length_filters_exact_vs_bruteforce(spark):
+    """The blocked join (prefix filter + ppjoin length filter) must
+    equal the unblocked O(n²) shingle-set Jaccard on a seeded corpus
+    built to stress both filters: heavy size diversity (length filter
+    boundaries, including pairs exactly AT the t·|A| = |B| bound via
+    repeated-word docs), clusters of near-identical docs, and shared
+    boilerplate prefixes."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    doc_id = 0
+    for c in range(12):  # near-dup clusters with ragged tails
+        base = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        for m in range(rng.randint(2, 4)):
+            tail = [rng.choice(vocab) for _ in range(rng.randint(0, 3))]
+            rows.append((doc_id, " ".join(base + tail)))
+            doc_id += 1
+    for _ in range(20):  # singletons of wildly different sizes
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 120)))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from electrician_spark.functions import text as tx
+
+    arrs = docs.select(
+        "doc_id", F.array_sort(tx.shingles(F.col("text"), 3)).alias("arr")
+    ).filter(F.size("arr") > 0)
+    a = arrs.select(F.col("doc_id").alias("id_a"), F.col("arr").alias("aa"))
+    b = arrs.select(F.col("doc_id").alias("id_b"), F.col("arr").alias("ab"))
+    inter = F.size(F.array_intersect(F.col("aa"), F.col("ab")))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / (F.size("aa") + F.size("ab") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    for order in ("lex", "df"):
+        blocked = dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, prefix_order=order, max_df=None
+        )
+        assert _pairs(blocked) == _pairs(brute), order
