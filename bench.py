@@ -84,6 +84,31 @@ def main() -> None:
     results = run_set(names)
     extras = run_set([n for n in EXTRA_QUERIES if n in REGISTRY])
 
+    # Reference benchmark-harness workload shape (BASELINE.md: 10M items
+    # x 256 B payload, one sha256 round per item, 32 workers —
+    # example/benchmark_example/processing/main.go): measure the same
+    # pipeline as a codegen'd column chain and report items/s. The
+    # reference repo publishes no result numbers; this records ours so
+    # rounds are comparable against its own workload definition.
+    from pyspark.sql import functions as SF
+
+    n_items = 10_000_000
+    tput_df = (
+        spark.range(n_items)
+        .withColumn(
+            "payload", SF.repeat(SF.concat(SF.lit("x"), (SF.col("id") % 97).cast("string")), 64)
+        )
+        .withColumn("h", SF.sha2(SF.col("payload"), 256))
+        .filter(SF.length("h") == 64)
+    )
+    tput_timings = []
+    for i in range(RUNS + 1):  # first run is warm-up
+        t0 = time.perf_counter()
+        assert tput_df.count() == n_items
+        if i:
+            tput_timings.append(time.perf_counter() - t0)
+    sha_items_per_sec = int(n_items / statistics.median(tput_timings))
+
     total = round(sum(results.values()), 4)
     print(
         json.dumps(
@@ -94,6 +119,7 @@ def main() -> None:
                 "queries": results,
                 "extra_queries": extras,
                 "extras_total_sec": round(sum(extras.values()), 4),
+                "sha256_pipeline_items_per_sec": sha_items_per_sec,
                 "sf": _sf_label(SF_DIR),
                 "cpus": cpu_budget(),
                 "runs": RUNS,
