@@ -402,3 +402,84 @@ def write_wave_files(
             yield _pd.DataFrame({"path": paths, "n_bytes": sizes})
 
     return df.select(id_col, re_col, im_col).mapInPandas(_write, "path string, n_bytes long")
+
+
+# -- Z-order clustered layout ------------------------------------------------
+# The reference's writers roll files by count/bytes/age; at 100 TB the
+# *layout inside* those files decides how much of the lake a filtered
+# scan touches. Z-ordering interleaves the bit-codes of several columns
+# into one sort key, so each written file covers a compact hyper-
+# rectangle of the key space and parquet min/max (and page-index) stats
+# prune files/row-groups for predicates on ANY prefix-free subset of
+# the clustered columns — the standard lakehouse OPTIMIZE ZORDER
+# technique, here as a plain writer.
+
+
+def zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Interleaved-bit Z-value over ``cols``. Each column is rank-coded
+    into [0, 2^bits) against approx-quantile boundaries (one tiny
+    driver-side approxQuantile per column — sampling-based, no global
+    sort, the same posture as range partitioning), so skewed
+    distributions still spread across the full code space. The
+    per-value bucket lookup is a balanced binary-search WHEN tree over
+    the literal boundaries — ~2^bits comparison nodes, depth ``bits``,
+    fully inside whole-stage codegen (Spark's ``width_bucket`` only
+    does uniform buckets; a higher-order filter over a boundary array
+    would run interpreted). Codes' bits interleave LSB-first.
+    Deterministic given the data; monotone per column."""
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError("zorder_code supports 1-4 columns")
+    buckets = 1 << bits
+    qs = [i / buckets for i in range(1, buckets)]
+    codes = []
+    for c in cols:
+        dcol = F.col(c).cast("double")
+        bounds = df.select(dcol.alias("_z")).approxQuantile("_z", qs, 0.001)
+        uniq: list[float] = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+
+        def bisect(lo: int, hi: int, v: Column, bnd: list[float]) -> Column:
+            # number of boundaries <= v, as a balanced WHEN tree
+            if lo == hi:
+                return F.lit(lo).cast("bigint")
+            mid = (lo + hi) // 2
+            return (
+                F.when(v >= F.lit(bnd[mid]), bisect(mid + 1, hi, v, bnd))
+                .otherwise(bisect(lo, mid, v, bnd))
+            )
+
+        codes.append(bisect(0, len(uniq), dcol, uniq))
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for i, code in enumerate(codes):
+            z = z + F.shiftleft(F.shiftright(code, bit).bitwiseAND(F.lit(1)), bit * n + i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order of ``cols``:
+    repartitionByRange on the z-value (contiguous, load-balanced key
+    ranges per task — one shuffle) + sortWithinPartitions so row-group
+    stats inside each file are tight too. Predicates on any of ``cols``
+    then prune at file AND row-group granularity via parquet min/max.
+    ``n_files`` defaults to the current partition count."""
+    z = zorder_code(df, cols, bits).alias("_zorder")
+    out = df.withColumn("_zorder", z)
+    n = n_files or out.rdd.getNumPartitions()
+    (
+        out.repartitionByRange(n, F.col("_zorder"))
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -244,3 +244,57 @@ def test_bucketed_validation(spark):
 
     with _pytest.raises(ValueError):
         write_bucketed(df, "es_bad", "k", 0)
+
+
+def test_zorder_layout_prunes_multi_column_predicates(spark, tmp_path):
+    """Z-order clustering must make per-file min/max ranges selective on
+    BOTH clustered columns at once: for a small rectangle predicate,
+    far fewer files overlap (i.e. would survive parquet row-group/file
+    pruning) than under the unclustered layout, where every file spans
+    the full domain of both columns."""
+    import pyarrow.parquet as pq
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 2654435761 % 1000003) % 1000)
+        .withColumn("y", (F.col("id") * 40503 % 999983) % 1000)
+    )
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    df.repartition(16).write.mode("overwrite").parquet(plain)
+    eio.write_zordered(df, zord, ["x", "y"], n_files=16)
+
+    def overlap_fraction(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        assert files
+        hits = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            xmin = ymin = float("inf")
+            xmax = ymax = float("-inf")
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if name not in ("x", "y") or col.statistics is None:
+                        continue
+                    lo, hi = col.statistics.min, col.statistics.max
+                    if name == "x":
+                        xmin, xmax = min(xmin, lo), max(xmax, hi)
+                    else:
+                        ymin, ymax = min(ymin, lo), max(ymax, hi)
+            # rectangle query: x in [100,199], y in [300,399]
+            if xmin <= 199 and xmax >= 100 and ymin <= 399 and ymax >= 300:
+                hits += 1
+        return hits / len(files)
+
+    assert overlap_fraction(plain) == 1.0  # random layout: no pruning
+    assert overlap_fraction(zord) <= 0.5  # clustered: most files skipped
+
+    # layout is a property of file placement only — the data survives
+    back = spark.read.parquet(zord)
+    assert back.count() == n
+    assert back.agg(F.sum("x"), F.sum("y")).collect() == df.agg(
+        F.sum("x"), F.sum("y")
+    ).collect()
