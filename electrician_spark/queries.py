@@ -2677,6 +2677,13 @@ def q_ht1(spark, sf_dir):
 # ht1, fm1, w5, w7, r2, r4, z1, sm3, sp1, ds1, q1, a7, hg1, hh1, sm4,
 # wf4, j7, x5, x6, k6, pr1, q2, e1, k3, k5, n3, t10, t11, a3-a6,
 # j3-j5, u2-u4, f2, f3, w2, wf2, wf3, d2, sk1, m1.
+#
+# Round-5 rotation recipe: window = the 48 queries absent from
+# CORRECTNESS_r04 + up to 2 new, plus any r4 red rows re-proven first.
+# New-query candidates (families currently tests-only that could gain
+# an oracle form): a zorder-layout row-identity query (io.write_zordered
+# exists, layout pinned in test_io), a metrics/threshold-abort
+# aggregate (metrics.py), or a second multi-probe/recall point (nprobe=3).
 _DRIVER_PRIORITY = [
     # r3 red rows — fixed, must re-prove
     "q_t6_tagger",
