@@ -518,6 +518,91 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the huge-component path: converges in O(log n) rounds
+    regardless of graph diameter, where min-label propagation needs
+    diameter rounds (a 10M-node chain: ~24 rounds vs 10M). Each round
+    is two groupBy+join passes over the edge list — the same linear
+    shuffle primitives as propagation, no driver-side graph.
+
+    large-star: every node points its LARGER neighbors at the minimum
+    of its neighborhood (incl. itself); small-star does the same for
+    smaller-or-equal neighbors on min-oriented edges. Fixed point =
+    every component is a star rooted at its minimum id. Returns
+    (node, rep), rep = min reachable id — identical contract to
+    :func:`connected_components`.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    try:
+        edges = edges.localCheckpoint()
+    except Exception:  # noqa: BLE001
+        pass
+    all_nodes = edges.select(F.col("a").alias("node")).unionByName(
+        edges.select(F.col("b").alias("node"))
+    ).distinct()
+
+    for _ in range(max_iterations):
+        # large-star over the bidirected neighbor lists
+        bi = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = bi.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        large = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), m.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over min-oriented edges (src = max endpoint)
+        directed = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
+        smins = directed.groupBy("u").agg(F.min("v").alias("_mn"))
+        small = (
+            directed.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("_mn").alias("b"))
+            .unionByName(smins.select(F.col("u").alias("a"), F.col("_mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        try:
+            small = small.localCheckpoint()
+        except Exception:  # noqa: BLE001
+            pass
+        # fixed point: the edge sets (as min-oriented pairs) are equal
+        before = edges.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
+        after = small.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
+        stable = before.exceptAll(after).isEmpty() and after.exceptAll(before).isEmpty()
+        edges = small
+        if stable:
+            break
+
+    # star edges point node -> root; roots map to themselves
+    reps = edges.select(
+        F.greatest("a", "b").alias("node"), F.least("a", "b").alias("rep")
+    ).distinct()
+    return all_nodes.join(reps, "node", "left").select(
+        "node", F.coalesce(F.col("rep"), F.col("node")).alias("rep")
+    )
+
+
 def canonical_docs(
     docs: DataFrame,
     pairs: DataFrame,

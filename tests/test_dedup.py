@@ -185,3 +185,28 @@ def test_prefix_and_length_filters_exact_vs_bruteforce(spark):
             docs, threshold=0.8, prefix_order=order, max_df=None
         )
         assert _pairs(blocked) == _pairs(brute), order
+
+
+def test_star_components_equal_propagation_on_hard_graphs(spark):
+    """large-star/small-star must produce the identical (node, rep)
+    labeling as min-label propagation on shapes that stress each
+    algorithm: a long chain (diameter >> log n), disjoint cliques,
+    a star, and a seeded random graph with isolated pairs."""
+    import random
+
+    rng = random.Random(7)
+    chains = [(i, i + 1) for i in range(100, 160)]  # one 61-node path
+    cliques = [(a, b) for base in (300, 400) for a in range(base, base + 6)
+               for b in range(a + 1, base + 6)]
+    star = [(500, v) for v in range(501, 520)]
+    randoms = [(rng.randint(600, 700), rng.randint(600, 700)) for _ in range(80)]
+    edges = [(a, b) for a, b in chains + cliques + star + randoms if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    prop = {(r.node, r.rep) for r in dedup.connected_components(
+        pairs, local_solve_max_edges=0, max_iterations=200).collect()}
+    stars = {(r.node, r.rep) for r in dedup.connected_components_star(pairs).collect()}
+    assert stars == prop
+
+    # chain root check: every chain node labels to the chain minimum
+    assert all(rep == 100 for node, rep in stars if 100 <= node <= 160)
