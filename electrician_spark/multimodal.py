@@ -155,3 +155,60 @@ def size_partitions(df: DataFrame, n_buckets: int = 1024) -> DataFrame:
     not viable at 100 TB; hash spreading is the scale answer, with
     ``files.maxPartitionBytes`` bounding the read side.)"""
     return df.repartition(n_buckets, F.crc32(F.col("media_id").cast("string")))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image-resize plumbing: aspect-preserving target dims computed
+    from the (stub-decoded) source dims, then a mapInPandas stage that
+    would hold the pixel work. The STUB emits a deterministic
+    sha256-derived byte payload sized ~(w*h/64) in place of real
+    pixels (clearly marked; swap `_resize_stub` for PIL's
+    Image.resize on a real deployment). Target-dim math, batch shape,
+    output schema, and error channeling (`ok`) are real and tested."""
+
+    def _resize_stub(payload: bytes, tw: int, th: int) -> bytes:
+        seed = hashlib.sha256(payload + f":{tw}x{th}".encode()).digest()
+        need = max(1, tw * th // 64)
+        return (seed * (need // len(seed) + 1))[:need]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, tws, ths, blobs, oks = [], [], [], [], []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    w, h = _decode_stub(bytes(payload), "image/unknown")
+                    scale = max_side / max(w, h)
+                    tw = max(1, round(w * min(scale, 1.0)))
+                    th = max(1, round(h * min(scale, 1.0)))
+                    blobs.append(_resize_stub(bytes(payload), tw, th))
+                    tws.append(tw)
+                    ths.append(th)
+                    oks.append("ok")
+                except Exception as ex:  # noqa: BLE001 — per-row error channel
+                    tws.append(0)
+                    ths.append(0)
+                    blobs.append(b"")
+                    oks.append(f"err:{type(ex).__name__}")
+                ids.append(mid)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "target_w": pd.array(tws, dtype="int32"),
+                    "target_h": pd.array(ths, dtype="int32"),
+                    "resized": blobs,
+                    "ok": oks,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, RESIZED_SCHEMA)

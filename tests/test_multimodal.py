@@ -59,3 +59,25 @@ def test_size_partitions_spreads(spark):
     spread = mm.size_partitions(media, n_buckets=8)
     assert spread.rdd.getNumPartitions() == 8
     assert spread.count() == media.count()
+
+
+def test_resize_plan_dims_and_determinism(spark):
+    from electrician_spark import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "small doc"), (2, "x" * 500), (3, "another payload")],
+        "doc_id long, text string",
+    )
+    media = mm.attach_binary(docs, "text", id_col="doc_id")
+    out = mm.resize_plan(media, max_side=128).collect()
+    assert {r.media_id for r in out} == {1, 2, 3}
+    for r in out:
+        assert r.ok == "ok"
+        # aspect-preserving: longest side clamps to max_side, never upscaled
+        assert 1 <= r.target_w <= 128 and 1 <= r.target_h <= 128
+        assert len(r.resized) == max(1, r.target_w * r.target_h // 64)
+    # deterministic across runs (stub is hash-derived, no RNG)
+    again = mm.resize_plan(media, max_side=128).collect()
+    assert sorted((r.media_id, bytes(r.resized)) for r in out) == sorted(
+        (r.media_id, bytes(r.resized)) for r in again
+    )
