@@ -189,3 +189,25 @@ def token_repetition_stats(toks: Column) -> dict[str, Column]:
             F.lit(0.0)
         ),
     }
+
+
+# BPE-style pre-tokenization (the GPT-2 pattern family), simplified to
+# a lookahead-free regex so the same pattern runs in Java regex (Spark)
+# and RE2 (DuckDB oracle) byte-for-byte: contractions, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation
+# runs, residual whitespace. Token COUNTS from this pre-tokenizer track
+# real BPE token counts closely enough for length-budget filtering and
+# packing (true BPE merges only split within these pieces).
+BPE_PRETOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """Array of BPE-ish pre-tokens (whitespace runs dropped)."""
+    pieces = F.regexp_extract_all(text, F.lit(f"({BPE_PRETOKEN_PATTERN})"), 1)
+    return F.filter(pieces, lambda p: ~p.rlike(r"^\s+$"))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-token count — the scale proxy for tokenizer length budgets
+    (sequence packing, max-length filters) that needs no vocab file."""
+    return F.size(bpe_pretokens(text))

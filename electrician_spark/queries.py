@@ -2683,7 +2683,9 @@ def q_ht1(spark, sf_dir):
 # New-query candidates (families currently tests-only that could gain
 # an oracle form): a zorder-layout row-identity query (io.write_zordered
 # exists, layout pinned in test_io), a metrics/threshold-abort
-# aggregate (metrics.py), or a second multi-probe/recall point (nprobe=3).
+# aggregate (metrics.py), a second multi-probe/recall point (nprobe=3),
+# or a bpe_token_count aggregate over documents (functions/text.py —
+# the pattern is already verified byte-identical Spark vs DuckDB RE2).
 _DRIVER_PRIORITY = [
     # r3 red rows — fixed, must re-prove
     "q_t6_tagger",

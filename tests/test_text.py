@@ -58,3 +58,48 @@ def test_repetition_empty_and_single_token(spark):
         reps["dup_token_frac"].alias("dtf"), reps["dup_bigram_frac"].alias("dbf")
     ).first()
     assert row["dtf"] == 0.0 and row["dbf"] == 0.0
+
+
+def test_bpe_pretokens_match_duckdb_and_count_sanely(spark):
+    """The BPE-ish pre-tokenizer must (a) produce the same pieces in
+    Spark (Java regex) and DuckDB (RE2) for the shared pattern, and
+    (b) count contractions/punctuation/digit runs the way the GPT-2
+    pre-tokenizer family does."""
+    import duckdb
+
+    from electrician_spark.functions.text import (
+        BPE_PRETOKEN_PATTERN,
+        bpe_pretokens,
+        bpe_token_count,
+    )
+
+    samples = [
+        "I'll say it's 42 tokens, isn't it?!",
+        "hello   world",
+        "foo_bar-baz 2024-01-01 3.14",
+        "", "   ", "...!!!", "café déjà vu",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, s string")
+    got = {
+        r.i: (list(r.toks), r.n)
+        for r in df.select(
+            "i",
+            bpe_pretokens(F.col("s")).alias("toks"),
+            bpe_token_count(F.col("s")).alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        duck = [
+            t for t in con.execute(
+                "SELECT regexp_extract_all(?, ?)", [s, f"({BPE_PRETOKEN_PATTERN})"]
+            ).fetchone()[0]
+            if not t.isspace() and t != ""
+        ]
+        assert got[i][0] == duck, (i, s, got[i][0], duck)
+        assert got[i][1] == len(duck)
+    # shape checks on the first sample
+    toks0 = got[0][0]
+    assert "'ll" in toks0 and "'s" in toks0  # contractions split off
+    assert " 42" in toks0  # digit run keeps its leading space
+    assert "?!" in toks0  # punctuation run
