@@ -129,3 +129,38 @@ def stratified_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+    order_by: Sequence[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep the top-``k`` rows per group under ``order_by`` (e.g. cap
+    documents per source domain, keeping the highest-quality ones) —
+    the corpus-balancing primitive next to :func:`stratified_sample`'s
+    random quota.
+
+    Exact two-phase evaluation: a single window over a hot group is the
+    one partition AQE cannot split, so phase 1 takes top-k within
+    (group, salt) — every task bounded at group_size/n_salts — and
+    phase 2 ranks the ≤ k·n_salts survivors per group exactly. Each
+    salt's local top-k is a superset of its contribution to the global
+    top-k, so the result is identical to the naive single window for
+    any total order (pass a tiebreak column to make it total).
+    """
+    groups = [F.col(c) for c in group_cols]
+    order = list(order_by)
+    salt = F.pmod(F.xxhash64(*groups, F.monotonically_increasing_id()), F.lit(n_salts))
+    w1 = Window.partitionBy(*groups, F.col("_cap_salt")).orderBy(*order)
+    w2 = Window.partitionBy(*groups).orderBy(*order)
+    return (
+        df.withColumn("_cap_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .drop("_cap_salt", "_rn1", "_rn2")
+    )

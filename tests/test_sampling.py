@@ -74,3 +74,35 @@ def test_weighted_sample_is_pure_filter_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_cap_per_group_equals_single_window_on_skewed_groups(spark):
+    """The salted two-phase cap must equal the naive single-window
+    top-k per group exactly — including on one hot group that holds
+    90% of rows — because each salt's local top-k is a superset of its
+    share of the global top-k."""
+    from pyspark.sql import Window
+
+    from electrician_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "hot", float(i % 997)) for i in range(9000)]
+    rows += [(10_000 + i, f"d{i % 7}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, quality double")
+
+    order = [F.col("quality").desc(), F.col("doc_id")]
+    got = {
+        (r.domain, r.doc_id)
+        for r in cap_per_group(df, ["domain"], 25, order, n_salts=8).collect()
+    }
+    w = Window.partitionBy("domain").orderBy(*order)
+    want = {
+        (r.domain, r.doc_id)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 25)
+        .collect()
+    }
+    assert got == want
+    per_dom = {}
+    for dom, _ in got:
+        per_dom[dom] = per_dom.get(dom, 0) + 1
+    assert per_dom["hot"] == 25 and all(v <= 25 for v in per_dom.values())
