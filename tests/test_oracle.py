@@ -30,10 +30,12 @@ def test_query_matches_oracle(spark, duck, name):
 def test_driver_window_rotation_invariant():
     """The external gate checks only the first 50 REGISTRY entries. The
     rotation rule: no declared query goes more than one round without a
-    driver row. Data-driven from the recorded CORRECTNESS_r*.json files:
-    every query must be inside the current window OR have a row in the
-    most recent correctness record (⇒ at most one round stale); a query
-    never driver-checked in ANY round must be inside the window."""
+    driver row — i.e. at any point in time every query is scheduled in
+    the CURRENT window, or has a row in one of the TWO most recent
+    correctness records. (Checking only the latest record would be
+    guaranteed-red the moment the driver writes this round's record,
+    since that record IS the window — the r3 lesson.) A query never
+    driver-checked in ANY round must be inside the window."""
     import glob
     import json
     import os
@@ -49,9 +51,12 @@ def test_driver_window_rotation_invariant():
         return set(inner) if isinstance(inner, dict) else {r["name"] for r in inner}
 
     ever_checked = set().union(*map(_names, records)) if records else set()
-    latest = _names(records[-1]) if records else set()
+    recent = set().union(*map(_names, records[-2:])) if records else set()
 
     never = [n for n in REGISTRY if n not in ever_checked and n not in window]
     assert not never, f"never driver-checked AND outside the window: {never}"
-    stale = [n for n in REGISTRY if n not in window and n not in latest]
-    assert not stale, f"would go >1 round without a driver row: {stale}"
+    stale = [n for n in REGISTRY if n not in window and n not in recent]
+    assert not stale, (
+        f"no driver row in the last two rounds AND not scheduled now "
+        f"(re-rotate the window): {stale}"
+    )
