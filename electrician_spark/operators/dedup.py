@@ -690,3 +690,52 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(drop, id_col, "left_anti")
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line/paragraph dedup (the C4/RefinedWeb "remove
+    duplicated lines across documents" pass): every distinct line keeps
+    ONLY its first occurrence — ordered by (doc id, position) — and
+    every other copy, in the same document or any other, is dropped.
+    Documents are reassembled in original line order; documents whose
+    every line was a duplicate come back with empty text.
+
+    Skew-safe by construction: first-occurrence is
+    ``groupBy(line_hash).agg(min(struct(id, pos)))`` — a map-side
+    combinable aggregate, so a boilerplate line present in millions of
+    documents collapses to one row per partition before the exchange
+    (a window over the line key would put the hot line's entire
+    posting list in one task). Two shuffles total (first-occurrence
+    agg + reassembly groupBy); the join back to line rows is on the
+    line hash with partial-agg'd cardinality.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).filter(F.trim(F.col("_line")) != "")
+    keyed = lines.withColumn("_k", F.md5(F.trim(F.col("_line"))))
+    firsts = keyed.groupBy("_k").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))).alias("_first")
+    )
+    kept = keyed.join(firsts, "_k").filter(
+        (F.col("_id") == F.col("_first.i")) & (F.col("_pos") == F.col("_first.p"))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_text")
+    )
+    return docs.select(F.col(id_col), F.col(text_col)).join(
+        rebuilt.select(F.col("_id").alias(id_col), "_text"), id_col, "left"
+    ).select(
+        id_col, F.coalesce(F.col("_text"), F.lit("")).alias(text_col)
+    )

@@ -210,3 +210,25 @@ def test_star_components_equal_propagation_on_hard_graphs(spark):
 
     # chain root check: every chain node labels to the chain minimum
     assert all(rep == 100 for node, rep in stars if 100 <= node <= 160)
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared boilerplate\nbeta"),
+            (2, "shared boilerplate\ngamma\ngamma"),
+            (3, "shared boilerplate"),
+            (4, "delta\n\n  \nepsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup.line_dedup(docs).collect()}
+    # first occurrence (doc 1, pos 1) wins; all other copies drop
+    assert out[1] == "alpha\nshared boilerplate\nbeta"
+    # cross-doc copy dropped; within-doc repeat ("gamma") also dedups
+    assert out[2] == "gamma"
+    # doc whose only line was a duplicate -> empty text, row preserved
+    assert out[3] == ""
+    # blank lines never count as content
+    assert out[4] == "delta\nepsilon"
+    assert set(out) == {1, 2, 3, 4}
