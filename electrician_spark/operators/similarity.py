@@ -71,7 +71,8 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    blocks: int = 8,
+    blocks: int | None = 8,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup detection).
     Returns (id_a, id_b, cos) with id_a < id_b, cos rounded to 4dp.
@@ -82,15 +83,22 @@ def cosine_pairs(
     matmul inside ``applyInPandas`` (Arrow-batched). Replication cost is
     O(N·B) rows — each vector is shipped to ≤ B+1 groups — while the
     O(N²·d) flops run at BLAS speed instead of one interpreted
-    expression fold per pair. Scale knob: pick B ≈ √(N·d·8 / mem_per
-    task) so one block pair's matrices fit an executor task; the
-    output stays sparse because the threshold filter applies inside the
-    kernel (with a margin; the exact ``round(cos,4) ≥ t`` filter reruns
-    Spark-side so results are identical to the naive plan)."""
+    expression fold per pair. ``blocks=None`` auto-sizes from one cheap
+    count: B = ceil(N / rows_per_block), bounding each block pair at
+    ~rows_per_block² score cells (~128 MB of float64 at the 4096
+    default) regardless of corpus size — the task-memory contract a
+    fixed B silently breaks at 100× the data. The output stays sparse
+    because the threshold filter applies inside the kernel (with a
+    margin; the exact ``round(cos,4) ≥ t`` filter reruns Spark-side so
+    results are identical to the naive plan)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    if blocks is None:
+        blocks = math.ceil(df.count() / max(1, rows_per_block))
     b_count = max(1, blocks)
     # No fan-out repartition here: the block-pair groupBy below already
     # redistributes, and everything above it is a cheap hash projection.

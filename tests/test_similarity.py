@@ -102,3 +102,9 @@ def test_ivf_nprobe_recall_monotone_and_exhaustive_equals_bruteforce(spark, emb)
         recalls.append(len(got & set(truth)) / len(truth))
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
+
+
+def test_auto_blocks_matches_fixed_blocks(spark, emb):
+    auto = _pairs(sim.cosine_pairs(emb, threshold=0.4, blocks=None, rows_per_block=7))
+    fixed = _pairs(sim.cosine_pairs(emb, threshold=0.4, blocks=3))
+    assert auto == fixed
