@@ -61,10 +61,18 @@ def resequence(
     seq_col: str = "seq",
     payload_col: str = "payload",
     first_seq: int = 1,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Emit rows per key in contiguous ``seq`` order, buffering gaps
     across micro-batches. Duplicate/stale seqs (< next expected) are
-    dropped — receiver-side dedupe for at-least-once upstreams."""
+    dropped — receiver-side dedupe for at-least-once upstreams.
+
+    ``idle_timeout_ms`` bounds state lifetime at scale: a key idle for
+    that long (processing time) FLUSHES its buffer in seq order —
+    gaps abandoned, whatever arrived is delivered — and drops its
+    state, so keys that die upstream (the reference's TTL'd sessions)
+    cannot pin the state store forever. Without it, state is bounded
+    only by per-key in-flight gaps."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -74,6 +82,15 @@ def resequence(
             buf = dict(zip(buf_seqs, buf_payloads))
         else:
             next_seq, buf = first_seq, {}
+        if idle_timeout_ms is not None and getattr(state, "hasTimedOut", False):
+            # idle flush: deliver the buffer in order, abandoning gaps
+            out = sorted(buf)
+            state.remove()
+            if out:
+                yield pd.DataFrame(
+                    {"key": key[0], "seq": out, "payload": [buf[s] for s in out]}
+                )
+            return
         for pdf in pdfs:
             for s, p in zip(pdf[seq_col], pdf[payload_col]):
                 s = int(s)
@@ -86,13 +103,20 @@ def resequence(
             out_payloads.append(buf.pop(next_seq))
             next_seq += 1
         state.update((next_seq, sorted(buf), [buf[s] for s in sorted(buf)]))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if out_seqs:
             yield pd.DataFrame(
                 {"key": key[0], "seq": out_seqs, "payload": out_payloads}
             )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return grouped_or_df.groupBy(key_col).applyInPandasWithState(
-        fn, RESEQ_OUTPUT, _RESEQ_STATE, "append", GroupStateTimeout.NoTimeout
+        fn, RESEQ_OUTPUT, _RESEQ_STATE, "append", timeout
     )
 
 

@@ -131,3 +131,36 @@ def test_rate_limit_marks_not_drops(spark, tmp_path):
     )
     assert out.count() == 10  # every record appears, marked
     assert out.filter("admitted = 'admit'").count() == 3
+
+
+def test_resequencer_idle_timeout_flushes_and_drops_state(spark, tmp_path):
+    """With idle_timeout_ms set, a key that stops sending gets its
+    buffer FLUSHED in order (gaps abandoned) on a later batch, and its
+    state dropped — dead upstream sessions cannot pin the state store.
+    Keys still sending are untouched."""
+    src = str(tmp_path / "src")
+    _write_batches(
+        src,
+        [
+            [
+                {"key": "a", "seq": 3, "payload": "a3"},  # gap: 1,2 missing
+                {"key": "a", "seq": 5, "payload": "a5"},
+                {"key": "b", "seq": 1, "payload": "b1"},
+            ],
+            [{"key": "b", "seq": 2, "payload": "b2"}],  # 'a' idle -> times out
+        ],
+    )
+    stream = file_stream(spark, src, RESEQ_SCHEMA, max_files_per_trigger=1, fmt="json")
+    out = _run(
+        spark,
+        stateful.resequence(stream, idle_timeout_ms=1),
+        "t_reseq_ttl",
+        str(tmp_path / "ck_ttl"),
+    ).collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r.key, r.seq)):
+        by_key.setdefault(r.key, []).append((r.seq, r.payload))
+    # a's buffer flushed in order on timeout, gaps skipped
+    assert by_key["a"] == [(3, "a3"), (5, "a5")]
+    # b delivered normally
+    assert by_key["b"] == [(1, "b1"), (2, "b2")]
