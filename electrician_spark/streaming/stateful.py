@@ -140,16 +140,24 @@ def rate_limit(
     key_col: str = "key",
     time_col: str = "event_time_s",
     payload_col: str = "payload",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key token bucket over event time. Each record costs one
     token; tokens refill at ``refill_per_sec`` up to ``capacity``.
     Rejected records are *marked* ``divert`` rather than dropped — the
     surge protector's divert-to-backup path (submit.go:17-32) is then a
-    filter + alternate sink, and nothing is silently lost."""
+    filter + alternate sink, and nothing is silently lost.
+
+    ``idle_timeout_ms`` bounds state at scale: a key idle past the
+    bound simply drops its bucket (a returning key starts full, which
+    refill semantics would converge to anyway)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
         tokens, last_s = state.get if state.exists else (float(capacity), None)
         rows = []
         for pdf in pdfs:
@@ -170,6 +178,8 @@ def rate_limit(
             out_t.append(t)
             out_p.append(p)
         state.update((tokens, last_s if last_s is not None else 0.0))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if out_t:
             yield pd.DataFrame(
                 {
@@ -180,6 +190,11 @@ def rate_limit(
                 }
             )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return df.groupBy(key_col).applyInPandasWithState(
-        fn, RATE_OUTPUT, _RATE_STATE, "append", GroupStateTimeout.NoTimeout
+        fn, RATE_OUTPUT, _RATE_STATE, "append", timeout
     )

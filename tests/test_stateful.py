@@ -164,3 +164,34 @@ def test_resequencer_idle_timeout_flushes_and_drops_state(spark, tmp_path):
     assert by_key["a"] == [(3, "a3"), (5, "a5")]
     # b delivered normally
     assert by_key["b"] == [(1, "b1"), (2, "b2")]
+
+
+def test_rate_limit_idle_timeout_resets_bucket(spark, tmp_path):
+    """A key idle past idle_timeout_ms drops its bucket state; when it
+    returns, it starts with a FULL bucket (capacity admits again)."""
+    src = str(tmp_path / "src")
+    _write_batches(
+        src,
+        [
+            # batch 0: key a exhausts its 2-token bucket (3rd diverts)
+            [
+                {"key": "a", "event_time_s": 1.0, "payload": "p1"},
+                {"key": "a", "event_time_s": 1.1, "payload": "p2"},
+                {"key": "a", "event_time_s": 1.2, "payload": "p3"},
+            ],
+            # batch 1: other key; 'a' idles past the 1 ms timeout
+            [{"key": "b", "event_time_s": 2.0, "payload": "q1"}],
+            # batch 2: 'a' returns at the SAME event time — without the
+            # reset it would still be empty (no event-time elapsed)
+            [{"key": "a", "event_time_s": 1.2, "payload": "p4"}],
+        ],
+    )
+    stream = file_stream(spark, src, RATE_SCHEMA, max_files_per_trigger=1, fmt="json")
+    out = _run(
+        spark,
+        stateful.rate_limit(stream, capacity=2, refill_per_sec=0.0, idle_timeout_ms=1),
+        "t_rate_ttl",
+        str(tmp_path / "ck_rate_ttl"),
+    ).collect()
+    marks = {r.payload: r.admitted for r in out}
+    assert marks == {"p1": "admit", "p2": "admit", "p3": "divert", "q1": "admit", "p4": "admit"}
