@@ -298,3 +298,32 @@ def test_zorder_layout_prunes_multi_column_predicates(spark, tmp_path):
     assert back.agg(F.sum("x"), F.sum("y")).collect() == df.agg(
         F.sum("x"), F.sum("y")
     ).collect()
+
+
+def test_wave_python_datasource_reads_directory(spark, tmp_path):
+    """The `wave` Python Data Source (Spark 4 DSv2 API) must decode a
+    directory of wave files into (path, n_samples, re, im) rows —
+    identical arrays to the binaryFile+UDF path — with malformed files
+    surfacing as NULL-array rows, never task failures."""
+    from electrician_spark import wave_datasource
+    from electrician_spark.io import write_wave_files
+
+    src = spark.createDataFrame(
+        [(1, [1.0, -2.5], [0.0, 0.5]), (2, [9.0, 8.0, 7.0], [0.0, 0.25, -1.0])],
+        "vec_id long, re array<double>, im array<double>",
+    )
+    d = str(tmp_path / "waves")
+    write_wave_files(src, d).collect()
+    (tmp_path / "waves" / "bad.wave").write_bytes(b"\x05\x00\x00\x00oops")
+
+    wave_datasource.register(spark)
+    df = spark.read.format("wave").load(d)
+    rows = {os.path.basename(r.path): r for r in df.collect()}
+    assert set(rows) == {"1.wave", "2.wave", "bad.wave"}
+    assert rows["1.wave"].re == [1.0, -2.5] and rows["1.wave"].im == [0.0, 0.5]
+    assert rows["2.wave"].n_samples == 3 and rows["2.wave"].re == [9.0, 8.0, 7.0]
+    assert rows["bad.wave"].re is None and rows["bad.wave"].n_samples is None
+    # empty directory: valid zero-row relation
+    empty = str(tmp_path / "none")
+    os.makedirs(empty)
+    assert spark.read.format("wave").load(empty).count() == 0
