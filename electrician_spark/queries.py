@@ -2686,6 +2686,10 @@ def q_ht1(spark, sf_dir):
 # aggregate (metrics.py), a second multi-probe/recall point (nprobe=3),
 # or a bpe_token_count aggregate over documents (functions/text.py —
 # the pattern is already verified byte-identical Spark vs DuckDB RE2).
+# Also oracle-able now: a wave-DSv2 scan energy query (format("wave")
+# path == q_p1's oracle), a BM25 top-k over documents
+# (operators/retrieval.py — log/arithmetic only, 6dp-roundable), and a
+# cap_per_group per-domain corpus cap (sampling.py — md5-deterministic).
 _DRIVER_PRIORITY = [
     # r3 red rows — fixed, must re-prove
     "q_t6_tagger",
