@@ -34,6 +34,8 @@ EXTRA_QUERIES = [
     "q_rj1_range_join",
     "q_ht1_hypertable_rollup",
     "q_j7_regional_revenue",
+    "q_x7_quality_filter_pipeline",
+    "q_n4_ann_ivf_probes",
 ]
 
 
