@@ -1,0 +1,85 @@
+"""End-to-end LLM-corpus build: the round-trip showcase composing the
+pipeline a pretraining data build actually runs, with an invariant
+pinned at every stage. Everything stays one lazy DataFrame chain until
+the assertions force it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from electrician_spark.functions import text as tx
+from electrician_spark.operators import dedup, packing, sampling
+
+
+def _synthetic_corpus(spark):
+    base = [
+        # (id, domain, body) — near-dups, boilerplate lines, junk docs
+        (1, "wiki", "alpha beta gamma delta epsilon zeta eta theta iota kappa\ncommon footer"),
+        (2, "wiki", "alpha beta gamma delta epsilon zeta eta theta iota kappa\ncommon footer"),  # exact dup of 1
+        (3, "wiki", "one two three four five six seven eight nine ten eleven twelve\ncommon footer"),
+        (4, "crawl", "spam spam spam"),  # too short -> quality gate
+        (5, "crawl", "the sun rose over the quiet harbor and the boats drifted slowly out to sea\ncommon footer"),
+        (6, "crawl", "a completely different story about mountains rivers forests and the people living there\ncommon footer"),
+        (7, "crawl", "yet another document with enough ordinary words to pass the simple quality gates here\ncommon footer"),
+        (8, "books", "call me ishmael some years ago never mind how long precisely having little money\ncommon footer"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, domain string, text string")
+
+
+def test_corpus_build_pipeline_composes(spark):
+    docs = _synthetic_corpus(spark)
+
+    # 1. exact dedup (keep lowest doc_id per fingerprint)
+    d1 = dedup.exact_dedup(docs, keep_col="doc_id")
+    ids1 = {r.doc_id for r in d1.select("doc_id").collect()}
+    assert 2 not in ids1 and 1 in ids1  # dup dropped, first kept
+    assert len(ids1) == 7
+
+    # 2. corpus-wide line dedup: the shared footer survives only in its
+    # first occurrence (doc 1); no document disappears
+    d2 = dedup.line_dedup(d1, sep="\n")
+    texts = {r.doc_id: r.text for r in d2.collect()}
+    assert sum("common footer" in t for t in texts.values()) == 1
+    assert set(texts) == ids1
+
+    # 3. quality gate: token-count floor removes the spam doc
+    d3 = d2.filter(tx.token_count(F.col("text")) >= 10)
+    ids3 = {r.doc_id for r in d3.select("doc_id").collect()}
+    assert 4 not in ids3 and len(ids3) == 6
+
+    # rejoin domain for mixing (line_dedup projects id+text)
+    d3dom = d3.join(docs.select("doc_id", "domain"), "doc_id")
+
+    # 4. per-domain cap: keep at most 2 crawl docs, quality-ordered by
+    # token count (deterministic tiebreak on id)
+    d4 = sampling.cap_per_group(
+        d3dom, ["domain"], 2,
+        [tx.token_count(F.col("text")).desc(), F.col("doc_id")],
+    )
+    by_domain = {}
+    for r in d4.collect():
+        by_domain.setdefault(r.domain, []).append(r.doc_id)
+    assert len(by_domain["crawl"]) == 2
+    assert all(len(v) <= 2 for v in by_domain.values())
+
+    # 5. mixture: keep all of books/wiki, drop unlisted domains entirely
+    d5 = sampling.mixture_sample(d4, "domain", {"wiki": 1.0, "books": 1.0, "crawl": 1.0})
+    assert d5.count() == d4.count()  # rate-1.0 mixture is the identity
+    dropped = sampling.mixture_sample(d4, "domain", {"wiki": 1.0})
+    assert {r.domain for r in dropped.collect()} == {"wiki"}
+
+    # 6. sequence packing: every surviving doc gets a shard/offset and
+    # per-shard offsets tile the token stream exactly
+    d6 = packing.pack_sequences(
+        d5.withColumn("n_tokens", tx.token_count(F.col("text"))),
+        "n_tokens", budget=16, n_shards=2,
+    )
+    rows = d6.collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in d5.collect()}
+    for shard in {r.shard for r in rows}:
+        in_shard = sorted((r for r in rows if r.shard == shard), key=lambda r: r.start_offset)
+        offset = 0
+        for r in in_shard:
+            assert r.start_offset == offset  # contiguous, gap-free stream
+            assert r.pack_id == offset // 16
+            offset += r.n_tokens
