@@ -96,6 +96,30 @@ def test_no_python_row_fallback(plans, name):
     assert "BatchEvalPython" not in plans(name)
 
 
+def test_quality_filter_pipeline_single_shuffle(plans):
+    """q_x7: the whole filter chain must be ONE scan and ONE hash
+    exchange (the <=5-key language groupBy, map-side combined); a
+    second hash exchange would mean a heuristic escaped codegen into
+    its own aggregation."""
+    p = plans("q_x7_quality_filter_pipeline")
+    # formatted plans list each operator twice (tree + details)
+    assert p.count("Scan parquet") == 2
+    import re
+
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning", p)
+    assert len(hash_exchanges) == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_multiprobe_ivf_broadcasts_probe_side(plans):
+    """q_n4: centroids and the probe table broadcast; the corpus scan
+    must never hash-shuffle on the join key (the whole point of IVF
+    routing)."""
+    p = plans("q_n4_ann_ivf_probes")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
 # The ANN family intentionally crosses the (tiny, broadcast) query or
 # centroid set against the corpus — BroadcastNestedLoopJoin with a
 # broadcast build side, which never shuffles the corpus. Everything
