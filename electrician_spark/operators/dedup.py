@@ -705,6 +705,14 @@ def line_dedup(
     Documents are reassembled in original line order; documents whose
     every line was a duplicate come back with empty text.
 
+    ``sep`` is a LITERAL separator (regex-escaped before the split, so
+    ``sep="."`` or ``"|"`` splits on the character, not per-char), and
+    the same literal rejoins kept lines. Blank/whitespace-only lines
+    are dropped from EVERY document — including documents with no
+    duplicates — so reassembled text never carries empty segments;
+    pass-through of blank structure is deliberately out of scope (C4
+    drops such lines anyway).
+
     Skew-safe by construction: first-occurrence is
     ``groupBy(line_hash).agg(min(struct(id, pos)))`` — a map-side
     combinable aggregate, so a boilerplate line present in millions of
@@ -714,9 +722,11 @@ def line_dedup(
     agg + reassembly groupBy); the join back to line rows is on the
     line hash with partial-agg'd cardinality.
     """
+    import re
+
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("_pos", "_line"),
     ).filter(F.trim(F.col("_line")) != "")
     keyed = lines.withColumn("_k", F.md5(F.trim(F.col("_line"))))
     firsts = keyed.groupBy("_k").agg(

@@ -137,6 +137,7 @@ def cap_per_group(
     k: int,
     order_by: Sequence[Column],
     n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Keep the top-``k`` rows per group under ``order_by`` (e.g. cap
     documents per source domain, keeping the highest-quality ones) —
@@ -150,10 +151,20 @@ def cap_per_group(
     salt's local top-k is a superset of its contribution to the global
     top-k, so the result is identical to the naive single window for
     any total order (pass a tiebreak column to make it total).
+
+    The salt is derived from row CONTENT (xxhash64 of ``salt_cols``,
+    default: every input column), never from a nondeterministic
+    expression: a monotonically_increasing_id salt would be recomputed
+    differently on stage retry after a shuffle-fetch failure, letting
+    rows move between salt partitions mid-query (duplicated or lost
+    rows) — precisely in the large-cluster regime the salting targets.
+    Rows identical in ``salt_cols`` share a salt; pass a high-entropy
+    id column there if the corpus carries massive exact duplicates.
     """
     groups = [F.col(c) for c in group_cols]
     order = list(order_by)
-    salt = F.pmod(F.xxhash64(*groups, F.monotonically_increasing_id()), F.lit(n_salts))
+    salt_src = [F.col(c) for c in (salt_cols if salt_cols is not None else df.columns)]
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
     w1 = Window.partitionBy(*groups, F.col("_cap_salt")).orderBy(*order)
     w2 = Window.partitionBy(*groups).orderBy(*order)
     return (

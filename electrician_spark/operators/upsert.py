@@ -135,6 +135,26 @@ def merge_sql(df: DataFrame, table: str, keys: list[str]) -> str:
     )
 
 
+# java.sql.Types constant per Spark type, for PreparedStatement.setNull:
+# several JDBC drivers (Derby included, in some positions) reject
+# Types.NULL as the target sqlType — NULLs must be bound with the
+# column's real SQL type code.
+_JDBC_TYPE_CODES = {
+    "string": "VARCHAR",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "short": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "binary": "VARBINARY",
+}
+
+
 def jdbc_upsert(
     df: DataFrame,
     url: str,
@@ -158,6 +178,12 @@ def jdbc_upsert(
     jvm = spark._jvm
     jvm.java.lang.Class.forName(driver)
     conn = jvm.java.sql.DriverManager.getConnection(url)
+    null_codes = {
+        f.name: getattr(
+            jvm.java.sql.Types, _JDBC_TYPE_CODES.get(f.dataType.typeName(), "VARCHAR")
+        )
+        for f in df.schema.fields
+    }
     n = 0
     try:
         conn.setAutoCommit(False)
@@ -168,7 +194,7 @@ def jdbc_upsert(
             for i, c in enumerate(param_order, start=1):
                 v = d[c]
                 if v is None:
-                    ps.setNull(i, jvm.java.sql.Types.NULL)
+                    ps.setNull(i, null_codes[c])
                 elif isinstance(v, bool):
                     ps.setBoolean(i, v)
                 elif isinstance(v, int):

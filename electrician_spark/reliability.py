@@ -214,14 +214,18 @@ def drain_retry_table(
     id_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Take the top-n aged-priority rows (TakeOrderedAndProject — no
-    total sort at scale)."""
+    total sort at scale).
+
+    SIDE EFFECT: pins ``spark.sql.session.timeZone=UTC`` on the live
+    session (the engine-wide contract ``io.read_table`` also asserts).
+    effective_priority's NTZ→TIMESTAMP cast is instant-preserving only
+    under UTC, and a retry table can arrive from any host session
+    (getOrCreate ignores builder conf on a live session). Queries in
+    the same session that rely on a non-UTC zone for timestamp
+    parsing/formatting will see UTC after this call — the engine
+    assumes all sessions it touches run UTC (session.get_session)."""
     from electrician_spark.operators.priority import drain, effective_priority
 
-    # effective_priority's NTZ->TIMESTAMP cast is instant-preserving
-    # only under a UTC session. io.read_table pins this for tables we
-    # load, but a retry table can arrive from any host session
-    # (getOrCreate ignores our builder conf if one is live) — re-assert
-    # here so aging never silently shifts by the host TZ offset.
     table.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
 
     eff = effective_priority(

@@ -37,11 +37,21 @@ def file_stream(
     TIMESTAMP_NTZ columns are cast to TIMESTAMP on the way in: Spark
     rejects watermarks on NTZ event time, and parquet written with
     isAdjustedToUTC=false (what the fixtures and many lakehouse writers
-    produce) infers NTZ. The session is pinned to UTC first, so the
-    cast is instant-preserving."""
+    produce) infers NTZ. The NTZ→TZ cast is only instant-preserving
+    when the session timezone is UTC, so a session already pinned to
+    UTC passes through; any OTHER session timezone raises instead of
+    being silently overwritten (a global conf mutation here would
+    change timestamp parsing/window boundaries for every other query
+    in the live session)."""
     from pyspark.sql.types import TimestampNTZType
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"file_stream requires spark.sql.session.timeZone=UTC (got {tz!r}): "
+            "the TIMESTAMP_NTZ→TIMESTAMP cast below is instant-preserving only "
+            "under UTC. Set it session-wide before building streams."
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -7,11 +7,17 @@ functions/codecs.wave_encode): little-endian u32 sample count, then n
 f64 re values, then n f64 im values.
 
 Scale posture: one InputPartition per file — Spark schedules files
-across executors exactly like binaryFile, but the scan yields decoded
+across executors like binaryFile, but the scan yields decoded
 (path, n_samples, re, im) rows directly (no intermediate blob column,
-no second decode stage), and `prunedSchema` drops the sample arrays
-when a query only counts files. Malformed files yield a NULL-array row
-(the codec's error contract), never a task failure.
+no second decode stage). The Python DataSource API (Spark 4) does not
+push column pruning down to ``read()``; pass ``.option("metaOnly",
+"true")`` to skip decoding the sample arrays (header-only read —
+NULL arrays, real n_samples) when a query needs only counts/paths.
+Unlike binaryFile, ``partitions()``/``read()`` use ``glob``/``open``,
+so the source reads DRIVER/EXECUTOR-VISIBLE LOCAL FILESYSTEMS only
+(local disk, NFS, FUSE mounts) — object stores need the binaryFile +
+codec-decode path in functions/codecs instead. Malformed files yield
+a NULL-array row (the codec's error contract), never a task failure.
 
 Register per session:  spark.dataSource.register(WaveDataSource)
 Then:                  spark.read.format("wave").load("/path/dir")
@@ -54,6 +60,10 @@ class WaveReader(DataSourceReader):
         if not self.root:
             raise ValueError("wave source requires a path")
         self.pattern = options.get("glob", "*.wave")
+        # metaOnly: header-only scan (path + n_samples, NULL arrays) —
+        # the manual pruning knob, since the Python DataSource API has
+        # no column-pruning pushdown into read().
+        self.meta_only = str(options.get("metaOnly", "false")).lower() == "true"
 
     def partitions(self):
         files = sorted(glob.glob(os.path.join(self.root, self.pattern)))
@@ -67,10 +77,17 @@ class WaveReader(DataSourceReader):
             return
         try:
             with open(partition.path, "rb") as fh:
-                b = fh.read()
+                b = fh.read(4 if self.meta_only else -1)
             if len(b) < 4:
                 raise ValueError("truncated header")
             (n,) = struct.unpack_from("<I", b, 0)
+            if self.meta_only:
+                # header-only contract: size check against the file
+                # stat, arrays stay NULL, body bytes never read
+                if os.path.getsize(partition.path) < 4 + 16 * n:
+                    raise ValueError("truncated body")
+                yield (partition.path, n, None, None)
+                return
             if len(b) < 4 + 16 * n:
                 raise ValueError("truncated body")
             doubles = struct.unpack_from(f"<{2 * n}d", b, 4)

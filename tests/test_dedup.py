@@ -232,3 +232,15 @@ def test_line_dedup_keeps_first_occurrence_only(spark):
     # blank lines never count as content
     assert out[4] == "delta\nepsilon"
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_line_dedup_sep_is_literal_not_regex(spark):
+    """sep is regex-escaped before the split: '.' must split on the
+    period character (sentence-ish segments), not explode per char."""
+    docs = spark.createDataFrame(
+        [(1, "one two.shared tail"), (2, "shared tail.three")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup.line_dedup(docs, sep=".").collect()}
+    assert out[1] == "one two.shared tail"
+    assert out[2] == "three"

@@ -327,3 +327,13 @@ def test_wave_python_datasource_reads_directory(spark, tmp_path):
     empty = str(tmp_path / "none")
     os.makedirs(empty)
     assert spark.read.format("wave").load(empty).count() == 0
+
+    # metaOnly: header-only scan — real n_samples, NULL arrays (the
+    # manual pruning knob; the Python DataSource API has no column
+    # pruning pushdown), corrupt header still -> NULL row
+    meta = {
+        os.path.basename(r.path): r
+        for r in spark.read.format("wave").option("metaOnly", "true").load(d).collect()
+    }
+    assert meta["2.wave"].n_samples == 3 and meta["2.wave"].re is None
+    assert meta["bad.wave"].n_samples is None  # claims 5 samples, body truncated

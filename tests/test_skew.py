@@ -158,3 +158,15 @@ def test_jdbc_upsert_executes_merge_on_derby(spark, tmp_path):
     want_df = up.upsert(up.upsert(batch1.limit(0), batch1, ["k"]), batch2, ["k"])
     want = {(r.k, r.s, r.v) for r in want_df.collect()}
     assert got == want == {(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (4, "d", 4.0)}
+
+    # NULL binding: setNull must pass the column's mapped java.sql.Types
+    # code (Derby rejects Types.NULL in typed CAST positions) — both a
+    # null string and a null double, inserted and then overwritten.
+    batch3 = spark.createDataFrame(
+        [(5, None, None), (2, None, 25.0)], "k long, s string, v double"
+    )
+    assert up.jdbc_upsert(batch3, url, "up", ["k"], driver=drv) == 2
+    back = eio.jdbc_read(spark, url, table="up", properties={"driver": drv})
+    back = back.toDF(*[c.lower() for c in back.columns])
+    got = {(r.k, r.s, r.v) for r in back.collect()}
+    assert (5, None, None) in got and (2, None, 25.0) in got

@@ -61,6 +61,21 @@ def test_streaming_tumbling_equals_batch(spark, events_dir):
     assert got == expected
 
 
+def test_file_stream_rejects_non_utc_session(spark, events_dir):
+    """file_stream must fail fast on a non-UTC session instead of
+    silently mutating the global timezone conf (the NTZ→TZ cast it
+    performs is only instant-preserving under UTC)."""
+    import pytest
+
+    batch_df = spark.read.parquet(events_dir)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            file_stream(spark, events_dir, batch_df.schema)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_streaming_dedup_with_watermark(spark, events_dir):
     """dropDuplicatesWithinWatermark (W8 dedupe_key)."""
     batch_df = spark.read.parquet(events_dir)
