@@ -59,12 +59,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", keep_col: str | None = No
 
 
 def _shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(id, shingle) pairs, deduplicated; optionally drop shingles that
     occur in more than ``max_df`` documents (hot-key / stopword-shingle
     guard: at corpus scale a shingle present in millions of docs would
-    otherwise dominate the join)."""
+    otherwise dominate the join). ``n_docs`` is an optional caller hint
+    for the corpus row count — pass it (corpus pipelines know their
+    sizes) and the guard's no-op check costs zero jobs; without it one
+    ``df.count()`` job runs, which re-executes whatever plan sits
+    upstream of ``df``."""
     from electrician_spark.io import fan_out_small
 
     # Two projections on purpose: the token array must be an attribute
@@ -75,13 +84,14 @@ def _shingle_table(
     sh = base.select("_id", tx.tokens(F.col("_txt")).alias("_tk")).select(
         "_id", F.explode(tx.shingles_from_tokens(F.col("_tk"), n)).alias("_s")
     )
-    if max_df is not None and df.count() <= max_df:
+    if max_df is not None and (n_docs if n_docs is not None else df.count()) <= max_df:
         # A shingle's document frequency is bounded by the corpus row
         # count (shingles are distinct per doc), so when n_docs ≤ max_df
         # the guard cannot filter anything — skip the full-table df
         # aggregation + anti-join rather than pay for a provable no-op
         # (it cost q_d2 +35% at bench scale). One metadata-cheap count
-        # of the *input* table, not the exploded shingle table.
+        # of the *input* table, not the exploded shingle scan — and
+        # zero jobs when the caller passed the n_docs hint.
         max_df = None
     if max_df is not None:
         # Anti-join against the HOT set (df > max_df): at corpus scale the
@@ -149,6 +159,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = 100_000,
     prefix_order: str = "df",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold, with
     prefix filtering (the ppjoin-family blocking that makes exact
@@ -193,7 +204,7 @@ def ngram_jaccard_pairs(
     """
     if prefix_order not in ("lex", "df"):
         raise ValueError(f"prefix_order must be 'lex' or 'df', got {prefix_order!r}")
-    sh = _shingle_table(df, id_col, text_col, n, max_df)
+    sh = _shingle_table(df, id_col, text_col, n, max_df, n_docs=n_docs)
     # One doc-arrays table serves BOTH the prefix extraction (slice of
     # the globally-ordered array) and the exact verify (array_intersect
     # is order-agnostic) — its groupBy exchange is computed once and
@@ -223,6 +234,19 @@ def ngram_jaccard_pairs(
     return _verify_pairs(cand, docs, threshold)
 
 
+def _minhash_aggs(num_hashes: int) -> list[Column]:
+    """The k min-hash aggregate columns h_i = min over shingles of
+    md5(i || ':' || shingle): whole-stage-codegen'd md5 + map-side
+    partial min, so a shuffle carries one k-column row per (partition,
+    doc). (An array_min/transform formulation over per-doc shingle
+    arrays was measured 2× slower — higher-order functions evaluate
+    interpreted, outside codegen.)"""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -230,21 +254,12 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """k deterministic min-hashes per document: h_i(doc) =
-    min over shingles of md5(i || ':' || shingle). md5-seeding makes the
+    """k deterministic min-hashes per document. md5-seeding makes the
     signature reproducible across engines (the DuckDB oracle computes
     the identical signature) and across cluster runs — no RNG to seed.
-    One groupBy pass computes all k columns: whole-stage-codegen'd md5 +
-    map-side partial min, so the shuffle carries one k-column row per
-    (partition, doc). (An array_min/transform formulation over the
-    per-doc shingle arrays was measured 2× slower — higher-order
-    functions evaluate interpreted, outside codegen.)"""
+    One groupBy pass computes all k columns."""
     sh = _shingle_table(df, id_col, text_col, n, None)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+    return sh.groupBy(F.col("_id").alias(id_col)).agg(*_minhash_aggs(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -264,18 +279,46 @@ def minhash_lsh_pairs(
     (array_intersect over the per-doc shingle arrays, O(|candidates|)),
     so no LSH false positives leak through. Returns
     (id_a, id_b, jaccard), id_a < id_b.
+
+    Single corpus pass: ONE shingle table, explicitly hash-partitioned
+    on the doc id, feeds one combined aggregate (k min-hash columns for
+    band buckets + sorted shingle array/size for exact verify). The
+    explicit repartition is the sharing point: column pruning gives the
+    bucket branch and the verify branches differently-pruned final
+    aggregates (their partial-agg exchanges could never deduplicate),
+    but all of them sit on the SAME repartition exchange — AQE
+    ReuseExchange materializes scan→tokenize→explode once and every
+    branch replays the shuffle files. The previous formulation ran the
+    whole tokenize pass twice (separate signature and verify shingle
+    tables) — a full extra corpus scan+tokenize at 100 TB. Trade-off:
+    the shared exchange carries raw (id, shingle) rows (map-side
+    combine lost, ~1.2× q_d2's wall time at sf0.1 vs ~1.0× for the
+    two-pass plan), but one lz4-compressed linear shuffle of the token
+    stream is strictly cheaper than a second scan+tokenize of the
+    corpus at scale, and the groupBys above it add no further exchange
+    (the partitioning already satisfies them). Two rejected
+    alternatives, both measured slower or unshareable: deriving
+    signatures from the collect_list arrays via array_min∘transform
+    (HOFs evaluate interpreted — 1.9× q_d2), and a combined aggregate
+    without the repartition (pruning diverges the partial aggs, so the
+    tokenize runs per branch).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sh = _shingle_table(df, id_col, text_col, n, None).repartition("_id")
+    docs = sh.groupBy("_id").agg(
+        F.array_sort(F.collect_list("_s")).alias("_arr"),
+        F.count("*").alias("_sz"),
+        *_minhash_aggs(num_hashes),
+    )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
         )
-    buckets = sig.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("b")
-    ).select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    buckets = docs.select("_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
     left = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
     right = buckets.select(F.col("_id").alias("id_b"), "band", "bh")
     cand = (
@@ -284,8 +327,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    docs = _doc_shingle_arrays(_shingle_table(df, id_col, text_col, n, None))
-    return _verify_pairs(cand, docs, threshold)
+    return _verify_pairs(cand, docs.select("_id", "_arr", "_sz"), threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, bits: int = 64) -> DataFrame:

@@ -143,6 +143,23 @@ def test_no_unbroadcast_cross_join(plans, name):
         assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_minhash_single_tokenize_pass(spark):
+    """q_d3's corpus must be scanned+tokenized ONCE: the shingle table
+    is explicitly hash-partitioned on the doc id so the band-bucket
+    branch and both exact-verify branches consume the SAME exchange
+    (AQE ReuseExchange) instead of re-running scan→tokenize→explode per
+    branch (the r3/r4 double-tokenize finding). Asserted on the FINAL
+    adaptive plan — the initial plan legitimately prints duplicate
+    subtrees before runtime reuse kicks in."""
+    df = REGISTRY["q_d3_minhash_lsh"].spark(spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "REPARTITION_BY_COL" in final
+    assert final.count("ReusedExchange") >= 2, final
+
+
 def test_no_iterrows_in_source():
     # iterrows() inside an Arrow batch body re-materializes every row as
     # a pandas Series — the per-row slow path the Arrow transfer was
