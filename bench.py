@@ -36,6 +36,7 @@ EXTRA_QUERIES = [
     "q_j7_regional_revenue",
     "q_x7_quality_filter_pipeline",
     "q_n4_ann_ivf_probes",
+    "q_d9_lsh_near_dup",
 ]
 
 

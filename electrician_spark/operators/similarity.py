@@ -66,56 +66,12 @@ def cosine_pairs_naive(
     )
 
 
-def cosine_pairs(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.4,
-    blocks: int | None = 8,
-    rows_per_block: int = 4096,
-) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-dup detection).
-    Returns (id_a, id_b, cos) with id_a < id_b, cos rounded to 4dp.
-
-    Plan: distributed blocked GEMM. Vectors are hashed into ``blocks``
-    buckets; each of the B·(B+1)/2 upper-triangular block pairs becomes
-    one group whose cosine submatrix is a single vectorized numpy
-    matmul inside ``applyInPandas`` (Arrow-batched). Replication cost is
-    O(N·B) rows — each vector is shipped to ≤ B+1 groups — while the
-    O(N²·d) flops run at BLAS speed instead of one interpreted
-    expression fold per pair. ``blocks=None`` auto-sizes from one cheap
-    count: B = ceil(N / rows_per_block), bounding each block pair at
-    ~rows_per_block² score cells (~128 MB of float64 at the 4096
-    default) regardless of corpus size — the task-memory contract a
-    fixed B silently breaks at 100× the data. The output stays sparse
-    because the threshold filter applies inside the kernel (with a
-    margin; the exact ``round(cos,4) ≥ t`` filter reruns Spark-side so
-    results are identical to the naive plan)."""
-    import math
-
+def _make_gemm(margin: float):
+    """Pandas kernel factory for the blocked-GEMM cosine submatrix: one
+    vectorized numpy matmul per group, threshold applied inside with a
+    margin (the exact round(cos,4) >= t filter reruns Spark-side)."""
     import numpy as np
     import pandas as pd
-
-    spark = df.sparkSession
-    if blocks is None:
-        blocks = math.ceil(df.count() / max(1, rows_per_block))
-    b_count = max(1, blocks)
-    # No fan-out repartition here: the block-pair groupBy below already
-    # redistributes, and everything above it is a cheap hash projection.
-    nv = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
-        "_blk", F.pmod(F.hash(F.col("_id")), F.lit(b_count))
-    )
-    grid = spark.createDataFrame(
-        [(a, b) for a in range(b_count) for b in range(a, b_count)], "pa int, pb int"
-    )
-    rep_a = nv.join(F.broadcast(grid), nv["_blk"] == grid["pa"]).select(
-        "pa", "pb", "_id", "_v", F.lit(0).alias("_side")
-    )
-    rep_b = nv.join(F.broadcast(grid), nv["_blk"] == grid["pb"]).select(
-        "pa", "pb", "_id", "_v", F.lit(1).alias("_side")
-    )
-    both = rep_a.unionByName(rep_b)
-    margin = threshold - 1e-3
 
     def _gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -144,7 +100,58 @@ def cosine_pairs(
             {"id_a": lo[keep], "id_b": hi[keep], "_cos": S[ia, ib][keep]}
         ).drop_duplicates(["id_a", "id_b"])
 
-    out = both.groupBy("pa", "pb").applyInPandas(_gemm, "id_a long, id_b long, _cos double")
+    return _gemm
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    blocks: int | None = 8,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+    Returns (id_a, id_b, cos) with id_a < id_b, cos rounded to 4dp.
+
+    Plan: distributed blocked GEMM. Vectors are hashed into ``blocks``
+    buckets; each of the B·(B+1)/2 upper-triangular block pairs becomes
+    one group whose cosine submatrix is a single vectorized numpy
+    matmul inside ``applyInPandas`` (Arrow-batched). Replication cost is
+    O(N·B) rows — each vector is shipped to ≤ B+1 groups — while the
+    O(N²·d) flops run at BLAS speed instead of one interpreted
+    expression fold per pair. ``blocks=None`` auto-sizes from one cheap
+    count: B = ceil(N / rows_per_block), bounding each block pair at
+    ~rows_per_block² score cells (~128 MB of float64 at the 4096
+    default) regardless of corpus size — the task-memory contract a
+    fixed B silently breaks at 100× the data. The output stays sparse
+    because the threshold filter applies inside the kernel (with a
+    margin; the exact ``round(cos,4) ≥ t`` filter reruns Spark-side so
+    results are identical to the naive plan)."""
+    import math
+
+    spark = df.sparkSession
+    if blocks is None:
+        blocks = math.ceil(df.count() / max(1, rows_per_block))
+    b_count = max(1, blocks)
+    # No fan-out repartition here: the block-pair groupBy below already
+    # redistributes, and everything above it is a cheap hash projection.
+    nv = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
+        "_blk", F.pmod(F.hash(F.col("_id")), F.lit(b_count))
+    )
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(b_count) for b in range(a, b_count)], "pa int, pb int"
+    )
+    rep_a = nv.join(F.broadcast(grid), nv["_blk"] == grid["pa"]).select(
+        "pa", "pb", "_id", "_v", F.lit(0).alias("_side")
+    )
+    rep_b = nv.join(F.broadcast(grid), nv["_blk"] == grid["pb"]).select(
+        "pa", "pb", "_id", "_v", F.lit(1).alias("_side")
+    )
+    both = rep_a.unionByName(rep_b)
+    out = both.groupBy("pa", "pb").applyInPandas(
+        _make_gemm(threshold - 1e-3), "id_a long, id_b long, _cos double"
+    )
     return out.select(
         "id_a", "id_b", F.round(F.col("_cos"), 4).alias("cos")
     ).filter(F.col("cos") >= threshold)
@@ -319,6 +326,141 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplane_weights(plane: int, dim: int) -> list[float]:
+    """Deterministic md5-derived hyperplane weights in [-1, 1):
+    weight(p, d) = conv(md5(f'{p}:{d}')[:8], 16, 10) / 2^31 - 1 — the
+    exact formula :func:`random_hyperplane_buckets` evaluates as a
+    Spark expression, precomputed as Python floats. Every weight is a
+    dyadic rational (32-bit int / 2^31 − 1), so the double is exact and
+    its repr round-trips bit-identically into any engine's parser."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:8], 16) / float(2**31) - 1.0
+        for d in range(dim)
+    ]
+
+
+def hyperplane_bucket_sql(
+    vec: str, planes: list[int], dim: int = 64, engine: str = "spark"
+) -> str:
+    """Sign-LSH bucket id as a SQL expression string — the shared
+    cross-engine form (Spark `element_at` vs DuckDB 1-based `[]` is the
+    only difference). Bit ``pos`` of the bucket = sign of the dot
+    product with plane ``planes[pos]``. The per-plane dot product is a
+    LEFT-ASSOCIATIVE literal-weight term chain so IEEE summation order
+    is bit-identical in both engines (a list_sum/aggregate fold could
+    associate differently and flip a sign at the boundary)."""
+    parts = []
+    for pos, p in enumerate(planes):
+        ws = _hyperplane_weights(p, dim)
+        if engine == "spark":
+            terms = [
+                f"(CAST(element_at(`{vec}`, {d + 1}) AS DOUBLE) * CAST({w!r} AS DOUBLE))"
+                for d, w in enumerate(ws)
+            ]
+        else:
+            terms = [
+                f"(CAST({vec}[{d + 1}] AS DOUBLE) * CAST({w!r} AS DOUBLE))"
+                for d, w in enumerate(ws)
+            ]
+        chain = " + ".join(terms)
+        parts.append(f"(CASE WHEN ({chain}) >= 0.0 THEN {1 << pos} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 3,
+    n_tables: int = 8,
+    dim: int = 64,
+    blocks: int | None = None,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """LSH-prefiltered embedding near-dup: candidate pairs are vectors
+    sharing a sign-LSH bucket in ANY of ``n_tables`` hash tables
+    (``n_planes`` hyperplanes each), scored by a bucket-local blocked
+    GEMM — the scale-safe replacement for :func:`cosine_pairs`' exact
+    all-pairs scan. Returns (id_a, id_b, cos), id_a < id_b, cos to 4dp.
+
+    Approximate with one-sided error: output ⊆ the exact pair set with
+    identical cos values (the GEMM computes true cosines; only pairs
+    never sharing a bucket are missed). Recall for a pair at angle θ is
+    1 − (1 − p^k)^L with p = 1 − θ/π, k=n_planes, L=n_tables — raise L
+    for recall, raise k for selectivity (k should grow with corpus
+    density; defaults hit ≥0.93 measured recall on the sf fixtures at
+    t=0.4).
+
+    Scale shape (the reference's bounded-work-per-element posture,
+    wire.go:79-94): total flops = Σ per-bucket GEMMs ≈ N·L·E[bucket
+    occupancy]·d — LINEAR in N for any fixed bucket load, vs
+    cosine_pairs' unconditional N²·d/2. Group count = L · 2^k · block
+    pairs, never N². Bucket skew is bounded the same way cosine_pairs
+    bounds task memory: occupancy over ``rows_per_block`` splits into
+    hash blocks (``blocks=None`` auto-sizes from one cheap max-bucket
+    count; pass an explicit small ``blocks`` at fixture scale to skip
+    that job). Buckets are md5-derived literal-weight hyperplane signs
+    (:func:`hyperplane_bucket_sql`), deterministic across engines, runs
+    and cluster sizes."""
+    import math
+
+    spark = df.sparkSession
+    bucket_cols = [
+        F.expr(
+            hyperplane_bucket_sql(
+                vec_col, list(range(t * n_planes, (t + 1) * n_planes)), dim, "spark"
+            )
+        ).alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), *bucket_cols
+    )
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("_tbl"), F.col(f"_b{t}").alias("_bkt"))
+            for t in range(n_tables)
+        ]
+    )
+    rows = base.select("_id", "_v", F.explode(entries).alias("e")).select(
+        "_id", "_v", F.col("e._tbl").alias("_tbl"), F.col("e._bkt").alias("_bkt")
+    )
+    if blocks is None:
+        mx = (
+            rows.groupBy("_tbl", "_bkt")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        blocks = math.ceil((mx or 1) / max(1, rows_per_block))
+    b_count = max(1, blocks)
+    nv = rows.withColumn("_blk", F.pmod(F.hash(F.col("_id")), F.lit(b_count)))
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(b_count) for b in range(a, b_count)], "pa int, pb int"
+    )
+    rep_a = nv.join(F.broadcast(grid), nv["_blk"] == grid["pa"]).select(
+        "_tbl", "_bkt", "pa", "pb", "_id", "_v", F.lit(0).alias("_side")
+    )
+    rep_b = nv.join(F.broadcast(grid), nv["_blk"] == grid["pb"]).select(
+        "_tbl", "_bkt", "pa", "pb", "_id", "_v", F.lit(1).alias("_side")
+    )
+    both = rep_a.unionByName(rep_b)
+    scored = both.groupBy("_tbl", "_bkt", "pa", "pb").applyInPandas(
+        _make_gemm(threshold - 1e-3), "id_a long, id_b long, _cos double"
+    )
+    # The same pair surfaces from every table whose buckets it shares —
+    # the GEMM recomputes the identical double each time, so max() is a
+    # pure dedup (one linear groupBy on the sparse survivor set).
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(F.round(F.max("_cos"), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
     )
 
 

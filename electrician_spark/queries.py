@@ -1753,6 +1753,48 @@ def q_d5(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _lsh_near_dup_oracle(n_planes: int = 3, n_tables: int = 8, threshold: float = 0.4) -> str:
+    # Replays lsh_cosine_pairs exactly: per-table sign-LSH buckets from
+    # md5-derived literal hyperplane weights (left-assoc term chains —
+    # bit-identical IEEE summation in both engines), candidates = pairs
+    # sharing a bucket in ANY table, scored with the true cosine. The
+    # engine's bucket-local GEMM computes identical doubles, so the
+    # approximate (LSH-filtered) result hash-matches exactly.
+    from electrician_spark.operators.similarity import hyperplane_bucket_sql
+
+    bcols = ", ".join(
+        f"({hyperplane_bucket_sql('embedding', list(range(t * n_planes, (t + 1) * n_planes)), 64, 'duckdb')}) AS b{t}"
+        for t in range(n_tables)
+    )
+    orcond = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return (
+        f"WITH {_SQL_NORM_CTE}, "
+        f"bk AS (SELECT vec_id, embedding, nrm, {bcols} FROM norms), "
+        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"round({_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) AS cos "
+        f"FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({orcond})) "
+        f"SELECT id_a, id_b, cos FROM pairs WHERE cos >= {threshold} ORDER BY id_a, id_b"
+    )
+
+
+@query("q_d9_lsh_near_dup", _lsh_near_dup_oracle(), tags=("similarity",))
+def q_d9(spark, sf_dir):
+    # The scale path for embedding near-dup: q_d5's exact blocked GEMM
+    # is O(N²·d) flops no matter how it is blocked; here candidates come
+    # from 8 sign-LSH tables (3 md5-derived hyperplanes each) and the
+    # GEMM runs bucket-locally, so total work is linear in N at fixed
+    # bucket load. One-sided error (subset of exact with identical
+    # cosines; measured recall ≥0.93 at sf0.01) — the trade the
+    # reference's bounded-work-per-element posture makes (wire.go:79-94).
+    from electrician_spark.operators import similarity as sim
+
+    # blocks=1: fixture buckets hold ≤~250 vectors, far under the 4096
+    # rows_per_block memory budget — skip the auto-size count job.
+    return sim.lsh_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocks=1
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "q_n1_ann_bruteforce",
     f"WITH {_SQL_NORM_CTE}, "

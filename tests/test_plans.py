@@ -143,6 +143,22 @@ def test_no_unbroadcast_cross_join(plans, name):
         assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_lsh_near_dup_gemm_is_bucket_local(plans):
+    """q_d9: the GEMM must be grouped by (table, bucket, block-pair) —
+    group count scales with L·2^k·blocks, never N² — and candidate
+    generation must never materialize an all-pairs join (the broadcast
+    side is only the tiny block-pair grid)."""
+    p = plans("q_d9_lsh_near_dup")
+    assert "FlatMapGroupsInPandas" in p
+    # grouping keys of the pandas stage include table and bucket
+    import re
+
+    m = re.search(r"_tbl#\d+L?, _bkt#\d+L?, pa#\d+, pb#\d+", p)
+    assert m, p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # grid joins broadcast; dedup agg is hash
+
+
 def test_minhash_single_tokenize_pass(spark):
     """q_d3's corpus must be scanned+tokenized ONCE: the shingle table
     is explicitly hash-partitioned on the doc id so the band-bucket

@@ -108,3 +108,45 @@ def test_auto_blocks_matches_fixed_blocks(spark, emb):
     auto = _pairs(sim.cosine_pairs(emb, threshold=0.4, blocks=None, rows_per_block=7))
     fixed = _pairs(sim.cosine_pairs(emb, threshold=0.4, blocks=3))
     assert auto == fixed
+
+
+def test_lsh_pairs_subset_of_exact_with_high_recall(spark, emb):
+    """The LSH-prefiltered near-dup must have one-sided error: every
+    emitted pair is in the exact set with the IDENTICAL 4dp cosine
+    (the bucket-local GEMM computes true cosines), and the default
+    (k=3, L=8) table family reaches ≥0.75 recall on the fixture at
+    t=0.4 (pairs at the threshold boundary are the hardest case —
+    collision probability p^k ≈ 0.25/table there)."""
+    exact = _pairs(sim.cosine_pairs(emb, threshold=0.4))
+    lsh = _pairs(sim.lsh_cosine_pairs(emb, threshold=0.4, blocks=1))
+    assert set(lsh) <= set(exact)
+    assert all(lsh[p] == exact[p] for p in lsh)
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.75, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
+    # more tables -> recall grows monotonically toward 1
+    wide = _pairs(sim.lsh_cosine_pairs(emb, threshold=0.4, n_tables=16, blocks=1))
+    assert set(lsh) <= set(wide) <= set(exact)
+
+
+def test_lsh_auto_blocks_matches_fixed(spark, emb):
+    auto = _pairs(sim.lsh_cosine_pairs(emb, threshold=0.4, blocks=None, rows_per_block=40))
+    fixed = _pairs(sim.lsh_cosine_pairs(emb, threshold=0.4, blocks=1))
+    assert auto == fixed and len(auto) > 0
+
+
+def test_hyperplane_sql_matches_expression_buckets(spark, emb):
+    """hyperplane_bucket_sql (literal weights, the oracle-able form)
+    must reproduce random_hyperplane_buckets' expression-computed
+    buckets bit-for-bit — same md5 weight formula, same left-assoc
+    summation, same sign rule."""
+    expr_buckets = {
+        r.vec_id: r.bucket for r in sim.random_hyperplane_buckets(emb, n_planes=4).collect()
+    }
+    sql_buckets = {
+        r.vec_id: r.bucket
+        for r in emb.selectExpr(
+            "vec_id",
+            sim.hyperplane_bucket_sql("embedding", [0, 1, 2, 3], 64, "spark") + " AS bucket",
+        ).collect()
+    }
+    assert sql_buckets == expr_buckets
