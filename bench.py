@@ -37,6 +37,7 @@ EXTRA_QUERIES = [
     "q_x7_quality_filter_pipeline",
     "q_n4_ann_ivf_probes",
     "q_d9_lsh_near_dup",
+    "q_x8_curation_pipeline",
 ]
 
 

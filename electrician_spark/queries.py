@@ -1346,6 +1346,81 @@ def q_x7(spark, sf_dir):
     )
 
 
+def _x8_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    # Replays the full curation pipeline: cross-doc segment dedup
+    # (first-occurrence-wins on the md5(trim(line)) key — exactly
+    # operators/dedup.line_dedup), closed-form BM25 over the deduped
+    # text (same Lucene-style idf and literal constants, rendered via
+    # repr so both engines parse identical doubles), top-10-per-lang
+    # capping (row_number over the total (bm25 desc, doc_id) order —
+    # what cap_per_group's exact two-phase evaluation must equal), and
+    # BPE pre-token counts (the shared Java-regex/RE2 pattern).
+    from electrician_spark.functions.text import BPE_PRETOKEN_PATTERN
+
+    bpe = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return (
+        "WITH parts AS (SELECT doc_id, string_split(text, 'value') AS p FROM documents), "
+        "lines AS (SELECT doc_id, unnest(p) AS line, unnest(range(len(p))) AS pos FROM parts), "
+        "nz AS (SELECT doc_id, pos, line FROM lines WHERE trim(line) <> ''), "
+        "rk AS (SELECT doc_id, pos, line, row_number() OVER "
+        "(PARTITION BY md5(trim(line)) ORDER BY doc_id, pos) AS rn FROM nz), "
+        "kept AS (SELECT doc_id, pos, line FROM rk WHERE rn = 1), "
+        "rebuilt AS (SELECT doc_id, string_agg(line, 'value' ORDER BY pos) AS text "
+        "FROM kept GROUP BY doc_id), "
+        "dd AS (SELECT d.doc_id, d.lang, coalesce(r.text, '') AS text "
+        "FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id), "
+        "toks AS (SELECT doc_id, lang, text, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS tk FROM dd), "
+        "stats AS (SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM toks), "
+        "tm AS (SELECT doc_id, len(tk) AS dl, t.term, "
+        "len(list_filter(tk, x -> x = t.term)) AS tf "
+        "FROM toks, (SELECT unnest(['join','hash','scan']) AS term) t "
+        "WHERE list_contains(tk, t.term)), "
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tm GROUP BY term), "
+        "w AS (SELECT doc_id, ln((n - df + 0.5) / (df + 0.5) + 1.0) * "
+        f"(tf * {k1 + 1!r}) / (tf + {k1!r} * ({1 - b!r} + {b!r} * dl / avgdl)) AS wt "
+        "FROM tm JOIN dfreq USING (term) CROSS JOIN stats), "
+        "scored AS (SELECT doc_id, round(sum(wt), 6) AS bm25 FROM w GROUP BY doc_id), "
+        "ranked AS (SELECT s.doc_id, d.lang, s.bm25, row_number() OVER "
+        "(PARTITION BY d.lang ORDER BY s.bm25 DESC, s.doc_id) AS rn "
+        "FROM scored s JOIN documents d ON d.doc_id = s.doc_id), "
+        "capped AS (SELECT doc_id, lang, bm25 FROM ranked WHERE rn <= 10), "
+        f"bpe AS (SELECT doc_id, len(list_filter(regexp_extract_all(text, '({bpe})', 1), "
+        "t -> NOT regexp_matches(t, '^\\s+$'))) AS n_bpe FROM dd) "
+        "SELECT c.lang, c.doc_id, c.bm25, b.n_bpe FROM capped c JOIN bpe b USING (doc_id) "
+        "ORDER BY c.lang, c.doc_id"
+    )
+
+
+@query("q_x8_curation_pipeline", _x8_oracle(), tags=("text", "dedup", "retrieval", "sampling"))
+def q_x8(spark, sf_dir):
+    # The composed corpus-curation chain a retrieval-directed data
+    # build runs: cross-document segment dedup (line_dedup keyed on
+    # 'value'-delimited fragments — first occurrence wins corpus-wide),
+    # BM25 scoring of the deduped text against a topic term set,
+    # exact top-10-per-language capping (skew-proof salted two-phase),
+    # and BPE pre-token counts for the survivors' length budget. Four
+    # operators, one attested result. Every stage is a linear
+    # shuffle/broadcast plan: dedup = two map-side-combinable groupBys,
+    # BM25 = term-filtered explode + two scalar broadcasts, cap = two
+    # bounded windows, BPE = a codegen'd regexp — no Python anywhere.
+    from electrician_spark.functions import text as tx
+    from electrician_spark.operators import dedup, sampling
+    from electrician_spark.operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    deduped = dedup.line_dedup(docs, sep="value")
+    scored = bm25_scores(deduped, ["join", "hash", "scan"])
+    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    capped = sampling.cap_per_group(
+        joined, ["lang"], 10, [F.col("bm25").desc(), F.col("doc_id")]
+    )
+    out = capped.join(deduped, "doc_id").select(
+        "lang", "doc_id", "bm25", tx.bpe_token_count(F.col("text")).alias("n_bpe")
+    )
+    return out.orderBy("lang", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (LLM-pipeline extension)
 # ---------------------------------------------------------------------------
@@ -2706,86 +2781,83 @@ def q_ht1(spark, sf_dir):
 # already covered by a kept sibling (extra join/set/window/date variants)
 # rotate past the cap and keep their local tools/check.py coverage.
 
-# Round-4 rotation policy (no query goes >1 round without a driver row).
-# 96 declared queries, 50-slot window. Locked in:
-# - the 2 red rows from r3, both fixed this round and re-proven first:
-#   q_t6_tagger (driver canon crashed on a raw array column — output is
-#   now the ','-joined string) and q_p2_snr (DuckDB round() keeps IEEE
-#   -0.0 where Spark normalizes — both sides now add +0.0);
-# - all 46 queries whose latest driver row is r2 (they were rotated out
-#   of the r3 window); skipping any would breach the one-round rule.
-# That fills 48 slots; the remaining 2 go to queries new this round.
-# OUT (all green in r3, unchanged semantics, back in r5): aj1, rj1,
-# ht1, fm1, w5, w7, r2, r4, z1, sm3, sp1, ds1, q1, a7, hg1, hh1, sm4,
-# wf4, j7, x5, x6, k6, pr1, q2, e1, k3, k5, n3, t10, t11, a3-a6,
-# j3-j5, u2-u4, f2, f3, w2, wf2, wf3, d2, sk1, m1.
+# Round-5 rotation (no query goes >1 round without a driver row).
+# The registry now holds EXACTLY 100 queries = two disjoint 50-slot
+# windows, so the 2-round exact cover is structurally permanent: each
+# round's window is the complement of the previous round's record.
+# 100 is a deliberate cap — a 101st query would make the 2-round cover
+# arithmetically impossible (the invariant test would go red the round
+# after it was added); new queries must therefore either replace a
+# retired sibling or land in the next window alongside a policy change.
 #
-# Round-5 rotation recipe: window = the 48 queries absent from
-# CORRECTNESS_r04 + up to 2 new, plus any r4 red rows re-proven first.
-# New-query candidates (families currently tests-only that could gain
-# an oracle form): a zorder-layout row-identity query (io.write_zordered
-# exists, layout pinned in test_io), a metrics/threshold-abort
-# aggregate (metrics.py), a second multi-probe/recall point (nprobe=3),
-# or a bpe_token_count aggregate over documents (functions/text.py —
-# the pattern is already verified byte-identical Spark vs DuckDB RE2).
-# Also oracle-able now: a wave-DSv2 scan energy query (format("wave")
-# path == q_p1's oracle), a BM25 top-k over documents
-# (operators/retrieval.py — log/arithmetic only, 6dp-roundable), and a
-# cap_per_group per-domain corpus cap (sampling.py — md5-deterministic).
+# r5 window = the 48 queries whose latest driver row is r3 (absent from
+# CORRECTNESS_r04; skipping any would breach the one-round rule) + the
+# 2 queries new this round, placed first so they are attested
+# immediately:
+# - q_d9_lsh_near_dup: the LSH-prefiltered near-dup scale path the r4
+#   verdict mandated (bucket-local GEMM, subset-of-exact contract);
+# - q_x8_curation_pipeline: composite attestation of the four r4
+#   operators that had tests but no driver row — line_dedup (segment
+#   first-occurrence dedup), bm25_scores, cap_per_group, and
+#   bpe_token_count — chained as one curation pipeline with a full
+#   closed-form oracle.
+# OUT (all green in r4, unchanged semantics, back in r6): s1-s4, t1,
+# t3, t5, t6, t9, a1, a2, j1, j2, j6, o1-o3, w1, w3, w8, w9, wf1, u1,
+# f1, f4, f5, x1-x4, x7, d1, d3-d8, sm1, sm2, n1, n2, n4, k1, k2, k4,
+# r1, p1-p3.
 _DRIVER_PRIORITY = [
-    # r3 red rows — fixed, must re-prove
-    "q_t6_tagger",
-    "q_p2_snr",
     # new this round (never driver-checked)
-    "q_x7_quality_filter_pipeline",
-    "q_n4_ann_ivf_probes",
-    # latest row is r2 (one-round rule)
-    "q_s1_full_scan",
-    "q_s2_projection_pushdown",
-    "q_s3_predicate_pushdown",
-    "q_s4_cursor_scan",
-    "q_t1_revenue_projection",
-    "q_t3_keyword_filter",
-    "q_t5_classifier",
-    "q_t9_sha256",
-    "q_a1_pricing_summary",
-    "q_a2_rate_per_hour",
-    "q_j1_broadcast_inner",
-    "q_j2_shipping_priority",
-    "q_j6_range_join",
-    "q_o1_global_topk",
-    "q_o2_grouped_topk",
-    "q_o3_priority_drain",
-    "q_w1_tumbling_hour",
-    "q_w3_session_counts",
-    "q_w8_dedupe_key",
-    "q_w9_ordered_replay",
-    "q_wf1_rank",
-    "q_u1_union_all",
-    "q_f1_string",
-    "q_f4_array_agg",
-    "q_f5_json_extract",
-    "q_x1_token_stats",
-    "q_x2_quality_metrics",
-    "q_x3_language_id",
-    "q_x4_fingerprint",
-    "q_d1_exact_dedup",
-    "q_d3_minhash_lsh",
-    "q_d6_dup_clusters",
-    "q_d7_canonical_docs",
-    "q_d8_decontaminate",
-    "q_sm1_stratified_sample",
-    "q_sm2_hash_sample",
-    "q_d4_simhash",
-    "q_d5_embedding_near_dup",
-    "q_n1_ann_bruteforce",
-    "q_n2_ann_ivf",
-    "q_k1_parquet_roundtrip",
-    "q_k2_ndjson_roundtrip",
-    "q_k4_upsert_idempotent",
-    "q_r1_resequenced_replay",
-    "q_p1_signal_energy",
-    "q_p3_wave_roundtrip",
+    "q_d9_lsh_near_dup",
+    "q_x8_curation_pipeline",
+    # latest row is r3 (one-round rule)
+    "q_a3_error_ratio",
+    "q_a4_count_distinct",
+    "q_a5_peak_rate",
+    "q_a6_grouped_stats",
+    "q_a7_rollup_subtotals",
+    "q_aj1_asof_join",
+    "q_d2_ngram_jaccard",
+    "q_ds1_distinct_sketch",
+    "q_e1_quantize_embeddings",
+    "q_f2_date",
+    "q_f3_math",
+    "q_fm1_headers_map",
+    "q_hg1_price_histogram",
+    "q_hh1_heavy_hitters",
+    "q_ht1_hypertable_rollup",
+    "q_j3_left_join_counts",
+    "q_j4_semi_join",
+    "q_j5_anti_join",
+    "q_j7_regional_revenue",
+    "q_k3_kafka_frame_roundtrip",
+    "q_k5_upsert_executed",
+    "q_k6_csv_roundtrip",
+    "q_m1_media_features",
+    "q_n3_ann_ivf_kmeans",
+    "q_pr1_table_profile",
+    "q_q1_grouped_quantiles",
+    "q_q2_winsorized_stats",
+    "q_r2_retry_backoff",
+    "q_r4_retry_table",
+    "q_rj1_range_join",
+    "q_sk1_salted_agg",
+    "q_sm3_mixture_sample",
+    "q_sm4_weighted_sample",
+    "q_sp1_sequence_packing",
+    "q_t10_json_encode",
+    "q_t11_key_template",
+    "q_u2_union_distinct",
+    "q_u3_except",
+    "q_u4_intersect",
+    "q_w2_sliding_30m_15m",
+    "q_w5_blackout_filter",
+    "q_w7_ttl_expiry",
+    "q_wf2_lag_gap",
+    "q_wf3_running_sum",
+    "q_wf4_distribution_ranks",
+    "q_x5_repetition_stats",
+    "q_x6_pii_redaction",
+    "q_z1_compression_roundtrip",
 ]
 
 
