@@ -1,0 +1,261 @@
+"""In-process fake Kafka broker as a Spark Python DataSource — the
+executable contract test for the S4/K3 Kafka surfaces when no real
+broker exists in the environment (reference integration posture:
+kafkaclient_integration_test.go:24 runs the real client against
+Redpanda; this module plays Redpanda's role for the option maps).
+
+``format("kafka_fake")`` accepts the SAME option maps the real Spark
+Kafka connector consumes — ``kafka_source_options(...)`` on the read
+side, ``kafka_sink_options(...)`` + a ``kafka_frame(...)``-shaped
+DataFrame on the write side — and round-trips records through a
+disk-backed topic log (``brokerDir``), so producer framing, topic
+routing, key-hash partitioning, header transport, offset assignment
+and startingOffsets semantics are all EXECUTED, not just constructed.
+
+Honored options (lowercased; Spark passes DataSource options
+case-insensitively):
+- write: ``topic`` (fallback when the frame has no topic column),
+  ``numpartitions`` (partition count per topic, default 2; the real
+  broker owns this), ``includeheaders`` (header transport on/off)
+- read: ``subscribe`` (comma-separated topics), ``startingoffsets``
+  earliest|latest, ``startingoffsetsbytimestamp`` (JSON, the
+  reference's StartAt=timestamp), ``maxoffsetspertrigger`` (poll
+  window cap per partition), ``includeheaders``
+- ``kafka.*`` client options (bootstrap.servers, acks, compression,
+  batch.size, linger.ms) are accepted and ignored — they configure a
+  network client this fake replaces; the REAL connector consumes them.
+
+Record timestamps use a synthetic logical clock (epoch + offset
+seconds) so timestamp-based starts are deterministic and replayable.
+
+Partitioning follows Kafka's contract shape: an explicit ``partition``
+column wins, else crc32(key) % numPartitions, else partition 0 for
+null keys (deterministic stand-in for round-robin, which is
+batch-order-dependent on a real producer).
+
+Scale posture: this is a TEST DOUBLE for contract execution, not a
+transport — production reads/writes go through Spark's built-in
+``format("kafka")`` with checkpointing (R5). Layout mirrors a log:
+``brokerDir/<topic>/p<partition>/<segment>.jsonl`` with offsets
+assigned by segment order at read time.
+"""
+
+from __future__ import annotations
+
+import base64
+import glob
+import json
+import os
+import uuid
+import zlib
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+KAFKA_SOURCE_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType(), True),
+        StructField("value", BinaryType(), True),
+        StructField("headers", ArrayType(
+            StructType([
+                StructField("key", StringType(), False),
+                StructField("value", BinaryType(), True),
+            ])
+        ), True),
+        StructField("topic", StringType(), False),
+        StructField("partition", IntegerType(), False),
+        StructField("offset", LongType(), False),
+        StructField("timestamp", TimestampType(), False),
+        StructField("timestampType", IntegerType(), False),
+    ]
+)
+
+
+def _opts(options: dict) -> dict:
+    return {str(k).lower(): v for k, v in options.items()}
+
+
+def _broker_dir(o: dict) -> str:
+    d = o.get("brokerdir")
+    if not d:
+        raise ValueError("kafka_fake requires a brokerDir option")
+    return d
+
+
+class _TopicPartition(InputPartition):
+    def __init__(self, topic: str, part_dir: str, partition: int) -> None:
+        self.topic = topic
+        self.part_dir = part_dir
+        self.partition = partition
+
+
+class KafkaFakeWriter(DataSourceWriter):
+    """Consumes kafka_frame-shaped rows (value required; key / headers
+    / topic / partition optional) and appends them to the topic log.
+    One segment file per (task, topic, partition) — the append path is
+    embarrassingly parallel, like a real producer's per-partition
+    batches."""
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        o = _opts(options)
+        self.dir = _broker_dir(o)
+        self.default_topic = o.get("topic")
+        self.n_partitions = int(o.get("numpartitions", "2"))
+        self.include_headers = str(o.get("includeheaders", "true")).lower() == "true"
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> WriterCommitMessage:
+        segments: dict[tuple[str, int], list[str]] = {}
+        for row in iterator:
+            d = row.asDict() if hasattr(row, "asDict") else dict(zip(self.fields, row))
+            topic = d.get("topic") or self.default_topic
+            if not topic:
+                raise ValueError(
+                    "record has no topic column and no `topic` write option "
+                    "(the same contract the real Kafka sink enforces)"
+                )
+            part = d.get("partition")
+            if part is None:
+                key = d.get("key")
+                part = (
+                    zlib.crc32(str(key).encode()) % self.n_partitions
+                    if key is not None
+                    else 0
+                )
+            rec = {
+                "key": None if d.get("key") is None else str(d["key"]),
+                "value": None if d.get("value") is None else str(d["value"]),
+            }
+            headers = d.get("headers") if self.include_headers else None
+            if headers is not None:
+                rec["headers"] = [
+                    [
+                        h["key"] if isinstance(h, dict) else h.key,
+                        base64.b64encode(
+                            bytes(h["value"] if isinstance(h, dict) else h.value)
+                        ).decode("ascii"),
+                    ]
+                    for h in headers
+                ]
+            segments.setdefault((topic, int(part)), []).append(json.dumps(rec))
+        for (topic, part), lines in segments.items():
+            pdir = os.path.join(self.dir, topic, f"p{part}")
+            os.makedirs(pdir, exist_ok=True)
+            seg = os.path.join(pdir, f"{uuid.uuid4().hex}.jsonl")
+            with open(seg, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:  # log is append-only; segments are final
+        return None
+
+    def abort(self, messages) -> None:
+        return None
+
+
+class KafkaFakeReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        o = _opts(options)
+        self.dir = _broker_dir(o)
+        sub = o.get("subscribe")
+        if not sub:
+            raise ValueError("kafka_fake read requires `subscribe` (like the real source)")
+        self.topics = [t.strip() for t in sub.split(",") if t.strip()]
+        self.starting = str(o.get("startingoffsets", "earliest")).lower()
+        by_ts = o.get("startingoffsetsbytimestamp")
+        self.start_ts = json.loads(by_ts) if by_ts else None
+        cap = o.get("maxoffsetspertrigger")
+        self.max_per_partition = int(cap) if cap is not None else None
+        self.include_headers = str(o.get("includeheaders", "false")).lower() == "true"
+
+    def partitions(self):
+        parts = []
+        for topic in self.topics:
+            for pdir in sorted(glob.glob(os.path.join(self.dir, topic, "p*"))):
+                parts.append(
+                    _TopicPartition(topic, pdir, int(os.path.basename(pdir)[1:]))
+                )
+        # empty log → one empty partition: a valid zero-row relation
+        return parts or [_TopicPartition("", "", 0)]
+
+    def read(self, partition):
+        if not partition.part_dir:
+            return
+        if self.starting == "latest":
+            # batch read at `latest` sees nothing new — matches the real
+            # source's batch semantics for a static log
+            return
+        start_ms = None
+        if self.start_ts is not None:
+            tmap = self.start_ts.get(partition.topic, {})
+            start_ms = tmap.get("-1", tmap.get(str(partition.partition)))
+        offset = 0
+        emitted = 0
+        for seg in sorted(glob.glob(os.path.join(partition.part_dir, "*.jsonl"))):
+            with open(seg) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    ts_sec = offset  # synthetic logical clock
+                    cur = offset
+                    offset += 1
+                    if start_ms is not None and ts_sec * 1000 < start_ms:
+                        continue
+                    if (
+                        self.max_per_partition is not None
+                        and emitted >= self.max_per_partition
+                    ):
+                        return
+                    headers = None
+                    if self.include_headers and rec.get("headers") is not None:
+                        headers = [
+                            (k, base64.b64decode(v)) for k, v in rec["headers"]
+                        ]
+                    yield (
+                        None if rec["key"] is None else rec["key"].encode(),
+                        None if rec["value"] is None else rec["value"].encode(),
+                        headers,
+                        partition.topic,
+                        partition.partition,
+                        cur,
+                        datetime.fromtimestamp(ts_sec, tz=timezone.utc),
+                        0,
+                    )
+                    emitted += 1
+
+
+class KafkaFakeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_fake"
+
+    def schema(self):
+        return KAFKA_SOURCE_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return KafkaFakeReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError("kafka_fake is an append-only log (like Kafka)")
+        return KafkaFakeWriter(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(KafkaFakeDataSource)

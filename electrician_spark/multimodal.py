@@ -7,9 +7,11 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so each partition processes a bounded batch of
 blobs without ever collecting to the driver.
 
-The container has no image/audio codecs, so the actual byte→pixels
-decode is STUBBED (deterministic fake or NotImplementedError, clearly
-marked). Everything around it — schema, batch shape, partition sizing,
+Image DIMENSIONS are parsed from real container headers (PNG IHDR /
+JPEG SOF / GIF screen descriptor — stdlib byte walking, no codec
+dependency). The byte→PIXELS decode beyond that is STUBBED with a
+deterministic fake (clearly marked): the container has no image/audio
+codecs. Everything around it — schema, batch shape, partition sizing,
 UDF signatures — is real and tested; swapping in PIL/ffmpeg is a
 one-function change on the executor side.
 
@@ -76,14 +78,73 @@ def attach_binary(
     )
 
 
+def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """Real (width, height) from actual image container headers —
+    stdlib byte parsing, no codec dependency:
+
+    - PNG:  8-byte signature, then the mandatory first IHDR chunk:
+      u32be width/height at offsets 16/20 (RFC 2083 §3.1, §4.1.1)
+    - JPEG: walk FF-marker segments from SOI to the first SOF0–SOF15
+      frame header (skipping fill bytes, standalone RST/TEM markers,
+      and the non-frame C4/C8/CC table markers): u16be height, width
+      at segment offsets 3/5 (ITU T.81 §B.2.2)
+    - GIF:  GIF87a/GIF89a logical screen descriptor: u16le width,
+      height at offsets 6/8
+
+    Returns ``None`` when the payload is not a recognized image
+    container (the deterministic stub then models the decode for
+    plumbing tests with synthetic payloads)."""
+    if payload is None or len(payload) < 10:
+        return None
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return (w, h) if w and h else None
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (w, h) if w and h else None
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return (w, h) if w and h else None
+    return None
+
+
 def _decode_stub(payload: bytes, mime: str) -> tuple[int, int]:
-    """STUB decode: derive deterministic fake (width, height) from the
-    payload hash. Replace with PIL.Image.open for real images — the
-    surrounding plumbing (batching, schema, error column) is unchanged.
-    Raises for modalities the stub doesn't model, exercising the error
-    path the way a corrupt blob would."""
+    """Dimension decode: REAL header parse first (PNG/JPEG/GIF via
+    :func:`parse_image_dims`); payloads that aren't recognized image
+    containers fall back to a deterministic fake (width, height)
+    derived from the payload hash — the clearly-marked STUB for
+    synthetic plumbing fixtures. Pixel decoding beyond dimensions
+    would slot in here (PIL.Image.open) without touching the
+    surrounding batching/schema/error plumbing."""
     if payload is None:
         raise ValueError("empty payload")
+    real = parse_image_dims(bytes(payload))
+    if real is not None:
+        return real
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 

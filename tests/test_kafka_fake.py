@@ -1,0 +1,177 @@
+"""Executed Kafka contract round-trip against the in-process fake
+broker (kafka_fake Python DataSource) — the S4/K3 option maps drive a
+real write→read cycle, the role Redpanda plays for the reference's
+integration test (kafkaclient_integration_test.go:24)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from electrician_spark import kafka_fake
+from electrician_spark.streaming.sinks import kafka_frame, kafka_sink_options
+from electrician_spark.streaming.sources import kafka_source_options
+
+
+def _strip_client_opts(opts: dict) -> dict:
+    # kafka.* options configure the network client the fake replaces;
+    # the fake accepts them but they must not be required
+    return opts
+
+
+def test_kafka_roundtrip_full_option_surface(spark, tmp_path):
+    """kafka_source_options → frames → kafka_sink_options as ONE
+    executed round-trip: template keys, JSON values, header bytes,
+    topic routing, key-hash partitioning, offset assignment and
+    earliest/latest semantics all run through the fake log."""
+    kafka_fake.register(spark)
+    broker = str(tmp_path / "broker")
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.25), (3, "c", 30.0), (4, "d", 40.75)],
+        "k long, s string, v double",
+    )
+    frame = kafka_frame(
+        src,
+        value_cols=["k", "v"],
+        key_template="rec:{k}",
+        header_templates={"tag": "{s}"},
+        topic="events",
+    )
+    sink_opts = kafka_sink_options(
+        "broker:9092", topic="events", acks="all", compression="lz4",
+        batch_size=16384, linger_ms=5,
+    )
+    frame.write.format("kafka_fake").options(brokerDir=broker, **sink_opts).mode(
+        "append"
+    ).save()
+
+    src_opts = kafka_source_options(
+        ["events"], "broker:9092", start_at="earliest", group_id="g1"
+    )
+    back = (
+        spark.read.format("kafka_fake")
+        .options(brokerDir=broker, includeHeaders="true", **src_opts)
+        .load()
+    )
+    rows = back.collect()
+    assert len(rows) == 4
+    got = {}
+    for r in rows:
+        payload = json.loads(bytes(r.value).decode())
+        got[bytes(r.key).decode()] = (payload, r.topic, r.partition, r.offset, r.headers)
+    assert set(got) == {"rec:1", "rec:2", "rec:3", "rec:4"}
+    assert got["rec:1"][0] == {"k": 1, "v": 10.5}
+    assert all(t == "events" for _, t, _, _, _ in got.values())
+    # header bytes survive the wire
+    for key, (_, _, _, _, headers) in got.items():
+        (h,) = headers
+        assert h.key == "tag" and bytes(h.value).decode() in {"a", "b", "c", "d"}
+    # key-hash partitioning: every record landed where crc32 says
+    import zlib
+
+    for key, (_, _, part, _, _) in got.items():
+        assert part == zlib.crc32(key.encode()) % 2
+    # offsets are contiguous per partition starting at 0
+    by_part: dict[int, list[int]] = {}
+    for _, (_, _, part, off, _) in got.items():
+        by_part.setdefault(part, []).append(off)
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+
+    # batch read at `latest` over a static log sees nothing (the real
+    # source's batch semantics)
+    latest = kafka_source_options(["events"], "broker:9092", start_at="latest")
+    assert (
+        spark.read.format("kafka_fake").options(brokerDir=broker, **latest).load().count()
+        == 0
+    )
+
+
+def test_kafka_append_offsets_and_poll_window(spark, tmp_path):
+    """A second produced batch appends with increasing offsets, and
+    maxOffsetsPerTrigger (the reference's poll window) caps the read."""
+    kafka_fake.register(spark)
+    broker = str(tmp_path / "broker")
+    for batch in range(2):
+        df = spark.createDataFrame([(batch * 10 + i,) for i in range(5)], "k long")
+        frame = kafka_frame(df, value_cols=["k"], key_template="x", topic="t1")
+        frame.write.format("kafka_fake").options(
+            brokerDir=broker, **kafka_sink_options("b:9092", topic="t1")
+        ).mode("append").save()
+    opts = kafka_source_options(["t1"], "b:9092", start_at="earliest")
+    back = spark.read.format("kafka_fake").options(brokerDir=broker, **opts).load()
+    offs = sorted(r.offset for r in back.collect())
+    assert offs == list(range(10))  # same key -> one partition, contiguous log
+
+    capped = kafka_source_options(
+        ["t1"], "b:9092", start_at="earliest", max_offsets_per_trigger=4
+    )
+    assert (
+        spark.read.format("kafka_fake").options(brokerDir=broker, **capped).load().count()
+        == 4
+    )
+
+
+def test_kafka_timestamp_start_and_multi_topic(spark, tmp_path):
+    """StartAt=timestamp (startingOffsetsByTimestamp) skips records
+    before the requested logical time; subscribe fans in topics."""
+    kafka_fake.register(spark)
+    broker = str(tmp_path / "broker")
+    for topic in ("ta", "tb"):
+        df = spark.createDataFrame([(i,) for i in range(6)], "k long")
+        frame = kafka_frame(df, value_cols=["k"], key_template="x", topic=topic)
+        frame.write.format("kafka_fake").options(
+            brokerDir=broker, **kafka_sink_options("b:9092", topic=topic)
+        ).mode("append").save()
+
+    both = kafka_source_options(["ta", "tb"], "b:9092", start_at="earliest")
+    back = spark.read.format("kafka_fake").options(brokerDir=broker, **both).load()
+    assert back.groupBy("topic").count().count() == 2 and back.count() == 12
+
+    # synthetic clock: offset N carries timestamp epoch+N s — start at 3000ms
+    ts_opts = kafka_source_options(
+        ["ta"], "b:9092", start_timestamp_ms=3000
+    )
+    late = spark.read.format("kafka_fake").options(brokerDir=broker, **ts_opts).load()
+    assert sorted(r.offset for r in late.collect()) == [3, 4, 5]
+
+
+def test_kafka_write_requires_topic(spark, tmp_path):
+    """No topic column and no topic option must fail — the same
+    contract the real sink enforces."""
+    import pytest
+
+    kafka_fake.register(spark)
+    df = spark.createDataFrame([(1,)], "k long")
+    frame = kafka_frame(df, value_cols=["k"])  # no topic
+    with pytest.raises(Exception, match="topic"):
+        frame.write.format("kafka_fake").options(
+            brokerDir=str(tmp_path / "b"), **kafka_sink_options("b:9092")
+        ).mode("append").save()
+
+
+def test_kafka_dedupe_and_decode_pipeline_over_fake_source(spark, tmp_path):
+    """S4 consumer shape end-to-end: produce JSON frames, read them
+    back through the source option map, decode value JSON and dedupe on
+    a key — the engine-side consumer pipeline the reference runs with
+    CommitMode semantics (superseded here by deterministic offsets)."""
+    kafka_fake.register(spark)
+    broker = str(tmp_path / "broker")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (1, "x"), (3, "z")], "id long, payload string"
+    )
+    frame = kafka_frame(df, value_cols=["id", "payload"], key_template="{id}", topic="in")
+    frame.write.format("kafka_fake").options(
+        brokerDir=broker, **kafka_sink_options("b:9092", topic="in")
+    ).mode("append").save()
+
+    opts = kafka_source_options(["in"], "b:9092", start_at="earliest")
+    back = spark.read.format("kafka_fake").options(brokerDir=broker, **opts).load()
+    decoded = back.select(
+        F.get_json_object(F.decode("value", "utf-8"), "$.id").cast("long").alias("id"),
+        F.get_json_object(F.decode("value", "utf-8"), "$.payload").alias("payload"),
+    )
+    assert decoded.count() == 4
+    assert decoded.dropDuplicates(["id"]).count() == 3

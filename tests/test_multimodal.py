@@ -81,3 +81,87 @@ def test_resize_plan_dims_and_determinism(spark):
     assert sorted((r.media_id, bytes(r.resized)) for r in out) == sorted(
         (r.media_id, bytes(r.resized)) for r in again
     )
+
+
+def _png(w: int, h: int) -> bytes:
+    import struct as st
+    import zlib
+
+    ihdr = st.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = st.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += st.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk + b"\x00" * 16
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    import struct as st
+
+    app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + st.pack(">H", 4) + b"\x00\x00"  # bogus-but-walkable table segment
+    sof0 = b"\xff\xc0" + st.pack(">HBHHB", 8, 8, h, w, 1) + b"\x00" * 0
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def _gif(w: int, h: int) -> bytes:
+    import struct as st
+
+    return b"GIF89a" + st.pack("<HH", w, h) + b"\x00" * 8
+
+
+def test_parse_image_dims_real_headers():
+    from electrician_spark.multimodal import parse_image_dims
+
+    assert parse_image_dims(_png(640, 480)) == (640, 480)
+    assert parse_image_dims(_jpeg(1024, 768)) == (1024, 768)
+    assert parse_image_dims(_gif(320, 200)) == (320, 200)
+    # non-images fall through to None (the stub path)
+    assert parse_image_dims(b"plain text payload") is None
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\nXXXX") is None  # truncated IHDR
+    assert parse_image_dims(b"\xff\xd8\x00\x00") is None  # JPEG with broken marker
+
+
+def test_extract_features_real_image_dimensions(spark):
+    """The mapInPandas feature path must report REAL width/height for
+    genuine PNG/JPEG/GIF payloads (header parse, no codec), and keep
+    the deterministic stub for unrecognized bytes."""
+    from pyspark.sql import Row
+
+    from electrician_spark import multimodal as mm
+
+    rows = [
+        Row(media_id=1, modality="image", mime="image/png",
+            payload=bytearray(_png(800, 600)), source_uri="f:1"),
+        Row(media_id=2, modality="image", mime="image/jpeg",
+            payload=bytearray(_jpeg(256, 384)), source_uri="f:2"),
+        Row(media_id=3, modality="image", mime="image/gif",
+            payload=bytearray(_gif(64, 32)), source_uri="f:3"),
+        Row(media_id=4, modality="image", mime="application/octet-stream",
+            payload=bytearray(b"not an image"), source_uri="f:4"),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.extract_features(media).collect()}
+    assert (out[1].width, out[1].height) == (800, 600)
+    assert (out[2].width, out[2].height) == (256, 384)
+    assert (out[3].width, out[3].height) == (64, 32)
+    assert all(out[i].ok == "ok" for i in (1, 2, 3, 4))
+    # stub path still deterministic for non-image bytes
+    import hashlib
+
+    h = hashlib.sha256(b"not an image").digest()
+    assert (out[4].width, out[4].height) == (64 + h[0] % 192, 64 + h[1] % 192)
+
+
+def test_resize_plan_uses_real_dims(spark):
+    """Aspect-preserving targets must derive from the REAL header dims
+    for genuine images: an 800x600 PNG at max_side=128 -> 128x96."""
+    from pyspark.sql import Row
+
+    from electrician_spark import multimodal as mm
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, modality="image", mime="image/png",
+             payload=bytearray(_png(800, 600)), source_uri="f:1")],
+        mm.MEDIA_SCHEMA,
+    )
+    (r,) = mm.resize_plan(media, max_side=128).collect()
+    assert (r.target_w, r.target_h) == (128, 96) and r.ok == "ok"
