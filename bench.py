@@ -88,6 +88,34 @@ def main() -> None:
     results = run_set(names)
     extras = run_set([n for n in EXTRA_QUERIES if n in REGISTRY])
 
+    # Ambient-drift calibration (r4 verdict item 8): rounds r2/r4 showed
+    # ±50% machine noise on sub-second queries, masking real wins and
+    # regressions. Measure two FIXED probes whose definitions never
+    # change with engine code — a pure-JVM CPU probe and a parquet scan
+    # probe — and publish the headline total normalized by the CPU probe
+    # so round-over-round comparisons can be made ambient-adjusted.
+    from pyspark.sql import functions as CF
+
+    def _timed(thunk) -> float:
+        timings = []
+        for i in range(RUNS + 1):  # first run is warm-up
+            t0 = time.perf_counter()
+            thunk()
+            if i:
+                timings.append(time.perf_counter() - t0)
+        return round(statistics.median(timings), 4)
+
+    cpu_probe = _timed(
+        lambda: spark.range(50_000_000)
+        .select(CF.max(CF.xxhash64("id")).alias("s"))  # max: no ANSI long overflow
+        .collect()
+    )
+    scan_probe = _timed(
+        lambda: spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .select(CF.sum("l_extendedprice").alias("s"))
+        .collect()
+    )
+
     # Reference benchmark-harness workload shape (BASELINE.md: 10M items
     # x 256 B payload, one sha256 round per item, 32 workers —
     # example/benchmark_example/processing/main.go): measure the same
@@ -123,6 +151,12 @@ def main() -> None:
                 "queries": results,
                 "extra_queries": extras,
                 "extras_total_sec": round(sum(extras.values()), 4),
+                "calibration": {
+                    "cpu_probe_sec": cpu_probe,
+                    "scan_probe_sec": scan_probe,
+                    "headline_per_cpu_probe": round(total / cpu_probe, 3),
+                    "extras_per_cpu_probe": round(sum(extras.values()) / cpu_probe, 3),
+                },
                 "sha256_pipeline_items_per_sec": sha_items_per_sec,
                 "sf": _sf_label(SF_DIR),
                 "cpus": cpu_budget(),

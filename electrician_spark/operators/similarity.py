@@ -351,24 +351,35 @@ def hyperplane_bucket_sql(
     cross-engine form (Spark `element_at` vs DuckDB 1-based `[]` is the
     only difference). Bit ``pos`` of the bucket = sign of the dot
     product with plane ``planes[pos]``. The per-plane dot product is a
-    LEFT-ASSOCIATIVE literal-weight term chain so IEEE summation order
-    is bit-identical in both engines (a list_sum/aggregate fold could
-    associate differently and flip a sign at the boundary)."""
+    LEFT-ASSOCIATIVE summation so IEEE order is bit-identical in both
+    engines. DuckDB gets the literal term chain; Spark gets the same
+    fold as ``aggregate(zip_with(...))`` — a left fold from +0.0, which
+    IEEE-matches the chain term for term (+0.0 + t0 == t0 up to the
+    sign of zero, and a ±0.0 partial sum never changes a later >= 0.0
+    outcome). The HOF form matters at plan scale: 8 tables x 3 planes
+    x 64 dims as inline chains is ~1.5k codegen terms, which blows the
+    JVM 64 KB method limit, poisons whole-stage codegen for the entire
+    stage, and costs seconds of Janino compile-fail-retry per run
+    (measured 72 s -> ~3 s on the q_d9 fixture plan)."""
     parts = []
     for pos, p in enumerate(planes):
         ws = _hyperplane_weights(p, dim)
         if engine == "spark":
-            terms = [
-                f"(CAST(element_at(`{vec}`, {d + 1}) AS DOUBLE) * CAST({w!r} AS DOUBLE))"
-                for d, w in enumerate(ws)
-            ]
+            wlit = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in ws)
+            # slice(): past-the-end elements null out the fold exactly
+            # like element_at() beyond the array did in the chain form.
+            chain = (
+                f"aggregate(zip_with(slice(`{vec}`, 1, {dim}), array({wlit}), "
+                "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
+                "(acc, t) -> acc + t)"
+            )
         else:
             terms = [
                 f"(CAST({vec}[{d + 1}] AS DOUBLE) * CAST({w!r} AS DOUBLE))"
                 for d, w in enumerate(ws)
             ]
-        chain = " + ".join(terms)
-        parts.append(f"(CASE WHEN ({chain}) >= 0.0 THEN {1 << pos} ELSE 0 END)")
+            chain = "(" + " + ".join(terms) + ")"
+        parts.append(f"(CASE WHEN {chain} >= 0.0 THEN {1 << pos} ELSE 0 END)")
     return " + ".join(parts)
 
 
