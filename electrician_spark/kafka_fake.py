@@ -46,6 +46,7 @@ import base64
 import glob
 import json
 import os
+import time
 import uuid
 import zlib
 from datetime import datetime, timezone
@@ -53,6 +54,7 @@ from datetime import datetime, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -157,7 +159,15 @@ class KafkaFakeWriter(DataSourceWriter):
         for (topic, part), lines in segments.items():
             pdir = os.path.join(self.dir, topic, f"p{part}")
             os.makedirs(pdir, exist_ok=True)
-            seg = os.path.join(pdir, f"{uuid.uuid4().hex}.jsonl")
+            # Segment names MUST sort in append order: offsets are
+            # assigned by sorted(segment) position, so a later produce
+            # sorting before an existing segment would renumber the
+            # whole log (observed: random-uuid names broke streaming
+            # checkpoint resume). time_ns prefix = monotonic across
+            # produce calls; concurrent tasks in ONE write interleave
+            # arbitrarily, like concurrent producers on a real broker,
+            # but the order is frozen from then on.
+            seg = os.path.join(pdir, f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.jsonl")
             with open(seg, "w") as fh:
                 fh.write("\n".join(lines) + "\n")
         return WriterCommitMessage()
@@ -239,6 +249,151 @@ class KafkaFakeReader(DataSourceReader):
                     emitted += 1
 
 
+class _RangePartition(InputPartition):
+    def __init__(self, topic: str, part_dir: str, partition: int, start: int, end: int) -> None:
+        self.topic = topic
+        self.part_dir = part_dir
+        self.partition = partition
+        self.start = start
+        self.end = end
+
+
+def _log_partitions(broker_dir: str, topics: list[str]) -> list[tuple[str, str, int]]:
+    out = []
+    for topic in topics:
+        for pdir in sorted(glob.glob(os.path.join(broker_dir, topic, "p*"))):
+            out.append((topic, pdir, int(os.path.basename(pdir)[1:])))
+    return out
+
+
+def _partition_end(part_dir: str) -> int:
+    n = 0
+    for seg in glob.glob(os.path.join(part_dir, "*.jsonl")):
+        with open(seg) as fh:
+            n += sum(1 for _ in fh)
+    return n
+
+
+def _read_offset_range(part):
+    """Yield KAFKA_SOURCE_SCHEMA tuples for offsets [start, end) of one
+    topic-partition — shared by the stream reader's tasks."""
+    offset = 0
+    for seg in sorted(glob.glob(os.path.join(part.part_dir, "*.jsonl"))):
+        with open(seg) as fh:
+            for line in fh:
+                cur = offset
+                offset += 1
+                if cur < part.start:
+                    continue
+                if cur >= part.end:
+                    return
+                rec = json.loads(line)
+                headers = None
+                if rec.get("headers") is not None:
+                    headers = [(k, base64.b64decode(v)) for k, v in rec["headers"]]
+                yield (
+                    None if rec["key"] is None else rec["key"].encode(),
+                    None if rec["value"] is None else rec["value"].encode(),
+                    headers,
+                    part.topic,
+                    part.partition,
+                    cur,
+                    datetime.fromtimestamp(cur, tz=timezone.utc),
+                    0,
+                )
+
+
+class KafkaFakeStreamReader(DataSourceStreamReader):
+    """Micro-batch consumer over the fake broker log — the streaming
+    half of the S4 contract, EXECUTED: offset planning (earliest /
+    latest / by-timestamp starts), per-partition poll-window pacing
+    (``maxOffsetsPerTrigger``), and exactly-once restart from a Spark
+    checkpoint (the committed offset map is the source of truth; the
+    log is never mutated, like a real broker with retention).
+
+    Offsets are the real connector's JSON shape:
+    ``{topic: {"<partition>": next_offset}}``. Partitions created
+    after the stream starts are picked up at the next trigger starting
+    from offset 0 (new-partition discovery, startingOffsets applies
+    only to partitions present at start — Kafka's documented rule)."""
+
+    def __init__(self, options: dict) -> None:
+        o = _opts(options)
+        self.dir = _broker_dir(o)
+        sub = o.get("subscribe")
+        if not sub:
+            raise ValueError("kafka_fake read requires `subscribe` (like the real source)")
+        self.topics = [t.strip() for t in sub.split(",") if t.strip()]
+        self.starting = str(o.get("startingoffsets", "earliest")).lower()
+        by_ts = o.get("startingoffsetsbytimestamp")
+        self.start_ts = json.loads(by_ts) if by_ts else None
+        cap = o.get("maxoffsetspertrigger")
+        self.max_per_partition = int(cap) if cap is not None else None
+        # last planned end per "topic\x00p" — pacing state. On restart
+        # Spark resumes from its checkpoint via partitions(start, ...),
+        # which re-seeds this map (see partitions()).
+        self._planned: dict[str, int] = {}
+
+    def _start_offset_for(self, topic: str, part_dir: str, partition: int) -> int:
+        if self.start_ts is not None:
+            tmap = self.start_ts.get(topic, {})
+            start_ms = tmap.get("-1", tmap.get(str(partition)))
+            if start_ms is None:
+                return 0
+            # synthetic clock: record ts (sec) == offset
+            return max(0, -(-int(start_ms) // 1000))
+        if self.starting == "latest":
+            return _partition_end(part_dir)
+        return 0
+
+    def initialOffset(self) -> dict:
+        out: dict[str, dict[str, int]] = {}
+        for topic, pdir, p in _log_partitions(self.dir, self.topics):
+            off = self._start_offset_for(topic, pdir, p)
+            out.setdefault(topic, {})[str(p)] = off
+            self._planned[f"{topic}\x00{p}"] = off
+        return out
+
+    def latestOffset(self) -> dict:
+        out: dict[str, dict[str, int]] = {}
+        for topic, pdir, p in _log_partitions(self.dir, self.topics):
+            end = _partition_end(pdir)
+            # Unknown partition ⇒ either created after start (consume
+            # from 0, Kafka's new-partition rule) or the first trigger
+            # after a checkpoint restart (partitions() re-seeds from the
+            # committed start; one possibly-empty paced batch, no
+            # loss/dup). initialOffset() seeds partitions present at a
+            # fresh start.
+            base = self._planned.get(f"{topic}\x00{p}", 0)
+            if self.max_per_partition is not None:
+                end = min(end, base + self.max_per_partition)
+            end = max(end, base)
+            out.setdefault(topic, {})[str(p)] = end
+            self._planned[f"{topic}\x00{p}"] = end
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for topic, pdir, p in _log_partitions(self.dir, self.topics):
+            s = int(start.get(topic, {}).get(str(p), 0))
+            e = int(end.get(topic, {}).get(str(p), s))
+            # restart re-seed: never plan behind what the checkpoint
+            # already committed (keeps pacing exactly-once after resume)
+            k = f"{topic}\x00{p}"
+            self._planned[k] = max(self._planned.get(k, 0), s, e)
+            if e > s:
+                parts.append(_RangePartition(topic, pdir, p, s, e))
+        return parts or [_RangePartition("", "", 0, 0, 0)]
+
+    def read(self, partition):
+        if not partition.part_dir or partition.end <= partition.start:
+            return iter(())
+        return _read_offset_range(partition)
+
+    def commit(self, end: dict) -> None:  # log retention is external, like Kafka
+        return None
+
+
 class KafkaFakeDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -249,6 +404,9 @@ class KafkaFakeDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return KafkaFakeReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return KafkaFakeStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         if overwrite:

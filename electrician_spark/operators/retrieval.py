@@ -53,6 +53,11 @@ def bm25_scores(
     is left to the caller (top-k via relational.top_k keeps it a
     TakeOrderedAndProject)."""
     m = term_matches(docs, terms, id_col, text_col)
+    # single-row corpus-stats broadcast: plans as a 1-row
+    # BroadcastNestedLoopJoin — the sanctioned bounds-join pattern
+    # (cf. quantize.py / olap.py winsorize); a constant equi-key can't
+    # force a hash join because Catalyst folds `1 = 1` back to a
+    # condition-free join. Build side is always exactly one row.
     stats = docs.select(
         F.count("*").alias("n"),
         F.avg(F.size(tokens(F.lower(F.col(text_col))))).alias("avgdl"),

@@ -130,6 +130,11 @@ _BNLJ_ALLOWED = {
     "q_n3_ann_ivf_kmeans",
     "q_n4_ann_ivf_probes",
     "q_e1_quantize_embeddings",
+    # bm25's corpus-stats join: build side is exactly ONE row (count +
+    # avgdl aggregate) broadcast to every task — the sanctioned bounds
+    # join shape, not an accidental cross (a constant equi-key can't
+    # demote it to a hash join; Catalyst folds `1 = 1` away).
+    "q_x8_curation_pipeline",
 }
 
 
