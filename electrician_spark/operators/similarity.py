@@ -103,6 +103,50 @@ def _make_gemm(margin: float):
     return _gemm
 
 
+def _grouped_gemm(
+    rows: DataFrame,
+    group_cols: list[str],
+    threshold: float,
+    blocks: int | None,
+    rows_per_block: int,
+) -> DataFrame:
+    """Shared blocked-GEMM engine: score every within-group pair of
+    ``rows`` (columns ``_id``, ``_v``, plus ``group_cols``) above
+    ``threshold`` (minus the kernel margin). One group = one cosine
+    submatrix = one BLAS matmul; groups larger than ``rows_per_block``
+    are split into hash blocks and scored as B·(B+1)/2 block pairs, so
+    task memory is bounded at ~rows_per_block² score cells no matter
+    how skewed the grouping is. ``blocks=None`` auto-sizes from the
+    max group occupancy (one cheap count job). Callers round / filter /
+    dedup the raw (id_a, id_b, _cos) output. Backs the exact all-pairs
+    path (no groups), the sign-LSH prefilter (bucket groups), and
+    SemDeDup (cluster groups)."""
+    import math
+
+    spark = rows.sparkSession
+    if blocks is None:
+        if group_cols:
+            mx = rows.groupBy(*group_cols).count().agg(F.max("count")).collect()[0][0]
+        else:
+            mx = rows.count()
+        blocks = math.ceil((mx or 1) / max(1, rows_per_block))
+    b_count = max(1, blocks)
+    nv = rows.withColumn("_blk", F.pmod(F.hash(F.col("_id")), F.lit(b_count)))
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(b_count) for b in range(a, b_count)], "pa int, pb int"
+    )
+    rep_a = nv.join(F.broadcast(grid), nv["_blk"] == grid["pa"]).select(
+        *group_cols, "pa", "pb", "_id", "_v", F.lit(0).alias("_side")
+    )
+    rep_b = nv.join(F.broadcast(grid), nv["_blk"] == grid["pb"]).select(
+        *group_cols, "pa", "pb", "_id", "_v", F.lit(1).alias("_side")
+    )
+    both = rep_a.unionByName(rep_b)
+    return both.groupBy(*group_cols, "pa", "pb").applyInPandas(
+        _make_gemm(threshold - 1e-3), "id_a long, id_b long, _cos double"
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -128,30 +172,11 @@ def cosine_pairs(
     because the threshold filter applies inside the kernel (with a
     margin; the exact ``round(cos,4) ≥ t`` filter reruns Spark-side so
     results are identical to the naive plan)."""
-    import math
-
-    spark = df.sparkSession
-    if blocks is None:
-        blocks = math.ceil(df.count() / max(1, rows_per_block))
-    b_count = max(1, blocks)
-    # No fan-out repartition here: the block-pair groupBy below already
-    # redistributes, and everything above it is a cheap hash projection.
-    nv = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
-        "_blk", F.pmod(F.hash(F.col("_id")), F.lit(b_count))
-    )
-    grid = spark.createDataFrame(
-        [(a, b) for a in range(b_count) for b in range(a, b_count)], "pa int, pb int"
-    )
-    rep_a = nv.join(F.broadcast(grid), nv["_blk"] == grid["pa"]).select(
-        "pa", "pb", "_id", "_v", F.lit(0).alias("_side")
-    )
-    rep_b = nv.join(F.broadcast(grid), nv["_blk"] == grid["pb"]).select(
-        "pa", "pb", "_id", "_v", F.lit(1).alias("_side")
-    )
-    both = rep_a.unionByName(rep_b)
-    out = both.groupBy("pa", "pb").applyInPandas(
-        _make_gemm(threshold - 1e-3), "id_a long, id_b long, _cos double"
-    )
+    # No fan-out repartition here: the block-pair groupBy inside
+    # _grouped_gemm already redistributes, and everything above it is a
+    # cheap hash projection.
+    rows = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    out = _grouped_gemm(rows, [], threshold, blocks, rows_per_block)
     return out.select(
         "id_a", "id_b", F.round(F.col("_cos"), 4).alias("cos")
     ).filter(F.col("cos") >= threshold)
@@ -419,9 +444,6 @@ def lsh_cosine_pairs(
     that job). Buckets are md5-derived literal-weight hyperplane signs
     (:func:`hyperplane_bucket_sql`), deterministic across engines, runs
     and cluster sizes."""
-    import math
-
-    spark = df.sparkSession
     bucket_cols = [
         F.expr(
             hyperplane_bucket_sql(
@@ -442,29 +464,7 @@ def lsh_cosine_pairs(
     rows = base.select("_id", "_v", F.explode(entries).alias("e")).select(
         "_id", "_v", F.col("e._tbl").alias("_tbl"), F.col("e._bkt").alias("_bkt")
     )
-    if blocks is None:
-        mx = (
-            rows.groupBy("_tbl", "_bkt")
-            .count()
-            .agg(F.max("count"))
-            .collect()[0][0]
-        )
-        blocks = math.ceil((mx or 1) / max(1, rows_per_block))
-    b_count = max(1, blocks)
-    nv = rows.withColumn("_blk", F.pmod(F.hash(F.col("_id")), F.lit(b_count)))
-    grid = spark.createDataFrame(
-        [(a, b) for a in range(b_count) for b in range(a, b_count)], "pa int, pb int"
-    )
-    rep_a = nv.join(F.broadcast(grid), nv["_blk"] == grid["pa"]).select(
-        "_tbl", "_bkt", "pa", "pb", "_id", "_v", F.lit(0).alias("_side")
-    )
-    rep_b = nv.join(F.broadcast(grid), nv["_blk"] == grid["pb"]).select(
-        "_tbl", "_bkt", "pa", "pb", "_id", "_v", F.lit(1).alias("_side")
-    )
-    both = rep_a.unionByName(rep_b)
-    scored = both.groupBy("_tbl", "_bkt", "pa", "pb").applyInPandas(
-        _make_gemm(threshold - 1e-3), "id_a long, id_b long, _cos double"
-    )
+    scored = _grouped_gemm(rows, ["_tbl", "_bkt"], threshold, blocks, rows_per_block)
     # The same pair surfaces from every table whose buckets it shares —
     # the GEMM recomputes the identical double each time, so max() is a
     # pure dedup (one linear groupBy on the sparse survivor set).
@@ -500,3 +500,82 @@ def random_hyperplane_buckets(
         bit = F.when(terms >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return df.select(F.col(id_col), sig.alias("bucket"))
+
+
+def semantic_pairs(
+    df: DataFrame,
+    threshold: float = 0.85,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    blocks: int | None = None,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style near-dup candidates (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, then score
+    pairs CLUSTER-LOCALLY with the blocked GEMM. Returns
+    (id_a, id_b, cos), id_a < id_b, cos ≥ threshold to 4dp.
+
+    The semantic trade vs :func:`lsh_cosine_pairs`: clusters follow the
+    corpus's own density (duplicates of one document land in one
+    k-means cell with near-certainty at dedup-grade thresholds), so a
+    single partitioning replaces L hash tables — fewer candidate
+    groups, and the output needs no cross-table dedup because each
+    vector belongs to exactly ONE cluster. One-sided error: output ⊆
+    the exact pair set with identical cosines; only cross-cluster
+    pairs are missed.
+
+    Scale shape: assignment is a broadcast-centroid join (the corpus
+    never shuffles for it — see :func:`kmeans_labels`); per-cluster
+    GEMM work is Σ|cluster|²·d/2 ≈ N²d/(2k) at balanced k — choose
+    k ∝ N/rows_per_block to hold per-element work constant; oversized
+    clusters split into hash blocks, bounding task memory exactly like
+    the exact path. Pass ``label_col`` to reuse an existing clustering
+    (domain, shard, or a previous k-means) and skip Lloyd's entirely.
+    """
+    if label_col is None:
+        labeled = kmeans_labels(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        label_col = "label_km"
+    else:
+        labeled = df
+    rows = labeled.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(label_col).alias("_cl"),
+    )
+    scored = _grouped_gemm(rows, ["_cl"], threshold, blocks, rows_per_block)
+    return scored.select(
+        "id_a", "id_b", F.round(F.col("_cos"), 4).alias("cos")
+    ).filter(F.col("cos") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.85,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    blocks: int | None = None,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Deduplicated corpus under SemDeDup semantics: connect
+    :func:`semantic_pairs` into duplicate groups (large-star/small-star
+    rounds — O(log n) regardless of chain length) and keep only the
+    minimum-id member of each group. Singletons and cluster-crossing
+    near-dups survive (the documented one-sided error). Anti-join on
+    the drop list — the corpus never shuffles for the final cut."""
+    from electrician_spark.operators import dedup
+
+    pairs = semantic_pairs(
+        df, threshold, k, iters, id_col, vec_col, label_col, blocks, rows_per_block
+    )
+    comps = dedup.connected_components_star(pairs)
+    drop = comps.filter(F.col("node") != F.col("rep")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

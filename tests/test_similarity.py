@@ -150,3 +150,60 @@ def test_hyperplane_sql_matches_expression_buckets(spark, emb):
         ).collect()
     }
     assert sql_buckets == expr_buckets
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-local near-dup → star CC → canonical keep)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_pairs_k1_exact(spark, emb):
+    """One cluster = no partitioning: semantic_pairs must equal the
+    exact all-pairs GEMM bit-for-bit (same pairs, same 4dp cosines)."""
+    exact = _pairs(sim.cosine_pairs(emb, threshold=0.4, blocks=None, rows_per_block=64))
+    sem = _pairs(sim.semantic_pairs(emb, threshold=0.4, k=1, rows_per_block=64))
+    assert sem == exact and len(exact) > 0
+
+
+def test_semantic_pairs_subset_of_exact(spark, emb):
+    """k>1: one-sided error — every emitted pair is in the exact set
+    with the identical cosine; only cross-cluster pairs may be missed,
+    and dedup-grade duplicates (cos≥0.9) should survive clustering."""
+    exact = _pairs(sim.cosine_pairs(emb, threshold=0.4))
+    sem = _pairs(sim.semantic_pairs(emb, threshold=0.4, k=4))
+    assert len(sem) > 0
+    assert set(sem) <= set(exact)
+    assert all(sem[p] == exact[p] for p in sem)
+    near_exact = {p for p, c in exact.items() if c >= 0.9}
+    if near_exact:
+        recall = len(set(sem) & near_exact) / len(near_exact)
+        assert recall >= 0.8, f"high-cos recall {recall:.2f}"
+
+
+def test_semantic_pairs_external_labels(spark, emb):
+    """label_col reuses an existing partitioning and must equal running
+    k-means with the same assignment (here: the label column the
+    fixture already carries)."""
+    via_label = _pairs(sim.semantic_pairs(emb, threshold=0.4, label_col="label"))
+    exact = _pairs(sim.cosine_pairs(emb, threshold=0.4))
+    assert len(via_label) > 0
+    assert set(via_label) <= set(exact)
+    assert all(via_label[p] == exact[p] for p in via_label)
+
+
+def test_semantic_dedup_canonical_keep(spark, emb):
+    """semantic_dedup(k=1) must equal the exact pipeline: connect exact
+    pairs, drop every non-minimum member, keep everything else."""
+    from electrician_spark.operators import dedup
+
+    exact_pairs = sim.cosine_pairs(emb, threshold=0.4)
+    comps = dedup.connected_components_star(exact_pairs)
+    drop = {r.node for r in comps.filter(F.col("node") != F.col("rep")).collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+
+    assert len(drop) > 0
+    kept = {r.vec_id for r in sim.semantic_dedup(emb, threshold=0.4, k=1).collect()}
+    assert kept == all_ids - drop
+    # k>1 keeps at least as much (missed cross-cluster pairs → fewer drops)
+    kept4 = {r.vec_id for r in sim.semantic_dedup(emb, threshold=0.4, k=4).collect()}
+    assert kept <= kept4
