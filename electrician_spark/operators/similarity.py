@@ -485,7 +485,15 @@ def random_hyperplane_buckets(
     """Sign-LSH bucket id per vector using deterministic md5-derived
     hyperplanes: plane p, dim d gets weight in [-1,1) from
     conv(md5('p:d')[1:8], 16, 10) — reproducible across runs/engines
-    with no RNG broadcast. Bucket = bits of sign(v·plane)."""
+    with no RNG broadcast. Bucket = bits of sign(v·plane).
+
+    This builds the dot products as UNROLLED n_planes×dim term chains —
+    kept deliberately as the independent cross-check implementation for
+    `test_hyperplane_sql_matches_expression_buckets`. Production paths
+    (:func:`lsh_cosine_pairs`) use :func:`hyperplane_bucket_sql`'s
+    compact `aggregate(zip_with(...))` fold instead: at 8×64 terms and
+    up, the unrolled chain form blows the JVM 64 KB codegen method
+    limit and drops the whole stage to interpreted evaluation."""
     sig = None
     for p in range(n_planes):
         terms = None
