@@ -115,6 +115,26 @@ def main() -> None:
         .select(CF.sum("l_extendedprice").alias("s"))
         .collect()
     )
+    # the two components the cpu probe can NOT see, and where run-to-run
+    # drift actually lives (GC + shuffle fetch; python worker round-trip)
+    shuffle_probe = _timed(
+        lambda: spark.range(10_000_000)
+        .groupBy((CF.col("id") % 1_000_000).alias("k"))
+        .agg(CF.count("*").alias("c"))
+        .select(CF.max("c"))
+        .collect()
+    )
+
+    def _identity(pdf):
+        return pdf
+
+    pandas_probe = _timed(
+        lambda: spark.range(2_000_000)
+        .withColumn("g", CF.col("id") % 64)
+        .groupBy("g")
+        .applyInPandas(_identity, "id long, g long")
+        .count()
+    )
 
     # Reference benchmark-harness workload shape (BASELINE.md: 10M items
     # x 256 B payload, one sha256 round per item, 32 workers —
@@ -154,6 +174,8 @@ def main() -> None:
                 "calibration": {
                     "cpu_probe_sec": cpu_probe,
                     "scan_probe_sec": scan_probe,
+                    "shuffle_probe_sec": shuffle_probe,
+                    "pandas_probe_sec": pandas_probe,
                     "headline_per_cpu_probe": round(total / cpu_probe, 3),
                     "extras_per_cpu_probe": round(sum(extras.values()) / cpu_probe, 3),
                 },
