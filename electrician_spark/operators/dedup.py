@@ -791,3 +791,141 @@ def line_dedup(
     ).select(
         id_col, F.coalesce(F.col("_text"), F.lit("")).alias(text_col)
     )
+
+
+def repeated_ngram_sites(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    keep: str | None = "first",
+) -> DataFrame:
+    """Every token position starting a ``min_len``-token window whose
+    fingerprint occurs at ≥ 2 sites corpus-wide — the detection core of
+    exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", token-level posture: any
+    duplicated run of ≥ min_len tokens is found through its
+    length-min_len sub-windows). Returns (id, pos) flagged sites,
+    0-based token positions.
+
+    ``keep="first"``: the lexicographically-first site (doc id, pos) of
+    each fingerprint is NOT flagged, so stripping flagged sites leaves
+    exactly one copy of every duplicated run in the corpus.
+    ``keep=None`` flags every site of a duplicated window (detection /
+    audit mode).
+
+    Scale shape: one corpus scan → positional window explode (O(tokens)
+    rows, each fingerprinting min_len tokens via a codegen'd
+    md5(concat_ws(slice)) — no Python); one map-side-combinable groupBy
+    on the fingerprint (count + min site — boilerplate present in
+    millions of docs partial-aggregates before it shuffles); one join
+    back on the fingerprint key. Fingerprints are md5 of the
+    US-join of the window's tokens — deterministic across engines,
+    runs and cluster sizes."""
+    base = docs.select(
+        F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_tk")
+    ).filter(F.size("_tk") >= min_len)
+    sites = base.select(
+        "_id",
+        "_tk",
+        F.explode(F.sequence(F.lit(0), F.size("_tk") - min_len)).alias("_p"),
+    ).select(
+        "_id",
+        "_p",
+        F.md5(
+            F.concat_ws("\x1f", F.slice("_tk", F.col("_p") + 1, min_len))
+        ).alias("_fp"),
+    )
+    grouped = sites.groupBy("_fp").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct(F.col("_id").alias("i"), F.col("_p").alias("p"))).alias("_first"),
+    )
+    flagged = sites.join(grouped.filter(F.col("_cnt") >= 2), "_fp")
+    if keep == "first":
+        flagged = flagged.filter(
+            (F.col("_id") != F.col("_first.i")) | (F.col("_p") != F.col("_first.p"))
+        )
+    elif keep is not None:
+        raise ValueError(f"keep must be 'first' or None, got {keep!r}")
+    return flagged.select(F.col("_id").alias(id_col), F.col("_p").alias("pos"))
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    keep: str | None = None,
+) -> DataFrame:
+    """Maximal duplicated token spans per document: flagged window
+    starts (see :func:`repeated_ngram_sites`) merged into maximal
+    [start_tok, end_tok) intervals — overlapping and adjacent windows
+    coalesce, so a duplicated run of any length ≥ min_len reports as
+    ONE span. Returns (id, start_tok, end_tok, n_tokens), end
+    exclusive. Default ``keep=None`` (audit mode: every duplicated
+    span, first occurrences included).
+
+    The merge is two bounded windows per document (running max of span
+    ends → gap flags → running sum = span group), then one groupBy —
+    per-doc state only, no corpus-wide sort."""
+    from pyspark.sql import Window
+
+    sites = repeated_ngram_sites(docs, id_col, text_col, min_len, keep)
+    spans = sites.select(
+        id_col, F.col("pos").alias("_s"), (F.col("pos") + min_len).alias("_e")
+    )
+    w = Window.partitionBy(id_col).orderBy("_s")
+    prev_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grp = F.sum(
+        F.when(prev_end.isNull() | (F.col("_s") > prev_end), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        spans.withColumn("_g", grp)
+        .groupBy(id_col, "_g")
+        .agg(F.min("_s").alias("start_tok"), F.max("_e").alias("end_tok"))
+        .select(
+            id_col,
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).alias("n_tokens"),
+        )
+    )
+
+
+def strip_repeated_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """Exact substring dedup, applied: remove every token covered by a
+    duplicated ≥ min_len window EXCEPT the corpus-wide first occurrence
+    of that window (first site by (doc id, position)). Documents come
+    back whitespace-normalized (single spaces — the tokenizer's
+    contract); docs shorter than min_len tokens or with no duplicated
+    runs pass through token-identical. A fully-duplicated document
+    returns empty text.
+
+    Flagged token positions are the union of [p, p+min_len) over
+    flagged starts — an O(flagged·min_len) explode on the sparse
+    survivor set, never on the whole corpus."""
+    sites = repeated_ngram_sites(docs, id_col, text_col, min_len, keep="first")
+    covered = sites.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + min_len - 1)).alias("_pos")
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tx.tokens(F.col(text_col))).alias("_pos", "_tok")
+    )
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("_text")
+    )
+    return docs.select(F.col(id_col), F.col(text_col)).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col("_text"), F.lit("")).alias(text_col)
+    )

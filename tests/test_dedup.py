@@ -244,3 +244,118 @@ def test_line_dedup_sep_is_literal_not_regex(spark):
     out = {r.doc_id: r.text for r in dedup.line_dedup(docs, sep=".").collect()}
     assert out[1] == "one two.shared tail"
     assert out[2] == "three"
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (repeated ≥min_len token windows, Lee et al.)
+# ---------------------------------------------------------------------------
+
+
+def _py_flagged_sites(corpus: dict[int, str], L: int, keep="first"):
+    """Plain-Python reference: all (doc, pos) sites of L-token windows
+    occurring ≥2 times corpus-wide; keep='first' exempts the
+    lexicographically-first site per window."""
+    occ = {}
+    for i in sorted(corpus):
+        tk = corpus[i].split()
+        for p in range(len(tk) - L + 1):
+            occ.setdefault(tuple(tk[p : p + L]), []).append((i, p))
+    flagged = set()
+    for sites in occ.values():
+        if len(sites) >= 2:
+            ss = sorted(sites)
+            flagged.update(ss[1:] if keep == "first" else ss)
+    return flagged
+
+
+_SUBSTR_CORPUS = {
+    1: "the quick brown fox jumps over the lazy dog while rain falls softly",
+    # doc 2 embeds doc 1's 8-token prefix (cross-doc duplicated run)
+    2: "intro words the quick brown fox jumps over the lazy closing remark",
+    # doc 3 repeats its own 8-token run twice (within-doc duplicate)
+    3: "a b c d e f g h padding a b c d e f g h",
+    4: "completely unique sentence with no overlap whatsoever in any window here",
+    5: "short doc",  # under min_len: never fingerprinted
+    # docs 6/7 share a 10-token run → three overlapping 8-windows in
+    # doc 7 (starts 1,2,3) that must merge into one maximal span
+    6: "one two three four five six seven eight nine ten",
+    7: "prefix one two three four five six seven eight nine ten suffix",
+}
+
+
+def _substr_df(spark):
+    return spark.createDataFrame(
+        sorted(_SUBSTR_CORPUS.items()), "doc_id long, text string"
+    )
+
+
+def test_repeated_ngram_sites_match_reference(spark):
+    df = _substr_df(spark)
+    for keep in ("first", None):
+        got = {
+            (r.doc_id, r.pos)
+            for r in dedup.repeated_ngram_sites(df, min_len=8, keep=keep).collect()
+        }
+        assert got == _py_flagged_sites(_SUBSTR_CORPUS, 8, keep)
+    assert len(_py_flagged_sites(_SUBSTR_CORPUS, 8)) > 0
+
+
+def test_repeated_ngram_spans_merge_maximally(spark):
+    df = _substr_df(spark)
+    spans = {
+        (r.doc_id): (r.start_tok, r.end_tok, r.n_tokens)
+        for r in dedup.repeated_ngram_spans(df, min_len=8, keep="first").collect()
+    }
+    # doc 2: exactly one duplicated 8-window (run is 8 tokens long)
+    assert spans[2] == (2, 10, 8)
+    # doc 7: 10-token duplicated run → windows at starts 1,2,3 merge
+    # into ONE maximal [1, 11) span
+    assert spans[7] == (1, 11, 10)
+    # audit mode includes the first occurrence in doc 1
+    audit = dedup.repeated_ngram_spans(df, min_len=8, keep=None)
+    assert {r.doc_id for r in audit.collect()} >= {1, 2, 3}
+
+
+def test_strip_repeated_ngrams_reconstruction(spark):
+    """Stripped text must equal the Python reconstruction: drop every
+    token covered by a flagged window, keep everything else in order."""
+    df = _substr_df(spark)
+    flagged = _py_flagged_sites(_SUBSTR_CORPUS, 8, "first")
+    expect = {}
+    for i, text in _SUBSTR_CORPUS.items():
+        tk = text.split()
+        covered = set()
+        for (d, p) in flagged:
+            if d == i:
+                covered.update(range(p, p + 8))
+        expect[i] = " ".join(t for j, t in enumerate(tk) if j not in covered)
+    got = {r.doc_id: r.text for r in dedup.strip_repeated_ngrams(df, min_len=8).collect()}
+    assert got == expect
+    # the unique doc and the short doc pass through token-identical
+    assert got[4] == _SUBSTR_CORPUS[4]
+    assert got[5] == _SUBSTR_CORPUS[5]
+    # every duplicated window keeps exactly one copy corpus-wide: doc 1
+    # (first site) retains the full run, doc 2 lost it
+    assert "the quick brown fox jumps over the lazy" in got[1]
+    assert "the quick brown fox" not in got[2]
+
+
+def test_repeated_ngram_random_corpus_vs_reference(spark):
+    """Dense random corpus from a 6-word vocabulary (seeded): many
+    overlapping collisions — sites must still match the reference
+    exactly for several window lengths."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["red", "blue", "green", "gold", "black", "white"]
+    corpus = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40)))
+        for i in range(20)
+    }
+    df = spark.createDataFrame(sorted(corpus.items()), "doc_id long, text string")
+    for L in (3, 5):
+        got = {
+            (r.doc_id, r.pos)
+            for r in dedup.repeated_ngram_sites(df, min_len=L, keep="first").collect()
+        }
+        assert got == _py_flagged_sites(corpus, L, "first")
