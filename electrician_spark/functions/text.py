@@ -211,3 +211,85 @@ def bpe_token_count(text: Column) -> Column:
     """Pre-token count — the scale proxy for tokenizer length budgets
     (sequence packing, max-length filters) that needs no vocab file."""
     return F.size(bpe_pretokens(text))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1) —
+# the standard pre-training document filter battery. Pure codegen'd
+# column expressions: one scan, no UDFs, no shuffle.
+# ---------------------------------------------------------------------------
+
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_words: int = 2,
+) -> Column:
+    """Struct of the eight Gopher rule booleans plus the conjunction
+    (`passes`). Thresholds default to the paper's; every rule is an
+    independent field so pipelines can audit which gate rejected a
+    document. Rule set:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_avg_word_len, max_avg_word_len]
+    - (# of '#' or '…'/'...') / words ≤ max_symbol_ratio
+    - < max_bullet_ratio of lines start with a bullet
+    - ≤ max_ellipsis_ratio of lines end with an ellipsis
+    - ≥ min_alpha_word_ratio of words contain an alphabetic char
+    - ≥ min_required_words distinct members of the required-word set
+      (the, be, to, of, and, that, have, with)
+    """
+    toks = tokens(text)
+    n_words = F.size(toks)
+    avg_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_words
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ell_unicode = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    ell_ascii = F.size(F.split(text, r"\.\.\.", -1)) - 1
+    n_symbols = n_hash + ell_unicode + ell_ascii
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•▪◼]|\d+[.)])\s"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    required_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "avg_word_len_ok": (avg_len >= min_avg_word_len) & (avg_len <= max_avg_word_len),
+        "symbol_ratio_ok": (n_symbols / n_words) <= max_symbol_ratio,
+        "bullet_ratio_ok": (bullet_lines / n_lines) < max_bullet_ratio,
+        "ellipsis_ratio_ok": (ellipsis_lines / n_lines) <= max_ellipsis_ratio,
+        "alpha_word_ratio_ok": (alpha_words / n_words) >= min_alpha_word_ratio,
+        "required_words_ok": required_hits >= min_required_words,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return F.struct(
+        *[v.alias(k) for k, v in flags.items()], passes.alias("passes")
+    )
+
+
+def gopher_filter(df, text_col: str = "text", **thresholds):
+    """Keep only documents passing every Gopher rule (see
+    :func:`gopher_quality_flags`). One codegen'd scan; the struct never
+    materializes for dropped rows."""
+    return df.filter(gopher_quality_flags(F.col(text_col), **thresholds)["passes"])

@@ -103,3 +103,107 @@ def test_bpe_pretokens_match_duckdb_and_count_sanely(spark):
     assert "'ll" in toks0 and "'s" in toks0  # contractions split off
     assert " 42" in toks0  # digit run keeps its leading space
     assert "?!" in toks0  # punctuation run
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+
+def _gopher_flags(spark, text, **kw):
+    from electrician_spark.functions import text as tx
+
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(tx.gopher_quality_flags(F.col("text"), **kw).alias("g"))
+        .collect()[0]
+        .g
+    )
+    return row.asDict()
+
+
+GOOD_DOC = (
+    "The results show that we have to be careful with the analysis of long "
+    "documents and that the method scales to large corpora with stable "
+    "behaviour across runs. " * 3
+)
+
+
+def test_gopher_passes_normal_prose(spark):
+    flags = _gopher_flags(spark, GOOD_DOC)
+    assert flags["passes"] and all(flags.values())
+
+
+def test_gopher_each_rule_fires_independently(spark):
+    # word count: under 50 words
+    f = _gopher_flags(spark, "The quick brown fox has to be here with that.")
+    assert not f["word_count_ok"] and f["required_words_ok"]
+    # avg word length: single-char words
+    f = _gopher_flags(spark, " ".join(["a"] * 60))
+    assert not f["avg_word_len_ok"]
+    # symbol ratio: hash-heavy text
+    f = _gopher_flags(spark, GOOD_DOC + " " + "#" * 40)
+    assert not f["symbol_ratio_ok"]
+    # bullets on ≥90% of lines
+    bullet_doc = "\n".join(f"- item {i} of the listing" for i in range(20))
+    f = _gopher_flags(spark, bullet_doc)
+    assert not f["bullet_ratio_ok"]
+    # ellipsis line endings over 30%
+    ell_doc = "\n".join(
+        ("we continue..." if i % 2 else "a full sentence here") for i in range(20)
+    )
+    f = _gopher_flags(spark, ell_doc)
+    assert not f["ellipsis_ratio_ok"]
+    # alphabetic-word ratio: numbers-only words
+    f = _gopher_flags(spark, " ".join(str(i) for i in range(100)))
+    assert not f["alpha_word_ratio_ok"]
+    # required-word set: prose avoiding all 8 required words
+    f = _gopher_flags(
+        spark, " ".join(["zebra lion gazelle runs fast across plains"] * 10)
+    )
+    assert not f["required_words_ok"]
+
+
+def test_gopher_filter_on_fixture_corpus(spark):
+    from electrician_spark.functions import text as tx
+    from electrician_spark.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    # relaxed thresholds (fixture docs are short synthetic text): the
+    # filter must be a strict subset and agree with per-rule flags
+    kept = tx.gopher_filter(docs, min_words=5, min_required_words=0).count()
+    assert 0 < kept <= n
+    flags = docs.select(
+        tx.gopher_quality_flags(
+            F.col("text"), min_words=5, min_required_words=0
+        )["passes"].alias("p")
+    )
+    assert kept == flags.filter("p").count()
+
+
+def test_gopher_ratios_match_python_reference(spark):
+    """Symbol/bullet/ellipsis/alpha ratios equal a plain-Python count
+    on a mixed stress document."""
+    doc = (
+        "- bullet line one\n"
+        "text line with # and # symbols\n"
+        "trailing thoughts...\n"
+        "1) numbered bullet\n"
+        "normal closing line"
+    )
+    toks = doc.split()
+    n_words = len(toks)
+    n_symbols = doc.count("#") + doc.count("…") + doc.count("...")
+    lines = doc.split("\n")
+    import re
+
+    bullets = sum(1 for l in lines if re.match(r"^([-*•▪◼]|\d+[.)])\s", l.strip()))
+    ells = sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l.rstrip()))
+    alpha = sum(1 for t in toks if re.search("[A-Za-z]", t))
+
+    f = _gopher_flags(spark, doc)
+    assert f["symbol_ratio_ok"] == (n_symbols / n_words <= 0.1)
+    assert f["bullet_ratio_ok"] == (bullets / len(lines) < 0.9)
+    assert f["ellipsis_ratio_ok"] == (ells / len(lines) <= 0.3)
+    assert f["alpha_word_ratio_ok"] == (alpha / n_words >= 0.8)
