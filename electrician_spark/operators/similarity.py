@@ -227,6 +227,39 @@ def label_centroids(df: DataFrame, label_col: str = "label", vec_col: str = "emb
     )
 
 
+def _nearest_centroid_pandas(v: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Vectorized centroid assignment: one (batch×d)@(d×k) matmul per
+    Arrow batch, argmax over cosine with the same tiebreak as the
+    expression path (ties → lowest cluster id; np.argmax returns the
+    first maximum and centroids are passed sorted by cl). The
+    expression form costs k interpreted HOF cosines per vector —
+    measured 80 s of an 80 s k=78 k-means assignment at 20k vectors,
+    vs sub-second for the matmul. Use for production k; the expression
+    path stays for oracle-replayable small-k plans (q_n3)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(cents)
+    cl_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([vec for _, vec in cents], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    def _assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["_kv"].to_numpy()]
+            )
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            best = np.argmax(Vn @ Cn.T, axis=1)
+            yield pd.DataFrame(
+                {"_kid": pdf["_kid"], "_kv": pdf["_kv"], "cl": cl_ids[best]}
+            )
+
+    return v.mapInPandas(_assign, "_kid long, _kv array<double>, cl int")
+
+
 def _nearest_centroid(v: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every (_kid, _kv) row to its highest-cosine centroid;
     ties break on the lowest cluster id. Centroids are broadcast (k·d
@@ -281,9 +314,20 @@ def kmeans_labels(
     seed_key = F.md5(F.col("_kid").cast("string"))
     seeds = v.orderBy(seed_key, "_kid").limit(k).collect()
     cents = [(i, list(r["_kv"])) for i, r in enumerate(seeds)]
+
+    # k ≤ 8 keeps the engine-replayable expression assignment (the SQL
+    # oracle for q_n3 replays it verbatim); production k vectorizes —
+    # the k interpreted HOF cosines per vector cost ~80 s at k=78 on a
+    # 20k corpus where the batched matmul is sub-second. Same tiebreak
+    # (lowest cl on ties), float64 both ways.
+    def _assign(cent_list):
+        if k <= 8:
+            cdf = spark.createDataFrame(cent_list, "cl int, centroid array<double>")
+            return _nearest_centroid(v, cdf)
+        return _nearest_centroid_pandas(v, cent_list)
+
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "cl int, centroid array<double>")
-        assigned = _nearest_centroid(v, cdf)
+        assigned = _assign(cents)
         means = (
             assigned.select("cl", F.posexplode("_kv").alias("dim", "val"))
             .groupBy("cl", "dim")
@@ -301,8 +345,7 @@ def kmeans_labels(
         # has no row for an empty cluster, so keeping/reviving it here
         # would diverge from any set-based oracle.
         cents = sorted((r["cl"], list(r["centroid"])) for r in new_cents)
-    cdf = spark.createDataFrame(cents, "cl int, centroid array<double>")
-    final = _nearest_centroid(v, cdf).select(
+    final = _assign(cents).select(
         F.col("_kid").alias(id_col), F.col("cl").cast("long").alias(label_col)
     )
     return df.join(final, id_col)
@@ -408,16 +451,63 @@ def hyperplane_bucket_sql(
     return " + ".join(parts)
 
 
+def _hyperplane_buckets_pandas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(_id, _v, _b0.._b{L-1}) with all k·L sign-LSH bucket ids computed
+    as ONE (batch×dim)@(dim×k·L) numpy matmul per Arrow batch — the
+    vectorized production form of :func:`hyperplane_bucket_sql` (same
+    md5-derived weights; float64 matmul, so signs can differ from the
+    SQL fold only on dot products within summation-reassociation ε of
+    zero — a bucketing difference, not a result difference). Vectors
+    shorter than ``dim`` are zero-padded; longer ones truncated."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.array(
+        [_hyperplane_weights(p, dim) for p in range(n_planes * n_tables)],
+        dtype=np.float64,
+    ).T  # dim × (k·L)
+    pos = np.tile(1 << np.arange(n_planes, dtype=np.int64), n_tables)
+    out_schema = ", ".join(
+        ["_id long", f"_v array<{df.schema[vec_col].dataType.elementType.simpleString()}>"]
+        + [f"_b{t} long" for t in range(n_tables)]
+    )
+
+    def _buckets(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.zeros((len(pdf), dim), dtype=np.float64)
+            for i, v in enumerate(pdf[vec_col].to_numpy()):
+                a = np.asarray(v, dtype=np.float64)[:dim]
+                V[i, : len(a)] = a
+            bits = ((V @ W) >= 0.0).astype(np.int64) * pos  # batch × (k·L)
+            cols = {"_id": pdf[id_col], "_v": pdf[vec_col]}
+            for t in range(n_tables):
+                cols[f"_b{t}"] = bits[:, t * n_planes : (t + 1) * n_planes].sum(axis=1)
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, vec_col).mapInPandas(_buckets, out_schema)
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    n_planes: int = 3,
+    n_planes: int | None = None,
     n_tables: int = 8,
     dim: int = 64,
     blocks: int | None = None,
     rows_per_block: int = 4096,
+    n_vecs: int | None = None,
+    target_bucket: int = 128,
 ) -> DataFrame:
     """LSH-prefiltered embedding near-dup: candidate pairs are vectors
     sharing a sign-LSH bucket in ANY of ``n_tables`` hash tables
@@ -429,32 +519,56 @@ def lsh_cosine_pairs(
     identical cos values (the GEMM computes true cosines; only pairs
     never sharing a bucket are missed). Recall for a pair at angle θ is
     1 − (1 − p^k)^L with p = 1 − θ/π, k=n_planes, L=n_tables — raise L
-    for recall, raise k for selectivity (k should grow with corpus
-    density; defaults hit ≥0.93 measured recall on the sf fixtures at
-    t=0.4).
+    for recall, raise k for selectivity.
+
+    ``n_planes=None`` (default) auto-sizes k from the corpus count so
+    expected bucket load ≈ ``target_bucket``: k = clamp(3..14,
+    ⌈log2(N / target_bucket)⌉). k MUST grow with N — at fixed k the
+    candidate mass is L·N²/2^k, which crosses above the exact path's
+    N²/2 the moment 2^k < 2L (measured: k=3, L=8 on a 20k corpus ran
+    5× slower than the exact GEMM). Pass ``n_vecs`` to skip the count
+    job, or an explicit ``n_planes`` for an engine-replayable plan
+    (the q_d9 oracle pins k=3 at fixture scale).
 
     Scale shape (the reference's bounded-work-per-element posture,
     wire.go:79-94): total flops = Σ per-bucket GEMMs ≈ N·L·E[bucket
-    occupancy]·d — LINEAR in N for any fixed bucket load, vs
-    cosine_pairs' unconditional N²·d/2. Group count = L · 2^k · block
-    pairs, never N². Bucket skew is bounded the same way cosine_pairs
-    bounds task memory: occupancy over ``rows_per_block`` splits into
-    hash blocks (``blocks=None`` auto-sizes from one cheap max-bucket
-    count; pass an explicit small ``blocks`` at fixture scale to skip
-    that job). Buckets are md5-derived literal-weight hyperplane signs
-    (:func:`hyperplane_bucket_sql`), deterministic across engines, runs
-    and cluster sizes."""
-    bucket_cols = [
-        F.expr(
-            hyperplane_bucket_sql(
-                vec_col, list(range(t * n_planes, (t + 1) * n_planes)), dim, "spark"
-            )
-        ).alias(f"_b{t}")
-        for t in range(n_tables)
-    ]
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), *bucket_cols
-    )
+    occupancy]·d — LINEAR in N at the auto-sized constant bucket load,
+    vs cosine_pairs' unconditional N²·d/2. Group count = L · 2^k ·
+    block pairs, never N². Bucket skew is bounded the same way
+    cosine_pairs bounds task memory: occupancy over ``rows_per_block``
+    splits into hash blocks (``blocks=None`` auto-sizes from one cheap
+    max-bucket count; pass an explicit small ``blocks`` at fixture
+    scale to skip that job). Buckets are md5-derived literal-weight
+    hyperplane signs (:func:`hyperplane_bucket_sql`), deterministic
+    across engines, runs and cluster sizes."""
+    import math
+
+    if n_planes is None:
+        n = n_vecs if n_vecs is not None else df.count()
+        n_planes = min(14, max(3, math.ceil(math.log2(max(n, 2) / max(target_bucket, 1)))))
+        # auto-sized (production) path: signs from ONE numpy matmul per
+        # Arrow batch. The interpreted aggregate/zip_with folds cost
+        # ~k·L·dim lambda steps per vector — measured 16 s of a 17 s
+        # q_d9-shaped job at 20k vectors — while the matmul is
+        # microseconds. Bucket assignment affects only candidate
+        # RECALL, never emitted-pair correctness (the GEMM rescans true
+        # cosines), so the production path trades the oracle's
+        # bit-replayable sign folds for vectorized bucketing. An
+        # explicit n_planes keeps the engine-replayable SQL form (the
+        # q_d9 oracle pins it).
+        base = _hyperplane_buckets_pandas(df, id_col, vec_col, n_planes, n_tables, dim)
+    else:
+        bucket_cols = [
+            F.expr(
+                hyperplane_bucket_sql(
+                    vec_col, list(range(t * n_planes, (t + 1) * n_planes)), dim, "spark"
+                )
+            ).alias(f"_b{t}")
+            for t in range(n_tables)
+        ]
+        base = df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), *bucket_cols
+        )
     entries = F.array(
         *[
             F.struct(F.lit(t).alias("_tbl"), F.col(f"_b{t}").alias("_bkt"))

@@ -1870,8 +1870,11 @@ def q_d9(spark, sf_dir):
 
     # blocks=1: fixture buckets hold ≤~250 vectors, far under the 4096
     # rows_per_block memory budget — skip the auto-size count job.
+    # n_planes=3 pinned explicitly: the oracle SQL replays exactly 3
+    # hyperplanes per table (production callers leave n_planes=None and
+    # get the corpus-sized k the scale contract needs).
     return sim.lsh_cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocks=1
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=3, blocks=1
     ).orderBy("id_a", "id_b")
 
 
