@@ -213,6 +213,81 @@ def cosine_topk(
     )
 
 
+def cosine_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k at GEMM speed — the production form of
+    :func:`cosine_topk`. The query set (small by contract) is shipped
+    to every task as a numpy matrix; each corpus Arrow batch scores
+    batch×Q cosines in one matmul and emits only its LOCAL top-k per
+    query, so the shuffle carries ≤ k·partitions rows per query into
+    one tiny global re-rank window. Same contract as cosine_topk:
+    self-matches excluded, (cos desc, neighbor id) tie-break, cos to
+    4dp; per-batch pruning keeps the same order, so results are
+    identical whenever 4dp rounding is stable (float64 matmul vs the
+    expression fold — pinned by test on the fixtures).
+
+    The expression form evaluates one interpreted HOF fold per
+    (query, corpus) pair — N·Q·d lambda steps; this runs the identical
+    flops as BLAS and is the variant to reach for the moment N·Q grows
+    past fixture scale."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    def _local_topk(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            S = Cn @ Qn.T  # batch × Q
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                col = S[:, j].copy()
+                col[ids == q_ids[j]] = -np.inf  # exclude self
+                order = np.lexsort((ids, -col))
+                kk = min(k, len(order))
+                # widen the local cut by one 4dp rounding quantum: a
+                # neighbor beyond local rank k can still tie the kth at
+                # 4dp and win the global id tie-break — keep everything
+                # within 1e-4 of the kth raw cosine so the global
+                # re-rank (authoritative HALF_UP rounding) sees it.
+                kth = col[order[kk - 1]] if kk else -np.inf
+                sel = order[col[order] >= kth - 1.01e-4]
+                keep = col[sel] > -np.inf
+                out_q.append(np.full(int(keep.sum()), q_ids[j]))
+                out_n.append(ids[sel][keep])
+                out_c.append(col[sel][keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        _local_topk, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cos", F.round("cos", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def label_centroids(df: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Elementwise mean vector per label — the IVF coarse quantizer
     (posexplode → avg per (label, dim) → re-assemble sorted by dim)."""

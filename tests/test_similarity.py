@@ -207,3 +207,21 @@ def test_semantic_dedup_canonical_keep(spark, emb):
     # k>1 keeps at least as much (missed cross-cluster pairs → fewer drops)
     kept4 = {r.vec_id for r in sim.semantic_dedup(emb, threshold=0.4, k=4).collect()}
     assert kept <= kept4
+
+
+def test_topk_gemm_matches_expression(spark, emb):
+    """cosine_topk_gemm must reproduce cosine_topk exactly — same
+    neighbors, same 4dp cosines, same ranks — across partition counts
+    (local-top-k pruning must not lose 4dp ties)."""
+    q = emb.filter(F.col("vec_id") < 8)
+    base = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in sim.cosine_topk(emb, q, k=5).collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in sim.cosine_topk_gemm(emb.repartition(parts), q, k=5).collect()
+        }
+        assert got == base
+    assert len(base) > 0
