@@ -293,3 +293,129 @@ def gopher_filter(df, text_col: str = "text", **thresholds):
     :func:`gopher_quality_flags`). One codegen'd scan; the struct never
     materializes for dropped rows."""
     return df.filter(gopher_quality_flags(F.col(text_col), **thresholds)["passes"])
+
+
+GOPHER_TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_stats(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document Gopher repetition signals (Rae et al. 2021 A1.1,
+    the repetition-removal half of the battery):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: 1 − distinct/total lines
+      (paragraphs = blank-line-separated blocks)
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters in
+      segments occurring ≥ 2× / total characters
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the single
+      most frequent n-gram (count × gram length, space-joined)
+    - ``dup_{5..10}gram_char_frac``: characters covered by all n-grams
+      occurring ≥ 2× (occurrences double-count overlaps — the standard
+      formulation)
+
+    ONE plan for all 13 signals: every unit (line, paragraph, n-gram
+    for n=2..10) goes into a single tagged explode → one
+    map-side-combinable groupBy(doc, kind, unit) → one per-(doc, kind)
+    rollup → pivot over the 11 fixed kinds. Linear, skew-safe (a
+    boilerplate unit partial-aggregates before shuffling), no UDFs.
+    """
+    kinds = ["line", "para"] + [f"g{n}" for n in GOPHER_TOP_NGRAM_LIMITS | GOPHER_DUP_NGRAM_LIMITS]
+    toks_attr = F.col("_tk")
+
+    def seg(kind: str, arr) -> Column:
+        clean = F.filter(arr, lambda x: F.trim(x) != "")
+        return F.transform(clean, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("unit")))
+
+    units = [seg("line", F.split(F.col(text_col), "\n")), seg("para", F.split(F.col(text_col), "\n{2,}"))]
+    units += [
+        seg(f"g{n}", _all_ngrams(toks_attr, n))
+        for n in GOPHER_TOP_NGRAM_LIMITS | GOPHER_DUP_NGRAM_LIMITS
+    ]
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(text_col).alias("_chars"),
+        F.col(text_col).alias(text_col),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
+    exploded = base.select(
+        "_id", "_chars", F.explode(F.flatten(F.array(*units))).alias("u")
+    ).select("_id", "_chars", F.col("u.kind").alias("_kind"), F.col("u.unit").alias("_unit"))
+    counted = exploded.groupBy("_id", "_kind", "_unit").agg(
+        F.count("*").alias("_cnt"), F.first("_chars").alias("_chars")
+    )
+    rolled = counted.groupBy("_id", "_kind").agg(
+        F.sum("_cnt").alias("n_units"),
+        F.count("*").alias("n_distinct"),
+        F.max(F.col("_cnt") * F.length("_unit")).alias("top_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("_cnt") >= 2, F.col("_cnt") * F.length("_unit"))), F.lit(0)
+        ).alias("dup_chars"),
+        F.first("_chars").alias("_chars"),
+    )
+    piv = (
+        rolled.groupBy("_id")
+        .pivot("_kind", kinds)
+        .agg(
+            F.first("n_units").alias("n"),
+            F.first("n_distinct").alias("d"),
+            F.first("top_chars").alias("t"),
+            F.first("dup_chars").alias("u"),
+            F.first("_chars").alias("c"),
+        )
+    )
+
+    def frac(num, den):
+        return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
+
+    chars = F.coalesce(*[F.col(f"{k}_c") for k in kinds]).cast("double")
+    cols = [
+        frac(F.coalesce(F.col("line_n"), F.lit(0)) - F.coalesce(F.col("line_d"), F.lit(0)),
+             F.coalesce(F.col("line_n"), F.lit(0))).alias("dup_line_frac"),
+        frac(F.coalesce(F.col("line_u"), F.lit(0)), chars).alias("dup_line_char_frac"),
+        frac(F.coalesce(F.col("para_n"), F.lit(0)) - F.coalesce(F.col("para_d"), F.lit(0)),
+             F.coalesce(F.col("para_n"), F.lit(0))).alias("dup_para_frac"),
+        frac(F.coalesce(F.col("para_u"), F.lit(0)), chars).alias("dup_para_char_frac"),
+    ]
+    for n in GOPHER_TOP_NGRAM_LIMITS:
+        cols.append(frac(F.coalesce(F.col(f"g{n}_t"), F.lit(0)), chars).alias(f"top_{n}gram_char_frac"))
+    for n in GOPHER_DUP_NGRAM_LIMITS:
+        cols.append(frac(F.coalesce(F.col(f"g{n}_u"), F.lit(0)), chars).alias(f"dup_{n}gram_char_frac"))
+    return df.join(
+        piv.select(F.col("_id").alias(id_col), *cols), id_col, "left"
+    ).fillna(0.0, [c for c in [
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+        *[f"top_{n}gram_char_frac" for n in GOPHER_TOP_NGRAM_LIMITS],
+        *[f"dup_{n}gram_char_frac" for n in GOPHER_DUP_NGRAM_LIMITS],
+    ]])
+
+
+def _all_ngrams(toks: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept — repetition counting needs
+    multiplicity, unlike shingles_from_tokens' deduplicated set)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition_filter(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Drop documents failing any Gopher repetition limit (paper
+    thresholds: dup line/para frac ≤ 0.30, dup line/para char frac
+    ≤ 0.20, top-n-gram and dup-n-gram char fracs per
+    GOPHER_TOP_NGRAM_LIMITS / GOPHER_DUP_NGRAM_LIMITS)."""
+    stats = gopher_repetition_stats(df, id_col, text_col)
+    cond = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_para_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("dup_para_char_frac") <= 0.20)
+    )
+    for n, lim in GOPHER_TOP_NGRAM_LIMITS.items():
+        cond = cond & (F.col(f"top_{n}gram_char_frac") <= lim)
+    for n, lim in GOPHER_DUP_NGRAM_LIMITS.items():
+        cond = cond & (F.col(f"dup_{n}gram_char_frac") <= lim)
+    return stats.filter(cond).select(*df.columns)

@@ -207,3 +207,54 @@ def test_gopher_ratios_match_python_reference(spark):
     assert f["bullet_ratio_ok"] == (bullets / len(lines) < 0.9)
     assert f["ellipsis_ratio_ok"] == (ells / len(lines) <= 0.3)
     assert f["alpha_word_ratio_ok"] == (alpha / n_words >= 0.8)
+
+
+def _py_rep_stats(text: str):
+    """Python reference for gopher_repetition_stats on one doc."""
+    import re
+    from collections import Counter
+
+    out = {}
+    chars = len(text)
+    for kind, parts in (
+        ("line", [l for l in text.split("\n") if l.strip()]),
+        ("para", [p for p in re.split(r"\n{2,}", text) if p.strip()]),
+    ):
+        c = Counter(parts)
+        n, d = sum(c.values()), len(c)
+        out[f"dup_{kind}_frac"] = round((n - d) / n, 6) if n else 0.0
+        dup = sum(len(u) * k for u, k in c.items() if k >= 2)
+        out[f"dup_{kind}_char_frac"] = round(dup / chars, 6) if chars else 0.0
+    toks = text.split()
+    for n in range(2, 11):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        top = max((len(g) * k for g, k in c.items()), default=0)
+        dup = sum(len(g) * k for g, k in c.items() if k >= 2)
+        if n in (2, 3, 4):
+            out[f"top_{n}gram_char_frac"] = round(top / chars, 6) if chars else 0.0
+        else:
+            out[f"dup_{n}gram_char_frac"] = round(dup / chars, 6) if chars else 0.0
+    return out
+
+
+def test_gopher_repetition_stats_match_reference(spark):
+    from electrician_spark.functions import text as tx
+
+    docs = {
+        1: "repeat me\nrepeat me\nunique line\n\nsame para\n\nsame para",
+        2: "the cat sat on the mat the cat sat on the mat again",
+        # realistic length: the paper's char-share limits presuppose the
+        # ≥50-word gate (a 10-word doc's single top 3-gram already
+        # covers >18% of its characters)
+        3: " ".join(f"w{i} token{i*7%13} body{i*3%11}" for i in range(20)),
+    }
+    df = spark.createDataFrame(sorted(docs.items()), "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in tx.gopher_repetition_stats(df).collect()}
+    for i, text in docs.items():
+        ref = _py_rep_stats(text)
+        for key, val in ref.items():
+            assert abs(got[i][key] - val) < 1e-9, (i, key, got[i][key], val)
+    # doc 2 is the pathological repeater: must fail the filter; doc 3 clean
+    kept = {r.doc_id for r in tx.gopher_repetition_filter(df).collect()}
+    assert 2 not in kept and 3 in kept
