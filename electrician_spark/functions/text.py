@@ -402,20 +402,33 @@ def _all_ngrams(toks: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
 
 
-def gopher_repetition_filter(df, id_col: str = "doc_id", text_col: str = "text"):
-    """Drop documents failing any Gopher repetition limit (paper
-    thresholds: dup line/para frac ≤ 0.30, dup line/para char frac
-    ≤ 0.20, top-n-gram and dup-n-gram char fracs per
-    GOPHER_TOP_NGRAM_LIMITS / GOPHER_DUP_NGRAM_LIMITS)."""
+def gopher_repetition_filter(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    top_limits: dict[int, float] | None = None,
+    dup_limits: dict[int, float] | None = None,
+):
+    """Drop documents failing any Gopher repetition limit. Defaults are
+    the paper's thresholds (dup line/para frac ≤ 0.30, dup line/para
+    char frac ≤ 0.20, top/dup n-gram char fracs per
+    GOPHER_TOP_NGRAM_LIMITS / GOPHER_DUP_NGRAM_LIMITS); the paper's
+    limits presuppose its ≥50-word gate — short-document corpora need
+    looser ``top_limits`` (a 10-word doc's single top 3-gram already
+    covers >18% of its characters)."""
     stats = gopher_repetition_stats(df, id_col, text_col)
     cond = (
-        (F.col("dup_line_frac") <= 0.30)
-        & (F.col("dup_para_frac") <= 0.30)
-        & (F.col("dup_line_char_frac") <= 0.20)
-        & (F.col("dup_para_char_frac") <= 0.20)
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_para_frac") <= max_dup_para_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("dup_para_char_frac") <= max_dup_para_char_frac)
     )
-    for n, lim in GOPHER_TOP_NGRAM_LIMITS.items():
+    for n, lim in (top_limits if top_limits is not None else GOPHER_TOP_NGRAM_LIMITS).items():
         cond = cond & (F.col(f"top_{n}gram_char_frac") <= lim)
-    for n, lim in GOPHER_DUP_NGRAM_LIMITS.items():
+    for n, lim in (dup_limits if dup_limits is not None else GOPHER_DUP_NGRAM_LIMITS).items():
         cond = cond & (F.col(f"dup_{n}gram_char_frac") <= lim)
     return stats.filter(cond).select(*df.columns)

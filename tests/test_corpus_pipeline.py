@@ -22,6 +22,12 @@ def _synthetic_corpus(spark):
         (6, "crawl", "a completely different story about mountains rivers forests and the people living there\ncommon footer"),
         (7, "crawl", "yet another document with enough ordinary words to pass the simple quality gates here\ncommon footer"),
         (8, "books", "call me ishmael some years ago never mind how long precisely having little money\ncommon footer"),
+        # embeds doc 3's 12-token sentence inside other prose -> the
+        # substring-dedup stage strips it (doc 3 keeps the original)
+        (9, "books", "preface words about the region one two three four five six seven eight nine ten eleven twelve and trailing commentary continues in ordinary prose here\ncommon footer"),
+        # long enough to pass word-count gates but pathologically
+        # repetitive -> the repetition filter kills it
+        (10, "crawl", "buy now " * 12 + "limited offer"),
     ]
     return spark.createDataFrame(base, "doc_id long, domain string, text string")
 
@@ -33,7 +39,7 @@ def test_corpus_build_pipeline_composes(spark):
     d1 = dedup.exact_dedup(docs, keep_col="doc_id")
     ids1 = {r.doc_id for r in d1.select("doc_id").collect()}
     assert 2 not in ids1 and 1 in ids1  # dup dropped, first kept
-    assert len(ids1) == 7
+    assert len(ids1) == 9
 
     # 2. corpus-wide line dedup: the shared footer survives only in its
     # first occurrence (doc 1); no document disappears
@@ -42,10 +48,29 @@ def test_corpus_build_pipeline_composes(spark):
     assert sum("common footer" in t for t in texts.values()) == 1
     assert set(texts) == ids1
 
+    # 2b. exact substring dedup: doc 9's embedded copy of doc 3's
+    # 12-token sentence is stripped (doc 3, the first occurrence,
+    # keeps it); every other doc passes through token-identical
+    d2b = dedup.strip_repeated_ngrams(d2, min_len=10)
+    t2b = {r.doc_id: r.text for r in d2b.collect()}
+    assert "one two three" in t2b[3]
+    assert "one two three" not in t2b[9]
+    assert "preface words" in t2b[9] and "trailing commentary" in t2b[9]
+    assert t2b[5] == texts[5]
+
+    # 2c. repetition gate: the "buy now buy now ..." doc dies on
+    # dup-n-gram char share; normal prose survives (top-n-gram limits
+    # relaxed — the paper's presuppose its >=50-word floor)
+    d2c = tx.gopher_repetition_filter(
+        d2b, top_limits={2: 0.6, 3: 0.6, 4: 0.6}
+    )
+    ids2c = {r.doc_id for r in d2c.select("doc_id").collect()}
+    assert 10 not in ids2c and {3, 5, 9} <= ids2c
+
     # 3. quality gate: token-count floor removes the spam doc
-    d3 = d2.filter(tx.token_count(F.col("text")) >= 10)
+    d3 = d2c.filter(tx.token_count(F.col("text")) >= 10)
     ids3 = {r.doc_id for r in d3.select("doc_id").collect()}
-    assert 4 not in ids3 and len(ids3) == 6
+    assert 4 not in ids3 and len(ids3) == 7
 
     # rejoin domain for mixing (line_dedup projects id+text)
     d3dom = d3.join(docs.select("doc_id", "domain"), "doc_id")
