@@ -472,6 +472,94 @@ def ivf_topk(
     )
 
 
+def ivf_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    nprobe: int = 1,
+) -> DataFrame:
+    """:func:`ivf_topk` at GEMM speed — same contract, same probed
+    cells, same (cos desc, id) tie-breaks. Routing happens driver-side
+    (queries × centroids are both broadcast-small by contract; the
+    centroids are the SAME Spark-computed `label_centroids` values, so
+    probe decisions match the expression form), and each corpus Arrow
+    batch scores only the queries probing its rows' cells with one
+    matmul per (batch, cell). No join, no query-vector replication —
+    the corpus is scanned exactly once and the shuffle carries only
+    local top-k candidates (cut widened by one 4dp quantum so rounding
+    ties survive, as in :func:`cosine_topk_gemm`). The expression form
+    remains the oracle-matching reference (q_n2/n3/n4); this is the
+    variant for production query batches."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = label_centroids(corpus, label_col, vec_col).collect()
+    cls = np.array([r["cl"] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    route = Qn @ Cn.T  # queries × cells
+    cell_queries: dict[int, list[int]] = {}
+    for j in range(len(q_ids)):
+        order = np.lexsort((cls, -route[j]))[: min(nprobe, len(cls))]
+        for c in cls[order]:
+            cell_queries.setdefault(int(c), []).append(j)
+
+    def _local_topk(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            labels = pdf[label_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            frames = []
+            for cell in np.unique(labels):
+                qs = cell_queries.get(int(cell))
+                if not qs:
+                    continue
+                m = labels == cell
+                cids, S = ids[m], Vn[m] @ Qn[qs].T  # cell_rows × probing_queries
+                for col_idx, j in enumerate(qs):
+                    col = S[:, col_idx].copy()
+                    col[cids == q_ids[j]] = -np.inf
+                    order = np.lexsort((cids, -col))
+                    kk = min(k, len(order))
+                    kth = col[order[kk - 1]] if kk else -np.inf
+                    sel = order[col[order] >= kth - 1.01e-4]
+                    keep = col[sel] > -np.inf
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(int(keep.sum()), q_ids[j]),
+                                "neighbor_id": cids[sel][keep],
+                                "cos": col[sel][keep],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        _local_topk, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cos", F.round("cos", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def _hyperplane_weights(plane: int, dim: int) -> list[float]:
     """Deterministic md5-derived hyperplane weights in [-1, 1):
     weight(p, d) = conv(md5(f'{p}:{d}')[:8], 16, 10) / 2^31 - 1 — the

@@ -225,3 +225,21 @@ def test_topk_gemm_matches_expression(spark, emb):
         }
         assert got == base
     assert len(base) > 0
+
+
+def test_ivf_gemm_matches_expression(spark, emb):
+    """ivf_topk_gemm must reproduce ivf_topk exactly for several
+    nprobe values and partition counts — same probed cells (identical
+    Spark-computed centroids, same routing tie-break), same neighbors,
+    cosines and ranks."""
+    q = emb.filter(F.col("vec_id") < 8)
+    for nprobe in (1, 2, 3):
+        base = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in sim.ivf_topk(emb, q, k=5, nprobe=nprobe).collect()
+        }
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in sim.ivf_topk_gemm(emb.repartition(5), q, k=5, nprobe=nprobe).collect()
+        }
+        assert got == base and len(base) > 0
