@@ -432,3 +432,36 @@ def gopher_repetition_filter(
     for n, lim in (dup_limits if dup_limits is not None else GOPHER_DUP_NGRAM_LIMITS).items():
         cond = cond & (F.col(f"dup_{n}gram_char_frac") <= lim)
     return stats.filter(cond).select(*df.columns)
+
+
+def token_frequency_table(
+    df,
+    text_col: str = "text",
+    tokenizer: str = "bpe",
+    min_count: int = 1,
+    top_n: int | None = None,
+):
+    """Corpus token-frequency table — the input a BPE/unigram tokenizer
+    trainer consumes. ``tokenizer="bpe"`` counts
+    :data:`BPE_PRETOKEN_PATTERN` pieces (whitespace pieces dropped);
+    ``"whitespace"`` counts plain tokens. Returns (token, count)
+    descending, count-then-token ordered so the table is deterministic.
+
+    One explode → one map-side-combinable groupBy: the shuffle carries
+    one row per distinct token per partition, not the token stream.
+    ``top_n`` applies a TakeOrderedAndProject (never a global sort);
+    ``min_count`` prunes the long tail before it reaches the limit."""
+    if tokenizer == "bpe":
+        toks = F.filter(bpe_pretokens(F.col(text_col)), lambda t: ~t.rlike(r"^\s+$"))
+    elif tokenizer == "whitespace":
+        toks = tokens(F.col(text_col))
+    else:
+        raise ValueError(f"tokenizer must be 'bpe' or 'whitespace', got {tokenizer!r}")
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    ordered = counts.orderBy(F.col("count").desc(), F.col("token"))
+    return ordered.limit(top_n) if top_n is not None else ordered

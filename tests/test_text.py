@@ -258,3 +258,40 @@ def test_gopher_repetition_stats_match_reference(spark):
     # doc 2 is the pathological repeater: must fail the filter; doc 3 clean
     kept = {r.doc_id for r in tx.gopher_repetition_filter(df).collect()}
     assert 2 not in kept and 3 in kept
+
+
+def test_token_frequency_table_matches_duckdb(spark):
+    """Vocabulary table must equal a DuckDB replay of the same regex
+    over the fixture corpus (the BPE pattern is Java/RE2-shared)."""
+    import duckdb
+
+    from electrician_spark.functions.text import BPE_PRETOKEN_PATTERN
+    from electrician_spark.functions import text as tx
+    from electrician_spark.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    got = [
+        (r.token, r["count"])
+        for r in tx.token_frequency_table(docs, top_n=25).collect()
+    ]
+    bpe = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    ref = duckdb.sql(
+        "SELECT t AS token, count(*) AS c FROM ("
+        f"SELECT unnest(regexp_extract_all(text, '({bpe})', 1)) AS t "
+        "FROM '/root/testdata/sf0.001/documents.parquet') "
+        "WHERE NOT regexp_matches(t, '^\\s+$') "
+        "GROUP BY t HAVING count(*) >= 1 ORDER BY c DESC, t LIMIT 25"
+    ).fetchall()
+    assert got == ref and len(got) == 25
+
+
+def test_token_frequency_table_min_count_and_whitespace(spark):
+    from electrician_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [("aa bb aa cc aa bb",), ("dd aa",)], "text string"
+    )
+    rows = {r.token: r["count"] for r in tx.token_frequency_table(df, tokenizer="whitespace").collect()}
+    assert rows == {"aa": 4, "bb": 2, "cc": 1, "dd": 1}
+    pruned = {r.token for r in tx.token_frequency_table(df, tokenizer="whitespace", min_count=2).collect()}
+    assert pruned == {"aa", "bb"}
