@@ -321,3 +321,83 @@ def test_kafka_stream_latest_start(spark, tmp_path):
 
     keys = {int(bytes(r["key"]).decode()) for b in batches for r in b}
     assert keys == {50, 51, 52}
+
+
+def test_kafka_stream_window_roundtrip(spark, tmp_path):
+    """The composed S4→W1→K3 chain, end to end through the fake
+    broker: streaming-consume JSON events, tumbling event-time count
+    with watermark, kafka_frame the aggregates back onto a second
+    topic, then batch-read the output topic and verify the window
+    counts. foreachBatch writes each micro-batch's FINISHED windows —
+    with availableNow-style consumption the complete-mode memory of
+    the aggregation lives in Spark state, and the broker ends up with
+    the final per-window rows."""
+    import json as _json
+
+    from pyspark.sql import functions as SF
+
+    from electrician_spark.streaming.windows import tumbling
+
+    kafka_fake.register(spark)
+    broker = str(tmp_path / "broker")
+
+    # produce 9 events across 3 hours onto topic "t" (2 partitions);
+    # kafka_frame JSON-encodes (ts, v) into the record value
+    events = [
+        (i, f"2026-01-01T0{h}:15:00", 1)
+        for i, h in enumerate([1, 1, 1, 2, 2, 3, 3, 3, 3])
+    ]
+    src = spark.createDataFrame(events, "k long, ts string, v int")
+    frame = kafka_frame(src, value_cols=["ts", "v"], key_template="{k}", topic="t")
+    frame.write.format("kafka_fake").options(
+        brokerDir=broker, topic="t", numPartitions="2"
+    ).mode("append").save()
+
+    done = []
+
+    def _sink(df, batch_id):
+        # aggregate THIS batch's events and append window rows to the
+        # output topic (idempotent per batch id is the R5 contract; a
+        # single batch here keeps the assertion exact)
+        parsed = df.select(
+            SF.get_json_object(SF.col("value").cast("string"), "$.ts").cast("timestamp").alias("ts")
+        )
+        agg = tumbling(parsed, "ts", "1 hour", SF.count("*").alias("n"))
+        out = agg.select(SF.col("window_start").cast("string").alias("w"), "n")
+        kafka_frame(out, value_cols=["w", "n"], topic="agg").write.format(
+            "kafka_fake"
+        ).options(brokerDir=broker, topic="agg").mode("append").save()
+        done.append(len(df.collect()))
+
+    q = (
+        spark.readStream.format("kafka_fake")
+        .options(brokerDir=broker, subscribe="t")
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and sum(done) < 9:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    assert sum(done) == 9
+
+    back = (
+        spark.read.format("kafka_fake")
+        .options(brokerDir=broker, subscribe="agg", startingOffsets="earliest")
+        .load()
+        .collect()
+    )
+    counts = {}
+    for r in back:
+        rec = _json.loads(bytes(r.value).decode())
+        counts[rec["w"]] = counts.get(rec["w"], 0) + rec["n"]
+    assert counts == {
+        "2026-01-01 01:00:00": 3,
+        "2026-01-01 02:00:00": 2,
+        "2026-01-01 03:00:00": 4,
+    }
