@@ -624,14 +624,25 @@ def connected_components_star(
             small = small.localCheckpoint()
         except Exception:  # noqa: BLE001
             pass
-        # fixed point: the edge sets (as min-oriented pairs) are equal
-        before = edges.select(
-            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-        ).distinct()
-        after = small.select(
-            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-        ).distinct()
-        stable = before.exceptAll(after).isEmpty() and after.exceptAll(before).isEmpty()
+        # fixed point: the edge sets (as min-oriented pairs) are equal.
+        # Gate the EXACT set comparison behind a cheap count: unequal
+        # counts prove the round changed something (skip two exceptAll
+        # jobs on every non-final round); equal counts — which include
+        # every converged round — still get the exact check, so a
+        # same-size-but-different edge set can never stop the loop
+        # early.
+        stable = False
+        if small.count() == edges.count():
+            before = edges.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            ).distinct()
+            after = small.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            ).distinct()
+            stable = (
+                before.exceptAll(after).isEmpty()
+                and after.exceptAll(before).isEmpty()
+            )
         edges = small
         if stable:
             break
