@@ -790,13 +790,15 @@ def random_hyperplane_buckets(
 def semantic_pairs(
     df: DataFrame,
     threshold: float = 0.85,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str | None = None,
     blocks: int | None = None,
     rows_per_block: int = 4096,
+    n_vecs: int | None = None,
+    target_cluster: int = 256,
 ) -> DataFrame:
     """SemDeDup-style near-dup candidates (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -822,6 +824,14 @@ def semantic_pairs(
     (domain, shard, or a previous k-means) and skip Lloyd's entirely.
     """
     if label_col is None:
+        if k is None:
+            # k MUST grow with N (per-cluster GEMM work is ~N²d/2k at
+            # balanced k): target ~target_cluster vectors per cell.
+            # Pass n_vecs to skip the count job.
+            import math
+
+            n = n_vecs if n_vecs is not None else df.count()
+            k = max(1, math.ceil(n / max(1, target_cluster)))
         labeled = kmeans_labels(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
         label_col = "label_km"
     else:
@@ -840,7 +850,7 @@ def semantic_pairs(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.85,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -858,7 +868,7 @@ def semantic_dedup(
 
     pairs = semantic_pairs(
         df, threshold, k, iters, id_col, vec_col, label_col, blocks, rows_per_block
-    )
+    )  # k=None auto-sizes from the corpus count (see semantic_pairs)
     comps = dedup.connected_components_star(pairs)
     drop = comps.filter(F.col("node") != F.col("rep")).select(
         F.col("node").alias(id_col)
