@@ -434,6 +434,53 @@ def gopher_repetition_filter(
     return stats.filter(cond).select(*df.columns)
 
 
+# ---------------------------------------------------------------------------
+# Corpus text normalization — the cleanup pass that runs before any
+# dedup/quality stage so fingerprints and shingles see canonical bytes.
+# Pure JVM regexp chain: one codegen'd scan, no Python, no shuffle.
+# ---------------------------------------------------------------------------
+
+# C0/C1 control characters except \t \n (DEL included); plus the
+# zero-width family and BOM, which make visually-identical documents
+# hash differently.
+_CONTROL_CHARS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F\\u200B-\\u200D\\u2060\\uFEFF]"
+# Unicode space separators that should unify with ASCII space before
+# tokenization (NBSP, en/em/thin spaces, ideographic space, …).
+_UNICODE_SPACES = "[\\u00A0\\u1680\\u2000-\\u200A\\u202F\\u205F\\u3000]"
+
+
+def normalize_text(
+    text: Column,
+    collapse_spaces: bool = True,
+    max_consecutive_newlines: int = 2,
+) -> Column:
+    """Canonicalize a document string for downstream dedup/quality ops:
+
+    - CRLF / CR → LF
+    - control chars (C0/C1 minus tab+newline), zero-width chars, BOM → removed
+    - unicode space separators → ASCII space
+    - tabs → space, space runs → one space (``collapse_spaces``)
+    - >``max_consecutive_newlines`` blank-line runs → capped (0 disables)
+    - leading/trailing whitespace trimmed (incl. newlines)
+
+    This is the regexp-expressible core of the usual NFKC+cleanup pass;
+    full NFKC compatibility folding (ligatures, full-width forms) needs
+    ``unicodedata`` and belongs in an Arrow-batched pandas UDF if a
+    pipeline opts in — kept out of the default path so the hot path
+    stays whole-stage-codegen."""
+    out = F.regexp_replace(text, r"\r\n?", "\n")
+    out = F.regexp_replace(out, _CONTROL_CHARS, "")
+    out = F.regexp_replace(out, _UNICODE_SPACES, " ")
+    if collapse_spaces:
+        out = F.regexp_replace(out, "\t", " ")
+        out = F.regexp_replace(out, " {2,}", " ")
+    if max_consecutive_newlines:
+        run = "\n" * max_consecutive_newlines
+        out = F.regexp_replace(out, rf"\n{{{max_consecutive_newlines + 1},}}", run)
+    # trim() strips ASCII space only — newline-adjacent edges need \s.
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
 def token_frequency_table(
     df,
     text_col: str = "text",

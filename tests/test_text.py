@@ -295,3 +295,33 @@ def test_token_frequency_table_min_count_and_whitespace(spark):
     assert rows == {"aa": 4, "bb": 2, "cc": 1, "dd": 1}
     pruned = {r.token for r in tx.token_frequency_table(df, tokenizer="whitespace", min_count=2).collect()}
     assert pruned == {"aa", "bb"}
+
+
+def test_normalize_text_controls_and_spaces(spark):
+    s = "a\u00a0b\u200bc\ufeffd   e\tf \u2003  g"
+    out = _one(spark, s, tx.normalize_text(F.col("text")))
+    # controls/zero-width removed; NBSP/em-space -> space; runs collapse
+    assert out == "a bcd e f g"
+
+
+def test_normalize_text_newlines(spark):
+    s = "line1\r\nline2\rline3\n\n\n\n\nline4"
+    out = _one(spark, s, tx.normalize_text(F.col("text")))
+    assert out == "line1\nline2\nline3\n\nline4"
+    out_uncapped = _one(
+        spark, s, tx.normalize_text(F.col("text"), max_consecutive_newlines=0)
+    )
+    assert out_uncapped == "line1\nline2\nline3\n\n\n\n\nline4"
+
+
+def test_normalize_text_idempotent_and_unifies_variants(spark):
+    a = "The  quick brown fox\r\n"
+    b = "The quick brown\u200b fox\n"
+    df = spark.createDataFrame([(a,), (b,)], ["text"]).select(
+        tx.normalize_text(F.col("text")).alias("norm")
+    )
+    rows = [r["norm"] for r in df.collect()]
+    assert rows[0] == rows[1] == "The quick brown fox"
+    # idempotence: normalizing a normalized string is a no-op
+    df2 = df.select(tx.normalize_text(F.col("norm")).alias("n2"))
+    assert [r["n2"] for r in df2.collect()] == rows
