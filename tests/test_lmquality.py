@@ -1,0 +1,103 @@
+"""CCNet-style LM quality scoring: score equality vs a plain-Python
+add-α unigram reference, OOV handling, bucket assignment, plan shape."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from electrician_spark.operators import lmquality as lmq
+
+REF_CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog met on the mat",
+]
+TARGET = [
+    (1, "the cat sat on the mat"),          # pure in-distribution
+    (2, "the dog met a cat"),               # in-vocab, rarer tokens
+    (3, "zyzzyva quux flibbertigibbet"),    # all OOV
+    (4, ""),                                # empty → no score row
+]
+ALPHA = 0.5
+
+
+def _python_reference(vocab_size=100):
+    counts = Counter(t for s in REF_CORPUS for t in s.lower().split())
+    kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    n = sum(c for _, c in kept)
+    v = len(kept)
+    denom = n + ALPHA * (v + 1)
+    logprob = {t: math.log((c + ALPHA) / denom) for t, c in kept}
+    oov = math.log(ALPHA / denom)
+
+    def score(text):
+        toks = text.lower().split()
+        if not toks:
+            return None
+        lps = [logprob.get(t, oov) for t in toks]
+        return sum(lps) / len(lps)
+
+    return logprob, oov, score
+
+
+def _spark_scored(spark, vocab_size=100):
+    ref = spark.createDataFrame([(s,) for s in REF_CORPUS], ["text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    lm = lmq.unigram_lm(ref, vocab_size=vocab_size, alpha=ALPHA)
+    return lm, lmq.lm_score(tgt, lm)
+
+
+def test_scores_match_python_reference(spark):
+    _, _, py_score = _python_reference()
+    _, scored = _spark_scored(spark)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert set(rows) == {1, 2, 3}  # empty doc 4 yields no row
+    for doc_id, text in TARGET[:3]:
+        want = py_score(text)
+        assert abs(rows[doc_id]["mean_logprob"] - want) < 1e-9
+        assert abs(rows[doc_id]["perplexity"] - math.exp(-want)) < 1e-6
+        assert rows[doc_id]["n_tokens"] == len(text.split())
+
+
+def test_vocab_truncation_folds_into_oov(spark):
+    # vocab_size=3 keeps only the top-3 tokens; every other token must
+    # score exactly the OOV logprob.
+    _, _, _ = _python_reference()
+    lm, scored = _spark_scored(spark, vocab_size=3)
+    lm_rows = lm.collect()
+    assert len(lm_rows) == 3
+    oov = lm_rows[0]["oov_logprob"]
+    kept = {r["token"] for r in lm_rows}
+    assert "the" in kept  # most frequent token survives the cutoff
+    all_oov = {r["doc_id"]: r for r in scored.collect()}[3]
+    assert abs(all_oov["mean_logprob"] - oov) < 1e-9
+
+
+def test_in_distribution_scores_better_than_oov(spark):
+    _, scored = _spark_scored(spark)
+    rows = {r["doc_id"]: r["perplexity"] for r in scored.collect()}
+    assert rows[1] < rows[2] < rows[3]
+
+
+def test_perplexity_buckets(spark):
+    docs = [(i, " ".join(["the"] * (i + 1) + ["zzz"] * i)) for i in range(9)]
+    ref = spark.createDataFrame([(s,) for s in REF_CORPUS], ["text"])
+    tgt = spark.createDataFrame(docs, ["doc_id", "text"])
+    lm = lmq.unigram_lm(ref, alpha=ALPHA)
+    scored = lmq.lm_score(tgt, lm)
+    bucketed = lmq.perplexity_buckets(scored, relative_error=0.0)
+    rows = sorted(bucketed.collect(), key=lambda r: r["perplexity"])
+    labels = [r["bucket"] for r in rows]
+    # monotone: head block, then middle, then tail — never interleaved
+    assert labels == sorted(labels, key=("head", "middle", "tail").index)
+    assert {"head", "middle", "tail"} == set(labels)
+
+
+def test_scoring_plan_is_broadcast_no_python(spark):
+    _, scored = _spark_scored(spark)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "SortMergeJoin" not in plan
