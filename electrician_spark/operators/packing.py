@@ -64,3 +64,68 @@ def pack_sequences(
         )
     )
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-budget chunks — the
+    inverse layout op of :func:`pack_sequences` (packing merges short
+    docs into sequences; chunking cuts long docs down to them), and the
+    standard context-window prep for RAG indexing / long-doc training.
+
+    Sliding-window rule: chunk starts at token 1, then every
+    ``stride = max_tokens − overlap`` tokens, for starts ≤
+    ``max(n − overlap, 1)`` — so the final chunk always reaches the
+    document's last token, a tail shorter than ``overlap`` never
+    spawns a fully-contained duplicate chunk, and ``overlap=0``
+    partitions exactly. Zero-token documents produce zero chunks.
+
+    Output: one row per chunk — (*input columns*, ``chunk_id`` (0-based
+    per doc), ``n_chunks``, ``chunk_tokens``, ``chunk_text``).
+
+    Scale: pure JVM — tokenize once per row, build the start list with
+    ``sequence``, cut with ``slice`` inside a ``transform``, then ONE
+    explode. No shuffle, no Python, no per-chunk re-tokenization;
+    output size is the chunk count, input is scanned once."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
+    from electrician_spark.functions.text import tokens
+
+    stride = max_tokens - overlap
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    # Bind the token array once (same one-element-transform trick as
+    # text.shingles) so tokenize doesn't re-run per chunk element.
+    bound = F.element_at(
+        F.transform(F.array(toks), lambda tk: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - overlap, F.lit(1)), F.lit(stride)),
+            lambda s: F.slice(tk, s, max_tokens),
+        )),
+        1,
+    )
+    # posexplode_OUTER: the non-outer Generate makes Catalyst infer a
+    # size(__chunks)>0 filter below the Project, which re-evaluates the
+    # whole (interpreted) tokenize+chunk expression a second time per
+    # row. __chunks is never empty by construction (start list always
+    # holds 1), so outer semantics are identical here — minus the
+    # duplicated evaluation.
+    exploded = df.withColumn("__chunks", bound).select(
+        "*", F.posexplode_outer("__chunks").alias("chunk_id", "__chunk")
+    )
+    return (
+        exploded.withColumn("n_chunks", F.size("__chunks"))
+        .withColumn("chunk_tokens", F.size("__chunk"))
+        .withColumn("chunk_text", F.concat_ws(" ", "__chunk"))
+        # zero-token docs produce one empty chunk row — drop it HERE,
+        # on the generated column: a pre-explode filter on __chunks[0]
+        # gets pushed below the Project and re-evaluates the whole
+        # (interpreted) tokenize+chunk expression a second time per row.
+        .filter(F.col("chunk_tokens") > 0)
+        .drop("__chunks", "__chunk")
+    )

@@ -56,3 +56,86 @@ def test_pack_sequences_validates_args(spark):
         packing.pack_sequences(df, "tok", budget=0)
     with pytest.raises(ValueError, match="n_shards"):
         packing.pack_sequences(df, "tok", budget=10, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def _py_chunks(text, max_tokens, overlap):
+    toks = [t for t in text.split() if t]
+    n = len(toks)
+    if n == 0:
+        return []
+    stride = max_tokens - overlap
+    starts = list(range(1, max(n - overlap, 1) + 1, stride))
+    return [toks[s - 1 : s - 1 + max_tokens] for s in starts]
+
+
+def test_chunk_documents_matches_python_rule(spark):
+    from electrician_spark.operators.packing import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, "a b c"),
+        (3, ""),
+        (4, " ".join(f"w{i}" for i in range(13))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for max_tokens, overlap in ((8, 4), (8, 0), (4, 1), (3, 2)):
+        out = chunk_documents(df, max_tokens, overlap)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_text"].split(), r["n_chunks"], r["chunk_tokens"])
+            )
+        for doc_id, text in docs:
+            want = _py_chunks(text, max_tokens, overlap)
+            rows = sorted(got.get(doc_id, []))
+            assert len(rows) == len(want), (doc_id, max_tokens, overlap)
+            for (cid, ctoks, n_chunks, ctn), (i, wtoks) in zip(rows, enumerate(want)):
+                assert cid == i and ctoks == wtoks and ctn == len(wtoks)
+                assert n_chunks == len(want)
+
+
+def test_chunk_documents_covers_every_token_and_no_dup_tail(spark):
+    from electrician_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"x{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = chunk_documents(df, 8, 3).collect()
+    seen = set()
+    for r in out:
+        seen.update(r["chunk_text"].split())
+    assert seen == set(text.split())  # full coverage incl. the tail
+    # last chunk reaches the final token; no chunk is a subset of another
+    spans = sorted(
+        (r["chunk_id"], r["chunk_text"].split()[0], r["chunk_text"].split()[-1])
+        for r in out
+    )
+    assert spans[-1][2] == "x49"
+    token_lists = [r["chunk_text"].split() for r in sorted(out, key=lambda r: r["chunk_id"])]
+    for a, b in zip(token_lists, token_lists[1:]):
+        assert not set(b) <= set(a)
+
+
+def test_chunk_documents_zero_overlap_partitions_exactly(spark):
+    from electrician_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = sorted(chunk_documents(df, 4, 0).collect(), key=lambda r: r["chunk_id"])
+    assert [r["chunk_tokens"] for r in out] == [4, 4, 2]
+    assert " ".join(r["chunk_text"] for r in out) == text
+
+
+def test_chunk_documents_validates_args(spark):
+    import pytest
+    from electrician_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, 0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, 4, overlap=4)
