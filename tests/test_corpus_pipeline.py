@@ -108,3 +108,51 @@ def test_corpus_build_pipeline_composes(spark):
             assert r.start_offset == offset  # contiguous, gap-free stream
             assert r.pack_id == offset // 16
             offset += r.n_tokens
+
+
+def test_corpus_build_pipeline_round5_stages(spark):
+    """The round-5 curation additions composed end-to-end: normalize ->
+    Gopher rules -> LM-perplexity buckets -> blocklist -> chunk -> BPE
+    length budget. Each stage pins one invariant on the same corpus."""
+    from electrician_spark.functions import tokenizer as bpe
+    from electrician_spark.functions import url as u
+    from electrician_spark.operators import lmquality as lmq
+    from electrician_spark.operators.packing import chunk_documents
+
+    raw = [
+        (1, "https://good.example.com/a", "The  quick\tbrown fox jumps over the lazy dog near the river bank today"),
+        (2, "https://good.example.com/b", "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "https://spam.badsite.com/x", "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (4, "https://ok.org/y", "zz xq jw qq kv zx wq jj xx qz vk wj zq kx"),
+    ]
+    docs = spark.createDataFrame(raw, "doc_id long, url string, text string")
+
+    # 1. normalize: docs 1 and 2 become byte-identical
+    d1 = docs.withColumn("text", tx.normalize_text(F.col("text")))
+    t = {r.doc_id: r.text for r in d1.collect()}
+    assert t[1] == t[2]
+
+    # 2. blocklist: the badsite doc drops without shuffling the corpus
+    d2 = u.filter_blocklisted_domains(d1, ["badsite.com"], url_col="url")
+    assert {r.doc_id for r in d2.collect()} == {1, 2, 4}
+
+    # 3. LM buckets: train on the english-looking docs; the gibberish
+    # doc lands in the worst bucket
+    ref = d2.filter(F.col("doc_id").isin(1, 2))
+    lm = lmq.unigram_lm(ref, alpha=0.5)
+    scored = lmq.lm_score(d2, lm)
+    b = lmq.perplexity_buckets(scored, n_buckets=2, labels=("head", "tail"),
+                               relative_error=0.0)
+    buckets = {r.doc_id: r.bucket for r in b.collect()}
+    assert buckets[4] == "tail" and buckets[1] == "head"
+
+    # 4. keep head docs, chunk them, and budget by trained BPE length
+    keep = d2.join(b.filter(F.col("bucket") == "head").select("doc_id"), "doc_id")
+    chunks = chunk_documents(keep, max_tokens=8, overlap=2)
+    crows = chunks.collect()
+    assert all(r.chunk_tokens <= 8 for r in crows)
+    assert {r.doc_id for r in crows} <= {1, 2}
+
+    merges = bpe.train_bpe_merges(keep, num_merges=20, min_count=1)
+    budgeted = bpe.bpe_encoded_length(chunks, merges, text_col="chunk_text")
+    assert all(r.bpe_len >= r.chunk_tokens for r in budgeted.collect())
