@@ -481,6 +481,26 @@ def normalize_text(
     return F.regexp_replace(out, r"^\s+|\s+$", "")
 
 
+def nfkc_normalize(text: Column) -> Column:
+    """Full NFKC compatibility folding (ligatures ﬁ→fi, full-width
+    Ａ→A, ²→2, …) — the opt-in Python stage :func:`normalize_text`
+    deliberately excludes. Arrow-batched pandas UDF (never row-at-a-time
+    Python); compose as ``normalize_text(nfkc_normalize(col))`` when a
+    corpus needs the full fold, and keep it off hot paths that the
+    regexp chain already serves."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _nfkc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFKC", x) if x is not None else None
+        )
+
+    return _nfkc(text)
+
+
 def token_frequency_table(
     df,
     text_col: str = "text",

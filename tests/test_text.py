@@ -325,3 +325,14 @@ def test_normalize_text_idempotent_and_unifies_variants(spark):
     # idempotence: normalizing a normalized string is a no-op
     df2 = df.select(tx.normalize_text(F.col("norm")).alias("n2"))
     assert [r["n2"] for r in df2.collect()] == rows
+
+
+def test_nfkc_normalize_folds_compat_forms(spark):
+    s = "\uff26\uff55\uff4c\uff4c \ufb01le \u00b2"
+    out = _one(spark, s, tx.nfkc_normalize(F.col("text")))
+    assert out == "Full file 2"
+    # composes with normalize_text; None passes through as NULL
+    df = spark.createDataFrame([(None,)], "text string").select(
+        tx.normalize_text(tx.nfkc_normalize(F.col("text"))).alias("out")
+    )
+    assert df.first()["out"] is None
