@@ -78,6 +78,49 @@ def mixture_sample(
     return df.filter(sample_key(F.col(id_col)) < threshold)
 
 
+def temperature_rates(
+    counts: dict[str, int],
+    temperature: float = 1.0,
+    target_fraction: float = 1.0,
+) -> dict[str, float]:
+    """Per-domain sampling fractions that reshape observed domain counts
+    toward a temperature-flattened mixture — the bridge from a domain
+    census (``url.domain_mixture`` collected to its bounded dict) to
+    :func:`mixture_sample`.
+
+    Target mixture proportions p_d ∝ share_d^(1/T): T=1 preserves the
+    natural mixture, T→∞ approaches uniform over domains, T<1 sharpens
+    toward the head (the standard multilingual/multi-source rebalancing
+    rule, e.g. mBERT/XLM-R exponent-smoothed sampling). The returned
+    fraction for domain d is ``target_fraction · N · p_d / c_d``,
+    capped at 1.0 (a domain too small to fill its target slot keeps
+    everything — capping loses mass, so the realized total can fall
+    below ``target_fraction·N`` when flattening demands more of a tail
+    domain than exists; by design no domain is oversampled).
+
+    Pure driver arithmetic over the bounded domain table (never the
+    corpus); feed the result straight to :func:`mixture_sample`."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in (0, 1], got {target_fraction}")
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    if total <= 0:
+        return {d: 0.0 for d in counts}
+    powered = {d: (c / total) ** (1.0 / temperature) for d, c in counts.items() if c > 0}
+    z = sum(powered.values())
+    rates = {}
+    for d, c in counts.items():
+        if c <= 0:
+            rates[d] = 0.0
+            continue
+        p = powered[d] / z
+        rates[d] = min(1.0, target_fraction * total * p / c)
+    return rates
+
+
 def weighted_bernoulli_sample(
     df: DataFrame,
     weight_col: str,

@@ -2813,6 +2813,16 @@ def q_ht1(spark, sf_dir):
 # t3, t5, t6, t9, a1, a2, j1, j2, j6, o1-o3, w1, w3, w8, w9, wf1, u1,
 # f1, f4, f5, x1-x4, x7, d1, d3-d8, sm1, sm2, n1, n2, n4, k1, k2, k4,
 # r1, p1-p3.
+# Round-6 rotation recipe: window = the 50 queries attested in r4
+# (the complement of this list — the invariant test enforces it).
+# Oracle-candidates for NEW registry rows in r6 (each requires retiring
+# a sibling to keep the 100-query / 2-window arithmetic): a
+# chunk_documents query (oracle: generate_series + array_slice over
+# tokenized docs), an lmquality perplexity-bucket query (oracle:
+# closed-form add-α logprob join + NTILE), a url.domain_mixture query
+# (oracle: regexp host parse + count/share). All three are currently
+# test-pinned against plain-Python/DuckDB references in
+# test_packing/test_lmquality/test_url.
 _DRIVER_PRIORITY = [
     # new this round (never driver-checked)
     "q_d9_lsh_near_dup",

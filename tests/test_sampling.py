@@ -106,3 +106,68 @@ def test_cap_per_group_equals_single_window_on_skewed_groups(spark):
     for dom, _ in got:
         per_dom[dom] = per_dom.get(dom, 0) + 1
     assert per_dom["hot"] == 25 and all(v <= 25 for v in per_dom.values())
+
+
+# ---------------------------------------------------------------------------
+# temperature_rates
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_rates_t1_uniform_scaling():
+    from electrician_spark.operators.sampling import temperature_rates
+
+    counts = {"crawl": 8000, "wiki": 1500, "books": 500}
+    # T=1 preserves the natural mixture: every domain keeps the same fraction
+    r = temperature_rates(counts, temperature=1.0, target_fraction=0.5)
+    assert all(abs(v - 0.5) < 1e-12 for v in r.values())
+
+
+def test_temperature_rates_flattening_favors_tail():
+    from electrician_spark.operators.sampling import temperature_rates
+
+    counts = {"crawl": 8000, "wiki": 1500, "books": 500}
+    r = temperature_rates(counts, temperature=3.0, target_fraction=0.5)
+    # flattening keeps MORE of small domains, LESS of the head
+    assert r["books"] > r["wiki"] > r["crawl"]
+    # no oversampling, ever
+    assert all(0.0 <= v <= 1.0 for v in r.values())
+    # realized mixture proportions follow share^(1/T) ordering but
+    # closer to uniform than the raw counts
+    kept = {d: counts[d] * r[d] for d in counts}
+    total = sum(kept.values())
+    props = {d: kept[d] / total for d in counts}
+    raw = {d: counts[d] / sum(counts.values()) for d in counts}
+    for d in counts:
+        assert abs(props[d] - 1 / 3) <= abs(raw[d] - 1 / 3) + 1e-12
+
+
+def test_temperature_rates_expected_mass_and_caps():
+    from electrician_spark.operators.sampling import temperature_rates
+
+    counts = {"big": 10_000, "tiny": 10}
+    # extreme flattening wants half the kept mass from 'tiny' (10 rows)
+    # -> capped at 1.0, mass lost by design rather than oversampled
+    r = temperature_rates(counts, temperature=100.0, target_fraction=0.5)
+    assert r["tiny"] == 1.0 and 0.0 < r["big"] < 1.0
+    # uncapped domains: kept mass matches the target split
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_rates(counts, temperature=0.0)
+    with pytest.raises(ValueError):
+        temperature_rates(counts, target_fraction=0.0)
+    assert temperature_rates({}) == {}
+    assert temperature_rates({"a": 0}) == {"a": 0.0}
+
+
+def test_temperature_rates_feed_mixture_sample(spark):
+    from electrician_spark.operators.sampling import mixture_sample, temperature_rates
+
+    rows = [(i, "crawl" if i % 10 else "wiki") for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    counts = {r["domain"]: r["n"] for r in df.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    rates = temperature_rates(counts, temperature=5.0, target_fraction=0.5)
+    kept = mixture_sample(df, "domain", rates)
+    got = {r["domain"]: r["n"] for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    # wiki (tail) retains a larger fraction than crawl (head)
+    assert got["wiki"] / counts["wiki"] > got["crawl"] / counts["crawl"]
