@@ -139,3 +139,18 @@ def test_chunk_documents_validates_args(spark):
         chunk_documents(df, 0)
     with pytest.raises(ValueError):
         chunk_documents(df, 4, overlap=4)
+
+
+def test_chunk_documents_plan_single_evaluation_no_shuffle(spark):
+    """The tokenize+chunk expression must appear ONCE in the physical
+    plan: a non-outer posexplode makes Catalyst infer a size filter
+    below the defining Project, re-evaluating the whole interpreted
+    expression per row (the reason chunk_documents uses
+    posexplode_outer). Also pins: no exchange, no Python."""
+    from electrician_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = chunk_documents(df, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("transform(array(filter") == 1
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

@@ -127,3 +127,12 @@ def test_vocab_layout():
     merges = [("l", "o"), ("lo", "w"), ("l", "o")]  # dup merged symbol ignored
     v = bpe.bpe_vocab(merges, base_alphabet="low")
     assert v == ["l", "o", "w", "lo", "low"]
+
+
+def test_bpe_encode_plan_is_arrow_batched(spark):
+    merges = [("l", "o")]
+    df = spark.createDataFrame([(1, "low")], ["doc_id", "text"])
+    plan = (
+        bpe.bpe_encode(df, merges)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
