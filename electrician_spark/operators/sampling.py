@@ -78,6 +78,40 @@ def mixture_sample(
     return df.filter(sample_key(F.col(id_col)) < threshold)
 
 
+def shuffle_key(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic per-epoch permutation key: md5 over ``seed:id``.
+    Same seed → identical key (and therefore identical order) on every
+    run, cluster size, and engine; a new seed is a new permutation."""
+    salted = F.concat(F.lit(f"{seed}:"), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Epoch-reproducible global shuffle — the final data-ordering step
+    before a training run: every row gets an md5(``seed:id``) key,
+    ``repartitionByRange`` on the key cuts ``n_shards`` balanced shards
+    that are globally ordered shard-to-shard, and a sort *within* each
+    shard finishes the permutation. Reading shards in order replays one
+    deterministic global permutation; bumping ``seed`` yields the next
+    epoch's.
+
+    Scale: ONE range-exchange shuffle (the range partitioner samples
+    keys; no global single-task sort ever materializes), each task
+    sorts only its own shard. Output keeps a ``shuffle_key`` column so
+    writers can verify or resume ordering."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    keyed = df.withColumn("shuffle_key", shuffle_key(F.col(id_col), seed))
+    return keyed.repartitionByRange(n_shards, "shuffle_key").sortWithinPartitions(
+        "shuffle_key", id_col
+    )
+
+
 def temperature_rates(
     counts: dict[str, int],
     temperature: float = 1.0,
