@@ -474,6 +474,11 @@ def normalize_text(
     if collapse_spaces:
         out = F.regexp_replace(out, "\t", " ")
         out = F.regexp_replace(out, " {2,}", " ")
+        # Strip spaces hugging newlines so space-padded "blank" lines
+        # (ubiquitous trailing whitespace in web text) collapse to bare
+        # \n runs — otherwise they escape the newline-run cap below and
+        # texts equal modulo trailing spaces normalize differently.
+        out = F.regexp_replace(out, " *\n *", "\n")
     if max_consecutive_newlines:
         run = "\n" * max_consecutive_newlines
         out = F.regexp_replace(out, rf"\n{{{max_consecutive_newlines + 1},}}", run)

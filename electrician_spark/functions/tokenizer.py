@@ -52,6 +52,25 @@ def _pair_counts(vocab: dict[tuple[str, ...], int]) -> Counter:
     return counts
 
 
+def _train_bpe_merges_reference(
+    vocab: dict[tuple[str, ...], int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Textbook Sennrich loop — recounts every pair per merge. Kept as
+    the O(num_merges · Σ|word|) equality reference the incremental
+    trainer is pinned against in tests; never called on the hot path."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        pair, freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break
+        merges.append(pair)
+        vocab = {_merge_pair(s, pair): f for s, f in vocab.items()}
+    return merges
+
+
 def _merge_pair(symbols: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
     merged: list[str] = []
     i, n = 0, len(symbols)
@@ -84,27 +103,92 @@ def train_bpe_merges(
 
     Returns the merge list in application order. Deterministic: ties on
     pair frequency break on the pair itself.
+
+    The merge loop is the *incremental* Sennrich trainer: pair counts
+    and a pair→words inverted index are maintained across merges, so
+    each merge touches only the words that actually contain the merged
+    pair (Zipf: a vanishing fraction past the first few hundred merges)
+    instead of recounting every pair in every word. Same output as the
+    textbook recount loop (:func:`_train_bpe_merges_reference`, pinned
+    by test at ≥2k merges) — at a production 32k merges the recount
+    form is hours of driver time, this is seconds.
     """
     freq_rows = token_frequency_table(
         df, text_col=text_col, tokenizer="bpe", min_count=min_count, top_n=top_n_words
     ).collect()
-    vocab: dict[tuple[str, ...], int] = {}
+    agg: dict[tuple[str, ...], int] = {}
     for row in freq_rows:
         symbols = tuple(row["token"]) + (END_OF_WORD,)
-        vocab[symbols] = vocab.get(symbols, 0) + int(row["count"])
+        agg[symbols] = agg.get(symbols, 0) + int(row["count"])
+    return _merge_loop(agg, num_merges)
+
+
+def _merge_loop(
+    agg: dict[tuple[str, ...], int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-local incremental merge loop over a (symbols → freq)
+    vocabulary table (see :func:`train_bpe_merges` for the contract)."""
+    words: list[tuple[str, ...]] = list(agg)
+    freqs: list[int] = [agg[w] for w in words]
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, symbols in enumerate(words):
+        f = freqs[wi]
+        for p in zip(symbols, symbols[1:]):
+            pair_counts[p] += f
+            pair_words.setdefault(p, set()).add(wi)
+
+    # Lazy-deletion max-heap over (-count, pair): selection is O(log H)
+    # amortized instead of a full O(|pairs|) scan per merge. Every count
+    # change pushes a fresh entry; a popped entry is authoritative only
+    # if its count still matches pair_counts (stale ones are discarded).
+    # Tuple order (-count, pair) reproduces the reference tie-break
+    # exactly: highest count, then lexicographically smallest pair.
+    import heapq
+
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        counts = _pair_counts(vocab)
-        if not counts:
+        pair = None
+        while heap:
+            negc, cand = heapq.heappop(heap)
+            if pair_counts.get(cand) == -negc:
+                pair, freq = cand, -negc
+                break
+        if pair is None:
             break
-        # highest count, ties to the lexicographically smallest pair →
-        # deterministic; single pass, never sorts the whole pair table.
-        pair, freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         if freq < 2:
             break  # every remaining pair is unique — no information left
         merges.append(pair)
-        vocab = {_merge_pair(s, pair): f for s, f in vocab.items()}
+        # Update ONLY the words containing the merged pair. The index
+        # holds stale members (words that lost the pair in an earlier
+        # merge keep their entry until visited) — harmless: staleness
+        # costs one skipped iteration, while pair_counts, which drives
+        # selection, is kept exact below.
+        for wi in pair_words.pop(pair, ()):  # noqa: B909 — pop before iterate
+            old = words[wi]
+            new = _merge_pair(old, pair)
+            if new == old:
+                continue  # stale index entry
+            f = freqs[wi]
+            for p in zip(old, old[1:]):
+                c = pair_counts[p] - f
+                if c > 0:
+                    pair_counts[p] = c
+                    heapq.heappush(heap, (-c, p))
+                else:
+                    del pair_counts[p]
+            for p in zip(new, new[1:]):
+                c = pair_counts[p] + f
+                pair_counts[p] = c
+                heapq.heappush(heap, (-c, p))
+                pair_words.setdefault(p, set()).add(wi)
+            words[wi] = new
     return merges
 
 
@@ -163,6 +247,10 @@ def bpe_encode(
         cache: dict[str, list[str]] = {}
 
         def enc(pieces):
+            if pieces is None:
+                # NULL text → NULL tokens (match normalize_text's NULL
+                # propagation; one bad row must not abort the job).
+                return None
             out: list[str] = []
             for p in pieces:
                 seg = cache.get(p)

@@ -66,26 +66,32 @@ def unigram_lm(
     kept vocabulary and the +1 is the single OOV class receiving
     P(oov) = α / (N + α·(V+1)). Tokens truncated by ``vocab_size``
     fold into the OOV class (their mass is *not* redistributed — the
-    cutoff is part of the model, exactly like a tokenizer vocab)."""
-    counts = (
+    cutoff is part of the model, exactly like a tokenizer vocab).
+
+    The bounded model is MATERIALIZED (collect ≤ vocab_size count rows
+    → one local DataFrame): the reference corpus is scanned exactly
+    once, no matter how many downstream actions consume the model —
+    an uncached lineage would re-run the corpus aggregation per action
+    (scoring join, oov fetch, every test assertion)."""
+    count_rows = (
         ref_df.select(F.explode(_lm_tokens(F.col(text_col))).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("c"))
         .orderBy(F.col("c").desc(), F.col("token"))
         .limit(vocab_size)
+        .collect()  # ≤ vocab_size rows — bounded driver fetch, ONE scan
     )
-    # total kept mass + vocab size: 2 scalars — a bounded driver fetch.
-    totals = counts.agg(
-        F.sum("c").alias("n"), F.count("*").alias("v")
-    ).first()
-    n, v = int(totals["n"] or 0), int(totals["v"] or 0)
+    n = sum(int(r["c"]) for r in count_rows)
+    v = len(count_rows)
     denom = n + alpha * (v + 1)
     oov_logprob = math.log(alpha / denom)
-    return counts.select(
-        "token",
-        (F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))).alias("logprob"),
-        F.lit(oov_logprob).alias("oov_logprob"),
+    model = [
+        (r["token"], math.log((int(r["c"]) + alpha) / denom), oov_logprob)
+        for r in count_rows
+    ]
+    return ref_df.sparkSession.createDataFrame(
+        model, "token string, logprob double, oov_logprob double"
     )
 
 

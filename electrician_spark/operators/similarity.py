@@ -24,6 +24,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Cap for "broadcast-small by contract" driver collects (query sets,
+# IVF centroid tables). The GEMM paths ship these to every task in the
+# UDF closure, so a caller that hands over a corpus-sized DataFrame
+# would otherwise silently OOM the driver; instead the guard raises
+# with a pointer to the distributed expression path. Module-level so a
+# deployment with a fat driver can raise it once.
+MAX_DRIVER_ROWS = 100_000
+
+
+def _collect_bounded(df: DataFrame, what: str, expression_path: str) -> list:
+    """collect() with a hard row cap — one job (limit cap+1), raising
+    past the cap instead of materializing an unbounded result."""
+    rows = df.limit(MAX_DRIVER_ROWS + 1).collect()
+    if len(rows) > MAX_DRIVER_ROWS:
+        raise ValueError(
+            f"{what} exceeds similarity.MAX_DRIVER_ROWS={MAX_DRIVER_ROWS} rows; "
+            f"it is broadcast to every task and collected on the driver. Use "
+            f"the distributed expression path ({expression_path}) for large "
+            f"sets, or raise electrician_spark.operators.similarity.MAX_DRIVER_ROWS."
+        )
+    return rows
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -238,7 +261,9 @@ def cosine_topk_gemm(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_bounded(
+        queries.select(id_col, vec_col), "query set", "cosine_topk"
+    )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
@@ -382,6 +407,11 @@ def kmeans_labels(
     for assignment. The iterative refinement in dedup.py (min-label
     propagation) uses the same bounded-rounds pattern.
     """
+    if k > MAX_DRIVER_ROWS:
+        raise ValueError(
+            f"k={k} exceeds similarity.MAX_DRIVER_ROWS={MAX_DRIVER_ROWS}: "
+            f"centroids live on the driver between Lloyd's iterations."
+        )
     spark = df.sparkSession
     v = df.select(
         F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_kv")
@@ -496,12 +526,14 @@ def ivf_topk_gemm(
     import numpy as np
     import pandas as pd
 
-    cent_rows = label_centroids(corpus, label_col, vec_col).collect()
+    cent_rows = _collect_bounded(
+        label_centroids(corpus, label_col, vec_col), "IVF centroid table", "ivf_topk"
+    )
     cls = np.array([r["cl"] for r in cent_rows], dtype=np.int64)
     C = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_bounded(queries.select(id_col, vec_col), "query set", "ivf_topk")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)

@@ -101,3 +101,14 @@ def test_scoring_plan_is_broadcast_no_python(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "SortMergeJoin" not in plan
+
+
+def test_unigram_lm_is_materialized_once(spark):
+    # The model must be a bounded LOCAL table (collected once on the
+    # driver): an uncached lineage would re-run the reference-corpus
+    # aggregation on every downstream action (scoring join, oov fetch,
+    # each test assertion) despite the "one pass" contract.
+    ref = spark.createDataFrame([(s,) for s in REF_CORPUS], ["text"])
+    lm = lmq.unigram_lm(ref, vocab_size=100, alpha=ALPHA)
+    plan = lm._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan

@@ -188,20 +188,10 @@ def _shuffle_order(spark, seed, n=200, shards=4):
     return rows
 
 
-def test_deterministic_shuffle_reproducible_and_seeded():
-    import hashlib
-
-    # driver-side reference: global order by (md5(seed:id)[:8], id)
-    def ref_order(seed, n=200):
-        def key(i):
-            return (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16), i)
-
-        return [i for i in sorted(range(1, n + 1), key=key)]
-
-    assert ref_order(0) != ref_order(1)  # seeds genuinely permute
-
-
 def test_deterministic_shuffle_global_order_and_balance(spark):
+    # Seed sensitivity is asserted below through the REAL operator
+    # (seed 7 vs 8) — a driver-only md5 reference test previously here
+    # overstated coverage without ever calling deterministic_shuffle.
     import hashlib
 
     shards = _shuffle_order(spark, seed=7)

@@ -279,3 +279,21 @@ def test_quantized_search_composition(spark, emb):
     top1_approx = {(r.query_id, r.neighbor_id) for r in approx_rows if r.rank == 1}
     r1 = len(top1_exact & top1_approx) / len(top1_exact)
     assert r1 >= 0.9, f"top-1 recall {r1:.2f}"
+
+
+def test_driver_collect_guard_rejects_oversized_query_sets(spark, emb, monkeypatch):
+    # The GEMM paths collect the query/centroid sets ("broadcast-small
+    # by contract") — the guard must turn a contract violation into a
+    # clear error instead of a silent driver OOM.
+    import pytest
+
+    monkeypatch.setattr(sim, "MAX_DRIVER_ROWS", 3)
+    with pytest.raises(ValueError, match="MAX_DRIVER_ROWS"):
+        sim.cosine_topk_gemm(emb, emb.filter(F.col("vec_id") < 10), k=2).collect()
+    with pytest.raises(ValueError, match="MAX_DRIVER_ROWS"):
+        sim.ivf_topk_gemm(emb, emb.filter(F.col("vec_id") < 10), k=2).collect()
+    with pytest.raises(ValueError, match="MAX_DRIVER_ROWS"):
+        sim.kmeans_labels(emb, k=5)
+    # within the cap the guarded paths still work
+    monkeypatch.setattr(sim, "MAX_DRIVER_ROWS", 100_000)
+    assert sim.cosine_topk_gemm(emb, emb.filter(F.col("vec_id") < 3), k=2).count() > 0

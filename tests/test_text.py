@@ -336,3 +336,12 @@ def test_nfkc_normalize_folds_compat_forms(spark):
         tx.normalize_text(tx.nfkc_normalize(F.col("text"))).alias("out")
     )
     assert df.first()["out"] is None
+
+
+def test_normalize_text_space_padded_blank_lines(spark):
+    # Space-padded blank lines (trailing whitespace in web text) must
+    # collapse into the newline-run cap exactly like bare \n runs, so
+    # texts equal modulo trailing spaces normalize identically.
+    padded = _one(spark, "a\n \n \n \nb", tx.normalize_text(F.col("text")))
+    bare = _one(spark, "a\n\n\n\nb", tx.normalize_text(F.col("text")))
+    assert padded == bare == "a\n\nb"

@@ -136,3 +136,41 @@ def test_bpe_encode_plan_is_arrow_batched(spark):
         bpe.bpe_encode(df, merges)._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_trainer_matches_reference_at_2000_merges():
+    # The r5 trainer recounted every pair per merge — O(merges · Σ|word|)
+    # driver time (hours at a production 32k merges). The incremental
+    # loop (pair counts + pair→words index + lazy-deletion heap) must
+    # produce the IDENTICAL merge list; pin it well past fixture scale
+    # and bound its wall time.
+    import random
+    import time
+
+    random.seed(11)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab: dict = {}
+    for _ in range(900):
+        w = "".join(random.choice(letters) for _ in range(random.randint(4, 12)))
+        syms = tuple(w) + (bpe.END_OF_WORD,)
+        vocab[syms] = vocab.get(syms, 0) + random.randint(2, 200)
+
+    t0 = time.time()
+    inc = bpe._merge_loop(dict(vocab), 2000)
+    elapsed = time.time() - t0
+    assert len(inc) == 2000
+    assert elapsed < 30.0  # actual ~0.1 s; the recount loop takes ~5 s here
+    assert inc == bpe._train_bpe_merges_reference(dict(vocab), 2000)
+
+
+def test_bpe_encode_null_text_propagates(spark):
+    # A NULL text row must yield NULL tokens, not crash the batch
+    # (matches normalize_text's NULL propagation).
+    merges = [("l", "o")]
+    df = spark.createDataFrame(
+        [(1, "low"), (2, None), (3, "lot")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in bpe.bpe_encode(df, merges).collect()}
+    assert rows[1] == ["lo", "w", bpe.END_OF_WORD]
+    assert rows[2] is None
+    assert rows[3] == ["lo", "t", bpe.END_OF_WORD]
