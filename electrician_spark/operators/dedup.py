@@ -280,43 +280,43 @@ def minhash_lsh_pairs(
     so no LSH false positives leak through. Returns
     (id_a, id_b, jaccard), id_a < id_b.
 
-    Single corpus pass: ONE shingle table, explicitly hash-partitioned
-    on the doc id, feeds one combined aggregate (k min-hash columns for
-    band buckets + sorted shingle array/size for exact verify). The
-    explicit repartition is the sharing point: column pruning gives the
-    bucket branch and the verify branches differently-pruned final
-    aggregates (their partial-agg exchanges could never deduplicate),
-    but all of them sit on the SAME repartition exchange — AQE
-    ReuseExchange materializes scan→tokenize→explode once and every
-    branch replays the shuffle files. The previous formulation ran the
-    whole tokenize pass twice (separate signature and verify shingle
-    tables) — a full extra corpus scan+tokenize at 100 TB. Trade-off:
-    the shared exchange carries raw (id, shingle) rows (map-side
-    combine lost, ~1.2× q_d2's wall time at sf0.1 vs ~1.0× for the
-    two-pass plan), but one lz4-compressed linear shuffle of the token
-    stream is strictly cheaper than a second scan+tokenize of the
-    corpus at scale, and the groupBys above it add no further exchange
-    (the partitioning already satisfies them). Two rejected
-    alternatives, both measured slower or unshareable: deriving
-    signatures from the collect_list arrays via array_min∘transform
-    (HOFs evaluate interpreted — 1.9× q_d2), and a combined aggregate
-    without the repartition (pruning diverges the partial aggs, so the
-    tokenize runs per branch).
+    Single corpus pass, map-side-combined, candidate-only verify: the
+    shingle table is MATERIALIZED once (eager localCheckpoint — the
+    same one-scan guarantee the r5 shared-exchange plan bought, without
+    its cost), then
+    - the signature branch aggregates it with full map-side combine:
+      the shuffle carries k min-hash columns per (partition, doc), not
+      the raw token stream (the r5 plan's repartition exchange shipped
+      every (id, shingle) row — measured +21% at sf0.1);
+    - the verify branch first SEMI-JOINs the shingles down to documents
+      that actually appear in a candidate pair, so the collect_list
+      aggregation shuffles only the candidate docs' shingles —
+      O(candidates), not O(corpus). The r5 plan built sorted arrays for
+      every document, candidate or not.
+    At 100 TB: one scan+tokenize, checkpoint storage ≈ the token stream
+    (exactly what the r5 plan pushed through its shared exchange, now
+    written locally with no network), and two cheap replays. Production
+    note: swap localCheckpoint for reliable `checkpoint()` when
+    executor loss matters (same pattern as connected_components).
+    Rejected forms, measured: two-pass (separate signature/verify
+    tokenize — a full extra corpus scan), shared raw-row exchange (r5:
+    map-side combine lost), array_min∘transform signatures from the
+    collected arrays (interpreted HOFs — 1.9× q_d2).
     """
     rows_per_band = num_hashes // bands
-    sh = _shingle_table(df, id_col, text_col, n, None).repartition("_id")
-    docs = sh.groupBy("_id").agg(
-        F.array_sort(F.collect_list("_s")).alias("_arr"),
-        F.count("*").alias("_sz"),
-        *_minhash_aggs(num_hashes),
-    )
+    sh = _shingle_table(df, id_col, text_col, n, None)
+    try:
+        sh = sh.localCheckpoint()
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute instead
+        pass
+    sigs = sh.groupBy("_id").agg(*_minhash_aggs(num_hashes))
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
         )
-    buckets = docs.select("_id", F.explode(F.array(*band_cols)).alias("b")).select(
+    buckets = sigs.select("_id", F.explode(F.array(*band_cols)).alias("b")).select(
         "_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     left = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
@@ -327,7 +327,17 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_pairs(cand, docs.select("_id", "_arr", "_sz"), threshold)
+    try:
+        # consumed twice (id semi-join + verify join) — materialize the
+        # sparse survivor set once instead of re-running bucket join.
+        cand = cand.localCheckpoint()
+    except Exception:  # noqa: BLE001
+        pass
+    cand_ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct()
+    )
+    docs = _doc_shingle_arrays(sh.join(cand_ids, "_id", "left_semi"))
+    return _verify_pairs(cand, docs, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, bits: int = 64) -> DataFrame:
@@ -581,8 +591,17 @@ def connected_components_star(
     (node, rep), rep = min reachable id — identical contract to
     :func:`connected_components`.
     """
+    # Invariant: every stored edge is max→min oriented (a > b). The
+    # initial normalization establishes it; each round's construction
+    # preserves it (large-star emits (v, m) with v > u ≥ m; small-star
+    # emits (v, _mn) with v ≥ _mn and (u, _mn) with u > _mn, equalities
+    # filtered). One orientation means set comparisons and the terminal
+    # reps extraction need no greatest/least re-normalization.
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
@@ -594,8 +613,13 @@ def connected_components_star(
         edges.select(F.col("b").alias("node"))
     ).distinct()
 
+    prev_count = edges.count()  # carried across rounds — one count total
     for _ in range(max_iterations):
-        # large-star over the bidirected neighbor lists
+        # large-star over the bidirected neighbor lists. No intermediate
+        # distinct()s: duplicates produced mid-round don't change any
+        # min() and the terminal flag-aggregate removes them — each
+        # dropped distinct was a full extra exchange per round (the r5
+        # plan ran three; this runs one).
         bi = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
@@ -604,53 +628,47 @@ def connected_components_star(
         large = (
             bi.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), m.alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
         )
-        # small-star over min-oriented edges (src = max endpoint)
-        directed = large.select(
-            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-        ).distinct()
-        smins = directed.groupBy("u").agg(F.min("v").alias("_mn"))
-        small = (
-            directed.join(smins, "u")
+        # small-star over the (already min-oriented) large-star output.
+        smins = large.groupBy("u").agg(F.min("v").alias("_mn"))
+        raw = (
+            large.join(smins, "u")
             .select(F.col("v").alias("a"), F.col("_mn").alias("b"))
             .unionByName(smins.select(F.col("u").alias("a"), F.col("_mn").alias("b")))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
+        # Terminal dedup doubles as the fixpoint probe: tag each new
+        # edge with membership in the previous edge set (join BEFORE the
+        # groupBy so dedup and flagging share one exchange), then ONE
+        # tiny aggregate job reads (count, old-member count) off the
+        # checkpointed result. stable ⟺ |new| == |old| == |new ∩ old| —
+        # two distinct equal-size sets are equal iff one contains the
+        # other. The r5 check ran two full count jobs per round plus two
+        # exceptAll jobs on the converged round (the +41% q_d6 bench
+        # regression); cheap-first gating is the reference's meter
+        # posture (pkg/internal/meter/monitor.go:37-52).
+        flagged = raw.join(
+            edges.withColumn("_old", F.lit(1)), ["a", "b"], "left"
+        )
+        small = flagged.groupBy("a", "b").agg(F.max("_old").alias("_old"))
         try:
             small = small.localCheckpoint()
         except Exception:  # noqa: BLE001
             pass
-        # fixed point: the edge sets (as min-oriented pairs) are equal.
-        # Gate the EXACT set comparison behind a cheap count: unequal
-        # counts prove the round changed something (skip two exceptAll
-        # jobs on every non-final round); equal counts — which include
-        # every converged round — still get the exact check, so a
-        # same-size-but-different edge set can never stop the loop
-        # early.
-        stable = False
-        if small.count() == edges.count():
-            before = edges.select(
-                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-            ).distinct()
-            after = small.select(
-                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-            ).distinct()
-            stable = (
-                before.exceptAll(after).isEmpty()
-                and after.exceptAll(before).isEmpty()
-            )
-        edges = small
+        probe = small.agg(
+            F.count("*").alias("n"), F.sum("_old").alias("n_old")
+        ).first()
+        cur_count = int(probe["n"] or 0)
+        stable = cur_count == prev_count and int(probe["n_old"] or 0) == cur_count
+        edges = small.drop("_old")
+        prev_count = cur_count
         if stable:
             break
 
     # star edges point node -> root; roots map to themselves
-    reps = edges.select(
-        F.greatest("a", "b").alias("node"), F.least("a", "b").alias("rep")
-    ).distinct()
+    reps = edges.select(F.col("a").alias("node"), F.col("b").alias("rep")).distinct()
     return all_nodes.join(reps, "node", "left").select(
         "node", F.coalesce(F.col("rep"), F.col("node")).alias("rep")
     )
