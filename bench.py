@@ -179,6 +179,15 @@ def main() -> None:
                     "headline_per_cpu_probe": round(total / cpu_probe, 3),
                     "extras_per_cpu_probe": round(sum(extras.values()) / cpu_probe, 3),
                 },
+                # Per-query ratios against the shuffle probe (the probe
+                # whose drift tracks where the real noise lives — GC +
+                # shuffle fetch), so round-over-round per-query wins and
+                # regressions are provable over ambient machine drift
+                # (r5 verdict item 8).
+                "queries_normalized": {
+                    n: round(v / shuffle_probe, 3)
+                    for n, v in {**results, **extras}.items()
+                },
                 "sha256_pipeline_items_per_sec": sha_items_per_sec,
                 "sf": _sf_label(SF_DIR),
                 "cpus": cpu_budget(),

@@ -165,3 +165,125 @@ def test_resize_plan_uses_real_dims(spark):
     )
     (r,) = mm.resize_plan(media, max_side=128).collect()
     assert (r.target_w, r.target_h) == (128, 96) and r.ok == "ok"
+
+
+# --- real PNG pixel decode -------------------------------------------------
+
+
+def _full_png(w, h, pixels, ctype=2, filters=None, palette=None):
+    """Craft a complete PNG from raw pixel rows: apply the requested
+    per-row filter (the encode direction — the decoder must invert it),
+    deflate, and wrap in IHDR/PLTE/IDAT/IEND with real CRCs."""
+    import struct as st
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * channels
+    bpp = channels
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = bytes(pixels[y * stride : (y + 1) * stride])
+        f = filters[y]
+        enc = bytearray(line)
+        if f == 1:
+            for x in range(stride - 1, bpp - 1, -1):
+                enc[x] = (line[x] - line[x - bpp]) & 0xFF
+        elif f == 2:
+            for x in range(stride):
+                enc[x] = (line[x] - prev[x]) & 0xFF
+        elif f == 3:
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                enc[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pr) & 0xFF
+        raw.append(f)
+        raw.extend(enc)
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            st.pack(">I", len(data)) + typ + data + st.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = st.pack(">II5B", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_png_pixels_all_filters_roundtrip():
+    # 4x5 RGB with a deterministic gradient; encode once per filter
+    # type (incl. mixed) — the decoder must invert every filter exactly.
+    w, h = 4, 5
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        png = _full_png(w, h, pixels, ctype=2, filters=filters)
+        gw, gh, ch, got = mm.decode_png_pixels(png)
+        assert (gw, gh, ch) == (w, h, 3)
+        assert got == pixels, f"filters={filters}"
+
+
+def test_decode_png_pixels_gray_alpha_and_palette():
+    # grayscale (ctype 0)
+    w, h = 3, 2
+    gray = bytes(range(w * h))
+    gw, gh, ch, got = mm.decode_png_pixels(_full_png(w, h, gray, ctype=0, filters=[2, 1]))
+    assert (gw, gh, ch) == (w, h, 1) and got == gray
+    # palette (ctype 3) expands to RGB through PLTE
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = bytes([0, 1, 2, 2, 1, 0])
+    gw, gh, ch, got = mm.decode_png_pixels(
+        _full_png(3, 2, idx, ctype=3, palette=palette)
+    )
+    assert (gw, gh, ch) == (3, 2, 3)
+    assert got == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 0, 255, 0, 255, 0, 0]
+    )
+
+
+def test_decode_png_pixels_rejects_unsupported():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_png_pixels(b"not a png at all")
+    with pytest.raises(ValueError):
+        mm.decode_png_pixels(_png(4, 4))  # header-only, no IDAT
+    with pytest.raises(ValueError):
+        mm.decode_png_pixels(_jpeg(4, 4))
+
+
+def test_image_pixel_stats_real_values_and_error_channel(spark):
+    from pyspark.sql import Row
+
+    w, h = 4, 3
+    pixels = bytes((x * 7) % 256 for x in range(w * h * 3))
+    png = _full_png(w, h, pixels, ctype=2, filters=[4] * h)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, modality="image", mime="image/png",
+                payload=bytearray(png), source_uri="f:1"),
+            Row(media_id=2, modality="image", mime="image/gif",
+                payload=bytearray(_gif(2, 2)), source_uri="f:2"),
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in mm.image_pixel_stats(media).collect()}
+    good = rows[1]
+    assert (good.width, good.height, good.channels, good.ok) == (w, h, 3, "ok")
+    assert good.mean_luma == f"{sum(pixels) / len(pixels):.6f}"
+    assert good.min_sample == min(pixels) and good.max_sample == max(pixels)
+    # GIF pixels stay stubbed (no LZW codec in env): error channel, not task failure
+    assert rows[2].ok.startswith("err:") and rows[2].width is None

@@ -84,8 +84,11 @@ def test_topk_avoids_global_sort(plans):
 
 
 def test_revenue_filter_pushed(plans):
-    p = plans("q_t1_revenue_projection")
-    assert "LessThanOrEqual(l_shipdate" in p
+    # q_t1 retired in r6 (identity projection — redundant with every
+    # multi-stage query); q_j2 carries the same shipdate-filter-under-
+    # join pushdown and keeps the pin.
+    p = plans("q_j2_shipping_priority")
+    assert "LessThan(o_orderdate" in p or "GreaterThan(l_shipdate" in p, p
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -135,6 +138,11 @@ _BNLJ_ALLOWED = {
     # join shape, not an accidental cross (a constant equi-key can't
     # demote it to a hash join; Catalyst folds `1 = 1` away).
     "q_x8_curation_pipeline",
+    # domain_mixture's share join: one total-count row broadcast over
+    # the bounded domain census (same sanctioned single-row shape).
+    "q_dm1_domain_mixture",
+    # lm_score's OOV join: one oov_logprob row broadcast to every task.
+    "q_lm1_perplexity_buckets",
 }
 
 
