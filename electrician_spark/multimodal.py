@@ -9,14 +9,15 @@ blobs without ever collecting to the driver.
 
 Image DIMENSIONS are parsed from real container headers (PNG IHDR /
 JPEG SOF / GIF screen descriptor — stdlib byte walking, no codec
-dependency). PNG PIXELS decode for real too (:func:`decode_png_pixels`
-— zlib inflate + all five scanline unfilters, palette expansion; pure
-stdlib). JPEG/GIF pixel decode remains STUBBED with a deterministic
-fake (clearly marked): entropy-coded JPEG/LZW GIF need a codec library
-the container doesn't ship. Everything around the stubs — schema,
-batch shape, partition sizing, UDF signatures, error channels — is
-real and tested; swapping in PIL/ffmpeg is a one-function change on
-the executor side.
+dependency). PNG and GIF PIXELS decode for real too
+(:func:`decode_png_pixels` — zlib inflate + all five scanline
+unfilters + palette expansion; :func:`decode_gif_pixels` — GIF-variant
+LZW + color table + de-interlace; both pure stdlib). JPEG pixel decode
+remains STUBBED with a deterministic fake (clearly marked):
+entropy-coded baseline DCT needs a codec library the container doesn't
+ship. Everything around the stub — schema, batch shape, partition
+sizing, UDF signatures, error channels — is real and tested; swapping
+in PIL/ffmpeg is a one-function change on the executor side.
 
 Scale notes: blobs dominate partition bytes — size partitions by
 ``spark.sql.files.maxPartitionBytes`` (or repartition by byte budget
@@ -233,6 +234,120 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, channels, bytes(out)
 
 
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    """GIF-variant LZW (GIF89a spec, appendix F): LSB-first variable
+    width codes (min+1 … 12 bits), clear/EOI codes, late table growth."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < max_pixels:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = table[: clear + 2]
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pixel decode for GIF — pure stdlib LZW (no codec
+    dependency). Decodes the FIRST image frame, maps indices through
+    the active (local-over-global) color table, de-interlaces when the
+    interlace flag is set. Returns (width, height, 3, RGB samples) for
+    the frame (frame w/h, which for stills equals the screen size).
+    Raises ValueError on malformed streams — callers channel that into
+    their ``ok`` column."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    gct = b""
+    packed = payload[10]
+    i = 13
+    if packed & 0x80:  # global color table present
+        n = 2 << (packed & 0x07)
+        gct = payload[13 : 13 + 3 * n]
+        i = 13 + 3 * n
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[i + 5 : i + 7], "little")
+            h = int.from_bytes(payload[i + 7 : i + 9], "little")
+            ipacked = payload[i + 9]
+            i += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                ct = payload[i : i + 3 * n]
+                i += 3 * n
+            if not ct:
+                raise ValueError("no color table")
+            min_code_size = payload[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                ln = payload[i]
+                lzw += payload[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idx = _lzw_decode(min_code_size, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated LZW pixel data")
+            if ipacked & 0x40:  # de-interlace: pass row order → natural
+                rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deint: list[bytes | None] = [None] * h
+                for src, dst in enumerate(order):
+                    deint[dst] = rows[src]
+                idx = bytearray(b"".join(deint))  # type: ignore[arg-type]
+            rgb = bytearray(w * h * 3)
+            for j in range(w * h):
+                base = idx[j] * 3
+                if base + 3 > len(ct):
+                    raise ValueError("palette index out of range")
+                rgb[j * 3 : j * 3 + 3] = ct[base : base + 3]
+            return w, h, 3, bytes(rgb)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    raise ValueError("no image frame")
+
+
 PIXEL_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -247,21 +362,33 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
+def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Dispatch REAL pixel decode by container signature: PNG
+    (:func:`decode_png_pixels`) and GIF (:func:`decode_gif_pixels`)
+    decode for real — pure stdlib. JPEG raises (entropy-coded baseline
+    DCT needs a codec library the container doesn't ship; PIL slots in
+    here)."""
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
+    return decode_png_pixels(payload)
+
+
 def image_pixel_stats(df: DataFrame) -> DataFrame:
-    """Per-image REAL pixel statistics over PNG payloads (mapInPandas,
-    Arrow-batched): dims, channel count, mean sample value (6dp,
-    emitted as a string so the value is bit-stable across engines),
-    min/max sample. Non-PNG / unsupported payloads land in the ``ok``
-    error channel ('err:...'), never fail the task — the same DLQ
-    column pattern as :func:`extract_features`. The mean is computed
-    with integer summation (exact) before one final division."""
+    """Per-image REAL pixel statistics over PNG/GIF payloads
+    (mapInPandas, Arrow-batched): dims, channel count, mean sample
+    value (6dp, emitted as a string so the value is bit-stable across
+    engines), min/max sample. JPEG / unsupported payloads land in the
+    ``ok`` error channel ('err:...'), never fail the task — the same
+    DLQ column pattern as :func:`extract_features`. The mean is
+    computed with integer summation (exact) before one final
+    division."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids, ws, hs, cs, means, mns, mxs, oks = [], [], [], [], [], [], [], []
             for mid, payload in zip(b["media_id"], b["payload"]):
                 try:
-                    w, h, ch, px = decode_png_pixels(
+                    w, h, ch, px = decode_image_pixels(
                         bytes(payload) if payload is not None else None
                     )
                     ws.append(w)

@@ -285,5 +285,110 @@ def test_image_pixel_stats_real_values_and_error_channel(spark):
     assert (good.width, good.height, good.channels, good.ok) == (w, h, 3, "ok")
     assert good.mean_luma == f"{sum(pixels) / len(pixels):.6f}"
     assert good.min_sample == min(pixels) and good.max_sample == max(pixels)
-    # GIF pixels stay stubbed (no LZW codec in env): error channel, not task failure
+    # header-only GIF (no image frame): error channel, not task failure
     assert rows[2].ok.startswith("err:") and rows[2].width is None
+
+
+# --- real GIF pixel decode -------------------------------------------------
+
+
+def _lzw_encode(min_code_size, indices):
+    """Test-side GIF-LZW encoder (clear + variable-width LSB-first
+    codes, width grows once code 2^cs − 1 is assigned) — the decoder
+    must invert real encoder output, not just header-walk."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out_bits = [(clear, code_size)]
+    prev = b""
+    for px in indices:
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+            continue
+        out_bits.append((table[prev], code_size))
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = bytes([px])
+    if prev:
+        out_bits.append((table[prev], code_size))
+    out_bits.append((eoi, code_size))
+    acc = nbits = 0
+    data = bytearray()
+    for code, size in out_bits:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+_GIF_PALETTE = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+
+
+def _full_gif(w, h, indices, interlace=False):
+    import struct as st
+
+    hdr = b"GIF89a" + st.pack("<HH", w, h) + bytes([0x81, 0, 0]) + _GIF_PALETTE
+    data = _lzw_encode(2, indices)
+    sub = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    img = (
+        b"\x2C"
+        + st.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0, 2])
+        + sub
+        + b"\x00"
+    )
+    return hdr + img + b"\x3B"
+
+
+def test_decode_gif_pixels_lzw_roundtrip_with_width_growth():
+    import random
+
+    random.seed(3)
+    w = h = 64  # big enough to push LZW through 3→4→5+ bit code widths
+    idx = bytes(random.randrange(4) for _ in range(w * h))
+    gw, gh, ch, rgb = mm.decode_gif_pixels(_full_gif(w, h, idx))
+    assert (gw, gh, ch) == (w, h, 3)
+    assert rgb == b"".join(_GIF_PALETTE[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_decode_gif_pixels_interlaced():
+    w, h = 5, 9
+    idx = bytes((i * 3 + 1) % 4 for i in range(w * h))
+    rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = b"".join(rows[dst] for dst in order)  # pass-ordered scanlines
+    gw, gh, ch, rgb = mm.decode_gif_pixels(_full_gif(w, h, stored, interlace=True))
+    assert (gw, gh, ch) == (w, h, 3)
+    assert rgb == b"".join(_GIF_PALETTE[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_image_pixel_stats_decodes_gif(spark):
+    from pyspark.sql import Row
+
+    w, h = 6, 4
+    idx = bytes((i * 5 + 2) % 4 for i in range(w * h))
+    media = spark.createDataFrame(
+        [Row(media_id=9, modality="image", mime="image/gif",
+             payload=bytearray(_full_gif(w, h, idx)), source_uri="f:9")],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    r = mm.image_pixel_stats(media).collect()[0]
+    pixels = b"".join(_GIF_PALETTE[3 * i : 3 * i + 3] for i in idx)
+    assert (r.width, r.height, r.channels, r.ok) == (w, h, 3, "ok")
+    assert r.mean_luma == f"{sum(pixels) / len(pixels):.6f}"
