@@ -5,11 +5,15 @@ Datasets from Web Crawl Data") scores each document with a language
 model trained on a trusted reference corpus (Wikipedia) and buckets the
 corpus by perplexity quantiles — the standard model-based quality
 stage between heuristic filters (Gopher rules) and dedup. CCNet uses a
-KenLM 5-gram; this implementation is the dependency-free add-α
-**unigram** variant with a principled OOV mass, which preserves the
-head/middle/tail *ranking* structure the buckets need (doc-level mean
-token log-prob is dominated by vocabulary choice at unigram order).
-A KenLM upgrade is a drop-in pandas-UDF swap of ``lm_score``.
+KenLM 5-gram; this module ships two dependency-free orders:
+- add-α **unigram** (``unigram_lm``/``lm_score``) with a principled
+  OOV mass — preserves the head/middle/tail *ranking* structure the
+  buckets need (doc-level mean token log-prob is dominated by
+  vocabulary choice);
+- **bigram Stupid Backoff** (``bigram_lm``/``lm_score_bigram``,
+  Brants et al. 2007) — the web-scale order-2 model: context-aware
+  scores, no discounting iteration, embarrassingly parallel training.
+A full KenLM upgrade remains a drop-in pandas-UDF swap of the scorer.
 
 Scale design:
 - ``unigram_lm``: ONE distributed pass over the reference corpus
@@ -132,6 +136,148 @@ def lm_score(
             "n_tokens",
             "mean_logprob",
             F.exp(-F.col("mean_logprob")).alias("perplexity"),
+        )
+    )
+
+
+def bigram_lm(
+    ref_df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 100_000,
+    max_bigrams: int = 1_000_000,
+    alpha: float = 0.1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a bigram LM with Stupid Backoff (Brants et al. 2007, "Large
+    Language Models in Machine Translation") on a reference corpus —
+    the order-2 upgrade of :func:`unigram_lm` toward CCNet's KenLM
+    posture. Stupid Backoff is the recognized web-scale choice: scores
+    S(w|v) = c(v,w)/c(v) when the bigram is in the table, else
+    ``backoff`` · P_unigram(w); no normalization, which is exactly what
+    quality *ranking* needs and what makes training embarrassingly
+    parallel (two map-side-combined count aggregations, no discounting
+    iteration).
+
+    Returns ``(unigram_model, bigram_model)``:
+    - unigram_model: the :func:`unigram_lm` table (token, logprob,
+      oov_logprob) — also the backoff target;
+    - bigram_model: (prev, token, logscore) for the ``max_bigrams``
+      most frequent bigrams whose BOTH tokens are in vocabulary,
+      logscore = ln(c(v,w)/c(v)), count-then-pair ordered for
+      determinism.
+
+    Both tables are bounded (vocab_size / max_bigrams rows) and
+    MATERIALIZED — the reference corpus is scanned once per order.
+    Scale: the bigram explode is one slide-zip over the token array
+    (JVM), the count a map-side-combined groupBy; at 100 TB the
+    shuffle carries distinct bigrams only. The driver holds at most
+    max_bigrams rows — the same bounded-model contract as unigram_lm
+    (production KenLM swaps in as an executor-side pandas UDF)."""
+    uni = unigram_lm(ref_df, text_col=text_col, vocab_size=vocab_size, alpha=alpha)
+    vocab = {r["token"] for r in uni.collect()}  # bounded: vocab_size rows
+    toks = _lm_tokens(F.col(text_col))
+    pairs = (
+        ref_df.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.prev").alias("prev"), F.col("bg.token").alias("token"))
+        .filter((F.col("prev") != "") & (F.col("token") != ""))
+    )
+    bigram_rows = (
+        pairs.groupBy("prev", "token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "prev", "token")
+        .limit(max_bigrams)
+        .collect()  # bounded driver fetch
+    )
+    prev_totals: dict[str, int] = {}
+    kept = []
+    for r in bigram_rows:
+        if r["prev"] in vocab and r["token"] in vocab:
+            kept.append((r["prev"], r["token"], int(r["c"])))
+    # context totals from the SAME truncated table (the cutoff is part
+    # of the model, like the vocab cutoff): c(v) = Σ_w c(v, w) over
+    # kept bigrams, so scores stay ≤ 1 and deterministic.
+    for p, _t, c in kept:
+        prev_totals[p] = prev_totals.get(p, 0) + c
+    bi_model = [
+        (p, t, math.log(c / prev_totals[p])) for p, t, c in kept
+    ]
+    spark = ref_df.sparkSession
+    bi = spark.createDataFrame(bi_model, "prev string, token string, logscore double")
+    return uni, bi
+
+
+def lm_score_bigram(
+    df: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean log Stupid-Backoff score under a
+    :func:`bigram_lm` model.
+
+    Each token after the first scores ln S(w|v): the bigram table hit,
+    else ln(backoff) + unigram logprob (OOV folds into the unigram
+    model's OOV class). The document's FIRST token scores by unigram
+    alone (no context). Documents with zero tokens yield no row.
+
+    Plan: one explode to (prev, token) rows (prev NULL for the first
+    token) → TWO broadcast joins (bigram table on (prev, token),
+    unigram on token) → coalesce → one groupBy on the doc id. One
+    corpus scan, one shuffle, zero Python — the model tables broadcast
+    (bounded by construction)."""
+    toks = _lm_tokens(F.col(text_col))
+    lagged = F.zip_with(
+        F.concat(F.array(F.lit(None).cast("string")), toks),
+        F.concat(toks, F.array(F.lit(None).cast("string"))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+    )
+    rows = (
+        df.select(F.col(id_col), F.explode(lagged).alias("bg"))
+        .select(
+            F.col(id_col),
+            F.col("bg.prev").alias("prev"),
+            F.col("bg.token").alias("token"),
+        )
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+        .withColumn(
+            "prev", F.when(F.col("prev") == "", None).otherwise(F.col("prev"))
+        )
+    )
+    joined = rows.join(
+        F.broadcast(bi.select("prev", "token", "logscore")), ["prev", "token"], "left"
+    ).join(F.broadcast(uni.select("token", "logprob")), "token", "left")
+    oov_row = uni.agg(F.first("oov_logprob", ignorenulls=True).alias("__oov"))
+    ln_backoff = math.log(backoff)
+    scored = joined.join(F.broadcast(oov_row)).select(
+        F.col(id_col),
+        F.coalesce(
+            F.col("logscore"),
+            # first token (prev NULL): pure unigram, no backoff penalty
+            F.when(
+                F.col("prev").isNull(),
+                F.coalesce(F.col("logprob"), F.col("__oov")),
+            ).otherwise(
+                F.lit(ln_backoff) + F.coalesce(F.col("logprob"), F.col("__oov"))
+            ),
+        ).alias("lp"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.avg("lp").alias("mean_logscore"))
+        .select(
+            id_col,
+            "n_tokens",
+            "mean_logscore",
+            F.exp(-F.col("mean_logscore")).alias("pseudo_perplexity"),
         )
     )
 

@@ -3002,6 +3002,11 @@ def q_ss1(spark, sf_dir):
 # u2-u4, w2, w5, w7, wf2-wf4, x5, x6, x8, z1.
 # Round-7 rotation recipe: window = the 50 queries attested in r5
 # (the complement of this window — the invariant test enforces it).
+# Oracle-candidates for NEW r7 rows (each requires retiring a sibling):
+# lm_score_bigram Stupid-Backoff scoring (oracle: bigram count join +
+# backoff CASE — test-pinned in test_lmquality), image_pixel_stats on
+# crafted PNG/GIF payloads (rows-only; binary fixtures), and a
+# pack_sequences+chunk composition.
 _DRIVER_PRIORITY = [
     # new this round (never driver-checked) — the five r5 operators
     # promoted to oracle rows

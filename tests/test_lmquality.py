@@ -112,3 +112,85 @@ def test_unigram_lm_is_materialized_once(spark):
     lm = lmq.unigram_lm(ref, vocab_size=100, alpha=ALPHA)
     plan = lm._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+# --- bigram Stupid Backoff -------------------------------------------------
+
+
+def _python_bigram_reference(vocab_size=100, max_bigrams=1000, backoff=0.4):
+    counts = Counter(t for s in REF_CORPUS for t in s.lower().split())
+    kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    n = sum(c for _, c in kept)
+    v = len(kept)
+    denom = n + ALPHA * (v + 1)
+    uni_lp = {t: math.log((c + ALPHA) / denom) for t, c in kept}
+    oov = math.log(ALPHA / denom)
+    vocab = set(uni_lp)
+
+    bg = Counter()
+    for s in REF_CORPUS:
+        toks = s.lower().split()
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+    top = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:max_bigrams]
+    keep = [(p, t, c) for (p, t), c in top if p in vocab and t in vocab]
+    ctx = Counter()
+    for p, _t, c in keep:
+        ctx[p] += c
+    bi_ls = {(p, t): math.log(c / ctx[p]) for p, t, c in keep}
+
+    def score(text):
+        toks = text.lower().split()
+        if not toks:
+            return None
+        lps = []
+        for i, t in enumerate(toks):
+            if i == 0:
+                lps.append(uni_lp.get(t, oov))
+            elif (toks[i - 1], t) in bi_ls:
+                lps.append(bi_ls[(toks[i - 1], t)])
+            else:
+                lps.append(math.log(backoff) + uni_lp.get(t, oov))
+        return sum(lps) / len(lps)
+
+    return score
+
+
+def test_bigram_scores_match_python_reference(spark):
+    ref = spark.createDataFrame([(s,) for s in REF_CORPUS], ["text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    uni, bi = lmq.bigram_lm(ref, vocab_size=100, max_bigrams=1000, alpha=ALPHA)
+    scored = lmq.lm_score_bigram(tgt, uni, bi)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert set(rows) == {1, 2, 3}  # empty doc 4 yields no row
+    py = _python_bigram_reference()
+    for doc_id, text in TARGET[:3]:
+        assert abs(rows[doc_id]["mean_logscore"] - py(text)) < 1e-9, (doc_id, text)
+    # doc 1 is a verbatim reference sentence: bigram hits must score it
+    # strictly better than the unigram model does
+    uni_scored = {r["doc_id"]: r for r in lmq.lm_score(tgt, uni).collect()}
+    assert rows[1]["mean_logscore"] > uni_scored[1]["mean_logprob"]
+
+
+def test_bigram_model_bounded_and_local(spark):
+    ref = spark.createDataFrame([(s,) for s in REF_CORPUS], ["text"])
+    uni, bi = lmq.bigram_lm(ref, vocab_size=5, max_bigrams=3, alpha=ALPHA)
+    assert uni.count() == 5 and bi.count() <= 3
+    # both tables are materialized local scans — no corpus re-scan on use
+    for t in (uni, bi):
+        plan = t._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_bigram_scoring_plan_is_broadcast_no_python(spark):
+    ref = spark.createDataFrame([(s,) for s in REF_CORPUS], ["text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    uni, bi = lmq.bigram_lm(ref)
+    plan = (
+        lmq.lm_score_bigram(tgt, uni, bi)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
