@@ -66,6 +66,107 @@ def pack_sequences(
     return out
 
 
+def pack_best_fit(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bin-pack documents into fixed-budget sequences WITHOUT splitting
+    any document — the padding-minimizing layout next to
+    :func:`pack_sequences`' concat-and-cut (which splits at the
+    boundary). Best-Fit-Decreasing per shard: docs sorted by (tokens
+    desc, id) go to the open pack with the least-but-sufficient
+    remaining room; no fit opens a new pack. BFD is the classic 11/9
+    OPT + 6/9 approximation — the practical standard for
+    no-split sequence packing. Documents longer than ``budget`` get a
+    pack of their own (flag downstream via ``tokens > budget``).
+
+    Adds ``shard`` (md5-derived, stable) and ``pack_id`` (0-based per
+    shard, creation order). Deterministic: same inputs → same packs on
+    any cluster size/engine (md5 shard key, total sort order,
+    deterministic tie-breaks).
+
+    Scale design: the greedy loop is inherently sequential, so it runs
+    per SHARD inside ``applyInPandas`` — ``n_shards`` independent
+    bounded streams (pick n_shards so a shard's doc count fits a task;
+    the md5 key balances them). Within a shard the open-pack search is
+    a bisect over remaining capacities — O(docs·log packs) amortized.
+    This mirrors production packers (e.g. ragged-batch builders):
+    global order doesn't matter, per-stream determinism does."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    import bisect
+
+    import pandas as pd
+
+    out_fields = df.schema.fieldNames()
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["shard long", "pack_id long"]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        # rem holds (remaining_capacity, pack_id) sorted ascending; the
+        # best fit for size s is the first entry with remaining >= s.
+        rem: list[tuple[int, int]] = []
+        next_pack = 0
+        assigned = []
+        for size in pdf[token_col].fillna(0).astype("int64"):
+            i = bisect.bisect_left(rem, (int(size), -1))
+            if i < len(rem):
+                r, pid = rem.pop(i)
+                bisect.insort(rem, (r - int(size), pid))
+                assigned.append(pid)
+            else:
+                assigned.append(next_pack)
+                left = budget - int(size)
+                if left > 0:
+                    bisect.insort(rem, (left, next_pack))
+                next_pack += 1
+        pdf = pdf.copy()
+        pdf["pack_id"] = pd.array(assigned, dtype="int64")
+        return pdf
+
+    keyed = df.withColumn("shard", (sample_key(F.col(id_col)) % n_shards).cast("long"))
+    return keyed.groupBy("shard").applyInPandas(
+        lambda pdf: _pack(pdf), schema
+    ).select(*out_fields, "shard", "pack_id")
+
+
+def packing_stats(
+    packed: DataFrame, token_col: str, budget: int
+) -> DataFrame:
+    """Pack-level utilization for a :func:`pack_best_fit` /
+    :func:`pack_sequences` result: one row per (shard, pack_id) with
+    n_docs, used tokens and padding, plus the overall padding fraction
+    attached via the pinned broadcast single-row bounds join. One
+    map-side-combined groupBy — never a window."""
+    per = packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum(token_col).alias("used_tokens")
+    )
+    per = per.withColumn(
+        "padding", F.greatest(F.lit(budget) - F.col("used_tokens"), F.lit(0))
+    )
+    totals = per.agg(
+        F.sum("used_tokens").alias("__used"), F.sum("padding").alias("__pad")
+    )
+    return per.join(F.broadcast(totals)).select(
+        "shard",
+        "pack_id",
+        "n_docs",
+        "used_tokens",
+        "padding",
+        (F.col("__pad") / (F.col("__used") + F.col("__pad"))).alias("corpus_padding_frac"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int,

@@ -154,3 +154,93 @@ def test_chunk_documents_plan_single_evaluation_no_shuffle(spark):
     assert plan.count("transform(array(filter") == 1
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+# --- best-fit (no-split) packing -------------------------------------------
+
+
+def _bfd_reference(rows, budget):
+    """Plain-Python Best-Fit-Decreasing over (id, tokens) rows: the
+    assignment pack_best_fit must reproduce per shard."""
+    import bisect
+
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    rem, next_pack, out = [], 0, {}
+    for doc_id, size in order:
+        i = bisect.bisect_left(rem, (size, -1))
+        if i < len(rem):
+            r, pid = rem.pop(i)
+            bisect.insort(rem, (r - size, pid))
+            out[doc_id] = pid
+        else:
+            out[doc_id] = next_pack
+            left = budget - size
+            if left > 0:
+                bisect.insort(rem, (left, next_pack))
+            next_pack += 1
+    return out
+
+
+def test_pack_best_fit_matches_reference_and_respects_budget(spark):
+    import hashlib
+
+    budget, n_shards = 100, 4
+    rows = [(i, (i * 37) % 130 + 1) for i in range(1, 201)]  # some oversized (>100)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = packing.pack_best_fit(df, "n_tokens", budget, n_shards=n_shards)
+    got = packed.collect()
+    assert len(got) == len(rows)  # every doc assigned exactly once
+
+    # shard key replay + per-shard reference equality
+    def shard_of(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % n_shards
+
+    by_shard: dict = {}
+    for doc_id, size in rows:
+        by_shard.setdefault(shard_of(doc_id), []).append((doc_id, size))
+    want = {}
+    for sh, shard_rows in by_shard.items():
+        ref = _bfd_reference(shard_rows, budget)
+        for doc_id, pid in ref.items():
+            want[doc_id] = (sh, pid)
+    assert {r.doc_id: (r.shard, r.pack_id) for r in got} == want
+
+    # no pack exceeds the budget except single-oversized-doc packs
+    fills: dict = {}
+    sizes = dict(rows)
+    for r in got:
+        fills.setdefault((r.shard, r.pack_id), []).append(sizes[r.doc_id])
+    for members in fills.values():
+        assert sum(members) <= budget or len(members) == 1
+
+    # determinism across runs
+    again = {r.doc_id: (r.shard, r.pack_id) for r in
+             packing.pack_best_fit(df, "n_tokens", budget, n_shards=n_shards).collect()}
+    assert again == {r.doc_id: (r.shard, r.pack_id) for r in got}
+
+
+def test_pack_best_fit_beats_sequential_padding(spark):
+    # BFD must waste no more padding than arrival-order packing on a
+    # padding-heavy mix (the reason to use it).
+    rows = [(i, 60 if i % 2 else 45) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = packing.pack_best_fit(df, "n_tokens", 100, n_shards=1)
+    stats = packing.packing_stats(packed, "n_tokens", 100).collect()
+    frac = stats[0].corpus_padding_frac
+    n_packs = len(stats)
+    # sequential arrival order alternates 60/45 → one doc per pack (105 > 100)
+    # = 100 packs at 0.475 padding; BFD pairs the 45s (45+45) → exactly
+    # 50 + 25 = 75 packs at 0.3 padding
+    assert n_packs == 75
+    assert abs(frac - 0.3) < 1e-9
+    # stats invariants
+    for r in stats:
+        assert r.used_tokens + r.padding >= 100 or r.n_docs == 1
+
+
+def test_pack_best_fit_validates_args(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        packing.pack_best_fit(df, "n_tokens", 0)
+    with pytest.raises(ValueError):
+        packing.pack_best_fit(df, "n_tokens", 10, n_shards=0)
