@@ -107,3 +107,67 @@ def test_parseval(re):
 def test_compression_roundtrip(payload, codec):
     comp, decomp = codecs._codec_fns(codec)
     assert decomp(comp(payload)) == payload
+
+
+# -- BPE incremental trainer -------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcd", min_size=1, max_size=8),
+                  st.integers(min_value=1, max_value=50)),
+        min_size=0, max_size=40,
+    ),
+    st.integers(min_value=0, max_value=60),
+)
+def test_bpe_incremental_equals_reference(words, num_merges):
+    from electrician_spark.functions import tokenizer as bpe
+
+    vocab: dict = {}
+    for w, c in words:
+        k = tuple(w) + (bpe.END_OF_WORD,)
+        vocab[k] = vocab.get(k, 0) + c
+    assert bpe._merge_loop(dict(vocab), num_merges) == \
+        bpe._train_bpe_merges_reference(dict(vocab), num_merges)
+
+
+# -- PNG decode (all filters, crafted corpus) --------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=3),  # ctype selector
+    st.data(),
+)
+def test_png_decode_inverts_any_filter_sequence(w, h, ct_sel, data):
+    from electrician_spark import multimodal as mm
+    from tests.test_multimodal import _full_png
+
+    ctype = [0, 2, 4, 6][ct_sel]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * channels,
+                           max_size=w * h * channels))
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    png = _full_png(w, h, pixels, ctype=ctype, filters=filters)
+    gw, gh, ch, got = mm.decode_png_pixels(png)
+    assert (gw, gh, ch) == (w, h, channels)
+    assert got == pixels
+
+
+# -- GIF LZW roundtrip -------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 3), min_size=1, max_size=2000))
+def test_gif_lzw_roundtrip_random_streams(indices):
+    from electrician_spark import multimodal as mm
+    from tests.test_multimodal import _lzw_encode
+
+    data = _lzw_encode(2, bytes(indices))
+    out = mm._lzw_decode(2, data, len(indices))
+    assert bytes(out) == bytes(indices)
