@@ -94,3 +94,250 @@ def dequantize(
         return lo_i + (c.cast("double") + 0.5) * span / F.lit(float(levels))
 
     return F.transform(codes, value)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the rung below scalar quantization: split
+# each vector into m subvectors, k-means each subspace independently,
+# store one centroid index per subspace (m bytes at k ≤ 256 vs 4·d
+# float bytes), search with Asymmetric Distance Computation (ADC): a
+# per-query m×k lookup table of exact query-subvector→centroid
+# distances, so scoring a code is m table gathers + a sum.
+#
+# Scale design: training state is the m·k·(d/m) = k·d codebook —
+# driver-bounded like kmeans_labels' centroids; assignment is an
+# Arrow-batched matmul per subspace (corpus never shuffles); codebook
+# updates are one (sub, cluster, dim) groupBy per Lloyd round. Encoding
+# is a pandas UDF with the codebook in the closure. ADC search scans
+# codes once, emits local top-k per query, and re-ranks the ≤
+# k·partitions survivors in one tiny window — the cosine_topk_gemm
+# shuffle shape. Determinism: md5-ordered seeds, centroids rounded per
+# round, argmin ties to the lowest centroid index, empty clusters keep
+# their previous centroid (fixed m×k shape, engine-replayable).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: ``codebooks[sub][cl]`` = centroid (d/m
+    floats) for subspace ``sub``. d must divide by m. Driver holds k·d
+    floats — the bounded-model contract."""
+    import numpy as np
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    d = int(first["d"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+
+    subs = df.select(
+        F.col(id_col).alias("_pid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("_sub"),
+                        F.slice(F.col(vec_col), s * ds + 1, ds)
+                        .cast("array<double>")
+                        .alias("_sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("_pid", F.col("e._sub").alias("_sub"), F.col("e._sv").alias("_sv"))
+
+    # deterministic seeds: per subspace, k DISTINCT subvectors, each
+    # represented by its smallest (md5(id), id) carrier — distinctness
+    # matters: duplicate seeds collapse into one cluster (ties take the
+    # lowest index, the twin goes empty) and a value never seeded can
+    # stay unseparated forever. Two windows, both deterministic.
+    from pyspark.sql import Window
+
+    seed_key = F.md5(F.col("_pid").cast("string"))
+    w_dedup = Window.partitionBy("_sub", "_sv").orderBy(seed_key, "_pid")
+    w_rank = Window.partitionBy("_sub").orderBy(seed_key, "_pid")
+    seeds = (
+        subs.withColumn("_dup", F.row_number().over(w_dedup))
+        .filter(F.col("_dup") == 1)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= k)
+        .select("_sub", "_rn", "_sv")
+        .collect()
+    )
+    books: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
+    for r in seeds:
+        books[r["_sub"]][r["_rn"] - 1] = list(r["_sv"])
+    for s in range(m):
+        for c in range(k):
+            if books[s][c] is None:  # corpus smaller than k: pad with zeros
+                books[s][c] = [0.0] * ds
+
+    def _assign(book_arrays):
+        import pandas as pd
+
+        C = {s: np.array(book_arrays[s], dtype=np.float64) for s in range(m)}
+
+        def gen(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                out_cl = np.empty(len(pdf), dtype=np.int32)
+                subs_np = pdf["_sub"].to_numpy()
+                V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_sv"]])
+                for s in np.unique(subs_np):
+                    mask = subs_np == s
+                    X = V[mask]
+                    Cb = C[int(s)]
+                    # ||x-c||² = |x|² − 2x·c + |c|²; argmin ties → lowest index
+                    d2 = (X * X).sum(1, keepdims=True) - 2 * X @ Cb.T + (Cb * Cb).sum(1)
+                    out_cl[mask] = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {"_pid": pdf["_pid"], "_sub": pdf["_sub"], "_sv": pdf["_sv"],
+                     "_cl": out_cl}
+                )
+
+        return subs.mapInPandas(
+            gen, "_pid long, _sub int, _sv array<double>, _cl int"
+        )
+
+    for _ in range(iters):
+        assigned = _assign(books)
+        means = (
+            assigned.select("_sub", "_cl", F.posexplode("_sv").alias("_dim", "_x"))
+            .groupBy("_sub", "_cl", "_dim")
+            .agg(F.round(F.avg("_x"), round_dp).alias("_mean"))
+            .groupBy("_sub", "_cl")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_dim", "_mean")))
+                .getField("_mean")
+                .alias("_c")
+            )
+            .collect()
+        )
+        new_books = [[list(books[s][c]) for c in range(k)] for s in range(m)]
+        for r in means:  # empty clusters keep their previous centroid
+            new_books[r["_sub"]][r["_cl"]] = list(r["_c"])
+        books = new_books
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col``: array<int> of length m — the nearest-centroid
+    index per subspace (argmin L2, ties to the lowest index). Arrow-
+    batched; the codebook ships in the UDF closure (k·d floats)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    C = [np.array(codebooks[s], dtype=np.float64) for s in range(m)]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _enc(vs):
+        def enc(v):
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float64)
+            code = []
+            for s in range(m):
+                xs = x[s * ds : (s + 1) * ds]
+                d2 = ((C[s] - xs) ** 2).sum(1)
+                code.append(int(np.argmin(d2)))
+            return code
+
+        return vs.map(enc)
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-k: for each (broadcast-small) query, distance to a coded
+    corpus vector = Σ_sub LUT[sub][code[sub]] where LUT holds the exact
+    L2² between the query's subvector and each centroid — identically
+    the L2² between the query and the RECONSTRUCTED corpus vector
+    (test-pinned identity). One corpus scan, local top-k per Arrow
+    batch, global re-rank window on (dist asc, neighbor id). Returns
+    (query_id, neighbor_id, dist, rank), dist to 6dp."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from electrician_spark.operators.similarity import _collect_bounded
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    C = [np.array(codebooks[s], dtype=np.float64) for s in range(m)]
+    qrows = _collect_bounded(queries.select(id_col, vec_col), "query set", "pq_topk")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    luts = []
+    for r in qrows:
+        q = np.asarray(list(r[1]), dtype=np.float64)
+        lut = np.stack(
+            [((C[s] - q[s * ds : (s + 1) * ds]) ** 2).sum(1) for s in range(m)]
+        )  # m × k
+        luts.append(lut)
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            codes = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf[code_col]])
+            rows_idx = np.arange(m)
+            frames = []
+            for j in range(len(q_ids)):
+                dist = luts[j][rows_idx, codes].sum(axis=1)
+                dist[ids == q_ids[j]] = np.inf  # exclude self
+                order = np.lexsort((ids, dist))
+                kk = min(k, len(order))
+                # widen by one 6dp quantum so rounding ties survive the cut
+                kth = dist[order[kk - 1]] if kk else np.inf
+                sel = order[dist[order] <= kth + 1.01e-6]
+                keep = np.isfinite(dist[sel])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(int(keep.sum()), q_ids[j]),
+                            "neighbor_id": ids[sel][keep],
+                            "dist": dist[sel][keep],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = codes_df.select(id_col, code_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("dist", F.round("dist", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )

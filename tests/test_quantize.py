@@ -62,3 +62,90 @@ def test_vectors_never_shuffle(spark, vecs):
     # The only exchanges belong to the d-row bounds aggregate / its
     # single-row collapse; the vector side joins by broadcast.
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+# --- product quantization ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from electrician_spark.io import read_table
+
+    return read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_pq_train_shapes_and_determinism(spark, emb):
+    books = quantize.pq_train(emb, m=4, k=8, iters=2)
+    assert len(books) == 4
+    assert all(len(sub) == 8 for sub in books)
+    assert all(len(c) == 16 for sub in books for c in sub)  # 64/4 dims
+    again = quantize.pq_train(emb, m=4, k=8, iters=2)
+    assert books == again  # fully deterministic, no RNG
+
+
+def test_pq_encode_codes_and_nulls(spark, emb):
+    books = quantize.pq_train(emb, m=4, k=8, iters=1)
+    coded = quantize.pq_encode(emb, books)
+    rows = coded.select("vec_id", "pq_code").collect()
+    assert all(len(r.pq_code) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r.pq_code)
+    # NULL vector propagates
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=None)],
+        "vec_id long, embedding array<float>",
+    )
+    assert quantize.pq_encode(df, books).first().pq_code is None
+
+
+def test_pq_adc_identity_with_reconstruction(spark, emb):
+    # ADC distance must equal the exact L2^2 between the query and the
+    # centroid-reconstructed corpus vector.
+    import numpy as np
+
+    books = quantize.pq_train(emb, m=4, k=8, iters=2)
+    coded = quantize.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = quantize.pq_topk(coded, queries, books, k=5)
+    rows = {(r.query_id, r.neighbor_id): r.dist for r in out.collect()}
+    codes = {r.vec_id: r.pq_code for r in coded.select("vec_id", "pq_code").collect()}
+    qvecs = {r.vec_id: np.asarray(list(r.embedding), float)
+             for r in queries.select("vec_id", "embedding").collect()}
+    for (qid, nid), dist in rows.items():
+        rec = np.concatenate([np.asarray(books[s][codes[nid][s]]) for s in range(4)])
+        want = float(((qvecs[qid] - rec) ** 2).sum())
+        assert abs(dist - round(want, 6)) < 1e-9, (qid, nid)
+
+
+def test_pq_lossless_when_codebook_covers_corpus(spark):
+    # Every subspace has <= k distinct subvectors -> k-means seeds+means
+    # reproduce them exactly -> reconstruction is lossless -> ADC top-k
+    # == brute-force L2 top-k.
+    import itertools
+    import numpy as np
+    from pyspark.sql import Row
+
+    base = [[0.0, 1.0], [2.0, -1.0], [-3.0, 0.5]]
+    rows = []
+    for i, (a, b) in enumerate(itertools.product(base, base)):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in a + b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = quantize.pq_train(df, m=2, k=4, iters=3)
+    coded = quantize.pq_encode(df, books)
+    queries = df.filter(F.col("vec_id") < 2)
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in quantize.pq_topk(coded, queries, books, k=3).collect()}
+    V = {r.vec_id: np.asarray(list(r.embedding)) for r in df.collect()}
+    for qid in (0, 1):
+        dists = sorted(
+            (round(float(((V[qid] - v) ** 2).sum()), 6), nid)
+            for nid, v in V.items() if nid != qid
+        )
+        for rank, (_, nid) in enumerate(dists[:3], start=1):
+            assert got[(qid, rank)] == nid, (qid, rank)
+
+
+def test_pq_validates_dims(spark, emb):
+    with pytest.raises(ValueError):
+        quantize.pq_train(emb, m=7)  # 64 % 7 != 0
