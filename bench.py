@@ -38,6 +38,10 @@ EXTRA_QUERIES = [
     "q_n4_ann_ivf_probes",
     "q_d9_lsh_near_dup",
     "q_x8_curation_pipeline",
+    # r6 rows (new operators promoted to the driver window this round)
+    "q_ss1_substring_dedup",
+    "q_lm1_perplexity_buckets",
+    "q_ch1_chunk_documents",
 ]
 
 

@@ -312,7 +312,15 @@ def test_kafka_stream_latest_start(spark, tmp_path):
         spark, broker, str(tmp_path / "ckpt"), batches, startingOffsets="latest"
     )
     try:
-        time.sleep(2.0)  # let a few empty triggers fire
+        # Wait for the stream to have PLANNED a batch (offsets resolved)
+        # before producing: "latest" snapshots at first batch planning,
+        # so a fixed sleep races it under CPU contention — if the first
+        # trigger fires after the produce below, the new records land
+        # inside the skipped prefix and the stream delivers nothing.
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(0.25)
+        assert q.recentProgress, "stream never made progress"
         assert sum(map(len, batches)) == 0
         _produce(spark, broker, [50, 51, 52])
         assert _wait_rows(batches, 3) == 3
