@@ -19,6 +19,13 @@ ship. Everything around the stub — schema, batch shape, partition
 sizing, UDF signatures, error channels — is real and tested; swapping
 in PIL/ffmpeg is a one-function change on the executor side.
 
+Audio decodes for real too (:func:`decode_wav_pcm` — stdlib ``wave``,
+8/16/32-bit PCM → integer samples, with :func:`audio_feature_stats`
+for rate/duration/RMS/peak). Video gets REAL container metadata
+(:func:`parse_mp4_meta` — ISO-BMFF box walking: mvhd duration, tkhd
+track dims); frame pixels stay behind the documented stub (H.264-class
+entropy codecs).
+
 Scale notes: blobs dominate partition bytes — size partitions by
 ``spark.sql.files.maxPartitionBytes`` (or repartition by byte budget
 via ``size_partitions``) so a 100 TB media table doesn't produce 2 GB
@@ -421,6 +428,154 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(gen, PIXEL_STATS_SCHEMA)
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL audio decode for RIFF/WAV PCM — stdlib ``wave`` module.
+    Returns (sample_rate, n_channels, samples): interleaved integer
+    samples (8-bit unsigned rebased to signed, 16/32-bit little-endian
+    signed). Raises ValueError on non-WAV / compressed / 24-bit
+    payloads — callers channel that into their ``ok`` column."""
+    import io
+    import struct
+    import wave
+
+    if payload is None or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF/WAV payload")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except wave.Error as exc:
+        raise ValueError(f"bad WAV: {exc}") from exc
+    if width == 1:  # 8-bit PCM is unsigned; rebase to signed
+        samples = [b - 128 for b in frames]
+    elif width == 2:
+        samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+    elif width == 4:
+        samples = list(struct.unpack(f"<{len(frames) // 4}i", frames))
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    return rate, nch, samples
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[float, int, int]:
+    """REAL video metadata from MP4/ISO-BMFF container boxes — stdlib
+    byte walking, no codec: duration seconds from the ``moov/mvhd``
+    header (u32 timescale + u32/u64 duration, version 0/1) and
+    width/height from the first video ``tkhd`` (16.16 fixed point,
+    skipping audio tracks whose tkhd dims are zero). Frame PIXEL decode
+    (H.264 et al.) stays out of scope — entropy codecs. Raises
+    ValueError when no mvhd is present."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            typ = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    break
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - i
+            if size < hdr or i + size > end:
+                break
+            yield typ, i + hdr, i + size
+            i += size
+
+    duration = None
+    width = height = 0
+    for typ, s, e in walk(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in walk(payload, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = payload[s2]
+                if ver == 1:
+                    ts = int.from_bytes(payload[s2 + 20 : s2 + 24], "big")
+                    dur = int.from_bytes(payload[s2 + 24 : s2 + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[s2 + 12 : s2 + 16], "big")
+                    dur = int.from_bytes(payload[s2 + 16 : s2 + 20], "big")
+                duration = dur / ts if ts else 0.0
+            elif t2 == b"trak" and not (width and height):
+                for t3, s3, e3 in walk(payload, s2, e2):
+                    if t3 == b"tkhd" and e3 - s3 >= 84:
+                        ver = payload[s3]
+                        off = s3 + (96 if ver == 1 else 84) - 8
+                        w16, h16 = struct.unpack(">II", payload[off : off + 8])
+                        if w16 and h16:
+                            width, height = w16 >> 16, h16 >> 16
+    if duration is None:
+        raise ValueError("no mvhd box (not an MP4 moov container)")
+    return duration, width, height
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", StringType()),  # 6dp string: cross-engine stable
+        StructField("peak", IntegerType()),
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def audio_feature_stats(df: DataFrame) -> DataFrame:
+    """Per-clip REAL audio features over RIFF/WAV payloads
+    (mapInPandas, Arrow-batched): rate/channels/frame count, duration,
+    RMS (exact integer sum of squares before one division/sqrt; 6dp
+    string) and peak magnitude. Non-WAV payloads land in ``ok`` —
+    same DLQ column pattern as :func:`extract_features`."""
+    import math
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "duration_ms", "rms", "peak", "ok")}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                cols["media_id"].append(mid)
+                try:
+                    rate, nch, samples = decode_wav_pcm(
+                        bytes(payload) if payload is not None else None
+                    )
+                    n_frames = len(samples) // max(nch, 1)
+                    cols["sample_rate"].append(rate)
+                    cols["n_channels"].append(nch)
+                    cols["n_samples"].append(len(samples))
+                    cols["duration_ms"].append(
+                        int(n_frames * 1000 // rate) if rate else 0
+                    )
+                    sq = sum(s * s for s in samples)
+                    rms = math.sqrt(sq / len(samples)) if samples else 0.0
+                    cols["rms"].append(f"{rms:.6f}")
+                    cols["peak"].append(max((abs(s) for s in samples), default=0))
+                    cols["ok"].append("ok")
+                except Exception as ex:  # noqa: BLE001 — per-row error channel
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_ms", "rms", "peak"):
+                        cols[k].append(None)
+                    cols["ok"].append(f"err:{type(ex).__name__}")
+            out = pd.DataFrame({"media_id": cols["media_id"]})
+            out["sample_rate"] = pd.array(cols["sample_rate"], dtype="Int32")
+            out["n_channels"] = pd.array(cols["n_channels"], dtype="Int32")
+            out["n_samples"] = pd.array(cols["n_samples"], dtype="Int64")
+            out["duration_ms"] = pd.array(cols["duration_ms"], dtype="Int64")
+            out["rms"] = cols["rms"]
+            out["peak"] = pd.array(cols["peak"], dtype="Int32")
+            out["ok"] = cols["ok"]
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(gen, AUDIO_STATS_SCHEMA)
 
 
 def _decode_stub(payload: bytes, mime: str) -> tuple[int, int]:

@@ -392,3 +392,94 @@ def test_image_pixel_stats_decodes_gif(spark):
     pixels = b"".join(_GIF_PALETTE[3 * i : 3 * i + 3] for i in idx)
     assert (r.width, r.height, r.channels, r.ok) == (w, h, 3, "ok")
     assert r.mean_luma == f"{sum(pixels) / len(pixels):.6f}"
+
+
+# --- real WAV audio decode ---------------------------------------------------
+
+
+def _wav(rate=8000, nch=1, width=2, samples=None):
+    import io
+    import struct as st
+    import wave as wv
+
+    samples = samples if samples is not None else [0, 1000, -1000, 32767, -32768]
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            w.writeframes(st.pack(f"<{len(samples)}h", *samples))
+        elif width == 1:
+            w.writeframes(bytes((s + 128) & 0xFF for s in samples))
+    return buf.getvalue(), samples
+
+
+def test_decode_wav_pcm_16_and_8_bit():
+    blob, samples = _wav(width=2)
+    rate, nch, got = mm.decode_wav_pcm(blob)
+    assert (rate, nch) == (8000, 1) and got == samples
+    blob8, samples8 = _wav(width=1, samples=[-128, 0, 127, 5])
+    rate, nch, got = mm.decode_wav_pcm(blob8)
+    assert got == samples8
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_wav_pcm(b"not riff")
+
+
+def test_audio_feature_stats_real_values(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    samples = [0, 3000, -3000, 12000, -12000, 6000]
+    blob, _ = _wav(rate=16000, samples=samples)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, modality="audio", mime="audio/wav",
+                payload=bytearray(blob), source_uri="f:1"),
+            Row(media_id=2, modality="audio", mime="audio/wav",
+                payload=bytearray(b"JUNKJUNKJUNK"), source_uri="f:2"),
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in mm.audio_feature_stats(media).collect()}
+    good = rows[1]
+    assert (good.sample_rate, good.n_channels, good.n_samples, good.ok) == (
+        16000, 1, len(samples), "ok")
+    assert good.duration_ms == len(samples) * 1000 // 16000
+    want_rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert good.rms == f"{want_rms:.6f}"
+    assert good.peak == 12000
+    assert rows[2].ok.startswith("err:") and rows[2].sample_rate is None
+
+
+# --- MP4 metadata box walking ------------------------------------------------
+
+
+def _mp4(duration_s=12.5, timescale=1000, w=640, h=360):
+    import struct as st
+
+    def box(typ, body):
+        return st.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd = bytes(4) + bytes(8) + st.pack(">II", timescale, int(duration_s * timescale)) + bytes(80)
+    # tkhd v0: 8 bytes times, u32 track id, 4 reserved, u32 duration,
+    # 8 reserved, 2+2 layer/group, 2+2 volume/reserved, 36 matrix, w, h
+    tkhd_body = bytes(4) + bytes(8) + st.pack(">I", 1) + bytes(4) + bytes(4) \
+        + bytes(8) + bytes(8) + bytes(36) + st.pack(">II", w << 16, h << 16)
+    trak = box(b"trak", box(b"tkhd", tkhd_body))
+    moov = box(b"moov", box(b"mvhd", mvhd) + trak)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_parse_mp4_meta_duration_and_dims():
+    dur, w, h = mm.parse_mp4_meta(_mp4())
+    assert abs(dur - 12.5) < 1e-9
+    assert (w, h) == (640, 360)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.parse_mp4_meta(b"\x00\x00\x00\x08free")
