@@ -341,3 +341,117 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist", "rank")
     )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ: the two ANN levers composed — IVF cell routing prunes
+    WHICH rows get scored (scan cost ∝ probed-cell mass), PQ codes
+    shrink WHAT a row costs to score (m LUT gathers instead of a d-dim
+    dot product). The corpus carries (id, code, label); queries route
+    driver-side to their ``nprobe`` nearest cell centroids (the SAME
+    Spark-computed `label_centroids` values the expression-form IVF
+    uses, so probe decisions match), and each Arrow batch ADC-scores
+    only the queries probing its rows' cells. Same contract as
+    :func:`pq_topk` / `similarity.ivf_topk`: approximate (recall < 1
+    when a true neighbor lives in an unprobed cell — raise nprobe),
+    self-matches excluded, (dist asc, neighbor id) ranking, dist to
+    6dp. Routing is L2 on the raw query vs cell centroid — metric-
+    consistent with the ADC distances."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from electrician_spark.operators.similarity import (
+        _collect_bounded,
+        label_centroids,
+    )
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    C = [np.array(codebooks[s], dtype=np.float64) for s in range(m)]
+
+    # corpus cell centroids (mean vector per label): the same routing
+    # table ivf_topk uses, collected under the bounded-model guard.
+    cent_rows = _collect_bounded(
+        label_centroids(
+            codes_df.select(F.col(label_col).alias("label"), F.col(vec_col)),
+            "label",
+            vec_col,
+        ),
+        "IVF centroid table",
+        "ivf_topk",
+    )
+    cls = np.array([r["cl"] for r in cent_rows], dtype=np.int64)
+    cents = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
+
+    qrows = _collect_bounded(queries.select(id_col, vec_col), "query set", "pq_topk")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    luts, cell_queries = [], {}
+    for j, r in enumerate(qrows):
+        q = np.asarray(list(r[1]), dtype=np.float64)
+        luts.append(
+            np.stack(
+                [((C[s] - q[s * ds : (s + 1) * ds]) ** 2).sum(1) for s in range(m)]
+            )
+        )
+        d2 = ((cents - q) ** 2).sum(1)
+        order = np.lexsort((cls, d2))[: min(nprobe, len(cls))]
+        for c in cls[order]:
+            cell_queries.setdefault(int(c), []).append(j)
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            codes = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf[code_col]])
+            rows_idx = np.arange(m)
+            frames = []
+            for cell in np.unique(labels):
+                qs = cell_queries.get(int(cell))
+                if not qs:
+                    continue
+                mask = labels == cell
+                cids, ccodes = ids[mask], codes[mask]
+                for j in qs:
+                    dist = luts[j][rows_idx, ccodes].sum(axis=1)
+                    dist[cids == q_ids[j]] = np.inf
+                    order = np.lexsort((cids, dist))
+                    kk = min(k, len(order))
+                    kth = dist[order[kk - 1]] if kk else np.inf
+                    sel = order[dist[order] <= kth + 1.01e-6]
+                    keep = np.isfinite(dist[sel])
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(int(keep.sum()), q_ids[j]),
+                                "neighbor_id": cids[sel][keep],
+                                "dist": dist[sel][keep],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = codes_df.select(id_col, code_col, label_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("dist", F.round("dist", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )

@@ -149,3 +149,25 @@ def test_pq_lossless_when_codebook_covers_corpus(spark):
 def test_pq_validates_dims(spark, emb):
     with pytest.raises(ValueError):
         quantize.pq_train(emb, m=7)  # 64 % 7 != 0
+
+
+def test_ivfpq_subset_of_pq_and_exhaustive_probe_equal(spark, emb):
+    # nprobe = all cells must equal plain ADC top-k; nprobe=1 results
+    # are a subset of it per query with identical distances.
+    books = quantize.pq_train(emb, m=4, k=8, iters=2)
+    coded = quantize.pq_encode(emb, books)  # embeddings carries `label`
+    queries = emb.filter(F.col("vec_id") < 5)
+    n_cells = emb.select("label").distinct().count()
+    full = quantize.pq_topk(coded, queries, books, k=5)
+    allprobe = quantize.ivfpq_topk(coded, queries, books, k=5, nprobe=n_cells)
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.dist) for r in full.collect()}
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.dist) for r in allprobe.collect()}
+    assert got == want
+
+    one = quantize.ivfpq_topk(coded, queries, books, k=5, nprobe=1)
+    full_d = {(r.query_id, r.neighbor_id): r.dist for r in full.collect()}
+    for r in one.collect():
+        # every probed result carries the true ADC distance
+        got_full = full_d.get((r.query_id, r.neighbor_id))
+        if got_full is not None:
+            assert got_full == r.dist
