@@ -207,3 +207,21 @@ def test_no_iterrows_in_source():
         if "iterrows" in line
     ]
     assert not hits, hits
+
+
+def test_chunk_documents_query_no_shuffle(plans):
+    """q_ch1: chunking is scan → project/generate → sort for output
+    determinism only — no aggregation exchange, no Python."""
+    p = plans("q_ch1_chunk_documents")
+    assert "HashAggregate" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_substring_dedup_fingerprint_agg_is_partial(plans):
+    """q_ss1: the corpus-wide window-fingerprint groupBy must keep
+    map-side partial aggregation — a boilerplate window present in
+    millions of documents has to collapse per partition before the
+    exchange, or the shuffle carries the whole site stream."""
+    p = plans("q_ss1_substring_dedup")
+    assert "partial_count" in p or "partial" in p, p
+    assert "CartesianProduct" not in p
