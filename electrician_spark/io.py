@@ -168,6 +168,110 @@ def write_ndjson(
     w.json(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Reproducible training-data export: the corpus is deterministically
+    shuffled (``sampling.deterministic_shuffle`` — md5(seed:id) keys,
+    one range exchange, in-shard sort) and written as exactly
+    ``n_shards`` NDJSON files whose CONTENT — row membership AND row
+    order — is a pure function of (data, seed, n_shards). An integrity
+    manifest (shard file, rows, bytes, sha256) is computed executor-side
+    and written next to the shards as ``_manifest/`` (single JSON); the
+    manifest DataFrame is returned.
+
+    This is the reproducible-data-loading contract LLM training runs
+    need: a trainer (or an auditor) can verify every shard hash before
+    a run, and re-exporting with the same seed reproduces the epoch
+    byte-for-byte. Scale notes: the shuffle is ONE range exchange;
+    shard hashing reads each written file once via the binaryFile
+    source and hashes JVM-side (sha2 over the file bytes — one row per
+    shard, no driver I/O). Size shards via ``n_shards`` so a file fits
+    an executor batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from electrician_spark.operators.sampling import deterministic_shuffle
+
+    spark = df.sparkSession
+    shuffled = deterministic_shuffle(df, n_shards, seed=seed, id_col=id_col)
+    shuffled.write.mode(mode).json(path)
+    # shard id = the stable partition index prefix (the writer's file
+    # name carries a per-job UUID after it — content is reproducible,
+    # the UUID is not, so the manifest keys on part-NNNNN and records
+    # the full file name separately).
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    files = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "part-*"))
+        .select(
+            F.regexp_extract(fname, r"^(part-\d+)", 1).alias("shard"),
+            fname.alias("file"),
+            F.col("length").alias("bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            (
+                F.length(F.col("content").cast("string"))
+                - F.length(F.regexp_replace(F.col("content").cast("string"), "\n", ""))
+            ).cast("long").alias("rows"),
+        )
+        .orderBy("shard")
+    )
+    manifest = files.select("shard", "file", "rows", "bytes", "sha256")
+    manifest.coalesce(1).write.mode(mode).json(os.path.join(path, "_manifest"))
+    return manifest
+
+
+def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Re-hash the shards under ``path`` and compare against the stored
+    ``_manifest``: returns one row per shard with ``ok`` false on any
+    size/hash/row-count drift (bit-rot, partial overwrite, tampering).
+    Executor-side, one pass over the files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    stored = spark.read.json(os.path.join(path, "_manifest")).select(
+        "shard",
+        F.col("rows").alias("m_rows"),
+        F.col("bytes").alias("m_bytes"),
+        F.col("sha256").alias("m_sha256"),
+    )
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    actual = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "part-*"))
+        .select(
+            F.regexp_extract(fname, r"^(part-\d+)", 1).alias("shard"),
+            F.col("length").alias("bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        )
+    )
+    return (
+        stored.join(actual, "shard", "full")
+        .select(
+            "shard",
+            (
+                F.col("sha256").isNotNull()
+                & F.col("m_sha256").isNotNull()
+                & (F.col("sha256") == F.col("m_sha256"))
+                & (F.col("bytes") == F.col("m_bytes"))
+            ).alias("ok"),
+            "m_rows",
+            "m_bytes",
+            "bytes",
+            "m_sha256",
+            "sha256",
+        )
+        .orderBy("shard")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
