@@ -483,3 +483,168 @@ def test_parse_mp4_meta_duration_and_dims():
 
     with pytest.raises(ValueError):
         mm.parse_mp4_meta(b"\x00\x00\x00\x08free")
+
+
+# --- real baseline JPEG pixel decode -----------------------------------------
+
+# Standard Annex K luminance/chrominance huffman tables (public spec
+# constants) — used by the test-side encoder only.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = bytes(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _encode_jpeg_gray(pixels, w, h):
+    """Test-side baseline JPEG encoder (grayscale, quant table all
+    ones, standard huffman tables): FDCT + zigzag + huffman + stuffing.
+    The decoder must invert it within coefficient-rounding tolerance."""
+    import struct as st
+
+    import numpy as np
+
+    from electrician_spark.multimodal import _JPEG_ZIGZAG, _jpeg_huff_table
+
+    # encode-direction huffman: symbol -> (code, length)
+    def enc_table(bits, vals):
+        dec = _jpeg_huff_table(bits, vals)
+        return {sym: (code, ln) for (ln, code), sym in dec.items()}
+
+    dc_t, ac_t = enc_table(_DC_BITS, _DC_VALS), enc_table(_AC_BITS, _AC_VALS)
+    u = np.arange(8)
+    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    M[0, :] *= 1 / np.sqrt(2)
+
+    img = np.zeros((-(-h // 8) * 8, -(-w // 8) * 8))
+    img[:h, :w] = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w)
+    img[h:, :] = img[h - 1 : h, :]  # edge-pad
+    img[:, w:] = img[:, w - 1 : w]
+
+    out_bits: list[tuple[int, int]] = []
+
+    def emit(code, ln):
+        out_bits.append((code, ln))
+
+    def emit_val(v):
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        if s:
+            emit(v if v > 0 else v + (1 << s) - 1, s)
+        return s
+
+    pred = 0
+    for by in range(img.shape[0] // 8):
+        for bx in range(img.shape[1] // 8):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = M @ block @ M.T
+            zz = [int(round(coef.flat[z])) for z in _JPEG_ZIGZAG]
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            emit(*dc_t[s])
+            if s:
+                emit(diff if diff > 0 else diff + (1 << s) - 1, s)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and zz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    emit(*ac_t[0x00])  # EOB
+                    break
+                while run > 15:
+                    emit(*ac_t[0xF0])  # ZRL
+                    run -= 16
+                v = zz[k]
+                s = v.bit_length() if v > 0 else (-v).bit_length()
+                emit(*ac_t[(run << 4) | s])
+                emit(v if v > 0 else v + (1 << s) - 1, s)
+                k += 1
+
+    acc = nbits = 0
+    data = bytearray()
+    for code, ln in out_bits:
+        acc = (acc << ln) | (code & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            data.append(b)
+            if b == 0xFF:
+                data.append(0x00)  # byte stuffing
+            nbits -= 8
+    if nbits:
+        b = ((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+        data.append(b)
+        if b == 0xFF:
+            data.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + st.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_VALS
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(data) + b"\xff\xd9"
+
+
+def test_decode_jpeg_roundtrip_within_rounding():
+    import numpy as np
+
+    w, h = 19, 13  # non-multiple-of-8: exercises edge blocks + crop
+    pixels = bytes(((x * 7) ^ (x >> 3)) % 256 for x in range(w * h))
+    jpg = _encode_jpeg_gray(pixels, w, h)
+    gw, gh, ch, got = mm.decode_jpeg_pixels(jpg)
+    assert (gw, gh, ch) == (w, h, 1)
+    a = np.frombuffer(got, dtype=np.uint8).astype(int)
+    b = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(int)
+    # quant table of ones: the only loss is FDCT coefficient rounding —
+    # bounded by a few levels per sample
+    assert np.abs(a - b).max() <= 4, np.abs(a - b).max()
+
+
+def test_decode_jpeg_real_files_and_dispatch(spark):
+    import glob
+    import os
+
+    candidates = sorted(
+        glob.glob(
+            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+            "test/imghdrdata/python.jpg"
+        )
+    )
+    if not candidates or not os.path.exists(candidates[0]):
+        import pytest
+
+        pytest.skip("no real JPEG fixtures on this host")
+    data = open(candidates[0], "rb").read()
+    w, h, ch, px = mm.decode_jpeg_pixels(data)
+    assert (w, h) == mm.parse_image_dims(data)
+    assert ch == 3 and len(px) == w * h * 3
+    # pixel-stats stage dispatches JPEG now
+    from pyspark.sql import Row
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, modality="image", mime="image/jpeg",
+             payload=bytearray(data), source_uri="f:1")],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    r = mm.image_pixel_stats(media).collect()[0]
+    assert (r.width, r.height, r.channels, r.ok) == (w, h, 3, "ok")
