@@ -589,6 +589,11 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing SOF/SOS")
     w, h, comps = frame
     sel, entropy = scan
+    if set(sel) != {cid for cid, *_ in comps}:
+        # non-interleaved scans (one component per SOS) are legal
+        # baseline JPEG but rare; the interleaved-MCU loop below does
+        # not model them — fail loudly instead of mis-decoding.
+        raise ValueError("non-interleaved JPEG scan unsupported")
     # split on restart markers, strip 0xFF00 stuffing per segment
     segments: list[bytes] = []
     cur = bytearray()

@@ -331,9 +331,9 @@ def pq_topk(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    cand = codes_df.select(id_col, code_col).mapInPandas(
-        gen, "query_id long, neighbor_id long, dist double"
-    )
+    cand = codes_df.select(id_col, code_col).filter(
+        F.col(code_col).isNotNull()  # NULL-vector rows carry no code
+    ).mapInPandas(gen, "query_id long, neighbor_id long, dist double")
     w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
     return (
         cand.withColumn("dist", F.round("dist", 6))
@@ -445,9 +445,9 @@ def ivfpq_topk(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    cand = codes_df.select(id_col, code_col, label_col).mapInPandas(
-        gen, "query_id long, neighbor_id long, dist double"
-    )
+    cand = codes_df.select(id_col, code_col, label_col).filter(
+        F.col(code_col).isNotNull()  # NULL-vector rows carry no code
+    ).mapInPandas(gen, "query_id long, neighbor_id long, dist double")
     w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
     return (
         cand.withColumn("dist", F.round("dist", 6))
