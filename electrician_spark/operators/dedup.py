@@ -622,13 +622,12 @@ def connected_components_star(
         edges.select(F.col("b").alias("node"))
     ).distinct()
 
-    prev_count = edges.count()  # carried across rounds — one count total
     for _ in range(max_iterations):
         # large-star over the bidirected neighbor lists. No intermediate
         # distinct()s: duplicates produced mid-round don't change any
-        # min() and the terminal flag-aggregate removes them — each
-        # dropped distinct was a full extra exchange per round (the r5
-        # plan ran three; this runs one).
+        # min() and the terminal distinct removes them — each dropped
+        # distinct was a full extra exchange per round (the r5 plan ran
+        # three; this runs one).
         bi = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
@@ -642,38 +641,37 @@ def connected_components_star(
         )
         # small-star over the (already min-oriented) large-star output.
         smins = large.groupBy("u").agg(F.min("v").alias("_mn"))
-        raw = (
+        small = (
             large.join(smins, "u")
             .select(F.col("v").alias("a"), F.col("_mn").alias("b"))
             .unionByName(smins.select(F.col("u").alias("a"), F.col("_mn").alias("b")))
             .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        # Terminal dedup doubles as the fixpoint probe: tag each new
-        # edge with membership in the previous edge set (join BEFORE the
-        # groupBy so dedup and flagging share one exchange), then ONE
-        # tiny aggregate job reads (count, old-member count) off the
-        # checkpointed result. stable ⟺ |new| == |old| == |new ∩ old| —
-        # two distinct equal-size sets are equal iff one contains the
-        # other. The r5 check ran two full count jobs per round plus two
-        # exceptAll jobs on the converged round (the +41% q_d6 bench
-        # regression); cheap-first gating is the reference's meter
-        # posture (pkg/internal/meter/monitor.go:37-52).
-        flagged = raw.join(
-            edges.withColumn("_old", F.lit(1)), ["a", "b"], "left"
-        )
-        small = flagged.groupBy("a", "b").agg(F.max("_old").alias("_old"))
         try:
             small = small.localCheckpoint()
         except Exception:  # noqa: BLE001
             pass
-        probe = small.agg(
-            F.count("*").alias("n"), F.sum("_old").alias("n_old")
-        ).first()
-        cur_count = int(probe["n"] or 0)
-        stable = cur_count == prev_count and int(probe["n_old"] or 0) == cur_count
-        edges = small.drop("_old")
-        prev_count = cur_count
-        if stable:
+        edges = small
+        # STRUCTURAL fixpoint test, no confirm round: under the max→min
+        # orientation, an edge set is a star forest iff every source has
+        # exactly one outgoing edge and no target is itself a source —
+        # and a star forest IS the answer (rounds preserve components;
+        # a min-rooted star is invariant under both stars, which is the
+        # algorithm's only fixpoint per Kiveris et al.). One early-exit
+        # aggregate job over the just-materialized sparse edge set; the
+        # r6-interim check (count-gate + membership-flag join) still ran
+        # one FULL extra round to observe "nothing changed", ~half the
+        # loop's wall time on clique-shaped near-dup graphs.
+        roles = small.select(F.col("a").alias("n"), F.lit(1).alias("s")).unionByName(
+            small.select(F.col("b").alias("n"), F.lit(0).alias("s"))
+        )
+        not_star = (
+            roles.groupBy("n")
+            .agg(F.sum("s").alias("_out"), F.count_distinct("s").alias("_roles"))
+            .filter((F.col("_out") > 1) | (F.col("_roles") > 1))
+        )
+        if not_star.isEmpty():
             break
 
     # star edges point node -> root; roots map to themselves
