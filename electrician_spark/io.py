@@ -176,42 +176,55 @@ def write_training_shards(
     id_col: str = "doc_id",
     mode: str = "overwrite",
 ) -> DataFrame:
-    """Reproducible training-data export: the corpus is deterministically
-    shuffled (``sampling.deterministic_shuffle`` — md5(seed:id) keys,
-    one range exchange, in-shard sort) and written as exactly
-    ``n_shards`` NDJSON files whose CONTENT — row membership AND row
-    order — is a pure function of (data, seed, n_shards). An integrity
-    manifest (shard file, rows, bytes, sha256) is computed executor-side
-    and written next to the shards as ``_manifest/`` (single JSON); the
-    manifest DataFrame is returned.
+    """Reproducible training-data export: every row gets the epoch's
+    md5(``seed:id``) shuffle key and an EXPLICIT shard id derived from
+    the key alone (``sampling.shard_of`` — ``(key·n) >> 32``, fixed
+    key-space cuts), and shards are written as ``shard=N/`` NDJSON
+    partition directories, one file per shard, rows sorted by
+    (shuffle_key, id). Shard MEMBERSHIP and row ORDER are therefore a
+    pure function of (data, seed, n_shards) — never of sampled range
+    boundaries, which shift between runs once sampling actually
+    subsamples at real scale. An integrity manifest (shard, file, rows,
+    bytes, sha256) is computed executor-side and written next to the
+    shards as ``_manifest/`` (single JSON); the manifest DataFrame is
+    returned.
 
     This is the reproducible-data-loading contract LLM training runs
     need: a trainer (or an auditor) can verify every shard hash before
     a run, and re-exporting with the same seed reproduces the epoch
-    byte-for-byte. Scale notes: the shuffle is ONE range exchange;
-    shard hashing reads each written file once via the binaryFile
-    source and hashes JVM-side (sha2 over the file bytes — one row per
-    shard, no driver I/O). Size shards via ``n_shards`` so a file fits
-    an executor batch."""
+    byte-for-byte. Scale notes: ONE hash exchange on the derived shard
+    column (each shard lands whole in one task, so each ``shard=N/``
+    directory holds exactly one file); shard hashing reads each written
+    file once via the binaryFile source and hashes JVM-side (sha2 over
+    the file bytes — one row per shard, no driver I/O). Size shards via
+    ``n_shards`` so a file fits an executor batch. A shard value with
+    no rows (possible only when rows ≪ n_shards) writes no directory
+    and gets no manifest row."""
     import os
 
     from pyspark.sql import functions as F
 
-    from electrician_spark.operators.sampling import deterministic_shuffle
+    from electrician_spark.operators.sampling import shard_of, shuffle_key
 
     spark = df.sparkSession
-    shuffled = deterministic_shuffle(df, n_shards, seed=seed, id_col=id_col)
-    shuffled.write.mode(mode).json(path)
-    # shard id = the stable partition index prefix (the writer's file
-    # name carries a per-job UUID after it — content is reproducible,
-    # the UUID is not, so the manifest keys on part-NNNNN and records
-    # the full file name separately).
+    keyed = df.withColumn("shuffle_key", shuffle_key(F.col(id_col), seed)).withColumn(
+        "shard", shard_of(F.col("shuffle_key"), n_shards)
+    )
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .json(path)
+    )
     fname = F.element_at(F.split(F.col("path"), "/"), -1)
     files = (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "part-*"))
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "part-*")
+        .load(path)
         .select(
-            F.regexp_extract(fname, r"^(part-\d+)", 1).alias("shard"),
+            F.regexp_extract(F.col("path"), r"shard=(\d+)/", 1).cast("long").alias("shard"),
             fname.alias("file"),
             F.col("length").alias("bytes"),
             F.sha2(F.col("content"), 256).alias("sha256"),
@@ -230,8 +243,10 @@ def write_training_shards(
 def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
     """Re-hash the shards under ``path`` and compare against the stored
     ``_manifest``: returns one row per shard with ``ok`` false on any
-    size/hash/row-count drift (bit-rot, partial overwrite, tampering).
-    Executor-side, one pass over the files."""
+    size, hash, or row-count drift (bit-rot, partial overwrite,
+    tampering) — rows are recounted from the actual scan (newline
+    count), not trusted from the manifest. Executor-side, one pass
+    over the files."""
     import os
 
     from pyspark.sql import functions as F
@@ -242,14 +257,19 @@ def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
         F.col("bytes").alias("m_bytes"),
         F.col("sha256").alias("m_sha256"),
     )
-    fname = F.element_at(F.split(F.col("path"), "/"), -1)
     actual = (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "part-*"))
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "part-*")
+        .load(path)
         .select(
-            F.regexp_extract(fname, r"^(part-\d+)", 1).alias("shard"),
+            F.regexp_extract(F.col("path"), r"shard=(\d+)/", 1).cast("long").alias("shard"),
             F.col("length").alias("bytes"),
             F.sha2(F.col("content"), 256).alias("sha256"),
+            (
+                F.length(F.col("content").cast("string"))
+                - F.length(F.regexp_replace(F.col("content").cast("string"), "\n", ""))
+            ).cast("long").alias("rows"),
         )
     )
     return (
@@ -261,8 +281,10 @@ def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
                 & F.col("m_sha256").isNotNull()
                 & (F.col("sha256") == F.col("m_sha256"))
                 & (F.col("bytes") == F.col("m_bytes"))
+                & (F.col("rows") == F.col("m_rows"))
             ).alias("ok"),
             "m_rows",
+            "rows",
             "m_bytes",
             "bytes",
             "m_sha256",

@@ -385,14 +385,14 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
-    """Per-image REAL pixel statistics over PNG/GIF payloads
-    (mapInPandas, Arrow-batched): dims, channel count, mean sample
-    value (6dp, emitted as a string so the value is bit-stable across
-    engines), min/max sample. JPEG / unsupported payloads land in the
-    ``ok`` error channel ('err:...'), never fail the task — the same
-    DLQ column pattern as :func:`extract_features`. The mean is
-    computed with integer summation (exact) before one final
-    division."""
+    """Per-image REAL pixel statistics over PNG/GIF/baseline-JPEG
+    payloads (mapInPandas, Arrow-batched): dims, channel count, mean
+    sample value (6dp, emitted as a string so the value is bit-stable
+    across engines), min/max sample. Progressive-JPEG / unsupported
+    payloads land in the ``ok`` error channel ('err:...'), never fail
+    the task — the same DLQ column pattern as :func:`extract_features`.
+    The mean is computed with integer summation (exact) before one
+    final division."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -617,6 +617,14 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, hsf, vsf, _tq in comps:
+        # legal-but-rare non-divisor factor ratios (e.g. hmax=3, hsf=2)
+        # would silently mis-size the np.repeat upsample below — reject
+        # explicitly so they land in the err: channel like progressive.
+        if hmax % hsf != 0 or vmax % vsf != 0:
+            raise ValueError(
+                f"unsupported non-divisor sampling factors h={hsf}/{hmax} v={vsf}/{vmax}"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = {

@@ -361,7 +361,10 @@ def ivfpq_topk(
     driver-side to their ``nprobe`` nearest cell centroids (the SAME
     Spark-computed `label_centroids` values the expression-form IVF
     uses, so probe decisions match), and each Arrow batch ADC-scores
-    only the queries probing its rows' cells. Same contract as
+    only the queries probing its rows' cells. ``codes_df`` must retain
+    ``vec_col`` alongside the codes — the raw vectors feed the IVF
+    routing centroids (pass the pq_encode output before dropping the
+    embedding column, or precompute centroids yourself). Same contract as
     :func:`pq_topk` / `similarity.ivf_topk`: approximate (recall < 1
     when a true neighbor lives in an unprobed cell — raise nprobe),
     self-matches excluded, (dist asc, neighbor id) ranking, dist to
@@ -390,12 +393,12 @@ def ivfpq_topk(
             vec_col,
         ),
         "IVF centroid table",
-        "ivf_topk",
+        "ivfpq_topk",
     )
     cls = np.array([r["cl"] for r in cent_rows], dtype=np.int64)
     cents = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
 
-    qrows = _collect_bounded(queries.select(id_col, vec_col), "query set", "pq_topk")
+    qrows = _collect_bounded(queries.select(id_col, vec_col), "query set", "ivfpq_topk")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     luts, cell_queries = [], {}
     for j, r in enumerate(qrows):

@@ -86,6 +86,18 @@ def shuffle_key(id_col: Column, seed: int = 0) -> Column:
     return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
 
 
+def shard_of(key: Column, n_shards: int) -> Column:
+    """Shard id for a :func:`shuffle_key` value: ``(key·n) >> 32`` —
+    n_shards equal cuts of the 2^32 key space. Pure integer arithmetic
+    (key < 2^32, so the product fits a bigint for any sane n_shards),
+    monotone in the key, so reading shards 0..n−1 in order preserves
+    the global key order. Crucially the shard is a function of the KEY
+    ALONE — never of sampled range boundaries — so shard membership is
+    reproducible across runs, cluster sizes, and engines (DuckDB
+    replays it with the same expression)."""
+    return F.shiftright(key * F.lit(n_shards), 32).cast("long")
+
+
 def deterministic_shuffle(
     df: DataFrame,
     n_shards: int,
@@ -93,20 +105,27 @@ def deterministic_shuffle(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Epoch-reproducible global shuffle — the final data-ordering step
-    before a training run: every row gets an md5(``seed:id``) key,
-    ``repartitionByRange`` on the key cuts ``n_shards`` balanced shards
-    that are globally ordered shard-to-shard, and a sort *within* each
-    shard finishes the permutation. Reading shards in order replays one
-    deterministic global permutation; bumping ``seed`` yields the next
-    epoch's.
+    before a training run: every row gets an md5(``seed:id``) key, an
+    explicit ``shard`` column (``shard_of`` — fixed key-space cuts,
+    monotone in the key), ``repartitionByRange`` on the key cuts
+    ``n_shards`` balanced partitions, and a sort *within* each
+    partition finishes the permutation. Reading shards in order replays
+    one deterministic global permutation; bumping ``seed`` yields the
+    next epoch's.
 
     Scale: ONE range-exchange shuffle (the range partitioner samples
     keys; no global single-task sort ever materializes), each task
-    sorts only its own shard. Output keeps a ``shuffle_key`` column so
-    writers can verify or resume ordering."""
+    sorts only its own slice. Output keeps ``shuffle_key`` and
+    ``shard`` columns so writers and auditors key on VALUES, not on
+    partition indexes: range-partition boundaries come from reservoir
+    sampling and may shift between runs, but the two columns never do
+    — consumers that need reproducible membership (shard export,
+    resumable epochs) group by ``shard``."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    keyed = df.withColumn("shuffle_key", shuffle_key(F.col(id_col), seed))
+    keyed = df.withColumn("shuffle_key", shuffle_key(F.col(id_col), seed)).withColumn(
+        "shard", shard_of(F.col("shuffle_key"), n_shards)
+    )
     return keyed.repartitionByRange(n_shards, "shuffle_key").sortWithinPartitions(
         "shuffle_key", id_col
     )

@@ -363,6 +363,16 @@ def test_write_training_shards_reproducible_and_verified(spark, tmp_path):
         docs, str(tmp_path / "c"), n_shards=4, seed=1).collect()}
     assert {r.sha256 for r in m_c.values()} != {r.sha256 for r in m_a.values()}
 
+    # shard MEMBERSHIP is derived from the md5 key alone ((key·n) >> 32)
+    # — never from sampled range boundaries, so membership cannot shift
+    # between exports even when range sampling would subsample
+    import hashlib
+
+    back = spark.read.json(str(tmp_path / "a")).select("doc_id", "shard").collect()
+    for r in back:
+        key = int(hashlib.md5(f"0:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        assert (key * 4) >> 32 == int(r.shard)
+
     # verification passes on intact shards
     v = verify_training_shards(spark, out_a).collect()
     assert len(v) == 4 and all(r.ok for r in v)
@@ -372,7 +382,7 @@ def test_write_training_shards_reproducible_and_verified(spark, tmp_path):
     # fails the read outright instead of reaching the hash compare)
     import glob
 
-    victim = sorted(glob.glob(str(tmp_path / "a" / "part-*")))[0]
+    victim = sorted(glob.glob(str(tmp_path / "a" / "shard=*" / "part-*")))[0]
     with open(victim, "r+b") as fh:
         fh.seek(12)
         fh.write(b"TAMPERED")
