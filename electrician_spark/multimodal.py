@@ -14,7 +14,9 @@ containers: :func:`decode_png_pixels` (zlib inflate + all five
 scanline unfilters + palette expansion), :func:`decode_gif_pixels`
 (GIF-variant LZW + color table + de-interlace), and
 :func:`decode_jpeg_pixels` (baseline sequential huffman + numpy float
-IDCT + chroma upsampling + YCbCr→RGB; progressive raises). All
+IDCT + chroma upsampling + YCbCr→RGB; progressive raises). Image
+RESIZE is real too (:func:`resize_plan` → :func:`resample_image_box`
+— exact area-average box filter over the decoded pixels). All
 stdlib+numpy. The remaining stubs are clearly marked and minor:
 `extract_features`' deterministic dims fake for unrecognized bytes,
 and video FRAME pixels (H.264-class entropy codecs) — PIL/ffmpeg swap
@@ -933,42 +935,89 @@ RESIZED_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("target_w", IntegerType()),
         StructField("target_h", IntegerType()),
+        StructField("channels", IntegerType()),
         StructField("resized", BinaryType()),
         StructField("ok", StringType()),
     ]
 )
 
 
-def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Image-resize plumbing: aspect-preserving target dims computed
-    from the (stub-decoded) source dims, then a mapInPandas stage that
-    would hold the pixel work. The STUB emits a deterministic
-    sha256-derived byte payload sized ~(w*h/64) in place of real
-    pixels (clearly marked; swap `_resize_stub` for PIL's
-    Image.resize on a real deployment). Target-dim math, batch shape,
-    output schema, and error channeling (`ok`) are real and tested."""
+def resample_image_box(arr, tw: int, th: int):
+    """Exact area-average (box-filter) resample of an (h, w, ch) uint8
+    array to (th, tw, ch).
 
-    def _resize_stub(payload: bytes, tw: int, th: int) -> bytes:
-        seed = hashlib.sha256(payload + f":{tw}x{th}".encode()).digest()
-        need = max(1, tw * th // 64)
-        return (seed * (need // len(seed) + 1))[:need]
+    Every target pixel is the exact mean of its fractional source
+    rectangle: treat the image as a continuous function (each source
+    pixel constant over its unit square) — its 2-D integral is then
+    bilinear between the points of the cumulative-sum grid, so
+    evaluating that grid at the fractional box edges and differencing
+    gives exact box sums, vectorized (two 1-D interpolations + one 2-D
+    difference, no per-pixel Python). Deterministic float64 (+·*/
+    only); final quantization is np.round (ties-to-even) → uint8.
+    Downscale-oriented: the box filter IS the correct anti-aliasing
+    kernel for shrink (it never skips source pixels the way nearest /
+    plain bilinear subsampling does)."""
+    import numpy as np
+
+    h, w, ch = arr.shape
+    cum = np.zeros((h + 1, w + 1, ch), dtype=np.float64)
+    np.cumsum(np.cumsum(arr, axis=0, dtype=np.float64), axis=1, out=cum[1:, 1:])
+
+    def interp(grid, edges, axis_len):
+        # evaluate the integral grid at fractional coordinates along
+        # axis 0 (grid is (n+1, ..., ch))
+        i0 = np.minimum(edges.astype(np.int64), axis_len)
+        f = edges - i0
+        i1 = np.minimum(i0 + 1, axis_len)
+        shape = (len(edges),) + (1,) * (grid.ndim - 1)
+        return (1.0 - f).reshape(shape) * grid[i0] + f.reshape(shape) * grid[i1]
+
+    ye = np.linspace(0.0, float(h), th + 1)
+    xe = np.linspace(0.0, float(w), tw + 1)
+    rows = interp(cum, ye, h)  # (th+1, w+1, ch)
+    grid = interp(rows.transpose(1, 0, 2), xe, w).transpose(1, 0, 2)  # (th+1, tw+1, ch)
+    sums = grid[1:, 1:] - grid[:-1, 1:] - grid[1:, :-1] + grid[:-1, :-1]
+    areas = np.outer(np.diff(ye), np.diff(xe))[:, :, None]
+    return np.clip(np.round(sums / areas), 0, 255).astype(np.uint8)
+
+
+def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """REAL image resize: decode pixels (:func:`decode_image_pixels` —
+    PNG/GIF/baseline-JPEG, stdlib+numpy), aspect-preserving target dims
+    (longest side clamps to ``max_side``, never upscaled), exact
+    area-average resample (:func:`resample_image_box`), raw interleaved
+    uint8 pixel bytes out (``target_w · target_h · channels``).
+    Undecodable / progressive / non-image payloads land in the ``ok``
+    error channel ('err:...') — never a task failure. Arrow-batched
+    mapInPandas; at 100 TB pair with :func:`size_partitions` /
+    ``files.maxPartitionBytes`` so pixel buffers stay within executor
+    batch budgets."""
+    import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, tws, ths, blobs, oks = [], [], [], [], []
+            ids, tws, ths, chs, blobs, oks = [], [], [], [], [], []
             for mid, payload in zip(b["media_id"], b["payload"]):
                 try:
-                    w, h = _decode_stub(bytes(payload), "image/unknown")
-                    scale = max_side / max(w, h)
-                    tw = max(1, round(w * min(scale, 1.0)))
-                    th = max(1, round(h * min(scale, 1.0)))
-                    blobs.append(_resize_stub(bytes(payload), tw, th))
+                    w, h, ch, px = decode_image_pixels(
+                        bytes(payload) if payload is not None else None
+                    )
+                    if w <= 0 or h <= 0 or not px:
+                        raise ValueError("empty image")
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                    scale = min(max_side / max(w, h), 1.0)
+                    tw = max(1, round(w * scale))
+                    th = max(1, round(h * scale))
+                    out = arr if (tw, th) == (w, h) else resample_image_box(arr, tw, th)
                     tws.append(tw)
                     ths.append(th)
+                    chs.append(ch)
+                    blobs.append(out.tobytes())
                     oks.append("ok")
                 except Exception as ex:  # noqa: BLE001 — per-row error channel
                     tws.append(0)
                     ths.append(0)
+                    chs.append(0)
                     blobs.append(b"")
                     oks.append(f"err:{type(ex).__name__}")
                 ids.append(mid)
@@ -977,6 +1026,7 @@ def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
                     "media_id": ids,
                     "target_w": pd.array(tws, dtype="int32"),
                     "target_h": pd.array(ths, dtype="int32"),
+                    "channels": pd.array(chs, dtype="int32"),
                     "resized": blobs,
                     "ok": oks,
                 }

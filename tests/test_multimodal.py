@@ -61,26 +61,65 @@ def test_size_partitions_spreads(spark):
     assert spread.count() == media.count()
 
 
-def test_resize_plan_dims_and_determinism(spark):
+def test_resize_plan_real_pixels_and_error_channel(spark):
+    """REAL resize: a crafted 8x4 RGB PNG downscales to 4x2 by exact
+    area averaging (each target pixel = mean of its 2x2 source block —
+    golden values), a constant-color image stays constant, and
+    non-image payloads land in the err channel."""
+    from pyspark.sql import Row
+
     from electrician_spark import multimodal as mm
 
-    docs = spark.createDataFrame(
-        [(1, "small doc"), (2, "x" * 500), (3, "another payload")],
-        "doc_id long, text string",
+    # 8x4 gradient: pixel (x, y) = (x*30, y*60, 100)
+    grad = bytearray()
+    for y in range(4):
+        for x in range(8):
+            grad += bytes([x * 30, y * 60, 100])
+    const = bytes([7, 99, 200]) * (8 * 4)
+    rows = [
+        Row(media_id=1, modality="image", mime="image/png",
+            payload=bytearray(_full_png(8, 4, bytes(grad))), source_uri="f:1"),
+        Row(media_id=2, modality="image", mime="image/png",
+            payload=bytearray(_full_png(8, 4, const)), source_uri="f:2"),
+        Row(media_id=3, modality="image", mime="text/plain",
+            payload=bytearray(b"not an image at all"), source_uri="f:3"),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.resize_plan(media, max_side=4).collect()}
+    r1 = out[1]
+    assert (r1.target_w, r1.target_h, r1.channels, r1.ok) == (4, 2, 3, "ok")
+    px = bytes(r1.resized)
+    assert len(px) == 4 * 2 * 3
+    # golden: target (tx, ty) averages source x in {2tx, 2tx+1}, y in
+    # {2ty, 2ty+1} -> R = 30*(2tx) + 15, G = 60*(2ty) + 30, B = 100
+    for ty in range(2):
+        for tx in range(4):
+            r, g, b = px[(ty * 4 + tx) * 3 : (ty * 4 + tx) * 3 + 3]
+            assert (r, g, b) == (60 * tx + 15, 120 * ty + 30, 100)
+    r2 = out[2]
+    assert bytes(r2.resized) == bytes([7, 99, 200]) * (4 * 2)
+    assert out[3].ok.startswith("err:") and out[3].target_w == 0
+    # deterministic across runs (pure float64 arithmetic, no RNG)
+    again = {r.media_id: r for r in mm.resize_plan(media, max_side=4).collect()}
+    assert bytes(again[1].resized) == px
+
+
+def test_resize_plan_no_upscale_passthrough(spark):
+    """Images already within max_side pass through with their exact
+    decoded pixels (no resample, no upscale)."""
+    from pyspark.sql import Row
+
+    from electrician_spark import multimodal as mm
+
+    body = bytes(range(48))  # 4x4 RGB
+    media = spark.createDataFrame(
+        [Row(media_id=1, modality="image", mime="image/png",
+             payload=bytearray(_full_png(4, 4, body)), source_uri="f:1")],
+        mm.MEDIA_SCHEMA,
     )
-    media = mm.attach_binary(docs, "text", id_col="doc_id")
-    out = mm.resize_plan(media, max_side=128).collect()
-    assert {r.media_id for r in out} == {1, 2, 3}
-    for r in out:
-        assert r.ok == "ok"
-        # aspect-preserving: longest side clamps to max_side, never upscaled
-        assert 1 <= r.target_w <= 128 and 1 <= r.target_h <= 128
-        assert len(r.resized) == max(1, r.target_w * r.target_h // 64)
-    # deterministic across runs (stub is hash-derived, no RNG)
-    again = mm.resize_plan(media, max_side=128).collect()
-    assert sorted((r.media_id, bytes(r.resized)) for r in out) == sorted(
-        (r.media_id, bytes(r.resized)) for r in again
-    )
+    (r,) = mm.resize_plan(media, max_side=128).collect()
+    assert (r.target_w, r.target_h, r.channels, r.ok) == (4, 4, 3, "ok")
+    assert bytes(r.resized) == body
 
 
 def _png(w: int, h: int) -> bytes:
@@ -152,19 +191,27 @@ def test_extract_features_real_image_dimensions(spark):
 
 
 def test_resize_plan_uses_real_dims(spark):
-    """Aspect-preserving targets must derive from the REAL header dims
-    for genuine images: an 800x600 PNG at max_side=128 -> 128x96."""
+    """Aspect-preserving targets derive from the REAL decoded dims:
+    a 160x120 PNG at max_side=128 -> 128x96, with the pixel mass
+    preserved (area averaging keeps the global mean)."""
     from pyspark.sql import Row
 
     from electrician_spark import multimodal as mm
 
+    w, h = 160, 120
+    body = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w) for _ in range(3))
     media = spark.createDataFrame(
         [Row(media_id=1, modality="image", mime="image/png",
-             payload=bytearray(_png(800, 600)), source_uri="f:1")],
+             payload=bytearray(_full_png(w, h, body)), source_uri="f:1")],
         mm.MEDIA_SCHEMA,
     )
     (r,) = mm.resize_plan(media, max_side=128).collect()
-    assert (r.target_w, r.target_h) == (128, 96) and r.ok == "ok"
+    assert (r.target_w, r.target_h, r.ok) == (128, 96, "ok")
+    assert len(r.resized) == 128 * 96 * 3
+    src_mean = sum(body) / len(body)
+    dst = bytes(r.resized)
+    dst_mean = sum(dst) / len(dst)
+    assert abs(src_mean - dst_mean) < 1.0  # box filter preserves mass
 
 
 # --- real PNG pixel decode -------------------------------------------------
