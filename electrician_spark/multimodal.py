@@ -13,8 +13,9 @@ dependency), and image PIXELS decode for real across all three
 containers: :func:`decode_png_pixels` (zlib inflate + all five
 scanline unfilters + palette expansion), :func:`decode_gif_pixels`
 (GIF-variant LZW + color table + de-interlace), and
-:func:`decode_jpeg_pixels` (baseline sequential huffman + numpy float
-IDCT + chroma upsampling + YCbCr→RGB; progressive raises). Image
+:func:`decode_jpeg_pixels` (baseline sequential AND progressive
+SOF2 — spectral selection + successive approximation per T.81 Annex G
+— huffman + numpy float IDCT + chroma upsampling + YCbCr→RGB). Image
 RESIZE is real too (:func:`resize_plan` → :func:`resample_image_box`
 — exact area-average box filter over the decoded pixels). All
 stdlib+numpy. The remaining stubs are clearly marked and minor:
@@ -375,10 +376,10 @@ PIXEL_STATS_SCHEMA = StructType(
 def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch REAL pixel decode by container signature: PNG
     (:func:`decode_png_pixels`), GIF (:func:`decode_gif_pixels`) and
-    baseline JPEG (:func:`decode_jpeg_pixels`) all decode for real —
-    stdlib + numpy, no codec library. Progressive JPEG raises; PIL
-    slots in here for photo-scale throughput (the pure-Python huffman
-    bit reader is thumbnail-grade)."""
+    JPEG — baseline and progressive — (:func:`decode_jpeg_pixels`) all
+    decode for real — stdlib + numpy, no codec library. PIL slots in
+    here for photo-scale throughput (the pure-Python huffman bit
+    reader is thumbnail-grade)."""
     if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
     if payload is not None and payload[:2] == b"\xff\xd8":
@@ -499,16 +500,45 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_split_restarts(entropy: bytes) -> list[bytes]:
+    """Split an entropy-coded stream on RSTn markers and strip 0xFF00
+    byte stuffing within each segment."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = 0
+    while j < len(entropy):
+        b = entropy[j]
+        if b == 0xFF and j + 1 < len(entropy):
+            nxt = entropy[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    return segments
+
+
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL pixel decode for baseline JPEG (SOF0/SOF1 sequential
-    huffman) — stdlib marker/huffman walking + numpy float IDCT.
-    Handles 8-bit samples, 1 or 3 components, any sampling factors
-    (4:4:4 / 4:2:2 / 4:2:0 …), restart intervals, 0xFF00 byte stuffing.
-    Returns (width, height, channels, samples): grayscale stays 1
-    channel, color converts YCbCr→RGB (BT.601). Progressive (SOF2) and
-    arithmetic-coded JPEGs raise ValueError. Float64 IDCT: output can
-    differ from libjpeg's integer IDCT by ±1 level — decoders disagree
-    at that magnitude among themselves (T.81 only bounds IDCT error)."""
+    """REAL pixel decode for baseline (SOF0/SOF1 sequential) AND
+    progressive (SOF2) JPEG — stdlib marker/huffman walking + numpy
+    float IDCT. Handles 8-bit samples, 1 or 3 components, any divisor
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0 …), restart intervals,
+    0xFF00 byte stuffing; progressive spectral selection + successive
+    approximation per T.81 Annex G (DC first/refine, AC first/refine
+    with EOB-run correction bits) accumulate coefficients across scans
+    before one dequantize+IDCT pass. Returns (width, height, channels,
+    samples): grayscale stays 1 channel, color converts YCbCr→RGB
+    (BT.601). Arithmetic-coded / lossless / hierarchical frames raise
+    ValueError. Float64 IDCT: output can differ from libjpeg's integer
+    IDCT by ±1 level — decoders disagree at that magnitude among
+    themselves (T.81 only bounds IDCT error)."""
     import numpy as np
 
     if payload is None or payload[:2] != b"\xff\xd8":
@@ -517,9 +547,12 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (w, h, comps) comps: list of (cid, hsf, vsf, tq)
+    progressive = False
     restart = 0
     i = 2
-    scan = None
+    # each scan: (sel {cid: (Td, Ta)}, Ss, Se, Ah, Al, entropy bytes,
+    # dc/ac table snapshots, restart interval in effect)
+    scans: list[tuple] = []
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -549,9 +582,10 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 for j, z in enumerate(_JPEG_ZIGZAG):
                     t[z] = vals[j]
                 qt[tid] = t.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline & extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             n = seg[5]
@@ -560,7 +594,7 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG frame type 0x{marker:02x}")
         elif marker == 0xC4:  # DHT
             p = 0
@@ -577,66 +611,43 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             ns = seg[0]
             sel = {seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
                    for c in range(ns)}
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             data_start = i + 2 + seg_len
             j = data_start
             while j + 1 < len(payload):
                 if payload[j] == 0xFF and payload[j + 1] not in (0x00, *range(0xD0, 0xD8)):
                     break
                 j += 1
-            scan = (sel, payload[data_start:j])
+            scans.append(
+                (sel, ss, se, ah, al, payload[data_start:j],
+                 dict(huff_dc), dict(huff_ac), restart)
+            )
             i = j
             continue
         i += 2 + seg_len
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("missing SOF/SOS")
     w, h, comps = frame
-    sel, entropy = scan
+    if progressive:
+        return _decode_jpeg_progressive(w, h, comps, qt, scans)
+    sel, _ss, _se, _ah, _al, entropy, huff_dc, huff_ac = scans[0][:8]
     if set(sel) != {cid for cid, *_ in comps}:
         # non-interleaved scans (one component per SOS) are legal
         # baseline JPEG but rare; the interleaved-MCU loop below does
         # not model them — fail loudly instead of mis-decoding.
         raise ValueError("non-interleaved JPEG scan unsupported")
-    # split on restart markers, strip 0xFF00 stuffing per segment
-    segments: list[bytes] = []
-    cur = bytearray()
-    j = 0
-    while j < len(entropy):
-        b = entropy[j]
-        if b == 0xFF and j + 1 < len(entropy):
-            nxt = entropy[j + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-        cur.append(b)
-        j += 1
-    segments.append(bytes(cur))
+    restart = scans[0][8]
+    segments = _jpeg_split_restarts(entropy)
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _cid, hsf, vsf, _tq in comps:
-        # legal-but-rare non-divisor factor ratios (e.g. hmax=3, hsf=2)
-        # would silently mis-size the np.repeat upsample below — reject
-        # explicitly so they land in the err: channel like progressive.
-        if hmax % hsf != 0 or vmax % vsf != 0:
-            raise ValueError(
-                f"unsupported non-divisor sampling factors h={hsf}/{hmax} v={vsf}/{vmax}"
-            )
+    hmax, vmax = _jpeg_check_sampling(comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = {
         cid: np.zeros((mcuy * 8 * vsf, mcux * 8 * hsf))
         for cid, hsf, vsf, _tq in comps
     }
-    # float IDCT basis: M[u, x] = c(u)/2 · cos((2x+1)uπ/16)
-    u = np.arange(8)
-    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
-    M[0, :] *= 1 / np.sqrt(2)
+    M = _jpeg_idct_basis()
 
     seg_idx = 0
     reader = _JpegBits(segments[0])
@@ -679,7 +690,39 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             n_mcu += 1
 
-    # upsample each component to full resolution and crop
+    return _jpeg_planes_to_pixels(w, h, comps, planes, hmax, vmax)
+
+
+def _jpeg_idct_basis():
+    """Float IDCT basis: M[u, x] = c(u)/2 · cos((2x+1)uπ/16)."""
+    import numpy as np
+
+    u = np.arange(8)
+    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    M[0, :] *= 1 / np.sqrt(2)
+    return M
+
+
+def _jpeg_check_sampling(comps) -> tuple[int, int]:
+    """Reject legal-but-rare non-divisor sampling factor ratios (they
+    would silently mis-size the np.repeat upsample) and return
+    (hmax, vmax)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _cid, hsf, vsf, _tq in comps:
+        if hmax % hsf != 0 or vmax % vsf != 0:
+            raise ValueError(
+                f"unsupported non-divisor sampling factors h={hsf}/{hmax} v={vsf}/{vmax}"
+            )
+    return hmax, vmax
+
+
+def _jpeg_planes_to_pixels(w, h, comps, planes, hmax, vmax):
+    """Shared output stage: upsample each component plane to full
+    resolution, crop, and convert (YCbCr→RGB BT.601 for 3 components,
+    passthrough for grayscale)."""
+    import numpy as np
+
     full = []
     for cid, hsf, vsf, _tq in comps:
         p = planes[cid]
@@ -694,6 +737,170 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     )
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, 3, out.tobytes()
+
+
+def _decode_jpeg_progressive(w, h, comps, qt, scans):
+    """Progressive JPEG (SOF2) coefficient accumulation per T.81 Annex
+    G, mirroring the reference huffman decoder structure of libjpeg's
+    jdphuff: DC first/refine scans (interleaved or single-component),
+    AC first/refine scans (single-component, spectral band Ss..Se,
+    successive approximation Ah/Al, EOB runs with correction bits for
+    history-nonzero coefficients). Coefficients accumulate across scans
+    in natural (row-major) order; one dequantize + float IDCT pass at
+    the end feeds the shared upsample/color stage."""
+    import numpy as np
+
+    hmax, vmax = _jpeg_check_sampling(comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # MCU-padded per-component coefficient grids (natural order per block)
+    coefs = {
+        cid: np.zeros((mcuy * vsf, mcux * hsf, 64), dtype=np.int64)
+        for cid, hsf, vsf, _tq in comps
+    }
+    # non-interleaved scan geometry: ceil(comp_size/8) blocks, row-major
+    nblocks = {}
+    for cid, hsf, vsf, _tq in comps:
+        cw = -(-w * hsf // hmax)
+        chh = -(-h * vsf // vmax)
+        nblocks[cid] = (-(-chh // 8), -(-cw // 8))
+
+    for sel, ss, se, ah, al, entropy, hdc, hac, restart in scans:
+        scan_comps = [c for c in comps if c[0] in sel]
+        if len(scan_comps) != len(sel):
+            raise ValueError("scan references unknown component")
+        segments = _jpeg_split_restarts(entropy)
+        seg_idx = 0
+        reader = _JpegBits(segments[0])
+        if ss == 0:  # DC scan (Se must be 0 per T.81)
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            pred = {cid: 0 for cid, *_ in scan_comps}
+            interleaved = len(scan_comps) > 1
+            if interleaved:
+                total = mcuy * mcux
+            else:
+                bh, bw = nblocks[scan_comps[0][0]]
+                total = bh * bw
+            for n_mcu in range(total):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("missing restart segment")
+                    reader = _JpegBits(segments[seg_idx])
+                    pred = {cid: 0 for cid, *_ in scan_comps}
+                for cid, hsf, vsf, _tq in scan_comps:
+                    if interleaved:
+                        my, mx = divmod(n_mcu, mcux)
+                        blocks = [
+                            (my * vsf + by, mx * hsf + bx)
+                            for by in range(vsf)
+                            for bx in range(hsf)
+                        ]
+                    else:
+                        blocks = [divmod(n_mcu, nblocks[cid][1])]
+                    for by, bx in blocks:
+                        coef = coefs[cid][by, bx]
+                        if ah == 0:  # DC first: diff-coded, scaled by 2^Al
+                            s = reader.huff(hdc[sel[cid][0]])
+                            diff = _jpeg_extend(reader.bits(s), s) if s else 0
+                            pred[cid] += diff
+                            coef[0] = pred[cid] << al
+                        else:  # DC refine: one appended bit
+                            if reader.bit():
+                                coef[0] |= 1 << al
+        else:  # AC scan — exactly one component (T.81 G.1.1.1.1)
+            if len(scan_comps) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            cid, _hsf, _vsf, _tq = scan_comps[0]
+            ac_tab = hac[sel[cid][1]]
+            bh, bw = nblocks[cid]
+            eobrun = 0
+            for n_blk in range(bh * bw):
+                if restart and n_blk and n_blk % restart == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("missing restart segment")
+                    reader = _JpegBits(segments[seg_idx])
+                    eobrun = 0
+                by, bx = divmod(n_blk, bw)
+                coef = coefs[cid][by, bx]
+                if ah == 0:  # AC first (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.huff(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(s), s) * (1 << al)
+                        k += 1
+                else:  # AC refine (G.1.2.3, libjpeg jdphuff structure)
+                    p1, m1 = 1 << al, -(1 << al)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = reader.huff(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            val = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError("bad AC refinement magnitude")
+                                val = p1 if reader.bit() else m1
+                            elif r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            # advance r zero-history coefficients, emitting
+                            # correction bits for history-nonzero ones
+                            while k <= se:
+                                z = _JPEG_ZIGZAG[k]
+                                if coef[z] != 0:
+                                    if reader.bit() and (coef[z] & p1) == 0:
+                                        coef[z] += p1 if coef[z] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                coef[_JPEG_ZIGZAG[k]] = val
+                            k += 1
+                    if eobrun > 0:
+                        # EOB-run block: correction bits only
+                        while k <= se:
+                            z = _JPEG_ZIGZAG[k]
+                            if coef[z] != 0 and reader.bit() and (coef[z] & p1) == 0:
+                                coef[z] += p1 if coef[z] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    # dequantize + IDCT every block
+    M = _jpeg_idct_basis()
+    planes = {}
+    for cid, hsf, vsf, tq in comps:
+        grid = coefs[cid]
+        rows, cols = grid.shape[0], grid.shape[1]
+        plane = np.zeros((rows * 8, cols * 8))
+        q = qt[tq]
+        for by in range(rows):
+            for bx in range(cols):
+                block = M.T @ (grid[by, bx].reshape(8, 8).astype(np.float64) * q) @ M
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
+        planes[cid] = plane
+    return _jpeg_planes_to_pixels(w, h, comps, planes, hmax, vmax)
 
 
 def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:

@@ -667,6 +667,420 @@ def test_decode_jpeg_roundtrip_within_rounding():
     assert np.abs(a - b).max() <= 4, np.abs(a - b).max()
 
 
+# --- progressive JPEG (SOF2) decode ------------------------------------------
+
+
+class _BitPack:
+    """MSB-first bit packer with 0xFF00 stuffing and 1-padding flush —
+    one instance per entropy-coded scan."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.data = bytearray()
+
+    def emit(self, code, ln):
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.n += ln
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.data.append(b)
+            if b == 0xFF:
+                self.data.append(0x00)
+            self.n -= 8
+
+    def flush(self):
+        if self.n:
+            b = ((self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)) & 0xFF
+            self.data.append(b)
+            if b == 0xFF:
+                self.data.append(0x00)
+            self.n = 0
+        return bytes(self.data)
+
+
+def _jpeg_zz_blocks(pixels, w, h):
+    """FDCT + natural-order integer coefficients per 8x8 block (quant
+    table all ones), row-major block order — the shared coefficient
+    source for the baseline and progressive test encoders."""
+    import numpy as np
+
+    from electrician_spark.multimodal import _JPEG_ZIGZAG
+
+    u = np.arange(8)
+    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    M[0, :] *= 1 / np.sqrt(2)
+    img = np.zeros((-(-h // 8) * 8, -(-w // 8) * 8))
+    img[:h, :w] = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w)
+    img[h:, :] = img[h - 1 : h, :]
+    img[:, w:] = img[:, w - 1 : w]
+    blocks = []
+    for by in range(img.shape[0] // 8):
+        for bx in range(img.shape[1] // 8):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = M @ block @ M.T
+            blocks.append([int(round(coef.flat[z])) for z in _JPEG_ZIGZAG])
+    return blocks
+
+
+_PROG_AC_BITS = [0] * 8 + [255, 1] + [0] * 6  # flat canonical table:
+_PROG_AC_VALS = bytes(range(256))  # progressive scans need EOBn symbols
+
+
+def _prog_tables():
+    from electrician_spark.multimodal import _jpeg_huff_table
+
+    def enc_table(bits, vals):
+        dec = _jpeg_huff_table(bits, vals)
+        return {sym: (code, ln) for (ln, code), sym in dec.items()}
+
+    return enc_table(_DC_BITS, _DC_VALS), enc_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+
+def _scan_dc_first(seq, dc_t, al):
+    """seq: (comp_key, zz) in MCU order. DC point transform is an
+    arithmetic shift (unlike AC's truncate-toward-zero)."""
+    bp = _BitPack()
+    pred = {}
+    for ck, zz in seq:
+        v = zz[0] >> al
+        diff = v - pred.get(ck, 0)
+        pred[ck] = v
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        bp.emit(*dc_t[s])
+        if s:
+            bp.emit(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return bp.flush()
+
+
+def _scan_dc_refine(seq, al):
+    bp = _BitPack()
+    for _ck, zz in seq:
+        bp.emit((zz[0] >> al) & 1, 1)
+    return bp.flush()
+
+
+def _scan_ac_first(blocks, ss, se, al, ac_t):
+    bp = _BitPack()
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            bp.emit(*ac_t[nbits << 4])
+            if nbits:
+                bp.emit(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        emitted = False
+        for k in range(ss, se + 1):
+            v = zz[k]
+            mag = (v if v >= 0 else -v) >> al  # truncate toward zero
+            if mag == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                bp.emit(*ac_t[0xF0])
+                r -= 16
+            s = mag.bit_length()
+            sv = mag if v >= 0 else -mag
+            bp.emit(*ac_t[(r << 4) | s])
+            bp.emit(sv if sv > 0 else sv + (1 << s) - 1, s)
+            r = 0
+            emitted = True
+        if r > 0 or not emitted:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+    return bp.flush()
+
+
+def _scan_ac_refine(blocks, ss, se, al, ac_t):
+    """Exact positional mirror of the decoder's walk (jdphuff
+    structure): correction bits for history-nonzero coefficients are
+    emitted interleaved by POSITION within each symbol's span (a ZRL
+    span covers exactly 16 zero-history positions; a significance
+    symbol's span covers its r skipped zeros); EOB-run blocks buffer
+    their tail correction bits until the EOBn symbol flushes."""
+    bp = _BitPack()
+    eobrun = 0
+    be: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            bp.emit(*ac_t[nbits << 4])
+            if nbits:
+                bp.emit(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+            for b in be:
+                bp.emit(b, 1)
+            be = []
+
+    for zz in blocks:
+        absv = {k: (zz[k] if zz[k] >= 0 else -zz[k]) >> al for k in range(ss, se + 1)}
+        newpos = [k for k in range(ss, se + 1) if absv[k] == 1]
+        k = ss
+        for p in newpos:
+            r = sum(1 for q in range(k, p) if absv[q] == 0)
+            while r > 15:
+                flush_eob()
+                bp.emit(*ac_t[0xF0])
+                zeros = 0
+                while zeros < 16:  # the decoder's 16-zero span walk
+                    if absv[k] == 0:
+                        zeros += 1
+                    elif absv[k] > 1:
+                        bp.emit(absv[k] & 1, 1)
+                    k += 1
+                r -= 16
+            flush_eob()
+            bp.emit(*ac_t[(r << 4) | 1])
+            bp.emit(0 if zz[p] < 0 else 1, 1)
+            for q in range(k, p):
+                if absv[q] > 1:
+                    bp.emit(absv[q] & 1, 1)
+            k = p + 1
+        if k <= se:  # tail remains: this block ends in an EOB run
+            eobrun += 1
+            be.extend(absv[q] & 1 for q in range(k, se + 1) if absv[q] > 1)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return bp.flush()
+
+
+def _jseg(marker, body):
+    import struct as st
+
+    return bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body
+
+
+def _encode_jpeg_gray_progressive(pixels, w, h):
+    """Test-side PROGRESSIVE (SOF2) grayscale encoder mirroring
+    libjpeg's jcphuff scan logic: DC first/refine with the arithmetic-
+    shift point transform, AC first/refine over spectral bands with
+    EOB runs and buffered correction bits. Scan script: DC Al=1; AC
+    1-5 Al=2; AC 6-63 Al=2; DC refine; AC refinements down to Al=0 —
+    full precision, so the decode must equal the baseline decode of
+    the same coefficients bit-for-bit."""
+    import struct as st
+
+    dc_t, ac_t = _prog_tables()
+    blocks = _jpeg_zz_blocks(pixels, w, h)
+    seq = [(0, zz) for zz in blocks]
+
+    def sos(ss, se, ah, al, entropy):
+        return _jseg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + entropy
+
+    dqt = _jseg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _jseg(0xC2, bytes([8]) + st.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dht = _jseg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS) + _jseg(
+        0xC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + _PROG_AC_VALS
+    )
+    scans = (
+        sos(0, 0, 0, 1, _scan_dc_first(seq, dc_t, 1))
+        + sos(1, 5, 0, 2, _scan_ac_first(blocks, 1, 5, 2, ac_t))
+        + sos(6, 63, 0, 2, _scan_ac_first(blocks, 6, 63, 2, ac_t))
+        + sos(0, 0, 1, 0, _scan_dc_refine(seq, 0))
+        + sos(1, 5, 2, 1, _scan_ac_refine(blocks, 1, 5, 1, ac_t))
+        + sos(6, 63, 2, 1, _scan_ac_refine(blocks, 6, 63, 1, ac_t))
+        + sos(1, 5, 1, 0, _scan_ac_refine(blocks, 1, 5, 0, ac_t))
+        + sos(6, 63, 1, 0, _scan_ac_refine(blocks, 6, 63, 0, ac_t))
+    )
+    return b"\xff\xd8" + dqt + sof + dht + scans + b"\xff\xd9"
+
+
+def _plane_zz_grid(plane, rows_b, cols_b):
+    """Per-block natural-order FDCT coefficients for one component
+    plane, edge-padded to the (rows_b, cols_b) 8x8 block grid."""
+    import numpy as np
+
+    from electrician_spark.multimodal import _JPEG_ZIGZAG
+
+    u = np.arange(8)
+    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    M[0, :] *= 1 / np.sqrt(2)
+    ph, pw = plane.shape
+    padded = np.zeros((rows_b * 8, cols_b * 8))
+    padded[:ph, :pw] = plane
+    padded[ph:, :] = padded[ph - 1 : ph, :]
+    padded[:, pw:] = padded[:, pw - 1 : pw]
+    grid = []
+    for by in range(rows_b):
+        row = []
+        for bx in range(cols_b):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = M @ block @ M.T
+            row.append([int(round(coef.flat[z])) for z in _JPEG_ZIGZAG])
+        grid.append(row)
+    return grid
+
+
+def _encode_jpeg_color_pair(y, cb, cr, w, h):
+    """Encode the same 4:2:0 YCbCr planes as (baseline, progressive):
+    baseline = one interleaved scan; progressive = interleaved DC
+    first/refine + per-component non-interleaved AC scans (the
+    geometry progressive decoders must get right: AC scans cover
+    ceil(comp/8) blocks, not the MCU-padded grid)."""
+    import struct as st
+
+    dc_t, ac_t = _prog_tables()
+    comps = [(1, 2, 2, y), (2, 1, 1, cb), (3, 1, 1, cr)]
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    grids = {}
+    for cid, hsf, vsf, plane in comps:
+        grids[cid] = _plane_zz_grid(plane, mcuy * vsf, mcux * hsf)
+
+    # MCU-ordered interleaved sequence
+    mcu_seq = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hsf, vsf, _p in comps:
+                for by in range(vsf):
+                    for bx in range(hsf):
+                        mcu_seq.append((cid, grids[cid][my * vsf + by][mx * hsf + bx]))
+
+    # per-component NON-interleaved block order (AC scan geometry)
+    nonint = {}
+    for cid, hsf, vsf, plane in comps:
+        nbx = -(-plane.shape[1] // 8)
+        nby = -(-plane.shape[0] // 8)
+        nonint[cid] = [grids[cid][by][bx] for by in range(nby) for bx in range(nbx)]
+
+    dqt = _jseg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = bytes([8]) + st.pack(">HH", h, w) + bytes([3])
+    for cid, hsf, vsf, _p in comps:
+        sof_body += bytes([cid, (hsf << 4) | vsf, 0])
+    dht = _jseg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS) + _jseg(
+        0xC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + _PROG_AC_VALS
+    )
+
+    # ---- baseline: single interleaved scan
+    bp = _BitPack()
+    pred = {}
+    for cid, zz in mcu_seq:
+        diff = zz[0] - pred.get(cid, 0)
+        pred[cid] = zz[0]
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        bp.emit(*dc_t[s])
+        if s:
+            bp.emit(diff if diff > 0 else diff + (1 << s) - 1, s)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                bp.emit(*ac_t[0x00])
+                break
+            while run > 15:
+                bp.emit(*ac_t[0xF0])
+                run -= 16
+            v = zz[k]
+            s = v.bit_length() if v > 0 else (-v).bit_length()
+            bp.emit(*ac_t[(run << 4) | s])
+            bp.emit(v if v > 0 else v + (1 << s) - 1, s)
+            k += 1
+    sos_base = _jseg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    ) + bp.flush()
+    baseline = (
+        b"\xff\xd8" + dqt
+        + _jseg(0xC0, sof_body) + dht + sos_base + b"\xff\xd9"
+    )
+
+    # ---- progressive scan script
+    def sos(comp_ids, ss, se, ah, al, entropy):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _jseg(0xDA, body) + entropy
+
+    scans = sos([1, 2, 3], 0, 0, 0, 1, _scan_dc_first(mcu_seq, dc_t, 1))
+    for cid in (1, 2, 3):
+        scans += sos([cid], 1, 63, 0, 1, _scan_ac_first(nonint[cid], 1, 63, 1, ac_t))
+    scans += sos([1, 2, 3], 0, 0, 1, 0, _scan_dc_refine(mcu_seq, 0))
+    for cid in (1, 2, 3):
+        scans += sos([cid], 1, 63, 1, 0, _scan_ac_refine(nonint[cid], 1, 63, 0, ac_t))
+    progressive = (
+        b"\xff\xd8" + dqt
+        + _jseg(0xC2, sof_body) + dht + scans + b"\xff\xd9"
+    )
+    return baseline, progressive
+
+
+def test_decode_jpeg_progressive_color_420_equals_baseline():
+    """Color 4:2:0 progressive: interleaved DC scans (3 components,
+    2x2/1x1/1x1 blocks per MCU) + non-interleaved per-component AC
+    scans over the ceil(comp/8) geometry — must decode to the same
+    RGB bytes as the baseline interleaved encoding of the same
+    coefficients."""
+    import numpy as np
+
+    w, h = 20, 12  # forces MCU padding blocks Y grid 4x2 vs AC scan 3x2
+    yy = np.array(
+        [[(x * 11 + y * 7) % 256 for x in range(w)] for y in range(h)], dtype=float
+    )
+    cw, chh = -(-w // 2), -(-h // 2)
+    cb = np.array([[(x * 23) % 256 for x in range(cw)] for _ in range(chh)], dtype=float)
+    cr = np.array([[(y * 17) % 256 for _ in range(cw)] for y in range(chh)], dtype=float)
+    base_jpg, prog_jpg = _encode_jpeg_color_pair(yy, cb, cr, w, h)
+    base = mm.decode_jpeg_pixels(base_jpg)
+    prog = mm.decode_jpeg_pixels(prog_jpg)
+    assert base[:3] == prog[:3] == (w, h, 3)
+    assert base[3] == prog[3]
+
+
+def test_decode_jpeg_progressive_equals_baseline():
+    """A full progressive scan script (DC successive approximation,
+    spectral bands, two AC refinement rounds, EOB runs with buffered
+    correction bits) must reconstruct the EXACT same coefficients as
+    the baseline encoding of the same image — so the decoded pixels
+    are bit-identical."""
+    w, h = 21, 18  # non-multiple-of-8 + multiple blocks -> EOB runs
+    pixels = bytes(((x * 13) ^ (x >> 4) ^ ((x // w) * 29)) % 256 for x in range(w * h))
+    base = mm.decode_jpeg_pixels(_encode_jpeg_gray(pixels, w, h))
+    prog = mm.decode_jpeg_pixels(_encode_jpeg_gray_progressive(pixels, w, h))
+    assert base[:3] == prog[:3] == (w, h, 1)
+    assert base[3] == prog[3]
+
+
+def test_decode_jpeg_progressive_flat_image_eob_runs():
+    """A constant image makes every AC band an EOB run spanning all
+    blocks (the EOBRUN accumulation path) — decode must still match
+    baseline exactly."""
+    w, h = 32, 16
+    pixels = bytes([77]) * (w * h)
+    base = mm.decode_jpeg_pixels(_encode_jpeg_gray(pixels, w, h))
+    prog = mm.decode_jpeg_pixels(_encode_jpeg_gray_progressive(pixels, w, h))
+    assert base == prog
+
+
+def test_progressive_jpeg_through_pixel_stats(spark):
+    """image_pixel_stats dispatches progressive payloads end to end."""
+    from pyspark.sql import Row
+
+    w, h = 16, 8
+    pixels = bytes((x * 5) % 256 for x in range(w * h))
+    payload = _encode_jpeg_gray_progressive(pixels, w, h)
+    media = spark.createDataFrame(
+        [Row(media_id=1, modality="image", mime="image/jpeg",
+             payload=bytearray(payload), source_uri="f:1")],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    r = mm.image_pixel_stats(media).collect()[0]
+    assert (r.width, r.height, r.channels, r.ok) == (w, h, 1, "ok")
+
+
 def test_decode_jpeg_real_files_and_dispatch(spark):
     import glob
     import os
