@@ -584,6 +584,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 30,
+    freeze_min_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -599,6 +600,15 @@ def connected_components_star(
     every component is a star rooted at its minimum id. Returns
     (node, rep), rep = min reachable id — identical contract to
     :func:`connected_components`.
+
+    Converged-component early exit (``freeze_min_edges``): on graphs
+    with at least that many edges, each round freezes ISOLATED stars —
+    components already in final form — out of the working edge set, so
+    later rounds shuffle only the shrinking offender subgraph (on
+    clique-heavy near-dup graphs most components settle in round 1).
+    Below the threshold the bookkeeping costs more than the rounds it
+    saves (measured at sf0.1: the whole loop is ~1 s), so small graphs
+    run the plain loop; pass 0 to force freezing.
     """
     # Invariant: every stored edge is max→min oriented (a > b). The
     # initial normalization establishes it; each round's construction
@@ -622,6 +632,11 @@ def connected_components_star(
         edges.select(F.col("b").alias("node"))
     ).distinct()
 
+    done = None  # frozen star edges of already-converged components
+    try:  # one cheap count over the just-checkpointed edge set
+        use_freeze = edges.count() >= freeze_min_edges
+    except Exception:  # noqa: BLE001
+        use_freeze = False
     for _ in range(max_iterations):
         # large-star over the bidirected neighbor lists. No intermediate
         # distinct()s: duplicates produced mid-round don't change any
@@ -666,14 +681,53 @@ def connected_components_star(
         roles = small.select(F.col("a").alias("n"), F.lit(1).alias("s")).unionByName(
             small.select(F.col("b").alias("n"), F.lit(0).alias("s"))
         )
-        not_star = (
+        bad = (
             roles.groupBy("n")
             .agg(F.sum("s").alias("_out"), F.count_distinct("s").alias("_roles"))
             .filter((F.col("_out") > 1) | (F.col("_roles") > 1))
+            .select("n")
         )
-        if not_star.isEmpty():
+        if use_freeze:
+            try:  # bad feeds three consumers below — materialize once
+                bad = bad.localCheckpoint()
+            except Exception:  # noqa: BLE001
+                pass
+        if bad.isEmpty():
             break
+        if not use_freeze:
+            continue
+        # Converged-component early exit: ISOLATED stars stop
+        # participating. A root b whose sources are ALL non-bad and
+        # which is itself non-bad heads a component that is exactly
+        # {b} ∪ {its sources} with no other incident edges — nothing
+        # can re-root it (a small-star re-points a root only through
+        # an adjacent node with degree ≥ 2, which is by definition
+        # bad), so its edges are final. Per-node badness alone is NOT
+        # sufficient: a non-bad root adjacent to a bad source gets
+        # re-pointed in a later round (the small-star of that source)
+        # — the group-level max catches that. Freeze isolated stars
+        # into ``done`` and run the next round on the shrinking
+        # offender subgraph only (clique-heavy near-dup graphs settle
+        # most components in round 1, so rounds 2+ touch a fraction
+        # of the edges).
+        flagged = (
+            small.join(bad.select(F.col("n").alias("a"), F.lit(1).alias("_ba")), "a", "left")
+            .join(bad.select(F.col("n").alias("b"), F.lit(1).alias("_bb")), "b", "left")
+        )
+        root_bad = flagged.groupBy("b").agg(
+            F.max(F.coalesce(F.col("_ba"), F.lit(0))).alias("_rb")
+        )
+        # no checkpoint here: settled/active each re-run two cheap
+        # joins off the ALREADY-checkpointed small+bad (next round's
+        # checkpoint truncates the active lineage; done evaluates once)
+        flagged = flagged.join(root_bad, "b")
+        frozen = F.col("_bb").isNull() & (F.col("_rb") == 0)
+        settled = flagged.filter(frozen).select("a", "b")
+        done = settled if done is None else done.unionByName(settled)
+        edges = flagged.filter(~frozen).select("a", "b")
 
+    if done is not None:
+        edges = done.unionByName(edges)
     # star edges point node -> root; roots map to themselves
     reps = edges.select(F.col("a").alias("node"), F.col("b").alias("rep")).distinct()
     return all_nodes.join(reps, "node", "left").select(

@@ -208,6 +208,14 @@ def test_star_components_equal_propagation_on_hard_graphs(spark):
     stars = {(r.node, r.rep) for r in dedup.connected_components_star(pairs).collect()}
     assert stars == prop
 
+    # the converged-component freeze path (gated off for small graphs
+    # by default) must produce the identical labeling — this graph is
+    # the adversarial case for freezing: stars that LOOK settled in
+    # round 1 but whose roots get re-pointed by adjacent bad nodes
+    frozen = {(r.node, r.rep) for r in dedup.connected_components_star(
+        pairs, freeze_min_edges=0).collect()}
+    assert frozen == prop
+
     # chain root check: every chain node labels to the chain minimum
     assert all(rep == 100 for node, rep in stars if 100 <= node <= 160)
 

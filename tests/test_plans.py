@@ -143,6 +143,11 @@ _BNLJ_ALLOWED = {
     "q_dm1_domain_mixture",
     # lm_score's OOV join: one oov_logprob row broadcast to every task.
     "q_lm1_perplexity_buckets",
+    # lm_score_bigram has the same single-row OOV bounds join.
+    "q_lm2_bigram_buckets",
+    # shard census × the ONE-row verification aggregate (bool_and over
+    # four manifest rows) — the sanctioned single-row broadcast shape.
+    "q_sh1_training_shards",
 }
 
 
