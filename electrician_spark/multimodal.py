@@ -18,17 +18,22 @@ SOF2 — spectral selection + successive approximation per T.81 Annex G
 — huffman + numpy float IDCT + chroma upsampling + YCbCr→RGB). Image
 RESIZE is real too (:func:`resize_plan` → :func:`resample_image_box`
 — exact area-average box filter over the decoded pixels). All
-stdlib+numpy. The remaining stubs are clearly marked and minor:
-`extract_features`' deterministic dims fake for unrecognized bytes,
-and video FRAME pixels (H.264-class entropy codecs) — PIL/ffmpeg swap
-in as one-function changes on the executor side.
+stdlib+numpy. Video FRAMES decode for real too when the container is
+AVI/MJPEG (:func:`avi_video_frames` RIFF walk → each frame is a whole
+JPEG through the same decoder; :func:`video_frame_stats`); H.264-class
+payloads (MP4) surface in the error channel rather than faking pixels.
+The remaining stubs are clearly marked and minor: `extract_features`'
+deterministic dims fake for unrecognized bytes, and H.264/H.265 frame
+entropy decode — PIL/ffmpeg swap in as one-function changes on the
+executor side.
 
 Audio decodes for real too (:func:`decode_wav_pcm` — stdlib ``wave``,
 8/16/32-bit PCM → integer samples, with :func:`audio_feature_stats`
 for rate/duration/RMS/peak). Video gets REAL container metadata
 (:func:`parse_mp4_meta` — ISO-BMFF box walking: mvhd duration, tkhd
-track dims); frame pixels stay behind the documented stub (H.264-class
-entropy codecs).
+track dims) and AVI metadata + REAL frame extraction
+(:func:`parse_avi_meta` / :func:`avi_video_frames`); only H.264-class
+frame entropy decode stays out of scope.
 
 Scale notes: blobs dominate partition bytes — size partitions by
 ``spark.sql.files.maxPartitionBytes`` (or repartition by byte budget
@@ -988,6 +993,153 @@ def parse_mp4_meta(payload: bytes) -> tuple[float, int, int]:
     return duration, width, height
 
 
+def _riff_walk(buf: bytes, start: int, end: int):
+    """Yield (fourcc, list_type_or_None, data_start, data_end) for each
+    RIFF chunk in [start, end). LIST/RIFF chunks carry their list type;
+    chunk sizes are word-aligned (odd sizes pad one byte)."""
+    i = start
+    while i + 8 <= end:
+        cid = buf[i : i + 4]
+        size = int.from_bytes(buf[i + 4 : i + 8], "little")
+        data_start = i + 8
+        data_end = data_start + size
+        if data_end > end:
+            break
+        if cid in (b"RIFF", b"LIST"):
+            yield cid, buf[data_start : data_start + 4], data_start + 4, data_end
+        else:
+            yield cid, None, data_start, data_end
+        i = data_end + (size & 1)  # odd chunk sizes pad to word boundary
+
+
+def parse_avi_meta(payload: bytes) -> dict:
+    """REAL video metadata from an AVI (RIFF) container — stdlib byte
+    walking: total frames / dims / frame interval from ``avih``, the
+    video codec fourcc from the first video stream's ``strh``. Raises
+    ValueError on non-AVI payloads."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta: dict = {}
+
+    def visit(start: int, end: int) -> None:
+        for cid, ltype, s, e in _riff_walk(payload, start, end):
+            if cid in (b"RIFF", b"LIST") and ltype in (b"AVI ", b"hdrl", b"strl"):
+                visit(s, e)
+            elif cid == b"avih" and e - s >= 40:
+                meta["us_per_frame"] = int.from_bytes(payload[s : s + 4], "little")
+                meta["n_frames"] = int.from_bytes(payload[s + 16 : s + 20], "little")
+                meta["width"] = int.from_bytes(payload[s + 32 : s + 36], "little")
+                meta["height"] = int.from_bytes(payload[s + 36 : s + 40], "little")
+            elif cid == b"strh" and e - s >= 8 and "codec" not in meta:
+                if payload[s : s + 4] == b"vids":
+                    meta["codec"] = payload[s + 4 : s + 8].decode("ascii", "replace")
+
+    visit(12, len(payload))
+    if "n_frames" not in meta:
+        raise ValueError("no avih header in AVI container")
+    return meta
+
+
+def avi_video_frames(payload: bytes):
+    """Yield (frame_idx, frame_bytes) for stream-0 video chunks
+    (``00dc`` compressed / ``00db`` uncompressed DIB) inside the AVI
+    ``movi`` list — the REAL frame-extraction walk. MJPEG frames are
+    complete JPEG payloads decodable by :func:`decode_jpeg_pixels`."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    idx = 0
+
+    def visit(start: int, end: int):
+        nonlocal idx
+        for cid, ltype, s, e in _riff_walk(payload, start, end):
+            if cid in (b"RIFF", b"LIST") and ltype in (b"AVI ", b"movi", b"rec "):
+                yield from visit(s, e)
+            elif cid in (b"00dc", b"00db"):
+                yield idx, payload[s:e]
+                idx += 1
+
+    yield from visit(12, len(payload))
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean", StringType()),  # 6dp string: cross-engine stable
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def video_frame_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling + pixel decode for AVI/MJPEG payloads
+    (mapInPandas, Arrow-batched): every ``every_n``-th stream-0 video
+    frame is extracted from the RIFF ``movi`` walk and decoded through
+    :func:`decode_image_pixels` (MJPEG frames are whole JPEGs — the
+    baseline/progressive decoder does the pixel work), emitting one row
+    per sampled frame with dims/channels/exact-integer-sum mean.
+    Non-AVI containers and frames the image decoder rejects land in the
+    per-row ``ok`` error channel ('err:...') — H.264-class MP4 payloads
+    deliberately surface there rather than silently faking pixels.
+    Scale: one video → ≤ n_frames/every_n rows; repartition after this
+    stage (or pre-spread with :func:`size_partitions`) so downstream
+    per-frame work rebalances."""
+    if every_n <= 0:
+        raise ValueError(f"every_n must be positive, got {every_n}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, ws, hs, chs, means, oks = [], [], [], [], [], [], []
+
+            def emit(mid, fi, w, h, ch, mean, ok):
+                ids.append(mid)
+                idxs.append(fi)
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                means.append(mean)
+                oks.append(ok)
+
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    frames = [
+                        (fi, fb)
+                        for fi, fb in avi_video_frames(
+                            bytes(payload) if payload is not None else None
+                        )
+                        if fi % every_n == 0
+                    ]
+                except Exception as ex:  # noqa: BLE001 — per-row error channel
+                    emit(mid, -1, 0, 0, 0, None, f"err:{type(ex).__name__}")
+                    continue
+                if not frames:
+                    emit(mid, -1, 0, 0, 0, None, "err:NoVideoFrames")
+                    continue
+                for fi, fb in frames:
+                    try:
+                        w, h, ch, px = decode_image_pixels(fb)
+                        mean = f"{sum(px) / len(px):.6f}" if px else None
+                        emit(mid, fi, w, h, ch, mean, "ok")
+                    except Exception as ex:  # noqa: BLE001
+                        emit(mid, fi, 0, 0, 0, None, f"err:{type(ex).__name__}")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "channels": pd.array(chs, dtype="int32"),
+                    "mean": means,
+                    "ok": oks,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, VIDEO_FRAME_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -1113,11 +1265,12 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: explode a (stubbed) frame index
-    list per video, keyed for downstream image processing. Real decode
-    would emit actual frames; the partitioning/explode shape is what
-    matters at scale (one video → many frame rows, so repartition after
-    explode to rebalance)."""
+    """Container-agnostic frame-sampling PLUMBING: explode a synthetic
+    frame index list per video, keyed for downstream stages — the
+    partitioning/explode shape (one video → many frame rows;
+    repartition after explode to rebalance). For REAL frames use
+    :func:`video_frame_stats` (AVI/MJPEG: actual RIFF frame walk +
+    pixel decode)."""
     n_frames = (F.length(F.col("payload")) / 100).cast("int") + 1
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(

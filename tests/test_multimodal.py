@@ -1,6 +1,9 @@
-"""Multimodal plumbing tests: binary columns flow through mapInPandas
-feature extraction with real schema/batching; decode itself is stubbed
-(no codec libs in the container — SURVEY build mandate)."""
+"""Multimodal tests: binary columns flow through mapInPandas stages
+with real schema/batching, and decode is REAL where claimed — crafted
+PNG/GIF/JPEG (baseline + progressive) fixtures with full pixel
+assertions, WAV/MP4/AVI containers, area-average resize goldens,
+AVI/MJPEG frame extraction. Only unrecognized-byte dims
+(extract_features) and H.264-class frames stay stubbed."""
 
 from __future__ import annotations
 
@@ -1109,3 +1112,88 @@ def test_decode_jpeg_real_files_and_dispatch(spark):
     )
     r = mm.image_pixel_stats(media).collect()[0]
     assert (r.width, r.height, r.channels, r.ok) == (w, h, 3, "ok")
+
+
+# --- REAL video frame decode (AVI/MJPEG) -------------------------------------
+
+
+def _avi_mjpeg(frames_jpeg, w, h, codec=b"MJPG"):
+    """Craft a minimal-but-correct AVI container: RIFF(AVI ) with
+    hdrl(avih + strl(strh vids/MJPG + strf)) and movi(00dc per frame),
+    word-aligned chunk padding included."""
+    import struct as st
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + st.pack("<I", len(data)) + data + pad
+
+    def lst(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    avih = st.pack("<10I", 33333, 0, 0, 0, len(frames_jpeg), 0, 1, 0, w, h) + bytes(16)
+    strh = b"vids" + codec + bytes(48)
+    strf = bytes(40)  # BITMAPINFOHEADER placeholder
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames_jpeg))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_avi_meta_and_frame_extraction():
+    w, h = 16, 8
+    frames = [
+        _encode_jpeg_gray(bytes((x * 3 + i * 11) % 256 for x in range(w * h)), w, h)
+        for i in range(7)
+    ]
+    avi = _avi_mjpeg(frames, w, h)
+    meta = mm.parse_avi_meta(avi)
+    assert (meta["n_frames"], meta["width"], meta["height"]) == (7, 16, 8)
+    assert meta["codec"] == "MJPG" and meta["us_per_frame"] == 33333
+    got = list(mm.avi_video_frames(avi))
+    assert [i for i, _ in got] == list(range(7))
+    # odd-sized JPEG chunks must round-trip exactly through the
+    # word-aligned chunk walk
+    assert all(bytes(fb) == frames[i] for i, fb in got)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.parse_avi_meta(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        list(mm.avi_video_frames(b"not a riff"))
+
+
+def test_video_frame_stats_real_decode(spark):
+    """video_frame_stats extracts every_n-th MJPEG frame and decodes
+    REAL pixels (same values as decoding the frame JPEGs directly);
+    non-AVI payloads and H.264-class MP4s land in the err channel."""
+    from pyspark.sql import Row
+
+    w, h = 16, 8
+    frames = [
+        _encode_jpeg_gray(bytes((x * 5 + i * 31) % 256 for x in range(w * h)), w, h)
+        for i in range(7)
+    ]
+    avi = _avi_mjpeg(frames, w, h)
+    rows = [
+        Row(media_id=1, modality="video", mime="video/x-msvideo",
+            payload=bytearray(avi), source_uri="f:1"),
+        Row(media_id=2, modality="video", mime="video/mp4",
+            payload=bytearray(_mp4()), source_uri="f:2"),
+        Row(media_id=3, modality="video", mime="text/plain",
+            payload=bytearray(b"definitely not a video"), source_uri="f:3"),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.video_frame_stats(media, every_n=3).collect()
+    mine = sorted(
+        [(r.frame_idx, r.width, r.height, r.channels, r.mean, r.ok)
+         for r in out if r.media_id == 1]
+    )
+    expected = []
+    for fi in (0, 3, 6):
+        fw, fh, ch, px = mm.decode_image_pixels(frames[fi])
+        expected.append((fi, fw, fh, ch, f"{sum(px) / len(px):.6f}", "ok"))
+    assert mine == expected
+    errs = {r.media_id: r.ok for r in out if r.media_id != 1}
+    assert errs[2].startswith("err:") and errs[3].startswith("err:")
