@@ -42,6 +42,11 @@ EXTRA_QUERIES = [
     "q_ss1_substring_dedup",
     "q_lm1_perplexity_buckets",
     "q_ch1_chunk_documents",
+    # r7 promotion rows (tracked from their first driver-attested round)
+    "q_gq1_gopher_battery",
+    "q_lm2_bigram_buckets",
+    "q_pq1_pq_adc_topk",
+    "q_pk2_best_fit_packing",
 ]
 
 
