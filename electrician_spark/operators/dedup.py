@@ -214,6 +214,20 @@ def ngram_jaccard_pairs(
     if prefix_order not in ("lex", "df"):
         raise ValueError(f"prefix_order must be 'lex' or 'df', got {prefix_order!r}")
     sh = _shingle_table(df, id_col, text_col, n, max_df, n_docs=n_docs)
+    if prefix_order == "df":
+        # The df order consumes the shingle table TWICE (the dfreq
+        # aggregate and the keyed join side), and ReuseExchange cannot
+        # merge them — their column pruning differs, so the corpus was
+        # scanned + tokenized + shingled twice (visible as two parquet
+        # scans in the executed plan). Materialize once, both branches
+        # replay — the same one-scan posture minhash_lsh_pairs pins.
+        # (lex order has a single consumer: skip the extra job.) LAZY
+        # (eager=False): no build-time job barrier — the first action
+        # materializes it in-flow, later stages replay the cached RDD.
+        try:
+            sh = sh.localCheckpoint(eager=False)
+        except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+            pass
     # One doc-arrays table serves BOTH the prefix extraction (slice of
     # the globally-ordered array) and the exact verify (array_intersect
     # is order-agnostic) — its groupBy exchange is computed once and
