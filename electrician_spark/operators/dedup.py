@@ -926,20 +926,54 @@ def repeated_ngram_sites(
     back on the fingerprint key. Fingerprints are md5 of the
     US-join of the window's tokens — deterministic across engines,
     runs and cluster sizes."""
-    base = docs.select(
-        F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_tk")
-    ).filter(F.size("_tk") >= min_len)
-    sites = base.select(
-        "_id",
-        "_tk",
-        F.explode(F.sequence(F.lit(0), F.size("_tk") - min_len)).alias("_p"),
-    ).select(
-        "_id",
-        "_p",
-        F.md5(
-            F.concat_ws("\x1f", F.slice("_tk", F.col("_p") + 1, min_len))
-        ).alias("_fp"),
+    tk_all = _tokens_table(docs, id_col, text_col)
+    return _flagged_sites(tk_all, min_len, keep).select(
+        F.col("_id").alias(id_col), F.col("_p").alias("pos")
     )
+
+
+def _tokens_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _tk) tokenized corpus, materialized ONCE (lazy
+    localCheckpoint): the substring-dedup pipeline consumes the token
+    arrays from several branches (window fingerprints, positional
+    token explode, final doc roster) whose differing projections defeat
+    ReuseExchange — without the cache the corpus was scanned+tokenized
+    up to 4×."""
+    t = docs.select(F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_tk"))
+    try:
+        t = t.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
+    return t
+
+
+def _flagged_sites(tk_all: DataFrame, min_len: int, keep: str | None) -> DataFrame:
+    """Flagged (_id, _p) duplicate-window sites over a
+    :func:`_tokens_table`. The fingerprint table itself is also
+    double-consumed (the corpus-wide groupBy AND the join back), so it
+    materializes lazily too — the O(tokens) md5 window explode runs
+    once."""
+    if keep not in ("first", None):
+        raise ValueError(f"keep must be 'first' or None, got {keep!r}")
+    sites = (
+        tk_all.filter(F.size("_tk") >= min_len)
+        .select(
+            "_id",
+            "_tk",
+            F.explode(F.sequence(F.lit(0), F.size("_tk") - min_len)).alias("_p"),
+        )
+        .select(
+            "_id",
+            "_p",
+            F.md5(
+                F.concat_ws("\x1f", F.slice("_tk", F.col("_p") + 1, min_len))
+            ).alias("_fp"),
+        )
+    )
+    try:
+        sites = sites.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001
+        pass
     grouped = sites.groupBy("_fp").agg(
         F.count("*").alias("_cnt"),
         F.min(F.struct(F.col("_id").alias("i"), F.col("_p").alias("p"))).alias("_first"),
@@ -949,9 +983,7 @@ def repeated_ngram_sites(
         flagged = flagged.filter(
             (F.col("_id") != F.col("_first.i")) | (F.col("_p") != F.col("_first.p"))
         )
-    elif keep is not None:
-        raise ValueError(f"keep must be 'first' or None, got {keep!r}")
-    return flagged.select(F.col("_id").alias(id_col), F.col("_p").alias("pos"))
+    return flagged.select("_id", "_p")
 
 
 def repeated_ngram_spans(
@@ -1012,16 +1044,19 @@ def strip_repeated_ngrams(
 
     Flagged token positions are the union of [p, p+min_len) over
     flagged starts — an O(flagged·min_len) explode on the sparse
-    survivor set, never on the whole corpus."""
-    sites = repeated_ngram_sites(docs, id_col, text_col, min_len, keep="first")
+    survivor set, never on the whole corpus. The corpus is scanned and
+    tokenized ONCE (:func:`_tokens_table`): every branch — window
+    fingerprints, positional token explode, final doc roster — replays
+    the cached token arrays."""
+    tk_all = _tokens_table(docs, id_col, text_col)
+    sites = _flagged_sites(tk_all, min_len, keep="first")
     covered = sites.select(
-        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + min_len - 1)).alias("_pos")
+        F.col("_id"),
+        F.explode(F.sequence(F.col("_p"), F.col("_p") + min_len - 1)).alias("_pos"),
     ).distinct()
-    toks = docs.select(
-        F.col(id_col), F.posexplode(tx.tokens(F.col(text_col))).alias("_pos", "_tok")
-    )
-    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    toks = tk_all.select("_id", F.posexplode("_tk").alias("_pos", "_tok"))
+    kept = toks.join(covered, ["_id", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -1030,6 +1065,6 @@ def strip_repeated_ngrams(
             ),
         ).alias("_text")
     )
-    return docs.select(F.col(id_col), F.col(text_col)).join(rebuilt, id_col, "left").select(
-        id_col, F.coalesce(F.col("_text"), F.lit("")).alias(text_col)
+    return tk_all.select("_id").join(rebuilt, "_id", "left").select(
+        F.col("_id").alias(id_col), F.coalesce(F.col("_text"), F.lit("")).alias(text_col)
     )
