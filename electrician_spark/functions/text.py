@@ -299,7 +299,7 @@ GOPHER_TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def gopher_repetition_stats(
+def gopher_repetition_fracs(
     df, id_col: str = "doc_id", text_col: str = "text"
 ):
     """Per-document Gopher repetition signals (Rae et al. 2021 A1.1,
@@ -320,6 +320,11 @@ def gopher_repetition_stats(
     map-side-combinable groupBy(doc, kind, unit) → one per-(doc, kind)
     rollup → pivot over the 11 fixed kinds. Linear, skew-safe (a
     boilerplate unit partial-aggregates before shuffling), no UDFs.
+
+    Returns a STANDALONE (id, 13 fracs) table — one corpus scan, no
+    passthrough join; documents whose text yields no units (empty)
+    are absent. :func:`gopher_repetition_stats` wraps this with the
+    input-preserving left join + zero fillna.
     """
     kinds = ["line", "para"] + [f"g{n}" for n in GOPHER_TOP_NGRAM_LIMITS | GOPHER_DUP_NGRAM_LIMITS]
     toks_attr = F.col("_tk")
@@ -382,8 +387,18 @@ def gopher_repetition_stats(
         cols.append(frac(F.coalesce(F.col(f"g{n}_t"), F.lit(0)), chars).alias(f"top_{n}gram_char_frac"))
     for n in GOPHER_DUP_NGRAM_LIMITS:
         cols.append(frac(F.coalesce(F.col(f"g{n}_u"), F.lit(0)), chars).alias(f"dup_{n}gram_char_frac"))
+    return piv.select(F.col("_id").alias(id_col), *cols)
+
+
+def gopher_repetition_stats(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Input rows + the 13 Gopher repetition signal columns (see
+    :func:`gopher_repetition_fracs` for the signal definitions and the
+    one-explode plan). Documents with no units (empty text) keep zero
+    fracs via the left join + fillna."""
     return df.join(
-        piv.select(F.col("_id").alias(id_col), *cols), id_col, "left"
+        gopher_repetition_fracs(df, id_col, text_col), id_col, "left"
     ).fillna(0.0, [c for c in [
         "dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
         *[f"top_{n}gram_char_frac" for n in GOPHER_TOP_NGRAM_LIMITS],
