@@ -155,6 +155,14 @@ def _grouped_gemm(
         blocks = math.ceil((mx or 1) / max(1, rows_per_block))
     b_count = max(1, blocks)
     nv = rows.withColumn("_blk", F.pmod(F.hash(F.col("_id")), F.lit(b_count)))
+    # the pa-side and pb-side grid joins each consume nv — without a
+    # materialization the whole upstream plan (scan + bucket exprs)
+    # runs twice. Lazy: no build-time job; the first action computes
+    # the bucketed rows once and both join sides replay the cache.
+    try:
+        nv = nv.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
     grid = spark.createDataFrame(
         [(a, b) for a in range(b_count) for b in range(a, b_count)], "pa int, pb int"
     )
