@@ -177,6 +177,29 @@ def test_lsh_near_dup_gemm_is_bucket_local(plans):
     assert "SortMergeJoin" not in p  # grid joins broadcast; dedup agg is hash
 
 
+def test_single_scan_materialization_postures(spark):
+    """r7 one-scan pins: operators whose branches defeat ReuseExchange
+    (differing column pruning) materialize their shared input lazily
+    once — the executed plan must show ZERO parquet scans with the
+    branches replaying cached RDDs. Covers: df-ordered jaccard prefixes
+    (q_d2: dfreq aggregate + keyed join), substring dedup (q_ss1:
+    fingerprints + token explode + doc roster — was FOUR corpus scans),
+    and the blocked-GEMM pa/pb grid joins (q_d5, q_d9)."""
+    expect = {
+        "q_d2_ngram_jaccard": 2,
+        "q_ss1_substring_dedup": 4,
+        "q_d5_embedding_near_dup": 2,
+        "q_d9_lsh_near_dup": 2,
+    }
+    for name, min_replays in expect.items():
+        df = REGISTRY[name].spark(spark, SF_DIR)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        final = p.split("== Initial Plan ==")[0]
+        assert final.count("FileScan parquet") == 0, (name, final)
+        assert final.count("Scan ExistingRDD") >= min_replays, (name, final)
+
+
 def test_minhash_single_tokenize_pass(spark):
     """q_d3's corpus must be scanned+tokenized ONCE: the shingle table
     is materialized (eager localCheckpoint at query build), so the
