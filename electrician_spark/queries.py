@@ -1235,6 +1235,11 @@ def q_x8(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     deduped = dedup.line_dedup(docs, sep="value")
+    try:  # consumed by bm25's stats + scoring branches AND the final
+        # text join — materialize the dedup result once (lazy)
+        deduped = deduped.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001
+        pass
     scored = bm25_scores(deduped, ["join", "hash", "scan"])
     joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
     capped = sampling.cap_per_group(
