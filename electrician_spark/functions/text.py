@@ -552,3 +552,117 @@ def token_frequency_table(
     )
     ordered = counts.orderBy(F.col("count").desc(), F.col("token"))
     return ordered.limit(top_n) if top_n is not None else ordered
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning battery (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning…" §2.2) — the line-and-page heuristics that built
+# C4 from Common Crawl, the standard companion to the Gopher rules:
+# line-level retention (terminal punctuation + minimum words), page
+# gates (sentence count, code/boilerplate markers, caller-supplied
+# blocklist). All pure Column expressions — one codegen'd scan, no
+# UDFs, no shuffle.
+# ---------------------------------------------------------------------------
+
+# C4 keeps lines that end in a terminal punctuation mark (quote-closed
+# sentences included).
+_C4_TERMINAL = r'[.!?]["”’]?$'
+
+
+def c4_line_filter(
+    df,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+) -> "DataFrame":
+    """C4's LINE retention pass: keep only lines that end in terminal
+    punctuation ('.', '!', '?', optionally followed by a closing
+    quote) AND contain at least ``min_words_per_line`` words; the
+    surviving lines are rejoined with newlines (documents whose every
+    line is dropped come back empty — gate them with
+    :func:`c4_page_flags`' ``min_sentences`` rule downstream).
+    Replaces ``text_col`` in place; one codegen'd scan."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike(_C4_TERMINAL)
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != ""))
+           >= min_words_per_line),
+    )
+    return df.withColumn(text_col, F.array_join(kept, "\n"))
+
+
+def c4_page_flags(
+    text: Column,
+    min_sentences: int = 3,
+    max_words: int = 50_000,
+    blocklist: tuple[str, ...] = (),
+) -> Column:
+    """Struct of the C4 PAGE-level gate booleans plus the conjunction
+    (``passes``):
+
+    - ``sentence_count_ok``: ≥ ``min_sentences`` sentences (terminal-
+      punctuation splits — the C4 "at least 3 sentences" rule)
+    - ``no_lorem_ipsum``: page does not contain "lorem ipsum"
+      (placeholder-text marker, case-insensitive)
+    - ``no_curly_brace``: page does not contain '{' (code marker)
+    - ``no_javascript_line``: no line contains the word "javascript"
+      (cookie/JS-warning boilerplate; C4 drops the LINE — the flag
+      form lets pipelines choose line-drop via :func:`c4_line_filter`
+      composition or page-drop via this gate)
+    - ``word_count_ok``: ≤ ``max_words`` words (runaway-page guard)
+    - ``no_blocklisted``: none of the caller-supplied ``blocklist``
+      phrases occur (case-insensitive substring; C4 uses the public
+      "List of Dirty, Naughty …" list — supply your deployment's)
+
+    Every rule is an independent field for per-gate audits, same shape
+    as :func:`gopher_quality_flags`."""
+    low = F.lower(text)
+    # sentence boundaries = terminal punctuation (optionally quote-
+    # closed) followed by whitespace or end-of-text. regexp_count with
+    # an RE2-compatible pattern (no lookbehind) so a SQL oracle can
+    # replay the gate.
+    n_sentences = F.regexp_count(text, F.lit(r'[.!?]["”’]?(\s+|$)'))
+    n_words = F.size(tokens(text))
+    no_js_line = ~F.exists(
+        F.split(low, "\n"), lambda l: l.rlike(r"\bjavascript\b")
+    )
+    flags = {
+        "sentence_count_ok": n_sentences >= min_sentences,
+        "no_lorem_ipsum": ~low.contains("lorem ipsum"),
+        "no_curly_brace": ~text.contains("{"),
+        "no_javascript_line": no_js_line,
+        "word_count_ok": n_words <= max_words,
+    }
+    blocked = None
+    for phrase in blocklist:
+        hit = low.contains(phrase.lower())
+        blocked = hit if blocked is None else (blocked | hit)
+    flags["no_blocklisted"] = F.lit(True) if blocked is None else ~blocked
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return F.struct(*[v.alias(k) for k, v in flags.items()], passes.alias("passes"))
+
+
+def c4_filter(
+    df,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 3,
+    max_words: int = 50_000,
+    blocklist: tuple[str, ...] = (),
+) -> "DataFrame":
+    """The composed C4 cleaning pass: line retention first
+    (:func:`c4_line_filter`), then the page gates over the CLEANED
+    text (:func:`c4_page_flags` — C4 applies its sentence-count rule
+    after line filtering), keeping only passing pages. One scan, one
+    codegen'd filter, no shuffle."""
+    cleaned = c4_line_filter(df, text_col, min_words_per_line)
+    return cleaned.filter(
+        c4_page_flags(
+            F.col(text_col),
+            min_sentences=min_sentences,
+            max_words=max_words,
+            blocklist=blocklist,
+        )["passes"]
+    )

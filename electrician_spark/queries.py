@@ -3399,9 +3399,11 @@ def q_gq1(spark, sf_dir):
 # Round-8 rotation recipe: window = the 50 queries attested in r6
 # (the complement of this window — the invariant test enforces it).
 # Oracle-candidates for NEW r8 rows (each requires retiring a sibling):
-# image_pixel_stats over crafted PNG/GIF/JPEG payloads (rows-only;
-# binary fixtures), resize_image round-trip stats, BPE encode counts
-# (test-pinned vs Sennrich reference in test_tokenizer).
+# the C4 cleaning battery (text.c4_line_filter/c4_page_flags — RE2-
+# portable patterns chosen for exactly this), image_pixel_stats over
+# crafted PNG/GIF/JPEG payloads (rows-only; binary fixtures),
+# resize_image round-trip stats, BPE encode counts (test-pinned vs
+# Sennrich reference in test_tokenizer).
 _DRIVER_PRIORITY = [
     # new this round (never driver-checked) — the seven r6 operators
     # promoted to oracle rows

@@ -345,3 +345,103 @@ def test_normalize_text_space_padded_blank_lines(spark):
     padded = _one(spark, "a\n \n \n \nb", tx.normalize_text(F.col("text")))
     bare = _one(spark, "a\n\n\n\nb", tx.normalize_text(F.col("text")))
     assert padded == bare == "a\n\nb"
+
+
+# --- C4 cleaning battery (Raffel et al. 2020 §2.2) ---------------------------
+
+
+def test_c4_line_filter_rules(spark):
+    """Line retention: terminal punctuation (optionally quote-closed)
+    AND >= min_words_per_line words; survivors rejoin with newlines."""
+    from electrician_spark.functions.text import c4_line_filter
+
+    doc = "\n".join([
+        "This line ends properly.",          # kept
+        "Short one.",                        # dropped: 2 words
+        "no terminal punctuation here",      # dropped
+        "Is this kept too?",                 # kept
+        'He said "stop now."',               # kept: quote-closed
+        "Menu Home About",                   # dropped
+        "Exclaim with three words!",         # kept
+    ])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    (r,) = c4_line_filter(df, min_words_per_line=3).collect()
+    assert r.text.split("\n") == [
+        "This line ends properly.",
+        "Is this kept too?",
+        'He said "stop now."',
+        "Exclaim with three words!",
+    ]
+    # empty result when nothing survives
+    df2 = spark.createDataFrame([(1, "no punct\nMenu Items")], "doc_id long, text string")
+    (r2,) = c4_line_filter(df2).collect()
+    assert r2.text == ""
+
+
+def test_c4_page_flags_and_filter(spark):
+    from pyspark.sql import functions as F
+
+    from electrician_spark.functions.text import c4_filter, c4_page_flags
+
+    rows = [
+        (1, "One good sentence here. Another follows now. And a third one too."),
+        (2, "Only two sentences here. That is all."),          # sentence_count fails
+        (3, "Lorem ipsum dolor sit amet. Filler text follows. More filler here."),
+        (4, "Code page example here. function() { return 1; } More text follows. Done now."),
+        (5, "Please enable javascript to view. Real sentence one. Real sentence two."),
+        (6, "A clean sentence one. A clean sentence two. Blocked phrase casino bonus."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = df.select(
+        "doc_id", c4_page_flags(F.col("text"), blocklist=("casino bonus",)).alias("f")
+    ).collect()
+    by = {r.doc_id: r.f for r in flags}
+    assert by[1].passes
+    assert not by[2].sentence_count_ok and not by[2].passes
+    assert not by[3].no_lorem_ipsum
+    assert not by[4].no_curly_brace
+    assert not by[5].no_javascript_line
+    assert not by[6].no_blocklisted
+    # composed filter: line pass runs FIRST, then page gates on the
+    # cleaned text (doc 5's javascript line is dropped by the line
+    # filter -> page then fails the sentence gate only if < 3 remain)
+    kept = {r.doc_id for r in c4_filter(df, blocklist=("casino bonus",)).collect()}
+    assert 1 in kept and 2 not in kept and 3 not in kept and 4 not in kept and 6 not in kept
+
+
+def test_c4_reference_equality(spark):
+    """Battery equality vs a plain-Python reference over the fixture
+    corpus with planted sentence/line structure."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from electrician_spark.functions.text import c4_line_filter, c4_page_flags
+    from electrician_spark.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.regexp_replace("text", r"\. ", ".\n").alias("text")
+    ).limit(100)
+    rows = {r.doc_id: r.text for r in docs.collect()}
+
+    def ref_lines(text, k=3):
+        out = []
+        for line in text.split("\n"):
+            if re.search(r'[.!?]["”’]?$', line.rstrip()) and len(line.split()) >= k:
+                out.append(line)
+        return "\n".join(out)
+
+    def ref_sentences(text):
+        return len(re.findall(r'[.!?]["”’]?(\s+|$)', text))
+
+    got_lines = {r.doc_id: r.text for r in c4_line_filter(docs).collect()}
+    got_flags = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id", c4_page_flags(F.col("text")).alias("f")
+        ).collect()
+    }
+    for did, text in rows.items():
+        assert got_lines[did] == ref_lines(text), did
+        assert got_flags[did].sentence_count_ok == (ref_sentences(text) >= 3), did
