@@ -217,3 +217,104 @@ def test_corpus_build_pipeline_round6_stages(spark, tmp_path):
     assert manifest.count() == 3
     v = verify_training_shards(spark, out).collect()
     assert len(v) == 3 and all(r.ok for r in v)
+
+
+def test_corpus_build_pipeline_round7_stages(spark, tmp_path):
+    """The round-7 additions composed end-to-end: C4 cleaning →
+    model-based quality scoring → epoch shuffle with key-derived
+    shards → verified export; and the multimodal leg: AVI/MJPEG frame
+    decode → per-frame resize through the progressive-capable JPEG
+    decoder. One invariant per stage."""
+    import numpy as np
+
+    from electrician_spark import multimodal as mm
+    from electrician_spark.functions.text import c4_filter
+    from electrician_spark.io import (
+        read_table,
+        verify_training_shards,
+        write_training_shards,
+    )
+    from electrician_spark.operators import classifier as qc
+    from electrician_spark.operators.sampling import deterministic_shuffle
+    from tests.conftest import SF_SMOKE
+
+    # 1. C4 cleaning over planted sentence/line structure (the fixture
+    # corpus is punctuation-free word soup — cut it into 6-word
+    # period-terminated lines first): junk lines drop, pages below
+    # three sentences drop, survivors keep clean text
+    docs = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"(\w+ \w+ \w+ \w+ \w+ \w+) ", "$1.\n"
+        ).alias("text"),
+    )
+    planted = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\nclick here now\nMenu Home About"))
+    )
+    cleaned = c4_filter(planted, min_words_per_line=3, min_sentences=3)
+    n_clean = cleaned.count()
+    assert 0 < n_clean <= docs.count()
+    assert cleaned.filter(F.col("text").contains("Menu Home About")).count() == 0
+
+    # 2. model-based quality scoring: train on synthetic labels (clean
+    # fixture text vs keyword-stuffed junk), score the cleaned corpus —
+    # every row scores in [0, 1] and the junk distribution scores lower
+    good = cleaned.limit(40).select(F.lit(1.0).alias("label"), "text")
+    junk = spark.createDataFrame(
+        [(0.0, f"buy cheap buy cheap winner {i} click click casino casino free prize")
+         for i in range(40)],
+        "label double, text string",
+    )
+    model = qc.train_quality_classifier(good.unionByName(junk), max_iter=30)
+    scored = qc.quality_scores(cleaned, model)
+    s = scored.agg(F.min("quality_score"), F.max("quality_score")).first()
+    assert 0.0 <= s[0] and s[1] <= 1.0
+    junk_score = qc.quality_scores(
+        spark.createDataFrame(
+            [(1, "buy cheap winner click casino casino free prize click cheap")],
+            "doc_id long, text string",
+        ),
+        model,
+    ).first().quality_score
+    assert junk_score < 0.5
+
+    # 3. epoch shuffle: shard column is key-derived ((key·n) >> 32) and
+    # the export of the SAME seed reproduces byte-identical shards
+    shuffled = deterministic_shuffle(scored.select("doc_id", "text"), 4, seed=11)
+    back = shuffled.select("shard", "shuffle_key").collect()
+    for r in back:
+        assert (r.shuffle_key * 4) >> 32 == r.shard
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    m_a = {r.shard: r.sha256 for r in write_training_shards(
+        scored.select("doc_id", "text"), out_a, n_shards=3, seed=11).collect()}
+    m_b = {r.shard: r.sha256 for r in write_training_shards(
+        scored.select("doc_id", "text"), out_b, n_shards=3, seed=11).collect()}
+    assert m_a == m_b
+    assert all(r.ok for r in verify_training_shards(spark, out_a).collect())
+
+    # 4. multimodal leg: craft an MJPEG AVI, sample frames for real,
+    # then resize the first frame's decoded pixels with the exact
+    # area-average kernel — mass is preserved
+    from tests.test_multimodal import _avi_mjpeg, _encode_jpeg_gray
+
+    w, h = 32, 16
+    frames = [
+        _encode_jpeg_gray(bytes((x * 7 + i * 13) % 256 for x in range(w * h)), w, h)
+        for i in range(5)
+    ]
+    avi = _avi_mjpeg(frames, w, h)
+    from pyspark.sql import Row
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, modality="video", mime="video/x-msvideo",
+             payload=bytearray(avi), source_uri="f:1")],
+        mm.MEDIA_SCHEMA,
+    )
+    stats = mm.video_frame_stats(media, every_n=2).collect()
+    assert [r.frame_idx for r in sorted(stats, key=lambda r: r.frame_idx)] == [0, 2, 4]
+    assert all(r.ok == "ok" and (r.width, r.height) == (w, h) for r in stats)
+    fw, fh, ch, px = mm.decode_image_pixels(frames[0])
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(fh, fw, ch)
+    small = mm.resample_image_box(arr, 8, 4)
+    assert small.shape == (4, 8, 1)
+    assert abs(float(arr.mean()) - float(small.mean())) < 1.5
