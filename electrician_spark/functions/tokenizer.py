@@ -277,3 +277,252 @@ def bpe_encoded_length(
     tmp = "__bpe_tokens_tmp"
     out = bpe_encode(df, merges, text_col=text_col, out_col=tmp)
     return out.withColumn(out_col, F.size(F.col(tmp))).drop(tmp)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, "Subword Regularization: Improving
+# Neural Network Translation Models with Multiple Subword Candidates")
+# — the SentencePiece algorithm and the standard alternative to BPE:
+# treat tokenization as inference under a unigram language model over
+# subword pieces; train by EM over the segmentation lattice, prune the
+# seed vocabulary down to size, encode by Viterbi.
+#
+# Scale design mirrors the BPE trainer's contract exactly: ONE
+# distributed corpus pass reduces the token stream to the bounded
+# word-frequency table, a SECOND distributed pass seeds the candidate
+# vocabulary (substring explode → map-side-combined weight sum → top-N
+# TakeOrdered — never a driver-side substring scan), and the EM/prune
+# loop runs driver-local over the two bounded tables (top_n_words ×
+# O(len·max_piece_len) lattice ops per iteration — vocabulary-shaped
+# cost, corpus-size-independent). Encoding is the same Arrow-batched
+# pandas-UDF shape as bpe_encode with the piece table in the closure.
+# ---------------------------------------------------------------------------
+
+
+def _unigram_viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
+    """Best segmentation under the piece log-probabilities. Ties break
+    toward the LONGEST piece at each boundary (strict-improvement
+    updates while scanning piece lengths descending) — deterministic."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for l in range(min(max_len, i), 0, -1):
+            piece = word[i - l : i]
+            lp = logp.get(piece)
+            if lp is None or best[i - l] == NEG:
+                continue
+            score = best[i - l] + lp
+            if score > best[i]:
+                best[i] = score
+                back[i] = l
+    if best[n] == NEG:  # unreachable when all single chars are in vocab
+        return list(word)
+    out: list[str] = []
+    i = n
+    while i > 0:
+        out.append(word[i - back[i] : i])
+        i -= back[i]
+    return out[::-1]
+
+
+def _unigram_estep(
+    word: str, freq: int, logp: dict[str, float], max_len: int
+) -> tuple[dict[str, float], float]:
+    """Forward-backward over the segmentation lattice: returns
+    (expected piece counts × freq, total log-likelihood × freq).
+    alpha[i] = logsumexp over all segmentations of word[:i];
+    E[count(piece j..i)] = exp(alpha[j] + logp + beta[i] − alpha[n])."""
+    import math
+
+    n = len(word)
+    NEG = float("-inf")
+
+    def ladd(a: float, b: float) -> float:
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = a if a > b else b
+        return m + math.log1p(math.exp(-(abs(a - b))))
+
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        for l in range(1, min(max_len, i) + 1):
+            lp = logp.get(word[i - l : i])
+            if lp is not None and alpha[i - l] != NEG:
+                alpha[i] = ladd(alpha[i], alpha[i - l] + lp)
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        for l in range(1, min(max_len, n - i) + 1):
+            lp = logp.get(word[i : i + l])
+            if lp is not None and beta[i + l] != NEG:
+                beta[i] = ladd(beta[i], lp + beta[i + l])
+    total = alpha[n]
+    counts: dict[str, float] = {}
+    if total == NEG:
+        return counts, 0.0
+    for i in range(n + 1):
+        if alpha[i] == NEG:
+            continue
+        for l in range(1, min(max_len, n - i) + 1):
+            piece = word[i : i + l]
+            lp = logp.get(piece)
+            if lp is not None and beta[i + l] != NEG:
+                c = math.exp(alpha[i] + lp + beta[i + l] - total) * freq
+                counts[piece] = counts.get(piece, 0.0) + c
+    return counts, total * freq
+
+
+def seed_piece_table(
+    wf: DataFrame,
+    seed_size: int,
+    max_piece_len: int = 8,
+    word_col: str = "token",
+    count_col: str = "count",
+) -> DataFrame:
+    """Candidate piece seeding, DISTRIBUTED: every substring of length
+    1..max_piece_len of every word, weighted by word frequency ×
+    substring length (the standard likelihood-mass heuristic standing
+    in for Kudo's suffix-array seeding), summed map-side-combined, top
+    ``seed_size`` by (weight desc, piece) via TakeOrdered — plus ALL
+    single characters unconditionally (segmentation must never fail).
+    Input is the word-frequency table, so cost scales with distinct
+    words, not corpus tokens."""
+    w = F.col(word_col)
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.length(w) - 1),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), F.length(w) - s)),
+                lambda l: F.substring(w, (s + 1).cast("int"), l.cast("int")),
+            ),
+        )
+    )
+    exploded = wf.select(
+        F.explode(subs).alias("piece"), F.col(count_col).alias("_c")
+    )
+    weighted = exploded.groupBy("piece").agg(
+        F.sum(F.col("_c") * F.length("piece")).alias("weight")
+    )
+    multi = (
+        weighted.filter(F.length("piece") >= 2)
+        .orderBy(F.col("weight").desc(), "piece")
+        .limit(max(0, seed_size))
+    )
+    chars = weighted.filter(F.length("piece") == 1)
+    return chars.unionByName(multi).select("piece", "weight")
+
+
+def train_unigram_tokenizer(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 4000,
+    max_piece_len: int = 8,
+    seed_multiplier: int = 4,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+    top_n_words: int = 200_000,
+    tokenizer: str = "whitespace",
+) -> list[tuple[str, float]]:
+    """Train the unigram-LM piece vocabulary: distributed word-freq +
+    substring-seed passes, then driver-local EM/prune rounds over the
+    bounded tables (the BPE-merge-loop contract — cost is vocabulary-
+    shaped, never corpus-shaped). Each round: ``em_iters`` EM sweeps
+    (forward-backward expected counts → renormalize), then keep the
+    top ``shrink`` fraction of multi-char pieces by expected count
+    (single chars are never pruned), until ≤ ``vocab_size`` pieces
+    remain; one final EM polish. Returns [(piece, logprob)] sorted by
+    (logprob desc, piece) — deterministic for a given corpus.
+
+    Likelihood is monotone non-decreasing across EM sweeps within a
+    round (standard EM guarantee, pinned in tests); pruning between
+    rounds trades likelihood for size, as in SentencePiece."""
+    import math
+
+    if not 0.0 < shrink < 1.0:
+        raise ValueError(f"shrink must be in (0, 1), got {shrink}")
+    if vocab_size < 2:
+        raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
+    wf = token_frequency_table(
+        df, text_col=text_col, top_n=top_n_words, tokenizer=tokenizer
+    )
+    words = [(r["token"], int(r["count"])) for r in wf.collect()]  # bounded
+    seed = seed_piece_table(
+        wf, seed_size=vocab_size * seed_multiplier, max_piece_len=max_piece_len
+    ).collect()  # bounded: seed_size + alphabet rows
+    weights = {r["piece"]: float(r["weight"]) for r in seed}
+    total_w = sum(weights.values())
+    logp = {p: math.log(wt / total_w) for p, wt in weights.items()}
+
+    def em_sweeps(logp: dict[str, float], iters: int) -> dict[str, float]:
+        for _ in range(iters):
+            counts: dict[str, float] = {}
+            for word, freq in words:
+                wc, _ll = _unigram_estep(word, freq, logp, max_piece_len)
+                for p, c in wc.items():
+                    counts[p] = counts.get(p, 0.0) + c
+            # pieces with no expected mass keep a floor so single chars
+            # never leave the model (segmentation totality)
+            tot = sum(counts.values())
+            floor = (tot / max(len(logp), 1)) * 1e-9
+            logp = {
+                p: math.log(max(counts.get(p, 0.0), floor) / tot) for p in logp
+            }
+        return logp
+
+    while True:
+        logp = em_sweeps(logp, em_iters)
+        multi = [(p, lp) for p, lp in logp.items() if len(p) >= 2]
+        n_chars = len(logp) - len(multi)
+        if len(logp) <= vocab_size or not multi:
+            break
+        target_multi = max(0, min(len(multi) - 1,
+                                  max(vocab_size - n_chars,
+                                      int(len(multi) * shrink))))
+        if target_multi >= len(multi):
+            break
+        multi.sort(key=lambda kv: (-kv[1], kv[0]))
+        kept = dict(multi[:target_multi])
+        logp = {p: lp for p, lp in logp.items() if len(p) == 1 or p in kept}
+    logp = em_sweeps(logp, 1)
+    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: list[tuple[str, float]],
+    text_col: str = "text",
+    out_col: str = "pieces",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Append ``out_col``: the Viterbi piece sequence of each document
+    under a :func:`train_unigram_tokenizer` model. Arrow-batched pandas
+    UDF with the piece table in the closure and a per-batch word cache
+    (Zipfian hit rate), the same shape/contract as :func:`bpe_encode`.
+    Concatenating a word's pieces reproduces the word exactly."""
+    logp = dict(model)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _enc(texts):
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            if text is None:
+                return None
+            out: list[str] = []
+            for w in text.split():
+                hit = cache.get(w)
+                if hit is None:
+                    hit = _unigram_viterbi(w, logp, max_piece_len)
+                    cache[w] = hit
+                out.extend(hit)
+            return out
+
+        return texts.map(enc)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))

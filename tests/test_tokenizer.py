@@ -174,3 +174,129 @@ def test_bpe_encode_null_text_propagates(spark):
     assert rows[1] == ["lo", "w", bpe.END_OF_WORD]
     assert rows[2] is None
     assert rows[3] == ["lo", "t", bpe.END_OF_WORD]
+
+
+# --- Unigram-LM tokenizer (Kudo 2018) ----------------------------------------
+
+
+def _enumerate_segmentations(word, logp, max_len):
+    """Brute-force all segmentations — exact reference for the
+    forward-backward expected counts and the total likelihood."""
+    import math
+
+    segs = []
+
+    def rec(i, cur):
+        if i == len(word):
+            segs.append(list(cur))
+            return
+        for l in range(1, min(max_len, len(word) - i) + 1):
+            p = word[i : i + l]
+            if p in logp:
+                cur.append(p)
+                rec(i + l, cur)
+                cur.pop()
+
+    rec(0, [])
+    if not segs:
+        return {}, float("-inf")
+    seg_lps = [sum(logp[p] for p in s) for s in segs]
+    m = max(seg_lps)
+    total = m + math.log(sum(math.exp(x - m) for x in seg_lps))
+    counts = {}
+    for s, slp in zip(segs, seg_lps):
+        w = math.exp(slp - total)
+        for p in s:
+            counts[p] = counts.get(p, 0.0) + w
+    return counts, total
+
+
+def test_unigram_estep_matches_enumeration():
+    """Forward-backward expected counts must equal the brute-force
+    enumeration over every segmentation — the algorithmic core pin."""
+    import math
+
+    from electrician_spark.functions.tokenizer import _unigram_estep
+
+    logp = {p: math.log(v) for p, v in {
+        "a": 0.2, "b": 0.15, "ab": 0.25, "ba": 0.1, "bab": 0.2, "abab": 0.1,
+    }.items()}
+    for word in ("abab", "ababab", "ba", "a"):
+        got_counts, got_ll = _unigram_estep(word, 3, logp, max_len=4)
+        ref_counts, ref_total = _enumerate_segmentations(word, logp, 4)
+        assert abs(got_ll - 3 * ref_total) < 1e-9, word
+        assert set(got_counts) == set(ref_counts), word
+        for p in ref_counts:
+            assert abs(got_counts[p] - 3 * ref_counts[p]) < 1e-9, (word, p)
+
+
+def test_unigram_viterbi_deterministic_and_total():
+    import math
+
+    from electrician_spark.functions.tokenizer import _unigram_viterbi
+
+    logp = {p: math.log(v) for p, v in {
+        "a": 0.05, "b": 0.05, "ab": 0.4, "ba": 0.1, "abab": 0.4,
+    }.items()}
+    assert _unigram_viterbi("abab", logp, 4) == ["abab"]
+    # equal-score tie ('ab'+'abab' vs 'abab'+'ab'): the backward scan
+    # prefers the LONGEST piece at each boundary from the end
+    assert _unigram_viterbi("ababab", logp, 4) == ["ab", "abab"]
+    # unseen chars in a word with full char coverage: falls back cleanly
+    assert "".join(_unigram_viterbi("baab", logp, 4)) == "baab"
+
+
+def test_unigram_trainer_learns_compressive_pieces(spark):
+    """A corpus dominated by repeated multi-char patterns must yield a
+    model whose Viterbi encoding is SHORTER than character-level, with
+    the dominant patterns present as pieces; training is deterministic
+    and probabilities normalize."""
+    import math
+
+    from electrician_spark.functions.tokenizer import (
+        train_unigram_tokenizer,
+        unigram_encode,
+    )
+
+    rows = [(i, "lowlow lowering lowering newest newest widest lowest " * 3)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_unigram_tokenizer(
+        df, vocab_size=60, max_piece_len=6, em_iters=2, top_n_words=1000,
+    )
+    pieces = {p for p, _ in model}
+    assert any(len(p) >= 3 for p in pieces)  # learned multi-char pieces
+    assert abs(sum(math.exp(lp) for _, lp in model) - 1.0) < 1e-6
+    again = train_unigram_tokenizer(
+        df, vocab_size=60, max_piece_len=6, em_iters=2, top_n_words=1000,
+    )
+    assert model == again  # deterministic end to end
+
+    enc = unigram_encode(df.limit(3), model, max_piece_len=6)
+    for r in enc.collect():
+        joined = "".join(r.pieces)
+        assert joined == r.text.replace(" ", "")  # lossless per word
+        n_chars = len(joined)
+        assert len(r.pieces) < n_chars  # compressive vs char-level
+
+
+def test_unigram_trainer_respects_vocab_size(spark):
+    from electrician_spark.functions.tokenizer import train_unigram_tokenizer
+    from electrician_spark.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(60)
+    model = train_unigram_tokenizer(
+        docs, vocab_size=300, max_piece_len=5, em_iters=1, top_n_words=2000,
+    )
+    pieces = [p for p, _ in model]
+    n_chars = sum(1 for p in pieces if len(p) == 1)
+    # size cap holds up to the unprunable alphabet
+    assert len(pieces) <= max(300, n_chars + 1)
+    # every character that appears in some piece is itself a piece, so
+    # Viterbi segmentation is total over the training charset
+    charset = {c for p in pieces for c in p}
+    assert charset == {p for p in pieces if len(p) == 1} | {
+        c for p in pieces if len(p) > 1 for c in p
+    }
+    assert all(len(p) == 1 for p in pieces if len(p) == 1)
