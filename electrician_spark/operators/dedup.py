@@ -598,7 +598,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 30,
-    freeze_min_edges: int = 100_000,
+    freeze_min_edges: int = 10_000_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -620,9 +620,12 @@ def connected_components_star(
     components already in final form — out of the working edge set, so
     later rounds shuffle only the shrinking offender subgraph (on
     clique-heavy near-dup graphs most components settle in round 1).
-    Below the threshold the bookkeeping costs more than the rounds it
-    saves (measured at sf0.1: the whole loop is ~1 s), so small graphs
-    run the plain loop; pass 0 to force freezing.
+    The gate default is measurement-driven: at 1.6M edges (150k cliques
+    + long chains, local[32]) freeze showed NO wall-time benefit —
+    per-round fixed costs (job scheduling, small exchanges) dominate
+    until per-round shuffle volume is the bottleneck — so the default
+    engages only in the ≥10M-edge regime where it can matter; pass 0
+    to force freezing (equivalence-pinned either way).
     """
     # Invariant: every stored edge is max→min oriented (a > b). The
     # initial normalization establishes it; each round's construction
