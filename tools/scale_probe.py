@@ -32,6 +32,59 @@ from electrician_spark.session import cpu_budget, get_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def scaled_embeddings(spark, sf_dir: str, mult: int):
+    """Replica-scaled embeddings: each replica applies a deterministic
+    coordinate ROTATION (circular shift by replica id) + per-replica
+    sign pattern — an orthogonal transform, so within-replica cosines
+    (and therefore the pair/neighbor structure) replicate EXACTLY;
+    cross-replica cosines are incidental."""
+    base = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding", "label"
+    )
+    if mult == 1:
+        return base
+    reps = spark.range(mult).withColumnRenamed("id", "rep")
+    d = 64
+    rot = F.concat(
+        F.slice(F.col("embedding"), (F.col("rep") % d + 1).cast("int"),
+                (d - F.col("rep") % d).cast("int")),
+        F.slice(F.col("embedding"), 1, (F.col("rep") % d).cast("int")),
+    )
+    signed = F.transform(
+        rot,
+        lambda x, i: F.when((i + F.col("rep")) % 2 == 0, x).otherwise(-x),
+    )
+    return base.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        signed.cast("array<float>").alias("embedding"),
+        ((F.col("label") + F.col("rep") * 100) % (20 * mult)).alias("label"),
+    )
+
+
+def _similarity_ops():
+    from electrician_spark.operators import similarity as sim
+
+    def op_exact_pairs(emb, n_vecs):
+        return sim.cosine_pairs(emb, threshold=0.4, blocks=None).count()
+
+    def op_lsh_pairs(emb, n_vecs):
+        return sim.lsh_cosine_pairs(emb, threshold=0.4, n_vecs=n_vecs).count()
+
+    def op_ann_topk(emb, n_vecs):
+        q = emb.filter(F.col("vec_id") < 10)
+        return sim.cosine_topk_gemm(emb, q, k=5).count()
+
+    def op_semantic(emb, n_vecs):
+        return sim.semantic_dedup(emb, threshold=0.4, label_col="label").count()
+
+    return {
+        "q_d5_exact_pairs": op_exact_pairs,
+        "q_d9_lsh_pairs": op_lsh_pairs,
+        "q_n1_ann_topk_gemm": op_ann_topk,
+        "q_sd1_semantic_dedup": op_semantic,
+    }
+
+
 def scaled_docs(spark, sf_dir: str, mult: int):
     base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     if mult == 1:
@@ -56,6 +109,7 @@ def main() -> None:
     ap.add_argument("--mults", default="1,4,16")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--only", default=None, help="comma-separated op subset")
+    ap.add_argument("--family", default="dedup", choices=("dedup", "similarity"))
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
@@ -85,14 +139,21 @@ def main() -> None:
         "q_ss1_substring_dedup": op_substring,
         "q_d6_dup_clusters": op_clusters,
     }
+    if args.family == "similarity":
+        ops = _similarity_ops()
     if args.only:
         keep = set(args.only.split(","))
         ops = {k: v for k, v in ops.items() if k in keep}
 
-    out: dict = {"sf_dir": SF_DIR, "mults": mults, "runs": args.runs, "ops": {}}
-    base_rows = read_table(spark, SF_DIR, "documents").count()
+    out: dict = {"sf_dir": SF_DIR, "family": args.family,
+                 "mults": mults, "runs": args.runs, "ops": {}}
+    src_table = "embeddings" if args.family == "similarity" else "documents"
+    base_rows = read_table(spark, SF_DIR, src_table).count()
     for mult in mults:
-        docs = scaled_docs(spark, SF_DIR, mult)
+        if args.family == "similarity":
+            docs = scaled_embeddings(spark, SF_DIR, mult)
+        else:
+            docs = scaled_docs(spark, SF_DIR, mult)
         try:
             docs = docs.localCheckpoint()  # time the operator, not the scaling
         except Exception:  # noqa: BLE001
