@@ -299,6 +299,59 @@ GOPHER_TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
+def _run_chars_sql(arr_sql: str, stat: str) -> str:
+    """SQL for a row-local run-length walk over a unit array:
+    ``stat='dup'`` → characters covered by units occurring ≥ 2×
+    (count × length, occurrences double-counted); ``stat='top'`` →
+    characters covered by the single most frequent unit.
+
+    ``array_sort`` + ONE ``aggregate`` pass, entirely inside the row:
+    equal units are adjacent after the sort, so a linear walk with a
+    ``(prev, run, acc)`` accumulator recovers every per-unit count
+    without a groupBy. No explode, no shuffle — the signals are
+    per-document, so nothing ever leaves the row.
+
+    Emitted as a SQL string (parsed JVM-side in one call) rather than
+    a Column lambda tree: building the same expression through the
+    pyspark functions API costs ~80 py4j round-trips per walk, which
+    at 11 walks added ~4 s of driver-side plan-construction latency
+    to every query that touches the battery.
+    """
+    # chars covered by the run being closed; NULL-safe: run >= 2 (dup)
+    # implies prev IS NOT NULL, and greatest() skips NULLs (top).
+    run_chars = "acc.run * CAST(length(acc.prev) AS BIGINT)"
+    if stat == "dup":
+        close = f"acc.dup + IF(acc.run >= 2, {run_chars}, 0L)"
+        init = "0L AS dup"
+        keep, start = "acc.dup AS dup", f"{close} AS dup"
+    else:
+        close = f"greatest(acc.top, {run_chars})"
+        init = "0L AS top"
+        keep, start = "acc.top AS top", f"{close} AS top"
+    return f"""aggregate(
+      array_sort({arr_sql}),
+      struct(CAST(NULL AS STRING) AS prev, 0L AS run, {init}),
+      (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+                     struct(x AS prev, acc.run + 1L AS run, {keep}),
+                     struct(x AS prev, 1L AS run, {start})),
+      acc -> {close}
+    )"""
+
+
+def _ngrams_sql(toks_sql: str, n: int) -> str:
+    """SQL for ALL word n-grams over a staged token-array column
+    (duplicates kept — repetition counting needs multiplicity)."""
+    parts = ", ".join(
+        f"element_at({toks_sql}, CAST(i + {j} AS INT))" for j in range(n)
+    )
+    return (
+        f"IF(size({toks_sql}) >= {n}, "
+        f"transform(sequence(1, size({toks_sql}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})), "
+        f"CAST(array() AS ARRAY<STRING>))"
+    )
+
+
 def gopher_repetition_fracs(
     df, id_col: str = "doc_id", text_col: str = "text"
 ):
@@ -315,79 +368,22 @@ def gopher_repetition_fracs(
       occurring ≥ 2× (occurrences double-count overlaps — the standard
       formulation)
 
-    ONE plan for all 13 signals: every unit (line, paragraph, n-gram
-    for n=2..10) goes into a single tagged explode → one
-    map-side-combinable groupBy(doc, kind, unit) → one per-(doc, kind)
-    rollup → pivot over the 11 fixed kinds. Linear, skew-safe (a
-    boilerplate unit partial-aggregates before shuffling), no UDFs.
+    Every signal is a function of ONE document, so the whole battery
+    is computed row-locally (:func:`_run_chars_sql`: per-kind
+    ``array_sort`` + one ``aggregate`` run-length walk) in a single
+    narrow projection — ONE corpus scan, ZERO shuffles, no UDFs.
+    At cluster scale this is embarrassingly parallel: no exchange
+    exists to skew, and cost is linear in corpus bytes. (An earlier
+    revision exploded every unit through a groupBy→pivot — correct,
+    but it shuffled ~9× the token count per document for what is a
+    per-row computation.)
 
-    Returns a STANDALONE (id, 13 fracs) table — one corpus scan, no
-    passthrough join; documents whose text yields no units (empty)
-    are absent. :func:`gopher_repetition_stats` wraps this with the
-    input-preserving left join + zero fillna.
+    Returns an (id, 13 fracs) table with one row per input row;
+    documents with no units get 0.0 fracs.
     """
-    kinds = ["line", "para"] + [f"g{n}" for n in GOPHER_TOP_NGRAM_LIMITS | GOPHER_DUP_NGRAM_LIMITS]
-    toks_attr = F.col("_tk")
-
-    def seg(kind: str, arr) -> Column:
-        clean = F.filter(arr, lambda x: F.trim(x) != "")
-        return F.transform(clean, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("unit")))
-
-    units = [seg("line", F.split(F.col(text_col), "\n")), seg("para", F.split(F.col(text_col), "\n{2,}"))]
-    units += [
-        seg(f"g{n}", _all_ngrams(toks_attr, n))
-        for n in GOPHER_TOP_NGRAM_LIMITS | GOPHER_DUP_NGRAM_LIMITS
-    ]
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.length(text_col).alias("_chars"),
-        F.col(text_col).alias(text_col),
-        tokens(F.col(text_col)).alias("_tk"),
-    )
-    exploded = base.select(
-        "_id", "_chars", F.explode(F.flatten(F.array(*units))).alias("u")
-    ).select("_id", "_chars", F.col("u.kind").alias("_kind"), F.col("u.unit").alias("_unit"))
-    counted = exploded.groupBy("_id", "_kind", "_unit").agg(
-        F.count("*").alias("_cnt"), F.first("_chars").alias("_chars")
-    )
-    rolled = counted.groupBy("_id", "_kind").agg(
-        F.sum("_cnt").alias("n_units"),
-        F.count("*").alias("n_distinct"),
-        F.max(F.col("_cnt") * F.length("_unit")).alias("top_chars"),
-        F.coalesce(
-            F.sum(F.when(F.col("_cnt") >= 2, F.col("_cnt") * F.length("_unit"))), F.lit(0)
-        ).alias("dup_chars"),
-        F.first("_chars").alias("_chars"),
-    )
-    piv = (
-        rolled.groupBy("_id")
-        .pivot("_kind", kinds)
-        .agg(
-            F.first("n_units").alias("n"),
-            F.first("n_distinct").alias("d"),
-            F.first("top_chars").alias("t"),
-            F.first("dup_chars").alias("u"),
-            F.first("_chars").alias("c"),
-        )
-    )
-
-    def frac(num, den):
-        return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
-
-    chars = F.coalesce(*[F.col(f"{k}_c") for k in kinds]).cast("double")
-    cols = [
-        frac(F.coalesce(F.col("line_n"), F.lit(0)) - F.coalesce(F.col("line_d"), F.lit(0)),
-             F.coalesce(F.col("line_n"), F.lit(0))).alias("dup_line_frac"),
-        frac(F.coalesce(F.col("line_u"), F.lit(0)), chars).alias("dup_line_char_frac"),
-        frac(F.coalesce(F.col("para_n"), F.lit(0)) - F.coalesce(F.col("para_d"), F.lit(0)),
-             F.coalesce(F.col("para_n"), F.lit(0))).alias("dup_para_frac"),
-        frac(F.coalesce(F.col("para_u"), F.lit(0)), chars).alias("dup_para_char_frac"),
-    ]
-    for n in GOPHER_TOP_NGRAM_LIMITS:
-        cols.append(frac(F.coalesce(F.col(f"g{n}_t"), F.lit(0)), chars).alias(f"top_{n}gram_char_frac"))
-    for n in GOPHER_DUP_NGRAM_LIMITS:
-        cols.append(frac(F.coalesce(F.col(f"g{n}_u"), F.lit(0)), chars).alias(f"dup_{n}gram_char_frac"))
-    return piv.select(F.col("_id").alias(id_col), *cols)
+    return _with_repetition_fracs(
+        df.select(F.col(id_col), F.col(text_col)), id_col, text_col
+    ).drop(text_col)
 
 
 def gopher_repetition_stats(
@@ -395,26 +391,54 @@ def gopher_repetition_stats(
 ):
     """Input rows + the 13 Gopher repetition signal columns (see
     :func:`gopher_repetition_fracs` for the signal definitions and the
-    one-explode plan). Documents with no units (empty text) keep zero
-    fracs via the left join + fillna."""
-    return df.join(
-        gopher_repetition_fracs(df, id_col, text_col), id_col, "left"
-    ).fillna(0.0, [c for c in [
-        "dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
-        *[f"top_{n}gram_char_frac" for n in GOPHER_TOP_NGRAM_LIMITS],
-        *[f"dup_{n}gram_char_frac" for n in GOPHER_DUP_NGRAM_LIMITS],
-    ]])
+    row-local zero-shuffle plan). The fracs are per-row expressions, so
+    this is a plain projection — no join; empty documents get 0.0."""
+    return _with_repetition_fracs(df, id_col, text_col)
 
 
-def _all_ngrams(toks: Column, n: int) -> Column:
-    """ALL word n-grams (duplicates kept — repetition counting needs
-    multiplicity, unlike shingles_from_tokens' deduplicated set)."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+def _with_repetition_fracs(df, id_col: str, text_col: str):
+    """df + the 13 frac columns as inline row-local SQL expressions.
+
+    The token / line / paragraph arrays are STAGED as real columns in
+    a first projection and referenced by name from every signal —
+    CollapseProject keeps multiply-referenced non-cheap producers in
+    their own Project, so tokenization and splitting run once per row
+    no matter how many walks consume them.
+    """
+    tc = f"`{text_col}`"
+    base = df.withColumns(
+        {
+            "_gr_chars": F.expr(f"CAST(length({tc}) AS DOUBLE)"),
+            "_gr_tk": F.expr(f"split(trim({tc}), '\\\\s+')"),
+            "_gr_ln": F.expr(f"filter(split({tc}, '\\n'), x -> trim(x) != '')"),
+            "_gr_pa": F.expr(
+                f"filter(split({tc}, '\\n{{2,}}'), x -> trim(x) != '')"
+            ),
+        }
     )
-    return F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+    def frac(num_sql: str, den_sql: str) -> Column:
+        return F.expr(
+            f"round(IF({den_sql} > 0, ({num_sql}) / {den_sql}, 0.0D), 6)"
+        )
+
+    out = {}
+    for k, arr in (("line", "_gr_ln"), ("para", "_gr_pa")):
+        out[f"dup_{k}_frac"] = frac(
+            f"size({arr}) - size(array_distinct({arr}))", f"size({arr})"
+        )
+        out[f"dup_{k}_char_frac"] = frac(
+            _run_chars_sql(arr, "dup"), "_gr_chars"
+        )
+    for n in GOPHER_TOP_NGRAM_LIMITS:
+        out[f"top_{n}gram_char_frac"] = frac(
+            _run_chars_sql(_ngrams_sql("_gr_tk", n), "top"), "_gr_chars"
+        )
+    for n in GOPHER_DUP_NGRAM_LIMITS:
+        out[f"dup_{n}gram_char_frac"] = frac(
+            _run_chars_sql(_ngrams_sql("_gr_tk", n), "dup"), "_gr_chars"
+        )
+    return base.withColumns(out).drop("_gr_chars", "_gr_tk", "_gr_ln", "_gr_pa")
 
 
 def gopher_repetition_filter(

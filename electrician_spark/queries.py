@@ -3316,11 +3316,16 @@ def _gopher_oracle() -> str:
 )
 def q_gq1(spark, sf_dir):
     # The full Gopher battery (Rae et al. 2021 A1.1) as first-class
-    # operators: gopher_quality_flags is ONE codegen'd scan emitting
-    # the 7 rule booleans + conjunction; gopher_repetition_stats
-    # computes all 13 repetition signals in ONE tagged explode →
-    # map-side-combinable groupBy → pivot plan (no UDFs, skew-safe:
-    # boilerplate units partial-aggregate before the exchange).
+    # operators: gopher_quality_flags is ONE codegen'd expression
+    # emitting the 7 rule booleans + conjunction, and every repetition
+    # signal is row-local (array_sort + aggregate run-length walk in
+    # gopher_repetition_stats), so the WHOLE battery is a single
+    # narrow projection — one scan, no self-join, and the only
+    # exchange is the final tiny groupBy(lang) partial agg. The
+    # repartition decouples compute parallelism from file splitting:
+    # the battery is CPU-bound per row, and a corpus that arrives in
+    # few large files (or one small one, as here) would otherwise pin
+    # the whole projection to the scan's split count.
     from electrician_spark.functions import text as tx
 
     planted = _t(spark, sf_dir, "documents").select(
@@ -3333,18 +3338,10 @@ def q_gq1(spark, sf_dir):
                 F.lit("\nCLICK HERE to win\nCLICK HERE to win\n\nsubscribe now..."),
             ).otherwise(F.lit("")),
         ).alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    joined = tx.gopher_repetition_stats(planted, "doc_id", "text").withColumn(
+        "f", tx.gopher_quality_flags(F.col("text"))
     )
-    try:  # one scan: the flag branch and the repetition explode both
-        planted = planted.localCheckpoint(eager=False)  # replay the cache
-    except Exception:  # noqa: BLE001
-        pass
-    flagged = planted.select(
-        "doc_id", "lang", tx.gopher_quality_flags(F.col("text")).alias("f")
-    )
-    # the standalone frac table skips _stats' passthrough join — the
-    # battery runs in two aggregation branches over ONE cached scan
-    reps = tx.gopher_repetition_fracs(planted, "doc_id", "text")
-    joined = flagged.join(reps.select("doc_id", *_GQ_REPS), "doc_id")
     return (
         joined.groupBy("lang")
         .agg(

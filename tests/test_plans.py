@@ -253,3 +253,21 @@ def test_substring_dedup_fingerprint_agg_is_partial(plans):
     p = plans("q_ss1_substring_dedup")
     assert "partial_count" in p or "partial" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_gopher_repetition_battery_is_row_local(spark):
+    """The 13 Gopher repetition signals are per-document functions, so
+    the battery must compile to a single narrow projection: zero
+    exchanges, zero aggregates, zero joins, no Python. (The earlier
+    explode→groupBy→pivot form shuffled ~9× the token count per doc.)"""
+    from electrician_spark.functions import text as tx
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.col("doc_id"), F.col("text"))
+    )
+    p = plan_of(tx.gopher_repetition_stats(df, "doc_id", "text"))
+    for banned in ("Exchange", "HashAggregate", "SortAggregate", "Join",
+                   "Generate", "ArrowEvalPython", "BatchEvalPython"):
+        assert banned not in p, (banned, p)
