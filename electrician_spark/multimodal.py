@@ -82,6 +82,69 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def synth_png_gray(w: int, h: int, v: int) -> bytes:
+    """Deterministic solid-gray PNG (color type 0, depth 8, filter 0):
+    every sample is exactly ``v``, so pixel statistics are closed-form
+    — mean = min = max = v over w·h·1 samples. Used to attest the REAL
+    decode plumbing end-to-end against an arithmetic-only oracle."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([v]) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_gif_solid(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Deterministic solid-color GIF89a (2-entry palette, every pixel
+    index 0): decoded RGB samples are exactly ``rgb`` repeated w·h
+    times, so channel statistics are closed-form. The LZW stream emits
+    CLEAR before every pixel code — the table never grows, the code
+    width stays fixed, and the encoder needs no dictionary."""
+    import struct
+
+    lsd = struct.pack("<HH", w, h) + bytes([0x80, 0, 0])  # GCT, 2 entries
+    palette = bytes(rgb) + b"\x00\x00\x00"
+    img_desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = 2  # spec minimum; CLEAR=4, EOI=5, 3-bit codes
+    codes = []
+    for _ in range(w * h):
+        codes += [4, 0]  # CLEAR, then palette index 0
+    codes.append(5)  # EOI
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:  # LSB-first variable-width packing (here fixed 3)
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([len(packed[i : i + 255])]) + bytes(packed[i : i + 255])
+        for i in range(0, len(packed), 255)
+    )
+    return (
+        b"GIF89a" + lsd + palette + img_desc
+        + bytes([min_code]) + blocks + b"\x00" + b"\x3b"
+    )
+
+
 def attach_binary(
     df: DataFrame, text_col: str, modality: str = "image", id_col: str | None = None
 ) -> DataFrame:

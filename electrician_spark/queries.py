@@ -258,7 +258,7 @@ def q_a3(spark, sf_dir):
 
 # (q_a4 count-distinct, q_a5 peak rate, q_a6 grouped stats: RETIRED r7
 # — redundant agg siblings; A1/A2/A3 stay attested via q_a1/q_a2/q_a3,
-# distinct counting via q_ds1/q_pr1, agg-of-agg via q_hg1.)
+# distinct counting via q_ds1/q_pr1, agg-of-agg via q_o1.)
 
 
 @query(
@@ -283,43 +283,120 @@ def q_q1(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
-@query(
-    "q_q2_winsorized_stats",
-    "WITH b AS (SELECT l_returnflag, "
-    "round(quantile_cont(l_extendedprice, 0.05), 6) AS p5, "
-    "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95 "
-    "FROM lineitem GROUP BY 1) "
-    "SELECT l_returnflag, count(*) AS n, "
-    "round(avg(least(greatest(l_extendedprice, p5), p95)), 6) AS avg_clipped, "
-    "round(min(least(greatest(l_extendedprice, p5), p95)), 6) AS min_clipped, "
-    "round(max(least(greatest(l_extendedprice, p5), p95)), 6) AS max_clipped "
-    "FROM lineitem JOIN b USING (l_returnflag) "
-    "GROUP BY l_returnflag ORDER BY l_returnflag",
-    tags=("agg", "quantile"),
-)
-def q_q2(spark, sf_dir):
-    # Winsorized robust statistics: per-group [p5, p95] clamp (bounds
-    # pass + broadcast join — the big table never shuffles), then the
-    # usual aggregates over the clipped values.
-    from electrician_spark.operators import olap
+# (q_q2 winsorized stats: RETIRED r7 — the per-group quantile-bounds +
+# broadcast-clamp shape stays attested via q_q1 (percentile machinery)
+# and q_lm2 (approxQuantile threshold path); olap.clip_quantiles keeps
+# its test_olap equivalence pins.)
 
-    clipped = olap.clip_quantiles(
-        _t(spark, sf_dir, "lineitem"),
-        "l_extendedprice",
-        plo=0.05,
-        phi=0.95,
-        group_cols=["l_returnflag"],
+
+# Planted C4 page structure: '. ' sentence breaks become newlines, and
+# doc_id-keyed marker lines exercise every gate — a no-terminal-punct
+# line (line filter), a javascript line, a lorem-ipsum line, a
+# curly-brace code line, and a blocklisted phrase (page gates). Both
+# engines build the SAME planted text, so the oracle replays the
+# battery with RE2-portable regexes (the C4 patterns were chosen for
+# exactly this — no lookaround).
+_C4_MARKS = (
+    (4, "\nclick here"),  # no terminal punct + <3 words -> line dropped
+    (5, "\nPlease enable javascript to continue browsing."),
+    (7, "\nlorem ipsum dolor sit amet consectetur."),
+    (11, "\nfunction f() { return 1; }"),
+    (13, "\nClick now to win a prize instantly."),
+)
+
+
+@query(
+    "q_c4_1_c4_cleaning",
+    "WITH planted AS (SELECT doc_id, lang, "
+    "replace(text, '. ', '.' || chr(10)) AS t0 FROM documents), "
+    "marked AS (SELECT doc_id, lang, t0 "
+    + "".join(
+        f"|| (CASE WHEN doc_id % {m} = 0 THEN chr(10) || {s[1:]!r} ELSE '' END) "
+        for m, s in _C4_MARKS
     )
-    c = F.col("l_extendedprice_clipped")
+    + "AS text FROM planted), "
+    "kept AS (SELECT doc_id, lang, list_filter(string_split(text, chr(10)), "
+    "l -> regexp_matches(rtrim(l), '[.!?][\"”’]?$') AND "
+    "len(list_filter(string_split_regex(trim(l), '\\s+'), t -> t <> '')) >= 3) "
+    "AS lines FROM marked), "
+    # array_to_string([]) is NULL in DuckDB but '' in Spark's
+    # array_join — coalesce so the page gates see the same empty page
+    "clean AS (SELECT doc_id, lang, len(lines) AS n_kept, "
+    "coalesce(array_to_string(lines, chr(10)), '') AS text FROM kept), "
+    "flags AS (SELECT lang, n_kept, length(text) AS n_chars, "
+    "len(regexp_extract_all(text, '[.!?][\"”’]?(\\s+|$)')) >= 3 AS s_ok, "
+    "NOT contains(lower(text), 'lorem ipsum') AS lorem_ok, "
+    "NOT contains(text, '{') AS curly_ok, "
+    "len(list_filter(string_split(lower(text), chr(10)), "
+    "l -> regexp_matches(l, '\\bjavascript\\b'))) = 0 AS js_ok, "
+    "NOT contains(lower(text), 'win a prize') AS block_ok FROM clean) "
+    "SELECT lang, count(*) AS n_pages, "
+    "CAST(sum(CASE WHEN s_ok AND lorem_ok AND curly_ok AND js_ok AND block_ok "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, "
+    "CAST(sum(CASE WHEN s_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_sent_fail, "
+    "CAST(sum(CASE WHEN lorem_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_lorem_fail, "
+    "CAST(sum(CASE WHEN curly_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_curly_fail, "
+    "CAST(sum(CASE WHEN js_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_js_fail, "
+    "CAST(sum(CASE WHEN block_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_block_fail, "
+    "CAST(sum(n_kept) AS BIGINT) AS lines_kept, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars_clean "
+    "FROM flags GROUP BY lang ORDER BY lang",
+    tags=("text", "c4"),
+)
+def q_c4_1(spark, sf_dir):
+    # The full C4 cleaning battery (Raffel et al. 2020 §2.2) as
+    # first-class operators: c4_line_filter (terminal-punctuation +
+    # min-words line retention, codegen'd array filter — no explode)
+    # then c4_page_flags over the CLEANED text (sentence count, lorem
+    # ipsum, curly brace, javascript lines, blocklist). One scan, one
+    # narrow projection, the only exchange is the final tiny
+    # groupBy(lang) — the same zero-shuffle posture as the Gopher
+    # battery (every rule is a function of one page).
+    from electrician_spark.functions import text as tx
+
+    marks = "".join(
+        f"|| (CASE WHEN doc_id % {m} = 0 THEN concat(chr(10), {s[1:]!r}) "
+        "ELSE '' END) "
+        for m, s in _C4_MARKS
+    )
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"replace(text, '. ', concat('.', chr(10))) {marks}"
+        ).alias("text"),
+    )
+    cleaned = tx.c4_line_filter(planted, "text", min_words_per_line=3)
+    flagged = cleaned.select(
+        "lang",
+        F.when(F.col("text") == "", F.lit(0))
+        .otherwise(F.size(F.split("text", "\n")))
+        .alias("n_kept"),
+        F.length("text").alias("n_chars"),
+        tx.c4_page_flags(
+            F.col("text"), min_sentences=3, blocklist=("win a prize",)
+        ).alias("f"),
+    )
+
+    def fails(name):
+        return F.sum(F.when(F.col(f"f.{name}"), 0).otherwise(1)).cast("long")
+
     return (
-        clipped.groupBy("l_returnflag")
+        flagged.groupBy("lang")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg(c), 6).alias("avg_clipped"),
-            F.round(F.min(c), 6).alias("min_clipped"),
-            F.round(F.max(c), 6).alias("max_clipped"),
+            F.count("*").alias("n_pages"),
+            F.sum(F.when(F.col("f.passes"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            fails("sentence_count_ok").alias("n_sent_fail"),
+            fails("no_lorem_ipsum").alias("n_lorem_fail"),
+            fails("no_curly_brace").alias("n_curly_fail"),
+            fails("no_javascript_line").alias("n_js_fail"),
+            fails("no_blocklisted").alias("n_block_fail"),
+            F.sum("n_kept").cast("long").alias("lines_kept"),
+            F.sum("n_chars").cast("long").alias("chars_clean"),
         )
-        .orderBy("l_returnflag")
+        .orderBy("lang")
     )
 
 
@@ -400,25 +477,72 @@ def q_pr1(spark, sf_dir):
     ).orderBy("column")
 
 
-@query(
-    "q_hg1_price_histogram",
-    "SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 23) "
-    "AS BIGINT) AS bucket, count(*) AS n, "
-    "round(0.0 + CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 23) "
-    "AS BIGINT) * 5000.0, 6) AS bucket_lo "
-    "FROM lineitem GROUP BY 1 ORDER BY bucket",
-    tags=("agg", "histogram"),
-)
-def q_hg1(spark, sf_dir):
-    # Equi-width histogram as an integer-bucket groupBy: no sort, full
-    # map-side combine, the shuffle carries at most nbins rows per
-    # group. Only IEEE double +,-,*,/ and floor — bit-identical in any
-    # engine, hence oracle-able without rounding slop.
-    from electrician_spark.operators import olap
+# (q_hg1 price histogram: RETIRED r7 — the integer-bucket groupBy is
+# the same shape every agg row attests; olap.histogram keeps its
+# test_olap pins and q_pr1 carries the profiling family.)
 
-    return olap.histogram(
-        _t(spark, sf_dir, "lineitem"), "l_extendedprice", lo=0.0, hi=120_000.0, nbins=24
-    ).orderBy("bucket")
+
+@query(
+    "q_px1_image_pixel_stats",
+    # Crafted solid-color images make every pixel statistic a pure
+    # function of doc_id: even ids are solid-gray PNGs (1 channel,
+    # value (id·37)%256), odd ids solid-RGB GIFs (3 channels, r/g/b
+    # chosen so r+g+b ≡ 0 mod 3 — the mean divides exactly and no
+    # float-formatting tie can split the engines).
+    "WITH f AS (SELECT doc_id, doc_id % 2 = 0 AS is_png, "
+    "CAST(4 + doc_id % 5 AS INTEGER) AS width, "
+    "CAST(3 + doc_id % 4 AS INTEGER) AS height, "
+    "(doc_id * 37) % 256 AS v, (doc_id * 11) % 256 AS r, (doc_id * 29) % 256 AS g, "
+    "((doc_id * 17) % 80) * 3 + (3 - ((doc_id * 11) % 256 + (doc_id * 29) % 256) % 3) % 3 AS b "
+    "FROM documents WHERE doc_id BETWEEN 1 AND 40) "
+    "SELECT doc_id AS media_id, width, height, "
+    "CAST(CASE WHEN is_png THEN 1 ELSE 3 END AS INTEGER) AS channels, "
+    "printf('%.6f', CAST(CASE WHEN is_png THEN v ELSE (r + g + b) / 3 END AS DOUBLE)) "
+    "AS mean_luma, "
+    "CAST(CASE WHEN is_png THEN v ELSE least(r, g, b) END AS INTEGER) AS min_sample, "
+    "CAST(CASE WHEN is_png THEN v ELSE greatest(r, g, b) END AS INTEGER) AS max_sample, "
+    "'ok' AS ok FROM f ORDER BY media_id",
+    tags=("multimodal",),
+)
+def q_px1(spark, sf_dir):
+    # REAL pixel-decode attestation: deterministic payloads (solid-
+    # gray PNG / solid-RGB GIF, multimodal.synth_*) are synthesized
+    # EXECUTOR-side from doc_id arithmetic, then pushed through the
+    # actual stdlib decoders via image_pixel_stats (mapInPandas,
+    # Arrow-batched). Every sample value is closed-form in doc_id, so
+    # the oracle recomputes width/height/channels/mean/min/max without
+    # touching a codec — the decode path itself is what's attested,
+    # not a stub. Scale posture: synthesis and decode are both
+    # per-row map stages; no shuffle until the driver's own collect.
+    from electrician_spark import multimodal as mm
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 40))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from electrician_spark import multimodal as m
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                if did % 2 == 0:
+                    payloads.append(m.synth_png_gray(w, h, (did * 37) % 256))
+                else:
+                    r, g = (did * 11) % 256, (did * 29) % 256
+                    bl = ((did * 17) % 80) * 3 + (3 - (r + g) % 3) % 3
+                    payloads.append(m.synth_gif_solid(w, h, (r, g, bl)))
+                mids.append(did)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return mm.image_pixel_stats(media).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1474,40 +1598,88 @@ def _mixture_oracle() -> str:
 
 
 # (q_sm3 mixture sample: RETIRED r7 — the md5-threshold filter shape
-# stays attested via q_sm2/q_sm4, the per-domain rate arithmetic via
+# stays attested via q_sm2, the per-domain rate arithmetic via
 # q_dm1.)
 
 
-_WEIGHTED_C = 0.3 * float(1 << 32) / 800.0  # base_rate=0.3, scale=800 chars
+
+
+# (q_sm4 weighted sample: RETIRED r7 — the md5-threshold inclusion
+# filter stays attested via q_sm2, the rate arithmetic via q_dm1 and
+# q_es1; sampling.weighted_bernoulli_sample keeps its test_sampling
+# equivalence pins.)
 
 
 @query(
-    "q_sm4_weighted_sample",
-    # Include iff md5_key < n_chars * c — one IEEE multiply and an
-    # integer-vs-double compare; both engines agree bit-for-bit.
-    f"WITH s AS (SELECT lang, n_chars FROM documents WHERE {_SQL_SAMPLE_KEY} < "
-    f"n_chars * {_WEIGHTED_C!r}) "
-    "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars "
-    "FROM s GROUP BY lang ORDER BY lang",
-    tags=("sampling",),
+    "q_rz1_resize_media",
+    # Solid-gray PNGs sized ABOVE max_side force a real area-average
+    # resample; constants resample to themselves exactly, so target
+    # dims, byte counts, and per-byte uniformity are closed-form in
+    # doc_id. Dim choices avoid every round-half tie (Python banker's
+    # rounding vs SQL half-away would split engines at .5).
+    "WITH f AS (SELECT doc_id, "
+    "CAST(8 + 2 * (doc_id % 4) AS INTEGER) AS w0, "
+    "CAST(4 + doc_id % 3 AS INTEGER) AS h0, "
+    "(doc_id * 37) % 256 AS v FROM documents WHERE doc_id BETWEEN 1 AND 30), "
+    "t AS (SELECT doc_id, v, "
+    "CAST(round(w0 * least(8.0 / w0, 1.0)) AS INTEGER) AS target_w, "
+    "CAST(round(h0 * least(8.0 / w0, 1.0)) AS INTEGER) AS target_h FROM f) "
+    "SELECT doc_id AS media_id, target_w, target_h, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "CAST(target_w * target_h AS BIGINT) AS n_bytes, "
+    "TRUE AS uniform, 'ok' AS ok FROM t ORDER BY media_id",
+    tags=("multimodal",),
 )
-def q_sm4(spark, sf_dir):
-    # Length-weighted corpus thinning: inclusion probability
-    # ∝ n_chars, so the sample preserves token mass instead of
-    # under-representing long documents the way uniform row sampling
-    # does. Pure deterministic filter — no shuffle, reproducible on
-    # any cluster size.
-    from electrician_spark.operators import sampling
+def q_rz1(spark, sf_dir):
+    # REAL resize attestation: executor-synthesized solid-gray PNGs
+    # (w0 in 8..14 > max_side=8) run the full decode → aspect-
+    # preserving target → exact area-average resample path
+    # (multimodal.resize_plan). `uniform` proves the RESAMPLED pixel
+    # payload byte-for-byte (hex(resized) vs the repeated hex of the
+    # planted gray value) — a wrong kernel, not just wrong dims,
+    # flips it false. All per-row map stages; no shuffle.
+    from electrician_spark import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
-    sampled = sampling.weighted_bernoulli_sample(
-        docs, "n_chars", base_rate=0.3, scale=800.0
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 30))
     )
-    return (
-        sampled.groupBy("lang")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
-        .orderBy("lang")
-    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from electrician_spark import multimodal as m
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                payloads.append(
+                    m.synth_png_gray(
+                        8 + 2 * (did % 4), 4 + did % 3, (did * 37) % 256
+                    )
+                )
+                mids.append(did)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    rz = mm.resize_plan(media, max_side=8)
+    return rz.select(
+        "media_id",
+        "target_w",
+        "target_h",
+        "channels",
+        F.octet_length("resized").cast("long").alias("n_bytes"),
+        (
+            F.hex(F.col("resized"))
+            == F.expr(
+                "repeat(lpad(hex((media_id * 37) % 256), 2, '0'), "
+                "target_w * target_h)"
+            )
+        ).alias("uniform"),
+        "ok",
+    ).orderBy("media_id")
 
 
 @query(
@@ -2824,11 +2996,11 @@ def q_ss1(spark, sf_dir):
 # battery). Each replaced a retired redundant sibling to keep the
 # 100-query / 2-window driver arithmetic (retired: q_a4 count-distinct —
 # distinct counting stays attested via q_ds1 + q_pr1, A1 via q_a1; q_a5
-# peak rate — the agg-of-agg shape via q_hg1/q_o1, A2 via q_a2; q_a6
+# peak rate — the agg-of-agg shape via q_o1, A2 via q_a2; q_a6
 # grouped stats — the grouped-avg shape via q_a1/q_q1, A3 via q_a3;
 # q_x5 repetition stats — strictly subsumed by q_gq1's full 13-signal
 # battery; q_sm3 mixture sample — the md5-threshold filter via
-# q_sm2/q_sm4, the domain-rate arithmetic via q_dm1; q_k5 executed
+# q_sm2, the domain-rate arithmetic via q_dm1; q_k5 executed
 # upsert — K4 stays attested via q_k4's Derby-executed idempotent MERGE,
 # and q_k5 was the one row with a driver-side collect feeding DuckDB;
 # q_wf3 running sum — the ROWS UNBOUNDED PRECEDING frame is the exact
@@ -3393,14 +3565,19 @@ def q_gq1(spark, sf_dir):
 # OUT (all green in r6, unchanged semantics, back in r8): precisely
 # the 50 rows of CORRECTNESS_r06 (invariant-tested as the window's
 # complement).
+# Mid-round r7 additions: three of the queued r8 candidates landed
+# EARLY with exact oracles (not rows-only): the C4 cleaning battery
+# (q_c4_1 — RE2-portable replay), image_pixel_stats over crafted
+# solid-color PNG/GIF fixtures (q_px1 — closed-form pixel statistics),
+# and resize_plan over above-max-side fixtures (q_rz1 — closed-form
+# target dims + byte-exact uniformity). Retired in exchange:
+# q_q2/q_hg1/q_sm4 (rationale at each site).
 # Round-8 rotation recipe: window = the 50 queries attested in r6
 # (the complement of this window — the invariant test enforces it).
-# Oracle-candidates for NEW r8 rows (each requires retiring a sibling):
-# the C4 cleaning battery (text.c4_line_filter/c4_page_flags — RE2-
-# portable patterns chosen for exactly this), image_pixel_stats over
-# crafted PNG/GIF/JPEG payloads (rows-only; binary fixtures),
-# resize_image round-trip stats, BPE encode counts (test-pinned vs
-# Sennrich reference in test_tokenizer).
+# Remaining oracle-candidates for NEW r8 rows (each requires retiring
+# a sibling): BPE encode counts (test-pinned vs Sennrich reference in
+# test_tokenizer), video_frame_stats over crafted MJPEG/AVI fixtures,
+# fastText scoring with a frozen coefficient table.
 _DRIVER_PRIORITY = [
     # new this round (never driver-checked) — the seven r6 operators
     # promoted to oracle rows
@@ -3411,6 +3588,13 @@ _DRIVER_PRIORITY = [
     "q_es1_epoch_shuffle",
     "q_lm2_bigram_buckets",
     "q_gq1_gopher_battery",
+    # new mid-round (r7 build, never driver-checked): the C4 cleaning
+    # battery, real-pixel-decode attestation, and real-resample
+    # attestation — each replaced a retired redundant sibling
+    # (q_q2/q_hg1/q_sm4, rationale at each retirement site)
+    "q_c4_1_c4_cleaning",
+    "q_px1_image_pixel_stats",
+    "q_rz1_resize_media",
     # latest driver row is r5 (one-round rule: due now)
     "q_a3_error_ratio",
     "q_a7_rollup_subtotals",
@@ -3422,7 +3606,6 @@ _DRIVER_PRIORITY = [
     "q_f2_date",
     "q_f3_math",
     "q_fm1_headers_map",
-    "q_hg1_price_histogram",
     "q_hh1_heavy_hitters",
     "q_ht1_hypertable_rollup",
     "q_j3_left_join_counts",
@@ -3435,12 +3618,10 @@ _DRIVER_PRIORITY = [
     "q_n3_ann_ivf_kmeans",
     "q_pr1_table_profile",
     "q_q1_grouped_quantiles",
-    "q_q2_winsorized_stats",
     "q_r2_retry_backoff",
     "q_r4_retry_table",
     "q_rj1_range_join",
     "q_sk1_salted_agg",
-    "q_sm4_weighted_sample",
     "q_sp1_sequence_packing",
     "q_t10_json_encode",
     "q_t11_key_template",
