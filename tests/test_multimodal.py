@@ -1197,3 +1197,27 @@ def test_video_frame_stats_real_decode(spark):
     assert mine == expected
     errs = {r.media_id: r.ok for r in out if r.media_id != 1}
     assert errs[2].startswith("err:") and errs[3].startswith("err:")
+
+
+def test_synth_fixture_builders_decode_exactly():
+    """The deterministic fixture builders (q_px1/q_rz1's oracle basis)
+    must round-trip through the REAL decoders to exactly their
+    closed-form pixels: solid-gray PNG -> every sample == v; solid-RGB
+    GIF -> the palette triple repeated w*h times. This is the
+    arithmetic the driver oracle recomputes, so the pin here is
+    equality, not tolerance."""
+    from electrician_spark.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        synth_gif_solid,
+        synth_png_gray,
+    )
+
+    for w, h, v in [(1, 1, 0), (4, 3, 255), (8, 5, 129), (13, 2, 7)]:
+        W, H, C, px = decode_png_pixels(synth_png_gray(w, h, v))
+        assert (W, H, C) == (w, h, 1)
+        assert px == bytes([v]) * (w * h)
+    for w, h, rgb in [(1, 1, (0, 0, 0)), (5, 4, (10, 200, 33)), (16, 3, (255, 1, 128))]:
+        W, H, C, px = decode_gif_pixels(synth_gif_solid(w, h, rgb))
+        assert (W, H, C) == (w, h, 3)
+        assert px == bytes(rgb) * (w * h)
