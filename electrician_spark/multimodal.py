@@ -145,6 +145,84 @@ def synth_gif_solid(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
     )
 
 
+def synth_jpeg_gray_solid(w: int, h: int, v: int) -> bytes:
+    """Minimal deterministic baseline JPEG of a solid gray ``v``:
+    all-ones quant table, custom tiny huffman tables (the 12 DC size
+    symbols at 4 bits each, AC = a lone EOB at 1 bit), DC-only blocks.
+    A constant 8×8 block has one coefficient, DC = 8·(v−128) — an
+    integer, unquantized — so the IDCT reconstructs exactly ``v`` in
+    every sample: mean = min = max = v, closed-form. Used to attest
+    the MJPEG frame-decode path against an arithmetic-only oracle."""
+    import struct
+
+    diff0 = 8 * (v - 128)
+    s0 = diff0.bit_length() if diff0 >= 0 else (-diff0).bit_length()
+    bits: list[tuple[int, int]] = [(s0, 4)]  # canonical: DC sym k ↔ code k
+    if s0:
+        bits.append((diff0 if diff0 > 0 else diff0 + (1 << s0) - 1, s0))
+    bits.append((0, 1))  # EOB
+    for _ in range((-(-w // 8)) * (-(-h // 8)) - 1):
+        bits += [(0, 4), (0, 1)]  # DC diff 0, EOB
+    acc = nbits = 0
+    data = bytearray()
+    for code, ln in bits:  # MSB-first with FF byte stuffing
+        acc = (acc << ln) | (code & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            data.append(b)
+            if b == 0xFF:
+                data.append(0x00)
+            nbits -= 8
+    if nbits:
+        b = ((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+        data.append(b)
+        if b == 0xFF:
+            data.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)  # 12 symbols @ length 4
+    ac_bits = bytes([1] + [0] * 15)  # one symbol (EOB) @ length 1
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + dc_bits + bytes(range(12)))
+        + seg(0xC4, bytes([0x10]) + ac_bits + b"\x00")
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(data)
+        + b"\xff\xd9"
+    )
+
+
+def synth_avi_mjpeg(frames_jpeg: list[bytes], w: int, h: int) -> bytes:
+    """Minimal-but-correct deterministic AVI container around MJPEG
+    frames: RIFF(AVI ) with hdrl(avih + strl(strh vids/MJPG + strf))
+    and movi(00dc per frame), word-aligned chunk padding included."""
+    import struct
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    avih = struct.pack(
+        "<10I", 33333, 0, 0, 0, len(frames_jpeg), 0, 1, 0, w, h
+    ) + bytes(16)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", b"vids" + b"MJPG" + bytes(48)) + chunk(b"strf", bytes(40))),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames_jpeg))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def attach_binary(
     df: DataFrame, text_col: str, modality: str = "image", id_col: str | None = None
 ) -> DataFrame:

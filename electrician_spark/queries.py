@@ -2429,32 +2429,67 @@ def q_sk1(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# (q_m1 media features: RETIRED r7 — its decode output was the
+# DOCUMENTED sha-derived stub; the binary-column path is now attested
+# by three REAL-decode rows (q_px1 pixels, q_rz1 resample, q_vf1 video
+# frames) and extract_features keeps its test_multimodal pins.)
+
+
 @query(
-    "q_m1_media_features",
-    "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
-    "sha256(text) AS sha, "
-    "64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 192 AS width, "
-    "64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 192 AS height "
-    "FROM documents ORDER BY media_id LIMIT 50",
-    tags=("multimodal",),
+    "q_vf1_video_frames",
+    # Solid-gray MJPEG frames make every decoded sample a pure function
+    # of (doc_id, frame_idx): DC = 8·(v−128) is an integer under the
+    # all-ones quant table, so the IDCT reconstructs v exactly and the
+    # oracle needs no codec — just the frame-sampling arithmetic.
+    "WITH f AS (SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w, "
+    "2 + doc_id % 4 AS n_frames FROM documents WHERE doc_id BETWEEN 1 AND 18), "
+    "fr AS (SELECT doc_id, w, CAST(unnest(range(0, n_frames, 2)) AS INTEGER) "
+    "AS frame_idx FROM f) "
+    "SELECT doc_id AS media_id, frame_idx, w AS width, "
+    "CAST(8 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels, "
+    "printf('%.6f', CAST((doc_id * 37 + frame_idx * 11) % 256 AS DOUBLE)) AS mean, "
+    "'ok' AS ok FROM fr ORDER BY media_id, frame_idx",
+    tags=("multimodal", "video"),
 )
-def q_m1(spark, sf_dir):
-    # The full binary-column path: attach payload → mapInPandas feature
-    # extraction (byte stats + stub decode). The stub derives fake
-    # (width, height) from the sha256 digest, so even the decode output
-    # is oracle-checkable — the oracle recomputes it from the hash.
+def q_vf1(spark, sf_dir):
+    # REAL video-frame attestation: executor-synthesized AVI/MJPEG
+    # containers (multimodal.synth_avi_mjpeg around synth_jpeg_gray_
+    # solid frames) run the full RIFF movi walk → every-2nd-frame
+    # sample → baseline JPEG pixel decode (video_frame_stats). The
+    # frame values are closed-form in (doc_id, frame_idx), so the
+    # oracle replays sampling + stats as arithmetic — attesting the
+    # decode path, not a stub. Replaces the retired q_m1 stub-dims
+    # row: the binary-column plumbing it covered is now attested by
+    # three REAL-decode rows (q_px1/q_rz1/q_vf1), and extract_features
+    # keeps its test_multimodal pins.
     from electrician_spark import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
-    media = mm.attach_binary(docs, "text", id_col="doc_id")
-    feats = mm.extract_features(media).select(
-        "media_id",
-        "n_bytes",
-        F.col("sha256").alias("sha"),
-        "width",
-        "height",
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 18))
     )
-    return rel.top_k(feats, [F.col("media_id")], 50)
+
+    def synth(batches):
+        import pandas as pd
+
+        from electrician_spark import multimodal as m
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                w, n = 8 * (1 + did % 3), 2 + did % 4
+                frames = [
+                    m.synth_jpeg_gray_solid(w, 8, (did * 37 + fi * 11) % 256)
+                    for fi in range(n)
+                ]
+                payloads.append(m.synth_avi_mjpeg(frames, w, 8))
+                mids.append(did)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return mm.video_frame_stats(media, every_n=2).orderBy("media_id", "frame_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -3569,15 +3604,16 @@ def q_gq1(spark, sf_dir):
 # EARLY with exact oracles (not rows-only): the C4 cleaning battery
 # (q_c4_1 — RE2-portable replay), image_pixel_stats over crafted
 # solid-color PNG/GIF fixtures (q_px1 — closed-form pixel statistics),
-# and resize_plan over above-max-side fixtures (q_rz1 — closed-form
-# target dims + byte-exact uniformity). Retired in exchange:
-# q_q2/q_hg1/q_sm4 (rationale at each site).
+# resize_plan over above-max-side fixtures (q_rz1 — closed-form
+# target dims + byte-exact uniformity), and video_frame_stats over
+# crafted AVI/MJPEG solid-gray fixtures (q_vf1 — DC-only JPEG frames
+# decode bit-exactly). Retired in exchange: q_q2/q_hg1/q_sm4/q_m1
+# (rationale at each site).
 # Round-8 rotation recipe: window = the 50 queries attested in r6
 # (the complement of this window — the invariant test enforces it).
 # Remaining oracle-candidates for NEW r8 rows (each requires retiring
 # a sibling): BPE encode counts (test-pinned vs Sennrich reference in
-# test_tokenizer), video_frame_stats over crafted MJPEG/AVI fixtures,
-# fastText scoring with a frozen coefficient table.
+# test_tokenizer), fastText scoring with a frozen coefficient table.
 _DRIVER_PRIORITY = [
     # new this round (never driver-checked) — the seven r6 operators
     # promoted to oracle rows
@@ -3614,7 +3650,7 @@ _DRIVER_PRIORITY = [
     "q_j7_regional_revenue",
     "q_k3_kafka_frame_roundtrip",
     "q_k6_csv_roundtrip",
-    "q_m1_media_features",
+    "q_vf1_video_frames",
     "q_n3_ann_ivf_kmeans",
     "q_pr1_table_profile",
     "q_q1_grouped_quantiles",

@@ -1221,3 +1221,27 @@ def test_synth_fixture_builders_decode_exactly():
         W, H, C, px = decode_gif_pixels(synth_gif_solid(w, h, rgb))
         assert (W, H, C) == (w, h, 3)
         assert px == bytes(rgb) * (w * h)
+
+
+def test_synth_jpeg_avi_builders_decode_exactly():
+    """q_vf1's oracle basis: a DC-only solid-gray JPEG (all-ones quant,
+    DC = 8*(v-128) integral) must decode to exactly v in every sample,
+    including non-multiple-of-8 dims (padded blocks stay constant),
+    and the AVI wrapper must round-trip every frame byte-for-byte."""
+    from electrician_spark.multimodal import (
+        avi_video_frames,
+        decode_image_pixels,
+        parse_avi_meta,
+        synth_avi_mjpeg,
+        synth_jpeg_gray_solid,
+    )
+
+    for w, h, v in [(8, 8, 0), (8, 8, 255), (16, 8, 128), (13, 9, 7), (9, 25, 129)]:
+        W, H, C, px = decode_image_pixels(synth_jpeg_gray_solid(w, h, v))
+        assert (W, H, C) == (w, h, 1)
+        assert px == bytes([v]) * (w * h)
+    frames = [synth_jpeg_gray_solid(16, 8, (i * 31) % 256) for i in range(5)]
+    avi = synth_avi_mjpeg(frames, 16, 8)
+    assert parse_avi_meta(avi)["n_frames"] == 5
+    got = list(avi_video_frames(avi))
+    assert [bytes(fb) for _, fb in got] == frames
