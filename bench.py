@@ -47,10 +47,11 @@ EXTRA_QUERIES = [
     "q_lm2_bigram_buckets",
     "q_pq1_pq_adc_topk",
     "q_pk2_best_fit_packing",
-    # mid-r7 promotions (C4 battery + multimodal decode/resize)
+    # mid-r7 promotions (C4 battery + multimodal decode/resize/video)
     "q_c4_1_c4_cleaning",
     "q_px1_image_pixel_stats",
     "q_rz1_resize_media",
+    "q_vf1_video_frames",
 ]
 
 

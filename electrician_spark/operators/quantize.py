@@ -156,6 +156,15 @@ def pq_train(
             )
         ).alias("e"),
     ).select("_pid", F.col("e._sub").alias("_sub"), F.col("e._sv").alias("_sv"))
+    # the seeds pass and EVERY k-means iteration (assign + means, both
+    # actions) consume this table — without materialization each one
+    # re-scans the source and re-explodes m subvectors per row,
+    # 2+iters corpus scans total. One executor-local write, replayed
+    # by all passes.
+    try:
+        subs = subs.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — exotic plans: fall back to recompute
+        pass
 
     # deterministic seeds: per subspace, k DISTINCT subvectors, each
     # represented by its smallest (md5(id), id) carrier — distinctness
