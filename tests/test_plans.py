@@ -271,3 +271,17 @@ def test_gopher_repetition_battery_is_row_local(spark):
     for banned in ("Exchange", "HashAggregate", "SortAggregate", "Join",
                    "Generate", "ArrowEvalPython", "BatchEvalPython"):
         assert banned not in p, (banned, p)
+
+
+def test_perplexity_buckets_single_scored_compute(spark):
+    """q_lm2: perplexity_buckets materializes the scored table before
+    the approxQuantile probe, so the returned bucket aggregate replays
+    the checkpointed RDD — zero parquet scans in the executed plan
+    (the corpus-wide explode + model join ran exactly once, for the
+    probe)."""
+    df = REGISTRY["q_lm2_bigram_buckets"].spark(spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 0, final
+    assert final.count("Scan ExistingRDD") >= 1, final
