@@ -424,6 +424,15 @@ def kmeans_labels(
     v = df.select(
         F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_kv")
     )
+    # the seeds probe, every Lloyd's iteration (assign + means), and
+    # the final assignment all consume this projection — materialize
+    # once (executor-local) instead of re-scanning the source iters+2
+    # times; what lands on disk is (id, vector), the columns Lloyd's
+    # needs anyway.
+    try:
+        v = v.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — exotic plans: fall back to recompute
+        pass
     seed_key = F.md5(F.col("_kid").cast("string"))
     seeds = v.orderBy(seed_key, "_kid").limit(k).collect()
     cents = [(i, list(r["_kv"])) for i, r in enumerate(seeds)]
