@@ -2631,27 +2631,12 @@ def q_r2(spark, sf_dir):
     )
 
 
-@query(
-    "q_r4_retry_table",
-    "SELECT event_id, event_id % 5 AS priority, 2 AS retry_count "
-    "FROM events WHERE event_type = 'error'",
-    tags=("reliability",),
-)
-def q_r4(spark, sf_dir):
-    # Two failure rounds through the resister retry table: retry_count
-    # bumps per requeue (element.go:80-98's requeue path); the
-    # deterministic columns are oracle-checked, the _enqueued_at stamp
-    # (wall clock, drain-time aging input) is dropped from the surface.
-    from electrician_spark import reliability
-
-    failed = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "error")
-        .select("event_id", (F.col("event_id") % 5).alias("priority"))
-    )
-    once = reliability.to_retry_table(failed)
-    twice = reliability.to_retry_table(once.drop("_enqueued_at"))
-    return twice.select("event_id", "priority", "retry_count")
+# (q_r4 retry table: RETIRED r7 — its oracle pinned only literal
+# priority/retry-count columns over an attested filter shape; the
+# retry FAMILY stays attested via q_r2's executed backoff schedule and
+# the priority path via q_o3's drain. to_retry_table keeps its
+# test_reliability pins. Slot went to q_ir1 DSIR importance
+# resampling, a new operator with a full value oracle.)
 
 
 @query(
@@ -3408,6 +3393,57 @@ def q_lm2(spark, sf_dir):
     )
 
 
+@query(
+    "q_ir1_dsir_select",
+    # DSIR (Xie et al. 2023, arXiv:2302.03169) full value replay:
+    # hashed unigram+bigram features (md5 % 2048), add-one-smoothed
+    # target (lang='en') and raw (lang<>'en') bag-of-ngrams models,
+    # per-doc importance log-weights, deterministic Gumbel top-25.
+    # Every raw-corpus bucket is in the raw model by construction, so
+    # the scoring join needs no unseen-bucket default here.
+    f"WITH toks AS (SELECT doc_id, lang = 'en' AS is_t, {_SQL_LM_TOKENS} AS ws "
+    "FROM documents), "
+    "uni AS (SELECT doc_id, is_t, ws[i] AS g FROM "
+    "(SELECT doc_id, is_t, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)), "
+    "bi AS (SELECT doc_id, is_t, ws[i] || ' ' || ws[i+1] AS g FROM "
+    "(SELECT doc_id, is_t, ws, unnest(range(1, len(ws))) AS i FROM toks)), "
+    "feat AS (SELECT doc_id, is_t, "
+    "CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 2048 AS b "
+    "FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)), "
+    "tc AS (SELECT b, count(*) AS ct FROM feat WHERE is_t GROUP BY b), "
+    "rc AS (SELECT b, count(*) AS cr FROM feat WHERE NOT is_t GROUP BY b), "
+    "tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS tt, "
+    "(SELECT coalesce(sum(cr), 0) FROM rc) AS tr), "
+    "llr AS (SELECT coalesce(tc.b, rc.b) AS b, "
+    "ln(coalesce(ct, 0) + 1) - ln(tt + 2048) "
+    "- ln(coalesce(cr, 0) + 1) + ln(tr + 2048) AS llr "
+    "FROM tc FULL OUTER JOIN rc ON tc.b = rc.b CROSS JOIN tot), "
+    "w AS (SELECT f.doc_id, round(sum(l.llr), 6) AS log_w, "
+    "count(*) AS n_grams FROM feat f JOIN llr l ON l.b = f.b "
+    "WHERE NOT f.is_t GROUP BY f.doc_id), "
+    "keyed AS (SELECT doc_id, log_w, round(log_w - ln(-ln("
+    f"({_SQL_EPOCH_KEY.format(seed=7)} + 0.5) / 4294967296.0)), 6) "
+    "AS gumbel_key FROM w) "
+    "SELECT doc_id, log_w, gumbel_key FROM keyed "
+    "ORDER BY gumbel_key DESC, doc_id LIMIT 25",
+    tags=("sampling", "llm"),
+)
+def q_ir1(spark, sf_dir):
+    # operators/dsir.py end-to-end: two bounded model fits (map-side-
+    # combinable groupBys, ≤ 2048 rows each), one broadcast-join
+    # scoring pass (plan-pinned BroadcastHashJoin, zero Python), and a
+    # Gumbel top-k that compiles to TakeOrderedAndProject — never a
+    # global sort. 100 TB posture: two linear corpus scans + one
+    # bounded broadcast; the only driver collects are the two scalar
+    # model totals.
+    from electrician_spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    return dsir.dsir_select(raw, target, k=25, n_buckets=2048, seed=7)
+
+
 # Planted line/paragraph structure for the Gopher battery: sentence
 # breaks become newlines, every 3rd doc gains two duplicate boilerplate
 # lines + a blank-line paragraph break + a trailing ellipsis — so the
@@ -3600,14 +3636,16 @@ def q_gq1(spark, sf_dir):
 # OUT (all green in r6, unchanged semantics, back in r8): precisely
 # the 50 rows of CORRECTNESS_r06 (invariant-tested as the window's
 # complement).
-# Mid-round r7 additions: three of the queued r8 candidates landed
-# EARLY with exact oracles (not rows-only): the C4 cleaning battery
+# Mid-round r7 additions: queued r8 candidates landed EARLY with
+# exact oracles (not rows-only): the C4 cleaning battery
 # (q_c4_1 — RE2-portable replay), image_pixel_stats over crafted
 # solid-color PNG/GIF fixtures (q_px1 — closed-form pixel statistics),
 # resize_plan over above-max-side fixtures (q_rz1 — closed-form
-# target dims + byte-exact uniformity), and video_frame_stats over
+# target dims + byte-exact uniformity), video_frame_stats over
 # crafted AVI/MJPEG solid-gray fixtures (q_vf1 — DC-only JPEG frames
-# decode bit-exactly). Retired in exchange: q_q2/q_hg1/q_sm4/q_m1
+# decode bit-exactly), and DSIR importance resampling (q_ir1 — full
+# DuckDB value replay of the hashed-ngram models, log-weights, and
+# Gumbel top-k). Retired in exchange: q_q2/q_hg1/q_sm4/q_m1/q_r4
 # (rationale at each site).
 # Round-8 rotation recipe: window = the 50 queries attested in r6
 # (the complement of this window — the invariant test enforces it).
@@ -3631,6 +3669,7 @@ _DRIVER_PRIORITY = [
     "q_c4_1_c4_cleaning",
     "q_px1_image_pixel_stats",
     "q_rz1_resize_media",
+    "q_ir1_dsir_select",
     # latest driver row is r5 (one-round rule: due now)
     "q_a3_error_ratio",
     "q_a7_rollup_subtotals",
@@ -3655,7 +3694,6 @@ _DRIVER_PRIORITY = [
     "q_pr1_table_profile",
     "q_q1_grouped_quantiles",
     "q_r2_retry_backoff",
-    "q_r4_retry_table",
     "q_rj1_range_join",
     "q_sk1_salted_agg",
     "q_sp1_sequence_packing",
