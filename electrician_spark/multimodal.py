@@ -108,6 +108,42 @@ def synth_png_gray(w: int, h: int, v: int) -> bytes:
     )
 
 
+def synth_png_gray_split(
+    w: int, h: int, v_a: int, v_b: int, vertical: bool
+) -> bytes:
+    """Deterministic two-level gray PNG: ``vertical=True`` paints the
+    top h/2 rows ``v_a`` and the bottom half ``v_b``; ``vertical=False``
+    splits left/right at w/2. With w and h multiples of 32 and the
+    split at the exact half, the 32×32 box resample stays a clean
+    two-level image and the perceptual-hash DCT has a closed-form
+    sign pattern (see :func:`image_phash`) — the pHash analog of the
+    solid-color fixtures."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+    if vertical:
+        rows = [v_a if y < h // 2 else v_b for y in range(h)]
+        raw = b"".join(b"\x00" + bytes([v]) * w for v in rows)
+    else:
+        line = bytes([v_a]) * (w // 2) + bytes([v_b]) * (w - w // 2)
+        raw = b"".join(b"\x00" + line for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synth_gif_solid(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
     """Deterministic solid-color GIF89a (2-entry palette, every pixel
     index 0): decoded RGB samples are exactly ``rgb`` repeated w·h
@@ -581,6 +617,104 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(gen, PIXEL_STATS_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def _dct_basis(n: int):
+    """Orthonormal DCT-II basis: D[u, x] = c(u)·cos((2x+1)uπ/2n),
+    c(0)=√(1/n), c(u>0)=√(2/n). Same construction as the JPEG IDCT
+    basis (:func:`_jpeg_idct_basis`), transposed and sized n."""
+    import numpy as np
+
+    x = np.arange(n, dtype=np.float64)
+    u = x.reshape(-1, 1)
+    d = np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    d[0] *= np.sqrt(1.0 / n)
+    d[1:] *= np.sqrt(2.0 / n)
+    return d
+
+
+def phash_of_pixels(arr, hash_size: int = 8, dct_size: int = 32) -> int:
+    """64-bit perceptual hash of a decoded (h, w, ch) uint8 array —
+    the standard pHash construction: gray → area-average resample to
+    ``dct_size``² → 2-D orthonormal DCT-II → top-left ``hash_size``²
+    low-frequency block → bit b = 8·u+v set iff coeff(u,v) > median
+    of the block. Two stabilizing choices make the hash bit-exact
+    across platforms: the resample is the repo's exact box filter
+    (:func:`resample_image_box`), and coefficients are rounded to 6 dp
+    before the median/compare (float64 noise on mathematically-zero
+    coefficients is ~1e-11; the rounding collapses it to exactly 0.0,
+    so constant or half-plane images have closed-form hashes). The
+    returned value carries bit 63 as the two's-complement sign term —
+    the repo-wide signed-BIGINT signature convention (see simhash)."""
+    import numpy as np
+
+    h, w, _ch = arr.shape
+    if (h, w) != (dct_size, dct_size):
+        arr = resample_image_box(arr, dct_size, dct_size)
+    a = arr.astype(np.float64)
+    if a.shape[2] == 1:
+        gray = a[:, :, 0]
+    else:
+        gray = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) / 1000.0
+    d = _dct_basis(dct_size)
+    block = (d @ gray @ d.T)[:hash_size, :hash_size]
+    block = np.round(block, 6)
+    med = np.median(block)
+    bits = block > med
+    val = 0
+    for u in range(hash_size):
+        for v in range(hash_size):
+            if bits[u, v]:
+                val |= 1 << (hash_size * u + v)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """Per-image 64-bit perceptual hash over PNG/GIF/JPEG payloads
+    (mapInPandas, Arrow-batched): REAL pixel decode
+    (:func:`decode_image_pixels`) → :func:`phash_of_pixels`.
+    Unsupported payloads land in the ``ok`` error channel. Feed the
+    output through ``dedup.hamming_pairs`` for banded near-duplicate
+    image detection — the visual analog of SimHash text dedup, and the
+    standard first pass of a multimodal corpus dedup (hash is storage-
+    independent: re-encoded/resized copies of an image collide)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, hashes, oks = [], [], []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                ids.append(mid)
+                try:
+                    w, h, ch, px = decode_image_pixels(
+                        bytes(payload) if payload is not None else None
+                    )
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                    hashes.append(phash_of_pixels(arr))
+                    oks.append("ok")
+                except Exception as ex:  # noqa: BLE001 — per-row error channel
+                    hashes.append(None)
+                    oks.append(f"err:{type(ex).__name__}")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, PHASH_SCHEMA)
 
 
 # JPEG zig-zag coefficient order (ITU T.81 Figure 5)

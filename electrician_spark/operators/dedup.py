@@ -448,13 +448,32 @@ def simhash_pairs(
     self-join stays near-linear at 1e9+ docs, unlike 8-bit byte blocking
     (256 keys/position), which goes quadratic within buckets at ≥1e8
     docs. The (pos, block) groupBy/join is one linear shuffle."""
+    sig = simhash(df, id_col, text_col, n, bits)
+    return hamming_pairs(sig, id_col, "simhash", bits, max_hamming, block_bits)
+
+
+def hamming_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 64,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """All (id_a < id_b) pairs whose ``sig_col`` signatures differ in
+    ≤ ``max_hamming`` bits — the shared banded-join core of
+    :func:`simhash_pairs` (text) and ``multimodal.image_phash``
+    (perceptual image hashes). COMPLETE by pigeonhole: a pair within
+    distance d ≤ max_hamming < n_blocks shares at least one identical
+    ``block_bits`` slice, so the (pos, block) equi-join loses nothing;
+    the bit_count filter then exacts the distance. One linear shuffle,
+    never an all-pairs product."""
     n_blocks = bits // block_bits
     if n_blocks <= max_hamming:
         raise ValueError(
             f"{n_blocks} blocks of {block_bits} bits cannot cover hamming<={max_hamming}: "
             "pigeonhole needs blocks > max_hamming"
         )
-    sig = simhash(df, id_col, text_col, n, bits)
     mask = (1 << block_bits) - 1
     chunks = F.array(
         *[
@@ -462,16 +481,16 @@ def simhash_pairs(
                 F.lit(i).alias("pos"),
                 # arithmetic shift then mask: identical low block_bits in
                 # Spark and DuckDB regardless of sign extension.
-                F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
+                F.shiftright(F.col(sig_col), i * block_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
             )
             for i in range(n_blocks)
         ]
     )
-    keyed = sig.select(F.col(id_col).alias("_id"), "simhash", F.explode(chunks).alias("c")).select(
-        "_id", "simhash", F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk")
-    )
-    left = keyed.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sig_a"), "pos", "chunk")
-    right = keyed.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sig_b"), "pos", "chunk")
+    keyed = sig_df.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"), F.explode(chunks).alias("c")
+    ).select("_id", "_sig", F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk"))
+    left = keyed.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "pos", "chunk")
+    right = keyed.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "pos", "chunk")
     pairs = (
         left.join(right, ["pos", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))

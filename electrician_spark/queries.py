@@ -545,6 +545,104 @@ def q_px1(spark, sf_dir):
     return mm.image_pixel_stats(media).orderBy("media_id")
 
 
+@query(
+    "q_ph1_image_phash",
+    # Perceptual image hashing + banded hamming near-dup, fully
+    # value-attested via closed-form DCT sign patterns: solid images
+    # (any codec) hash to the DC-only pattern 1; clean half-plane
+    # splits hash to the analytic half-step patterns — top-light
+    # {bits 0,8,40}, left-light {0,1,5}, top-dark {0,24,56} (the 1-D
+    # DCT of a half step has signs sin(uπ/2) at odd u; all other
+    # coefficients are mathematically zero). Hamming distances follow:
+    # solid↔split 2, split↔other-split 4 — so max_hamming=3 keeps
+    # exactly same-pattern (0) and solid↔split (2) edges: every solid
+    # neighbors all 35 others, every split neighbors the 9 solids +
+    # its 8 same-pattern siblings = 17.
+    "WITH f AS (SELECT doc_id, doc_id % 4 AS fam FROM documents "
+    "WHERE doc_id BETWEEN 1 AND 36), "
+    "h AS (SELECT doc_id, CASE fam WHEN 0 THEN 1 "
+    "WHEN 1 THEN 1 + 256 + 1099511627776 "
+    "WHEN 2 THEN 1 + 2 + 32 "
+    "ELSE 1 + 16777216 + 72057594037927936 END AS phash FROM f), "
+    "p AS (SELECT a.doc_id AS ida, count(*) AS n_near FROM h a JOIN h b "
+    "ON a.doc_id <> b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3 "
+    "GROUP BY a.doc_id) "
+    "SELECT h.doc_id AS media_id, h.phash, "
+    "CAST(coalesce(p.n_near, 0) AS BIGINT) AS n_near "
+    "FROM h LEFT JOIN p ON p.ida = h.doc_id ORDER BY media_id",
+    tags=("multimodal", "dedup"),
+)
+def q_ph1(spark, sf_dir):
+    # REAL pipeline attestation: executor-side synthesized payloads
+    # (solid PNG/GIF/JPEG rotating by id — all three decoders in one
+    # row — and half-split PNGs at multiple-of-32 sizes so the box
+    # resample stays exact) → multimodal.image_phash (real decode →
+    # 32×32 box resample → orthonormal DCT-II → median-threshold
+    # bits) → dedup.hamming_pairs (banded (pos, block) join, complete
+    # by pigeonhole, never all-pairs) → per-image neighbor counts.
+    # Scale posture: synthesis/decode/hash are per-row map stages; the
+    # near-dup join is one linear shuffle on 16-bit signature blocks.
+    from electrician_spark import multimodal as mm
+    from electrician_spark.operators import dedup
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 36))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from electrician_spark import multimodal as m
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                fam = did % 4
+                w, h = 32 * (1 + did % 3), 32 * (1 + did % 2)
+                if fam == 0:
+                    v = 30 + (did * 37) % 200
+                    c = did % 3
+                    if c == 0:
+                        payloads.append(m.synth_png_gray(w, h, v))
+                    elif c == 1:
+                        payloads.append(m.synth_gif_solid(w, h, (v, v, v)))
+                    else:
+                        payloads.append(m.synth_jpeg_gray_solid(w, h, v))
+                else:
+                    a = 160 + (did * 7) % 64
+                    b = a - 100
+                    if fam == 1:
+                        payloads.append(m.synth_png_gray_split(w, h, a, b, True))
+                    elif fam == 2:
+                        payloads.append(m.synth_png_gray_split(w, h, a, b, False))
+                    else:
+                        payloads.append(m.synth_png_gray_split(w, h, b, a, True))
+                mids.append(did)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    sig = mm.image_phash(media).select("media_id", "phash")
+    pairs = dedup.hamming_pairs(sig, "media_id", "phash", max_hamming=3)
+    near = (
+        pairs.select(F.col("id_a").alias("media_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        sig.join(near, "media_id", "left")
+        .select(
+            "media_id",
+            "phash",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Joins
 # ---------------------------------------------------------------------------
@@ -984,16 +1082,11 @@ def q_u3(spark, sf_dir):
     return a.exceptAll(b).distinct().agg(F.count("*").alias("n"))
 
 
-@query(
-    "q_u4_intersect",
-    "SELECT count(*) AS n FROM (SELECT c_custkey AS k FROM customer "
-    "INTERSECT SELECT o_custkey AS k FROM orders) t",
-    tags=("setop",),
-)
-def q_u4(spark, sf_dir):
-    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    return a.intersect(b).agg(F.count("*").alias("n"))
+# (q_u4 intersect: RETIRED r7 — INTERSECT plans as a left-semi over
+# distinct, the exact shape q_j4_semi_join attests; the set-op family
+# U1–U4 stays attested via q_u2 (union distinct) + q_u3 (except).
+# Slot went to q_ph1 perceptual image hashing, a new operator with a
+# closed-form value oracle.)
 
 
 # ---------------------------------------------------------------------------
@@ -3643,9 +3736,11 @@ def q_gq1(spark, sf_dir):
 # resize_plan over above-max-side fixtures (q_rz1 — closed-form
 # target dims + byte-exact uniformity), video_frame_stats over
 # crafted AVI/MJPEG solid-gray fixtures (q_vf1 — DC-only JPEG frames
-# decode bit-exactly), and DSIR importance resampling (q_ir1 — full
+# decode bit-exactly), DSIR importance resampling (q_ir1 — full
 # DuckDB value replay of the hashed-ngram models, log-weights, and
-# Gumbel top-k). Retired in exchange: q_q2/q_hg1/q_sm4/q_m1/q_r4
+# Gumbel top-k), and perceptual image hashing + hamming near-dup
+# (q_ph1 — closed-form DCT sign patterns of solid/half-plane
+# fixtures). Retired in exchange: q_q2/q_hg1/q_sm4/q_m1/q_r4/q_u4
 # (rationale at each site).
 # Round-8 rotation recipe: window = the 50 queries attested in r6
 # (the complement of this window — the invariant test enforces it).
@@ -3670,6 +3765,7 @@ _DRIVER_PRIORITY = [
     "q_px1_image_pixel_stats",
     "q_rz1_resize_media",
     "q_ir1_dsir_select",
+    "q_ph1_image_phash",
     # latest driver row is r5 (one-round rule: due now)
     "q_a3_error_ratio",
     "q_a7_rollup_subtotals",
@@ -3701,7 +3797,6 @@ _DRIVER_PRIORITY = [
     "q_t11_key_template",
     "q_u2_union_distinct",
     "q_u3_except",
-    "q_u4_intersect",
     "q_w2_sliding_30m_15m",
     "q_w5_blackout_filter",
     "q_w7_ttl_expiry",
