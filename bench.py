@@ -52,6 +52,9 @@ EXTRA_QUERIES = [
     "q_px1_image_pixel_stats",
     "q_rz1_resize_media",
     "q_vf1_video_frames",
+    # late-r7 promotions (DSIR selection + perceptual image hashing)
+    "q_ir1_dsir_select",
+    "q_ph1_image_phash",
 ]
 
 

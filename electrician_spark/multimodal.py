@@ -1189,6 +1189,14 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
     samples (8-bit unsigned rebased to signed, 16/32-bit little-endian
     signed). Raises ValueError on non-WAV / compressed / 24-bit
     payloads — callers channel that into their ``ok`` column."""
+    rate, nch, _width, samples = decode_wav_pcm_meta(payload)
+    return rate, nch, samples
+
+
+def decode_wav_pcm_meta(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """:func:`decode_wav_pcm` plus the sample width in bytes —
+    needed by quality metrics that compare against full scale
+    (2^(8·width−1) − 1)."""
     import io
     import struct
     import wave
@@ -1209,7 +1217,7 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
         samples = list(struct.unpack(f"<{len(frames) // 4}i", frames))
     else:
         raise ValueError(f"unsupported sample width {width}")
-    return rate, nch, samples
+    return rate, nch, width, samples
 
 
 def parse_mp4_meta(payload: bytes) -> tuple[float, int, int]:
@@ -1476,6 +1484,101 @@ def audio_feature_stats(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("media_id", "payload").mapInPandas(gen, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_QUALITY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("clip_ratio", StringType()),  # 6dp strings:
+        StructField("silence_ratio", StringType()),  # cross-engine stable
+        StructField("rms_dbfs", StringType()),
+        StructField("peak_dbfs", StringType()),
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def audio_quality_stats(
+    df: DataFrame,
+    frame: int = 1024,
+    clip_frac: float = 1.0,
+    silence_frac: float = 1e-3,
+) -> DataFrame:
+    """Audio-corpus quality battery over RIFF/WAV payloads — the
+    filters an audio training pipeline runs before transcription /
+    feature extraction (clipped takes, dead air, too-quiet recordings):
+
+    - ``clip_ratio``: fraction of samples at/above ``clip_frac`` of
+      full scale (full scale = 2^(8·width−1) − 1; integer compare,
+      exactly replayable).
+    - ``silence_ratio``: fraction of ``frame``-sample windows (last
+      partial window included) whose mean square is below
+      (``silence_frac``·full)² — integer sums, one float compare.
+    - ``rms_dbfs`` / ``peak_dbfs``: level relative to full scale in
+      dB (6dp strings; all-zero clips report None — −inf has no
+      portable literal).
+
+    mapInPandas, Arrow-batched; numpy vectorized per clip. Non-WAV
+    payloads land in ``ok`` — the DLQ column pattern."""
+    import math
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "media_id", "n_samples", "clip_ratio", "silence_ratio",
+                "rms_dbfs", "peak_dbfs", "ok")}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                cols["media_id"].append(mid)
+                try:
+                    _rate, _nch, width, samples = decode_wav_pcm_meta(
+                        bytes(payload) if payload is not None else None
+                    )
+                    full = (1 << (8 * width - 1)) - 1
+                    s = np.asarray(samples, dtype=np.int64)
+                    n = len(s)
+                    if n == 0:
+                        raise ValueError("empty WAV payload")
+                    a = np.abs(s)
+                    clip_thr = int(math.floor(clip_frac * full))
+                    clip = float(np.count_nonzero(a >= clip_thr)) / n
+                    sq = s * s
+                    n_frames = (n + frame - 1) // frame
+                    padded = np.zeros(n_frames * frame, dtype=np.int64)
+                    padded[:n] = sq
+                    fsum = padded.reshape(n_frames, frame).sum(axis=1)
+                    flen = np.full(n_frames, frame, dtype=np.int64)
+                    flen[-1] = n - frame * (n_frames - 1)
+                    sil_thr = (silence_frac * full) ** 2
+                    silent = float(
+                        np.count_nonzero(fsum / flen < sil_thr)
+                    ) / n_frames
+                    rms = math.sqrt(float(sq.sum()) / n)
+                    peak = int(a.max())
+                    cols["n_samples"].append(n)
+                    cols["clip_ratio"].append(f"{clip:.6f}")
+                    cols["silence_ratio"].append(f"{silent:.6f}")
+                    cols["rms_dbfs"].append(
+                        f"{20 * math.log10(rms / full):.6f}" if rms > 0 else None
+                    )
+                    cols["peak_dbfs"].append(
+                        f"{20 * math.log10(peak / full):.6f}" if peak > 0 else None
+                    )
+                    cols["ok"].append("ok")
+                except Exception as ex:  # noqa: BLE001 — per-row error channel
+                    for k in ("n_samples", "clip_ratio", "silence_ratio",
+                              "rms_dbfs", "peak_dbfs"):
+                        cols[k].append(None)
+                    cols["ok"].append(f"err:{type(ex).__name__}")
+            out = pd.DataFrame({"media_id": cols["media_id"]})
+            out["n_samples"] = pd.array(cols["n_samples"], dtype="Int64")
+            for k in ("clip_ratio", "silence_ratio", "rms_dbfs", "peak_dbfs", "ok"):
+                out[k] = cols[k]
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(gen, AUDIO_QUALITY_SCHEMA)
 
 
 def _decode_stub(payload: bytes, mime: str) -> tuple[int, int]:

@@ -1245,3 +1245,37 @@ def test_synth_jpeg_avi_builders_decode_exactly():
     assert parse_avi_meta(avi)["n_frames"] == 5
     got = list(avi_video_frames(avi))
     assert [bytes(fb) for _, fb in got] == frames
+
+
+def test_audio_quality_stats_closed_form(spark):
+    # 2048 silent + 2048 full-scale samples, frame=1024: exactly half
+    # the windows are silent, half the samples clipped; the loud half
+    # is a constant full-scale level → peak 0 dBFS, overall RMS
+    # 20·log10(1/sqrt(2)) = −3.010300 dBFS.
+    mixed = [0] * 2048 + [32767] * 2048
+    blob_mixed, _ = _wav(samples=mixed)
+    blob_silent, _ = _wav(samples=[0] * 4096)
+    blob8, _ = _wav(width=1, samples=[127] * 256)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(blob_mixed)),
+            (2, bytearray(blob_silent)),
+            (3, bytearray(blob8)),
+            (4, bytearray(b"JUNK")),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {
+        r.media_id: r
+        for r in mm.audio_quality_stats(media, frame=1024).collect()
+    }
+    m = out[1]
+    assert m.n_samples == 4096 and m.ok == "ok"
+    assert m.clip_ratio == "0.500000" and m.silence_ratio == "0.500000"
+    assert m.peak_dbfs == "0.000000" and m.rms_dbfs == "-3.010300"
+    s = out[2]
+    assert s.silence_ratio == "1.000000" and s.clip_ratio == "0.000000"
+    assert s.rms_dbfs is None and s.peak_dbfs is None
+    b8 = out[3]  # 8-bit full scale is 127 — clip detection respects width
+    assert b8.clip_ratio == "1.000000" and b8.peak_dbfs == "0.000000"
+    assert out[4].ok.startswith("err:") and out[4].n_samples is None
