@@ -1,0 +1,212 @@
+"""Incremental corpus deduplication against a persisted index.
+
+At 100 TB you never re-hash the accumulated corpus to admit a new
+snapshot: each incoming batch is deduplicated against a bounded INDEX
+distilled from everything admitted before — one exact fingerprint plus
+a k-component MinHash signature per admitted document — and the
+admitted batch's own index rows are appended for the next round. The
+reference engine's dedupe surface is per-stream/windowed
+(envelope dedupe keys, W8); this extends it to the corpus-snapshot
+cadence an LLM-data pipeline actually runs (CommonCrawl dump N+1
+against dumps 1..N).
+
+Decisions per batch document:
+- ``exact``  — its normalized fingerprint already exists in the index.
+- ``near``   — some band hash collides with an index document AND the
+  MinHash component-match estimate of Jaccard similarity
+  (|{i : h_i = h'_i}| / k, the standard unbiased MinHash estimator)
+  meets ``sim_threshold``.
+- admitted otherwise. Within-batch duplicates are the existing
+  operators' job (``exact_dedup`` / ``minhash_lsh_pairs``) — this
+  module is the batch-vs-history stage.
+
+Scale posture (the whole point):
+- The index is NEVER shuffled. Both probes are linear index scans
+  against BROADCAST batch-derived tables (the batch is the small side
+  by contract: a daily snapshot vs years of corpus), and everything
+  joined back to the batch is candidate-sized. Zero sort-merge joins.
+- Index rows are fixed-width (md5 hex fingerprints + k md5 hex
+  minhashes ≈ 0.6 KB at k=16) — ~0.6 TB of index per billion admitted
+  docs, a parquet table partitioned however the store likes.
+- Everything is md5-derived — no RNG state; signatures computed by
+  different clusters/engines/runs are identical, so an index built
+  last year verifies against a batch hashed today (DuckDB replays the
+  whole decision byte-for-byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from electrician_spark.functions import text as tx
+from electrician_spark.operators.dedup import _minhash_aggs, _shingle_table
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    small: bool = False,
+) -> DataFrame:
+    """Distill a batch into its index rows: (id, fp, h0..h{k-1}).
+
+    ``fp`` is the normalized exact fingerprint
+    (:func:`electrician_spark.functions.text.fingerprint`); ``h_i``
+    are the md5-seeded min-hashes (same construction as
+    ``minhash_signatures`` — an index built by either API verifies
+    against the other). Documents too short to shingle keep NULL
+    min-hash columns (exact dedup still covers them). One corpus scan:
+    the fingerprint projection joins the signature aggregate on id."""
+    fps = df.select(
+        F.col(id_col).alias("_id"), tx.fingerprint(F.col(text_col)).alias("fp")
+    )
+    sigs = (
+        _shingle_table(df, id_col, text_col, n, None)
+        .groupBy("_id")
+        .agg(*_minhash_aggs(num_hashes))
+    )
+    if small:  # batch-sized input (the incremental_dedup contract):
+        # broadcast the signature side so even the index BUILD is
+        # exchange-free. Full-snapshot builds leave it False and let
+        # the fingerprint⨝signature join shuffle on id — building an
+        # index from a whole corpus legitimately shuffles that corpus.
+        sigs = F.broadcast(sigs)
+    return (
+        fps.join(sigs, "_id", "left")
+        .select(F.col("_id").alias(id_col), "fp", *[f"h{i}" for i in range(num_hashes)])
+    )
+
+
+def _band_buckets(
+    index_like: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bh) band hashes from signature columns — md5 over the
+    '|'-joined row minhashes, the exact ``minhash_lsh_pairs`` / oracle
+    construction. NULL-signature rows (shingle-less docs) drop out."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    return (
+        index_like.filter(F.col("h0").isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("b"))
+        .select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    )
+
+
+def incremental_dedup(
+    batch_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    sim_threshold: float = 0.5,
+) -> DataFrame:
+    """Mark each batch document against the accumulated index.
+
+    Returns the batch's index rows (so admitted rows can be appended
+    to the index directly) plus the decision columns:
+    ``dup_kind`` (NULL = admit, 'exact', 'near'), ``matched_id`` (the
+    minimum matching index id — deterministic), and ``est_jaccard``
+    (6dp string, NULL unless near). Exact beats near when both match.
+
+    Plan: batch → index rows (one batch scan); exact probe = index
+    semi-joined against the BROADCAST batch fingerprint set, matches
+    re-broadcast onto the batch; near probe = index band hashes
+    semi-joined against the broadcast batch band hashes, surviving
+    candidate signatures joined back (still candidate-sized) and
+    scored with the component-match estimator. The index is scanned a
+    bounded number of times (exact probe, band probe, candidate
+    signature fetch) and shuffled never."""
+    bidx = build_dedup_index(batch_df, id_col, text_col, n, num_hashes, small=True)
+    try:
+        bidx = bidx.localCheckpoint()  # consumed by 3 probes below
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
+    hcols = [f"h{i}" for i in range(num_hashes)]
+
+    # --- exact probe: index ⋉ broadcast(batch fps), matches broadcast back
+    batch_fps = bidx.select("fp").distinct()
+    matched_fp = (
+        index_df.join(F.broadcast(batch_fps), "fp", "left_semi")
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("_x_id"))
+    )
+
+    # --- near probe: index band hashes ⨝ BROADCAST batch band hashes —
+    # the index side streams through the join, never shuffles; only the
+    # candidate-sized survivor set is distinct'd / joined further.
+    batch_bands = _band_buckets(bidx, id_col, num_hashes, bands)
+    idx_bands = _band_buckets(index_df, id_col, num_hashes, bands)
+    cand_pairs = (
+        idx_bands.join(
+            F.broadcast(
+                batch_bands.select(F.col("_id").alias("_b_id"), "band", "bh")
+            ),
+            ["band", "bh"],
+        )
+        .select("_b_id", F.col("_id").alias("_i_id"))
+        .distinct()
+    )
+    try:
+        cand_pairs = cand_pairs.localCheckpoint()  # feeds sig fetch + scoring
+    except Exception:  # noqa: BLE001
+        pass
+    # candidate index signatures: one more index scan, broadcast-semi
+    # against the (small) candidate id set — still no index shuffle
+    cand_ids = cand_pairs.select(F.col("_i_id").alias(id_col)).distinct()
+    cand_sigs = index_df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+        F.col(id_col).alias("_i_id"), *[F.col(h).alias(f"_i{h}") for h in hcols]
+    )
+    pairs = cand_pairs.join(F.broadcast(cand_sigs), "_i_id").join(
+        F.broadcast(bidx.select(F.col(id_col).alias("_b_id"), *hcols)), "_b_id"
+    )
+    match_frac = sum(
+        F.when(F.col(h) == F.col(f"_i{h}"), 1).otherwise(0) for h in hcols
+    ) / F.lit(float(num_hashes))
+    near = (
+        pairs.withColumn("_est", match_frac)
+        .filter(F.col("_est") >= F.lit(sim_threshold))
+        .groupBy("_b_id")
+        .agg(
+            F.min_by(F.struct("_i_id", "_est"), F.struct("_i_id")).alias("_m"),
+        )
+        .select(
+            "_b_id",
+            F.col("_m._i_id").alias("_n_id"),
+            F.round(F.col("_m._est"), 6).cast("string").alias("_n_est"),
+        )
+    )
+
+    out = (
+        bidx.join(F.broadcast(matched_fp), "fp", "left")
+        .join(F.broadcast(near), F.col(id_col) == F.col("_b_id"), "left")
+        .select(
+            id_col,
+            "fp",
+            *hcols,
+            F.when(F.col("_x_id").isNotNull(), F.lit("exact"))
+            .when(F.col("_n_id").isNotNull(), F.lit("near"))
+            .alias("dup_kind"),
+            F.when(F.col("_x_id").isNotNull(), F.col("_x_id"))
+            .otherwise(F.col("_n_id"))
+            .alias("matched_id"),
+            F.when(F.col("_x_id").isNull(), F.col("_n_est")).alias("est_jaccard"),
+        )
+    )
+    return out
+
+
+def admit_batch(dedup_result: DataFrame, index_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Next round's index: the old index plus the admitted rows'
+    index columns (a pure unionByName — append-only storage)."""
+    admitted = dedup_result.filter(F.col("dup_kind").isNull()).select(*index_df.columns)
+    return index_df.unionByName(admitted)

@@ -3746,7 +3746,11 @@ def q_gq1(spark, sf_dir):
 # (the complement of this window — the invariant test enforces it).
 # Remaining oracle-candidates for NEW r8 rows (each requires retiring
 # a sibling): BPE encode counts (test-pinned vs Sennrich reference in
-# test_tokenizer), fastText scoring with a frozen coefficient table.
+# test_tokenizer), fastText scoring with a frozen coefficient table,
+# incremental dedup vs persisted index (operators/incremental.py —
+# md5-deterministic end to end, trivially DuckDB-replayable), and the
+# audio quality battery (multimodal.audio_quality_stats — closed-form
+# over crafted WAV fixtures, the q_px1 pattern).
 _DRIVER_PRIORITY = [
     # new this round (never driver-checked) — the seven r6 operators
     # promoted to oracle rows

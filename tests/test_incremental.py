@@ -1,0 +1,123 @@
+"""Incremental dedup against a persisted index (operators/incremental.py):
+decision semantics, determinism, index round-trip, and the
+no-index-shuffle plan posture."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from electrician_spark.operators import incremental
+
+K, BANDS, N = 16, 4, 3
+
+INDEX_DOCS = {
+    1: "the quick brown fox jumps over the lazy dog near the river bank",
+    2: "stock market prices fell sharply in early trading on tuesday",
+    3: "a recipe for sourdough bread with a long cold fermentation step",
+}
+BATCH_DOCS = {
+    10: "the quick brown fox jumps over the lazy dog near the river bank",  # exact dup of 1
+    11: "  THE quick   brown fox jumps over the lazy dog near the river bank ",  # fp-normalized dup of 1
+    12: "stock market prices fell sharply in early trading on wednesday",  # near dup of 2
+    13: "completely unrelated text about astronomy and telescope mirrors",  # fresh
+    14: "hi",  # shingle-less: exact machinery only
+}
+
+
+def _fp(text: str) -> str:
+    return hashlib.md5(" ".join(text.strip().lower().split()).encode()).hexdigest()
+
+
+def _sig(text: str) -> list[str] | None:
+    toks = text.strip().split()
+    sh = {" ".join(toks[i : i + N]) for i in range(len(toks) - N + 1)}
+    if not sh:
+        return None
+    return [min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh) for i in range(K)]
+
+
+def _bands(sig: list[str]) -> set[tuple[int, str]]:
+    r = K // BANDS
+    return {
+        (b, hashlib.md5("|".join(sig[b * r : (b + 1) * r]).encode()).hexdigest())
+        for b in range(BANDS)
+    }
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+
+
+def test_build_index_matches_python_replay(spark):
+    rows = {
+        r.doc_id: r
+        for r in incremental.build_dedup_index(_df(spark, INDEX_DOCS)).collect()
+    }
+    for did, text in INDEX_DOCS.items():
+        assert rows[did].fp == _fp(text)
+        sig = _sig(text)
+        got = [rows[did][f"h{i}"] for i in range(K)]
+        assert got == sig
+
+
+def test_incremental_decisions(spark):
+    index = incremental.build_dedup_index(_df(spark, INDEX_DOCS))
+    out = {
+        r.doc_id: r
+        for r in incremental.incremental_dedup(
+            _df(spark, BATCH_DOCS), index, sim_threshold=0.5
+        ).collect()
+    }
+    assert out[10].dup_kind == "exact" and out[10].matched_id == 1
+    # fingerprint normalization (case/whitespace) still lands exact
+    assert out[11].dup_kind == "exact" and out[11].matched_id == 1
+    assert out[12].dup_kind == "near" and out[12].matched_id == 2
+    # estimator replay: matching minhash components / K
+    est = sum(a == b for a, b in zip(_sig(BATCH_DOCS[12]), _sig(INDEX_DOCS[2]))) / K
+    assert est >= 0.5
+    assert out[12].est_jaccard == f"{round(est, 6):.6g}" or float(out[12].est_jaccard) == round(est, 6)
+    assert out[13].dup_kind is None and out[13].matched_id is None
+    assert out[14].dup_kind is None  # shingle-less, not in index
+
+
+def test_exact_beats_near_and_determinism(spark):
+    # a doc that is BOTH an exact dup (of 1) — exact must win
+    batch = {20: INDEX_DOCS[1]}
+    index = incremental.build_dedup_index(_df(spark, INDEX_DOCS))
+    a = incremental.incremental_dedup(_df(spark, batch), index).collect()[0]
+    b = incremental.incremental_dedup(_df(spark, batch), index).collect()[0]
+    assert a.dup_kind == "exact" and a.est_jaccard is None
+    assert a == b
+
+
+def test_admit_and_next_round(spark):
+    index = incremental.build_dedup_index(_df(spark, INDEX_DOCS))
+    res = incremental.incremental_dedup(_df(spark, BATCH_DOCS), index)
+    nxt = incremental.admit_batch(res, index)
+    # admitted: 13 (fresh) + 14 (shingle-less) join the 3 index docs
+    assert sorted(r.doc_id for r in nxt.select("doc_id").collect()) == [1, 2, 3, 13, 14]
+    # a SECOND batch containing doc 13's text is now an exact dup
+    out = {
+        r.doc_id: r
+        for r in incremental.incremental_dedup(
+            _df(spark, {30: BATCH_DOCS[13]}), nxt
+        ).collect()
+    }
+    assert out[30].dup_kind == "exact" and out[30].matched_id == 13
+
+
+def test_plan_has_no_sort_merge_join_and_broadcasts(spark):
+    # production shape: the index is a STORED table (parquet), not a
+    # live plan — materialize it so the pin sees the probe plan only
+    index = incremental.build_dedup_index(_df(spark, INDEX_DOCS)).localCheckpoint()
+    plan = (
+        incremental.incremental_dedup(_df(spark, BATCH_DOCS), index)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan  # the index is probed, never shuffled for a join
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
