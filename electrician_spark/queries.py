@@ -3750,7 +3750,9 @@ def q_gq1(spark, sf_dir):
 # incremental dedup vs persisted index (operators/incremental.py —
 # md5-deterministic end to end, trivially DuckDB-replayable), and the
 # audio quality battery (multimodal.audio_quality_stats — closed-form
-# over crafted WAV fixtures, the q_px1 pattern).
+# over crafted WAV fixtures, the q_px1 pattern), and bloom-prefiltered
+# decontamination (operators/bloom.py — md5 bit positions replay in
+# DuckDB; oracle = the q_d8 containment SQL, attesting equality).
 _DRIVER_PRIORITY = [
     # new this round (never driver-checked) — the seven r6 operators
     # promoted to oracle rows
