@@ -42,8 +42,8 @@ def url_host(url: Column) -> Column:
     schemeless inputs are retried with an ``http://`` prefix first, so
     bare ``example.com/path`` rows still resolve."""
     host = F.coalesce(
-        F.parse_url(url, F.lit("HOST")),
-        F.parse_url(F.concat(F.lit("http://"), url), F.lit("HOST")),
+        F.try_parse_url(url, F.lit("HOST")),
+        F.try_parse_url(F.concat(F.lit("http://"), url), F.lit("HOST")),
     )
     host = F.lower(F.split(host, ":", 2)[0])
     return F.when(host == "", None).otherwise(host)
@@ -76,8 +76,8 @@ def url_features(url: Column) -> Column:
     cheap pre-filter before model-based URL scoring)."""
     host = url_host(url)
     path = F.coalesce(
-        F.parse_url(url, F.lit("PATH")),
-        F.parse_url(F.concat(F.lit("http://"), url), F.lit("PATH")),
+        F.try_parse_url(url, F.lit("PATH")),
+        F.try_parse_url(F.concat(F.lit("http://"), url), F.lit("PATH")),
         F.lit(""),
     )
     depth = F.size(F.filter(F.split(path, "/"), lambda p: p != ""))
@@ -89,8 +89,62 @@ def url_features(url: Column) -> Column:
         registered_domain(host).alias("domain"),
         path.alias("path"),
         depth.alias("path_depth"),
-        F.parse_url(url, F.lit("QUERY")).isNotNull().alias("has_query"),
+        F.try_parse_url(url, F.lit("QUERY")).isNotNull().alias("has_query"),
         F.coalesce(looks_spammy, F.lit(False)).alias("looks_spammy"),
+    )
+
+
+# Query parameters that identify a CLICK, not a RESOURCE — the
+# standard strip-list for URL canonicalization (utm_* per Google's
+# campaign spec; click ids from ad networks; generic ref markers).
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|dclid|igshid|mc_[a-z]+|"
+    r"ref|ref_src|referrer|source|cmpid|icid|s_kwcid|yclid)="
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-dedup keys — two fetches of
+    the same resource must collide, so the canonicalizer strips
+    everything that varies per click, one codegen'd Column pass:
+
+    - scheme dropped (http/https serve the same resource in practice),
+      host lowercased, leading ``www.`` and default ports stripped;
+    - fragment dropped (never sent to the server);
+    - tracking query parameters removed (``TRACKING_PARAM_RE``);
+      surviving parameters SORTED (order is transport noise), empty
+      query dropped;
+    - trailing slash normalized off non-root paths.
+
+    NULL for rows where no host parses. Pure JVM expressions
+    (parse_url + array HOFs) — a corpus-wide canonicalize is one scan,
+    and ``exact_dedup`` on the result is the standard URL-level crawl
+    dedup stage."""
+    host = url_host(url)
+    path = F.coalesce(
+        F.try_parse_url(url, F.lit("PATH")),
+        F.try_parse_url(F.concat(F.lit("http://"), url), F.lit("PATH")),
+        F.lit(""),
+    )
+    query = F.coalesce(
+        F.try_parse_url(url, F.lit("QUERY")),
+        F.try_parse_url(F.concat(F.lit("http://"), url), F.lit("QUERY")),
+    )
+    host_n = F.regexp_replace(host, r"^www\.", "")
+    path_n = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1")
+    )
+    params = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query_n = F.array_join(F.array_sort(params), "&")
+    return F.when(host_n.isNull(), None).otherwise(
+        F.concat(
+            host_n,
+            path_n,
+            F.when(query_n == "", F.lit("")).otherwise(F.concat(F.lit("?"), query_n)),
+        )
     )
 
 

@@ -98,3 +98,30 @@ def test_domain_mixture_shares(spark):
     assert rows["a.com"]["docs"] == 3 and rows["b.org"]["docs"] == 1
     assert abs(rows["a.com"]["share"] - 0.75) < 1e-12
     assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-12
+
+
+def test_canonical_url_click_invariance(spark):
+    # two fetches of the same resource — different scheme, www, case,
+    # default port, tracking params, param order, fragment, trailing
+    # slash — must produce ONE canonical key.
+    variants = [
+        "https://www.Example.com:443/a/b/?b=2&utm_source=x&a=1#frag",
+        "http://example.com/a/b?a=1&b=2",
+        "example.com:80/a/b/?utm_campaign=y&b=2&a=1&gclid=zzz",
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(variants)], "i long, url string")
+    keys = {r.k for r in df.select(u.canonical_url(F.col("url")).alias("k")).collect()}
+    assert keys == {"example.com/a/b?a=1&b=2"}
+
+
+def test_canonical_url_edges(spark):
+    cases = {
+        "https://site.org": "site.org/",          # bare host -> root path
+        "https://site.org/": "site.org/",
+        "http://a.net/p?utm_source=x": "a.net/p",  # all params tracking -> no '?'
+        "http://b.io/p?ref=hn&z=1&y=2": "b.io/p?y=2&z=1",
+        "not a url at all ://": None,              # unparseable -> NULL
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {r.url: r.k for r in df.select("url", u.canonical_url(F.col("url")).alias("k")).collect()}
+    assert got == cases
