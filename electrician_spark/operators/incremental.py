@@ -210,3 +210,64 @@ def admit_batch(dedup_result: DataFrame, index_df: DataFrame, id_col: str = "doc
     index columns (a pure unionByName — append-only storage)."""
     admitted = dedup_result.filter(F.col("dup_kind").isNull()).select(*index_df.columns)
     return index_df.unionByName(admitted)
+
+
+def incremental_dedup_sink(
+    index_path: str,
+    admitted_sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    sim_threshold: float = 0.5,
+):
+    """``foreachBatch`` stage wiring :func:`incremental_dedup` into a
+    Structured Streaming pipeline: each micro-batch is deduplicated
+    against the parquet index at ``index_path``; admitted source rows
+    flow to ``admitted_sink(df, epoch_id)`` and their index rows
+    APPEND to ``index_path`` — so later micro-batches (and later runs
+    pointed at the same path) see everything admitted before them.
+
+    The first batch bootstraps an empty index from its own schema.
+    Duplicates WITHIN one micro-batch are collapsed first
+    (``exact_dedup`` on the text fingerprint, minimum id wins) —
+    batch-vs-history probing alone cannot see them.
+
+    Delivery note: the index append and the admitted-sink write are
+    two actions; a crash between them can admit a row whose index
+    entry is missing (it would be re-admittable). Streaming runs that
+    need exactly-once admission should make ``admitted_sink``
+    idempotent per epoch (the standard foreachBatch contract) and
+    re-derive the index from the admitted table on recovery
+    (``build_dedup_index`` over the sink — one scan)."""
+    from electrician_spark.operators.dedup import exact_dedup
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = exact_dedup(batch, text_col, keep_col=id_col)
+        try:
+            index = spark.read.parquet(index_path)
+            # resolve NOW: under foreachBatch the read can defer path
+            # resolution to the first action, which would fail the
+            # whole micro-batch instead of taking the bootstrap branch
+            index.limit(0).collect()
+        except Exception:  # noqa: BLE001 — first batch: empty bootstrap
+            index = build_dedup_index(
+                batch.limit(0), id_col, text_col, n, num_hashes
+            )
+        res = incremental_dedup(
+            batch, index, id_col, text_col, n, num_hashes, bands, sim_threshold
+        )
+        try:
+            res = res.localCheckpoint()  # decide ONCE, feed two writes
+        except Exception:  # noqa: BLE001
+            pass
+        admitted = res.filter(F.col("dup_kind").isNull())
+        admitted_sink(
+            batch.join(admitted.select(id_col), id_col, "left_semi"), epoch_id
+        )
+        hcols = [f"h{i}" for i in range(num_hashes)]
+        admitted.select(id_col, "fp", *hcols).write.mode("append").parquet(index_path)
+
+    return handle

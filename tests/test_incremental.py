@@ -121,3 +121,64 @@ def test_plan_has_no_sort_merge_join_and_broadcasts(spark):
     assert "SortMergeJoin" not in plan  # the index is probed, never shuffled for a join
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_streaming_incremental_dedup_across_microbatches(spark, tmp_path):
+    """Real Structured Streaming run: two source files processed as
+    separate micro-batches (maxFilesPerTrigger=1); a text duplicated
+    across the batches — and duplicated WITHIN the second batch — must
+    be admitted exactly once overall; the parquet index accumulates
+    exactly the admitted rows."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "one two three four five six seven",
+        3: "alpha beta gamma delta epsilon zeta",   # cross-batch dup of 1
+        4: "totally new content in the second file batch",
+        5: "totally new content in the second file batch",  # within-batch dup of 4
+    }
+    with open(src / "a_first.json", "w") as f:
+        for i in (1, 2):
+            f.write(json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+    with open(src / "b_second.json", "w") as f:
+        for i in (3, 4, 5):
+            f.write(json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+    # FileStreamSource orders files by modification time — pin it so
+    # "first file" really is the first micro-batch
+    import os
+    now = os.path.getmtime(src / "b_second.json")
+    os.utime(src / "a_first.json", (now - 100, now - 100))
+
+    admitted_rows = []
+
+    def sink(df, _epoch):
+        admitted_rows.extend((r.doc_id, r.text) for r in df.collect())
+
+    index_path = str(tmp_path / "index")
+    handler = incremental.incremental_dedup_sink(index_path, sink)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+
+    got = sorted(admitted_rows)
+    # 1 and 2 admitted from batch one; 3 is a cross-batch dup; 4 wins
+    # its within-batch tie with 5 (minimum id)
+    assert got == [(1, texts[1]), (2, texts[2]), (4, texts[4])]
+    idx = spark.read.parquet(index_path)
+    assert sorted(r.doc_id for r in idx.select("doc_id").collect()) == [1, 2, 4]
+    # and a THIRD run over the same index still rejects the dup text
+    out = incremental.incremental_dedup(
+        spark.createDataFrame([(9, texts[1])], "doc_id long, text string"), idx
+    ).collect()[0]
+    assert out.dup_kind == "exact" and out.matched_id == 1
