@@ -171,3 +171,43 @@ def test_gif_lzw_roundtrip_random_streams(indices):
     data = _lzw_encode(2, bytes(indices))
     out = mm._lzw_decode(2, data, len(indices))
     assert bytes(out) == bytes(indices)
+
+
+# --- perceptual hash (multimodal.phash_of_pixels) ---------------------------
+
+
+def _rand_img(seed: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    h, w, ch = int(rng.integers(8, 70)), int(rng.integers(8, 70)), int(rng.integers(1, 4))
+    if ch == 2:
+        ch = 3
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_phash_deterministic_and_in_range(seed):
+    from electrician_spark import multimodal as mm
+
+    arr = _rand_img(seed)
+    a, b = mm.phash_of_pixels(arr), mm.phash_of_pixels(arr.copy())
+    assert a == b  # bit-stable on identical pixels
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_phash_gray_rgb_equivalence(seed):
+    # an RGB image with r=g=b has EXACTLY the single-channel hash:
+    # luma = (299g+587g+114g)/1000 = g with no float error (1000·g is
+    # exact in f64 and divides back exactly), so the whole DCT
+    # pipeline sees identical input.
+    import numpy as np
+
+    from electrician_spark import multimodal as mm
+
+    gray = _rand_img(seed)[:, :, :1]
+    rgb = np.repeat(gray, 3, axis=2)
+    assert mm.phash_of_pixels(gray) == mm.phash_of_pixels(rgb)
