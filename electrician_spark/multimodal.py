@@ -1581,6 +1581,100 @@ def audio_quality_stats(
     return df.select("media_id", "payload").mapInPandas(gen, AUDIO_QUALITY_SCHEMA)
 
 
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("afp", LongType()),
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def afp_of_samples(samples, nch: int, n_bands: int = 64) -> int:
+    """64-bit spectral fingerprint of a decoded PCM clip — the audio
+    analog of :func:`phash_of_pixels`, built the same way a band-energy
+    audio hash (Haitsma & Kalker 2002 family) summarizes a clip:
+    channel-mean mono mix → DC removal → full-clip power spectrum
+    (rFFT, |X|²) → ``n_bands`` linear bands over (0, Nyquist] → bit b
+    set iff the band's energy *fraction* exceeds the median fraction.
+
+    Invariances (each pinned in tests): amplitude scaling and phase
+    shift (power-spectrum fractions), DC offset (mean removal),
+    channel duplication (mono mix). NOT rate-invariant — bands are
+    over normalized frequency, so the same tone at a different sample
+    rate lands in a different band; match re-encoded copies at a
+    common rate (the pipeline resamples first, as image near-dup
+    resizes first). Two stabilizing choices mirror pHash exactly:
+    fractions are rounded to 6 dp before the median/compare (FFT
+    float64 noise and PCM quantization leakage are ≤1e-9 of total for
+    any real clip, collapsing to exactly 0.0 — so pure tones have
+    closed-form single-bit hashes), and the returned value carries
+    bit 63 as the two's-complement sign term (the repo-wide signed
+    BIGINT signature convention; see simhash / pHash). A silent clip
+    fingerprints to 0."""
+    import numpy as np
+
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    s = np.asarray(samples, dtype=np.float64)
+    if nch > 1:
+        n = len(s) // nch * nch
+        s = s[:n].reshape(-1, nch).mean(axis=1)
+    if len(s) < 2:
+        raise ValueError("clip too short to fingerprint")
+    spec = np.abs(np.fft.rfft(s - s.mean())) ** 2
+    spec = spec[1:]  # drop the (zeroed) DC bin: bands cover (0, Nyquist]
+    total = float(spec.sum())
+    if total <= 0.0:
+        return 0
+    idx = np.arange(len(spec)) * n_bands // len(spec)
+    bands = np.zeros(n_bands, dtype=np.float64)
+    np.add.at(bands, idx, spec)
+    frac = np.round(bands / total, 6)
+    med = float(np.median(frac))
+    val = 0
+    for b in range(n_bands):
+        if frac[b] > med:
+            val |= 1 << b
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def audio_fingerprint(df: DataFrame, n_bands: int = 64) -> DataFrame:
+    """Per-clip 64-bit spectral fingerprint over RIFF/WAV payloads
+    (mapInPandas, Arrow-batched): REAL PCM decode
+    (:func:`decode_wav_pcm_meta`) → :func:`afp_of_samples`. Non-WAV /
+    malformed payloads land in the ``ok`` error channel. Feed the
+    output through ``dedup.hamming_pairs(sig, "media_id", "afp")`` for
+    banded near-duplicate clip detection — completing the cross-modal
+    near-dup set (SimHash/MinHash text, pHash images, this for audio),
+    with the same linear-shuffle pigeonhole join underneath all three."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, fps, oks = [], [], []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                ids.append(mid)
+                try:
+                    _rate, nch, _width, samples = decode_wav_pcm_meta(
+                        bytes(payload) if payload is not None else None
+                    )
+                    fps.append(afp_of_samples(samples, nch, n_bands))
+                    oks.append("ok")
+                except Exception as ex:  # noqa: BLE001 — per-row error channel
+                    fps.append(None)
+                    oks.append(f"err:{type(ex).__name__}")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "afp": pd.array(fps, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, AUDIO_FP_SCHEMA)
+
+
 def _decode_stub(payload: bytes, mime: str) -> tuple[int, int]:
     """Dimension decode: REAL header parse first (PNG/JPEG/GIF via
     :func:`parse_image_dims`); payloads that aren't recognized image
