@@ -376,6 +376,41 @@ def write_csv(
     w.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """ORC reader — the second columnar format next to parquet (the
+    reference is parquet-only, pkg/internal/codec/parquet.go; lake
+    migrations routinely carry ORC from Hive-era tables). Spark's
+    native vectorized ORC reader gives the same predicate-pushdown /
+    column-pruning / partition-pruning behavior as the parquet path —
+    plan-pinned in test_io. ``mergeSchema`` is opt-in (schema
+    reconciliation lists every file's footer — expensive at 100 TB)."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", True)
+    return r.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """ORC writer with the parquet sink's posture: task-parallel (no
+    driver funnel), record-count file rolling, zstd default, optional
+    hive-style partition columns for downstream pruning."""
+    w = (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def with_time_partitions(df: DataFrame, ts_col: str, template: str) -> tuple[DataFrame, list[str]]:
     """Materialize the reference's ``{yyyy}/{MM}/{dd}/{HH}/{mm}`` key template
     as partition columns (types/s3_adapter.go:27-29). Returns (df, partition_cols)

@@ -395,3 +395,35 @@ def test_write_training_shards_reproducible_and_verified(spark, tmp_path):
         os.remove(crc)
     v2 = {r.shard: r.ok for r in verify_training_shards(spark, out_a).collect()}
     assert sum(1 for ok in v2.values() if not ok) == 1
+
+
+def test_orc_roundtrip_pushdown_and_partitioning(spark, tmp_path):
+    """ORC source/sink: value-exact roundtrip vs the parquet source of
+    truth; filters and projection reach the ORC scan (the parquet-scan
+    posture, same vectorized reader family); hive partition columns
+    prune at read time."""
+    orders = eio.read_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_orc")
+    eio.write_orc(orders, path, compression="zstd")
+    assert glob.glob(os.path.join(path, "*.orc"))
+    back = eio.read_orc(spark, path)
+    a = {r.o_orderkey: r.o_totalprice for r in back.collect()}
+    b = {r.o_orderkey: r.o_totalprice for r in orders.collect()}
+    assert a == b
+
+    q = back.filter(F.col("o_orderkey") > 100).select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(o_orderkey,100)" in plan  # pushed to ORC scan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+    part = str(tmp_path / "orders_orc_part")
+    eio.write_orc(
+        orders.withColumn("bucket", (F.col("o_orderkey") % 4).cast("int")),
+        part,
+        partition_by=["bucket"],
+    )
+    assert os.path.isdir(os.path.join(part, "bucket=0"))
+    pruned = eio.read_orc(spark, part).filter(F.col("bucket") == 2)
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and "bucket" in pplan  # dir-level prune
+    assert pruned.count() == orders.filter(F.col("o_orderkey") % 4 == 2).count()
