@@ -3753,6 +3753,14 @@ def q_gq1(spark, sf_dir):
 # over crafted WAV fixtures, the q_px1 pattern), and bloom-prefiltered
 # decontamination (operators/bloom.py — md5 bit positions replay in
 # DuckDB; oracle = the q_d8 containment SQL, attesting equality).
+# Late-r7 additions to the same queue: audio spectral fingerprint +
+# hamming near-dup (multimodal.audio_fingerprint — closed-form
+# single-bit hashes of exact-bin sine WAV fixtures, the q_ph1
+# pattern), HTML main-content extraction (functions/html.py — every
+# regex RE2-portable by pinned invariant, so the whole block pipeline
+# replays in DuckDB list_* functions, the q_c4_1 pattern), and the ORC
+# sink/source roundtrip (io.read_orc/write_orc — the q_k1 shape with
+# the scan swapped).
 _DRIVER_PRIORITY = [
     # new this round (never driver-checked) — the seven r6 operators
     # promoted to oracle rows
