@@ -3760,7 +3760,12 @@ def q_gq1(spark, sf_dir):
 # regex RE2-portable by pinned invariant, so the whole block pipeline
 # replays in DuckDB list_* functions, the q_c4_1 pattern), and the ORC
 # sink/source roundtrip (io.read_orc/write_orc — the q_k1 shape with
-# the scan swapped).
+# the scan swapped); T5 span corruption (objectives.span_corrupt — the
+# md5 arithmetic is the proven conv/substr DuckDB identity, so input/
+# target strings replay exactly), ChatML SFT rendering
+# (objectives.render_chat — list_reduce fold replay, already pinned in
+# test_objectives), and the WARC record census (warc_datasource —
+# no SQL form for the scan itself; rows-only check or fixture replay).
 _DRIVER_PRIORITY = [
     # new this round (never driver-checked) — the seven r6 operators
     # promoted to oracle rows
