@@ -526,3 +526,166 @@ def unigram_encode(
         return texts.map(enc)
 
     return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) — the third
+# tokenizer family next to BPE (merge-by-frequency) and Unigram
+# (prune-by-likelihood). Training is merge-based like BPE but scores a
+# candidate pair by count(ab) / (count(a)·count(b)) — merging the pair
+# whose joint occurrence is most surprising under independence — and
+# the learned artifact is a VOCABULARY (not an ordered merge list):
+# encoding is greedy longest-match, so only membership matters.
+# Continuation pieces carry the "##" prefix.
+# ---------------------------------------------------------------------------
+
+WORDPIECE_UNK = "[UNK]"
+
+
+def _wp_symbols(word: str) -> tuple[str, ...]:
+    return tuple([word[0]] + ["##" + c for c in word[1:]])
+
+
+def _wp_join(a: str, b: str) -> str:
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def _wp_merge(
+    sym: tuple[str, ...], pair: tuple[str, str], merged: str
+) -> tuple[str, ...]:
+    """Replace adjacent ``pair`` occurrences with ``merged`` — the
+    WordPiece analog of :func:`_merge_pair` (which must NOT be used
+    here: the continuation marker of the second element is folded into
+    ``merged`` by :func:`_wp_join`, not concatenated verbatim)."""
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_wordpiece_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    top_n_words: int = 200_000,
+    min_count: int = 2,
+) -> list[str]:
+    """Learn a WordPiece vocabulary from a corpus.
+
+    Distributed: ONE corpus scan builds the (word, count) table
+    (whitespace pre-tokenization — BERT's convention after its
+    punctuation splitter; feed pre-split text for full parity), top
+    ``top_n_words`` collected — the same bounded-driver contract as
+    :func:`train_bpe_merges`. Local: the likelihood-scored merge loop.
+    Each round merges the pair maximizing count(ab)/(count(a)·count(b))
+    over current symbol counts (ties break on the pair itself, so
+    training is deterministic), until the vocabulary — alphabet pieces
+    plus every merged piece — reaches ``vocab_size`` or no pair
+    repeats. Returns [UNK] + pieces, sorted (membership is all that
+    matters for greedy longest-match encoding)."""
+    freq_rows = token_frequency_table(
+        df, text_col=text_col, tokenizer="whitespace",
+        min_count=min_count, top_n=top_n_words,
+    ).collect()
+    words: dict[tuple[str, ...], int] = {}
+    for row in freq_rows:
+        w = row["token"]
+        if not w:
+            continue
+        sym = _wp_symbols(w)
+        words[sym] = words.get(sym, 0) + int(row["count"])
+
+    vocab: set[str] = set()
+    for sym in words:
+        vocab.update(sym)
+    while len(vocab) + 1 < vocab_size:
+        sym_counts: dict[str, int] = {}
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, c in words.items():
+            for s in sym:
+                sym_counts[s] = sym_counts.get(s, 0) + c
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        best, best_score = None, None
+        for pair, c in pair_counts.items():
+            if c < 2:
+                continue
+            score = c / (sym_counts[pair[0]] * sym_counts[pair[1]])
+            key = (score, pair)
+            if best is None or key > (best_score, best):
+                best, best_score = pair, score
+        if best is None:
+            break
+        merged = _wp_join(*best)
+        vocab.add(merged)
+        new_words: dict[tuple[str, ...], int] = {}
+        for sym, c in words.items():
+            m = _wp_merge(sym, best, merged)
+            new_words[m] = new_words.get(m, 0) + c
+        words = new_words
+    return [WORDPIECE_UNK] + sorted(vocab)
+
+
+def wordpiece_word(word: str, vocab: set[str]) -> list[str]:
+    """Greedy longest-match-first segmentation of one word; a word with
+    any unsegmentable remainder encodes as a single [UNK] (BERT's
+    whole-word-UNK rule)."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        end = n
+        piece = None
+        while end > i:
+            cand = word[i:end]
+            if i > 0:
+                cand = "##" + cand
+            if cand in vocab:
+                piece = cand
+                break
+            end -= 1
+        if piece is None:
+            return [WORDPIECE_UNK]
+        out.append(piece)
+        i = end
+    return out
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Append ``out_col``: greedy longest-match WordPiece segmentation
+    of each document under a :func:`train_wordpiece_vocab` vocabulary.
+    Arrow-batched pandas UDF, vocab in the closure, per-batch word
+    cache — the same shape/contract as :func:`bpe_encode` /
+    :func:`unigram_encode`. Stripping '##' and concatenating a word's
+    pieces reproduces the word exactly (unless it was [UNK])."""
+    vset = set(vocab)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _enc(texts):
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            if text is None:
+                return None
+            out: list[str] = []
+            for w in text.split():
+                hit = cache.get(w)
+                if hit is None:
+                    hit = wordpiece_word(w, vset)
+                    cache[w] = hit
+                out.extend(hit)
+            return out
+
+        return texts.map(enc)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))

@@ -300,3 +300,86 @@ def test_unigram_trainer_respects_vocab_size(spark):
         c for p in pieces if len(p) > 1 for c in p
     }
     assert all(len(p) == 1 for p in pieces if len(p) == 1)
+
+
+# --- WordPiece (Schuster & Nakajima 2012) ------------------------------------
+
+
+def _wp_reference_train(word_counts: dict[str, int], vocab_size: int) -> list[str]:
+    """Independent recount-style coding of the WordPiece spec: merge
+    the pair maximizing count(ab)/(count(a)·count(b)), ties to the
+    lexicographically larger pair."""
+    words = {
+        tuple([w[0]] + ["##" + c for c in w[1:]]): c for w, c in word_counts.items()
+    }
+    vocab = {s for sym in words for s in sym}
+    while len(vocab) + 1 < vocab_size:
+        sc: Counter = Counter()
+        pc: Counter = Counter()
+        for sym, c in words.items():
+            for s in sym:
+                sc[s] += c
+            for p in zip(sym, sym[1:]):
+                pc[p] += c
+        cands = [(c / (sc[a] * sc[b]), (a, b)) for (a, b), c in pc.items() if c >= 2]
+        if not cands:
+            break
+        _, (a, b) = max(cands)
+        merged = a + (b[2:] if b.startswith("##") else b)
+        vocab.add(merged)
+        new = {}
+        for sym, c in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        words = new
+    return ["[UNK]"] + sorted(vocab)
+
+
+def test_wordpiece_trainer_matches_reference(spark):
+    word_counts = {"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5}
+    texts = [" ".join([w] * c) for w, c in word_counts.items()]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe.train_wordpiece_vocab(df, vocab_size=18, min_count=1)
+    want = _wp_reference_train(word_counts, 18)
+    assert got == want
+    assert got[0] == "[UNK]" and "##g" in got
+    again = bpe.train_wordpiece_vocab(df, vocab_size=18, min_count=1)
+    assert got == again  # deterministic
+
+
+def test_wordpiece_greedy_longest_match():
+    vocab = {"un", "##aff", "##able", "##a", "a", "b", "##b", "##le"}
+    assert bpe.wordpiece_word("unaffable", vocab) == ["un", "##aff", "##able"]
+    # greedy prefers the longest prefix at each step
+    assert bpe.wordpiece_word("able", vocab) == ["a", "##b", "##le"]
+    # unsegmentable remainder -> whole-word UNK (BERT rule)
+    assert bpe.wordpiece_word("zzz", vocab) == ["[UNK]"]
+    assert bpe.wordpiece_word("ax", vocab) == ["[UNK]"]
+
+
+def test_wordpiece_encode_roundtrip_on_corpus(spark):
+    from electrician_spark.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(60)
+    vocab = bpe.train_wordpiece_vocab(docs, vocab_size=400, min_count=1)
+    assert len(vocab) <= 400
+    enc = bpe.wordpiece_encode(docs.limit(5), vocab)
+    for r in enc.collect():
+        words = r.text.split()
+        # re-segment per word: pieces concat (## stripped) == word
+        i = 0
+        for w in words:
+            ps = bpe.wordpiece_word(w, set(vocab))
+            assert r.pieces[i : i + len(ps)] == ps
+            if ps != ["[UNK]"]:
+                assert "".join(p[2:] if p.startswith("##") else p for p in ps) == w
+            i += len(ps)
+        assert i == len(r.pieces)
