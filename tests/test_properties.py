@@ -211,3 +211,81 @@ def test_phash_gray_rgb_equivalence(seed):
     gray = _rand_img(seed)[:, :, :1]
     rgb = np.repeat(gray, 3, axis=2)
     assert mm.phash_of_pixels(gray) == mm.phash_of_pixels(rgb)
+
+
+# -- audio spectral fingerprint ----------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=2, max_size=512),
+    st.integers(min_value=2, max_value=8),
+)
+def test_afp_scale_invariance_and_range(samples, k):
+    """Scaling PCM by an integer factor never changes the fingerprint
+    (energy fractions are scale-free), and the value always fits
+    signed 64-bit."""
+    from electrician_spark.multimodal import afp_of_samples
+
+    base = afp_of_samples(samples, nch=1)
+    scaled = afp_of_samples([s * k for s in samples], nch=1)
+    assert base == scaled
+    assert -(1 << 63) <= base < (1 << 63)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-30000, max_value=30000), min_size=2, max_size=256))
+def test_afp_channel_duplication_and_dc(samples):
+    from electrician_spark.multimodal import afp_of_samples
+
+    mono = afp_of_samples(samples, nch=1)
+    stereo = afp_of_samples([s for s in samples for _ in (0, 1)], nch=2)
+    assert mono == stereo
+    shifted = afp_of_samples([s + 100 for s in samples], nch=1)
+    assert mono == shifted
+
+
+# -- WordPiece greedy segmentation -------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcd", min_size=1, max_size=24))
+def test_wordpiece_segmentation_total_and_lossless(word):
+    """Over a vocab containing the full alphabet (plain + ##), greedy
+    segmentation never UNKs and always reproduces the word."""
+    from electrician_spark.functions.tokenizer import wordpiece_word
+
+    vocab = {c for c in "abcd"} | {"##" + c for c in "abcd"} | {"ab", "##cd", "abc"}
+    ps = wordpiece_word(word, vocab)
+    assert ps != ["[UNK]"]
+    assert "".join(p[2:] if p.startswith("##") else p for p in ps) == word
+    # greedy: the first piece is the longest vocab prefix
+    for end in range(len(word), len(ps[0]), -1):
+        assert word[:end] not in vocab
+
+
+# -- T5 span corruption kernel (via the Python reference arithmetic) ---------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31), st.integers(min_value=1, max_value=60))
+def test_span_corrupt_md5_arithmetic_bounds(did, n):
+    """The masking arithmetic (shared Spark/DuckDB md5 identity) keeps
+    every span inside the document and masks a sane fraction."""
+    import hashlib
+
+    noise, m = 0.15, 3
+    p_thr = int(noise / m * (1 << 32))
+    width = 2 * m - 1
+
+    def h32(i, tag):
+        return int(hashlib.md5(f"0:{did}:{i}:{tag}".encode()).hexdigest()[:8], 16)
+
+    starts = [i for i in range(n) if h32(i, "s") < p_thr]
+    masked = set()
+    for s in starts:
+        ln = 1 + h32(s, "l") % width
+        assert 1 <= ln <= 2 * m - 1
+        masked.update(range(s, min(s + ln, n)))
+    assert all(0 <= i < n for i in masked)
+    assert len(masked) <= min(n, len(starts) * (2 * m - 1))
