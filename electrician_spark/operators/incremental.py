@@ -271,3 +271,45 @@ def incremental_dedup_sink(
         admitted.select(id_col, "fp", *hcols).write.mode("append").parquet(index_path)
 
     return handle
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-ops
+    companion of :func:`incremental_dedup` (that answers "is this NEW
+    content?", this answers "what CHANGED between exports?"). Compares
+    normalized exact fingerprints (``text.fingerprint``, the index
+    convention) under a full outer join on id:
+
+    Returns (id, status, fp_old, fp_new) with status ∈
+    ``added`` (id only in new) / ``removed`` (id only in old) /
+    ``changed`` (both, fingerprints differ) / ``unchanged``.
+
+    Scale: each side reduces to (id, fp) before the join — the shuffle
+    carries two 2-column projections, never document text; the join is
+    one sort-merge on id (or broadcast if one snapshot is small).
+    Downstream: ``filter(status != 'unchanged')`` is the regression
+    report; feeding ``added``/``changed`` ids to the dedup/curation
+    chain is the standard incremental re-process step. Fully
+    SQL-replayable (md5 fingerprint + FULL OUTER JOIN + CASE) — an r8
+    oracle candidate."""
+    o = old.select(
+        F.col(id_col).alias(id_col), tx.fingerprint(F.col(text_col)).alias("fp_old")
+    )
+    nw = new.select(
+        F.col(id_col).alias(id_col), tx.fingerprint(F.col(text_col)).alias("fp_new")
+    )
+    return o.join(nw, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "fp_old",
+        "fp_new",
+    )

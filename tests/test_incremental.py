@@ -182,3 +182,48 @@ def test_streaming_incremental_dedup_across_microbatches(spark, tmp_path):
         spark.createDataFrame([(9, texts[1])], "doc_id long, text string"), idx
     ).collect()[0]
     assert out.dup_kind == "exact" and out.matched_id == 1
+
+
+def test_corpus_diff_statuses_and_duckdb_replay(spark):
+    """corpus_diff: every status class on planted snapshots, equality
+    with a DuckDB FULL OUTER JOIN replay of the same md5 fingerprint
+    arithmetic (the r8 oracle shape)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from electrician_spark.operators.incremental import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept the same"), (4, "Spaced   Out")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "gamma CHANGED"), (3, "kept the same"), (4, "spaced out"), (5, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "removed",
+        2: "changed",
+        3: "unchanged",
+        4: "unchanged",  # fingerprint normalizes case/whitespace
+        5: "added",
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o(doc_id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE n(doc_id BIGINT, text VARCHAR)")
+    for t, df in (("o", old), ("n", new)):
+        for r in df.collect():
+            con.execute(f"INSERT INTO {t} VALUES (?, ?)", [r.doc_id, r.text])
+    fp = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    rows = con.execute(f"""
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN {fp.replace('text', 'o.text')} <> {fp.replace('text', 'n.text')}
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """).fetchall()
+    assert {d: s for d, s in rows} == got
