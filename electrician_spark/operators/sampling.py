@@ -271,3 +271,41 @@ def cap_per_group(
         .filter(F.col("_rn2") <= k)
         .drop("_cap_salt", "_rn1", "_rn2")
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint corpus splits (train/val/test): label
+    each row by which cumulative md5-key band its id falls in —
+    ``fractions`` like {"train": .98, "val": .01, "test": .01} (must
+    sum to 1 within float tolerance; band edges round to integer key
+    space, the last band absorbs the remainder). The same id lands in
+    the same split on every run, machine, and engine (the
+    conv/substring/md5 identity), membership never depends on
+    partitioning or row order, and — unlike randomSplit — adding or
+    removing OTHER rows never moves an id between splits. One codegen
+    CASE over the key, no shuffle; fully SQL-replayable (an r8 oracle
+    candidate)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    key = sample_key(F.col(id_col))
+    names = list(fractions)
+    edges: list[int] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        edges.append(int(acc * (1 << 32)))
+    expr = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+        expr = F.when(key < F.lit(edge), F.lit(name)).otherwise(expr)
+    # nested whens evaluate smallest edge first after the reversal
+    return df.withColumn(out_col, expr)

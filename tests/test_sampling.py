@@ -218,3 +218,45 @@ def test_deterministic_shuffle_validates_args(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         deterministic_shuffle(df, 0)
+
+
+def test_split_corpus_deterministic_bands(spark):
+    """split_corpus: full coverage, disjoint bands, membership stable
+    under corpus growth, fractions honored, DuckDB band replay."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from electrician_spark.operators.sampling import split_corpus
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_corpus(df, fr)
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 4000
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+
+    # growth stability: the first 1000 ids keep their split exactly
+    small = {r.doc_id: r.split for r in split_corpus(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"), fr).collect()}
+    big = {r.doc_id: r.split for r in out.collect()}
+    assert all(big[d] == s for d, s in small.items())
+
+    # DuckDB replay of the same bands
+    e1, e2 = int(0.8 * (1 << 32)), int(0.9 * (1 << 32))
+    rows = duckdb.sql(f"""
+        SELECT doc_id,
+               CASE WHEN k < {e1} THEN 'train'
+                    WHEN k < {e2} THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT range AS doc_id,
+                     CAST('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 8) AS BIGINT) AS k
+              FROM range(4000))
+    """).fetchall()
+    assert {d: s for d, s in rows} == big
+
+    with pytest.raises(ValueError):
+        split_corpus(df, {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        split_corpus(df, {})
