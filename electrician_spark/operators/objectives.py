@@ -15,9 +15,11 @@ curated corpus and a training run:
   assistant-content character spans for loss masking — the structure
   every instruction-tuning data loader needs.
 
-Both are pure Column expressions over per-row arrays (interpreted
-higher-order lambdas — no Python workers, no shuffle): embarrassingly
-row-parallel, so they scale with the scan at 100 TB. Reference parity:
+Both are single-projection, zero-shuffle, embarrassingly row-parallel
+— they scale with the scan at 100 TB. ``render_chat`` is a pure
+Column-expression fold; ``span_corrupt`` is an Arrow-batched pandas
+kernel (its docstring records the measured 54× case against the
+Column-expression form). Reference parity:
 the reference engine stops at transport codecs (pkg/internal/codec);
 these stages belong to the LLM-training battery this repo adds on top.
 """
