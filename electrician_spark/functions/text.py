@@ -15,6 +15,8 @@ everything beyond that is the mandated LLM-pipeline extension.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -690,3 +692,31 @@ def c4_filter(
             blocklist=blocklist,
         )["passes"]
     )
+
+
+def compression_ratio(text: Column, level: int = 6) -> Column:
+    """zlib compressed-size / raw-size per document (6dp) — the
+    compressibility quality signal web-scale curation uses beside the
+    Gopher/C4 rules: natural prose compresses to ~0.3–0.5; runaway
+    repetition compresses far below it (redundancy the n-gram
+    repetition rules can miss when the period is long), while
+    base64/hex blobs, minified code, and random gibberish sit near or
+    above ~0.8. Gate BOTH tails. Empty/NULL text → NULL.
+
+    Arrow-batched pandas UDF (zlib is C-speed; the byte stream is
+    per-row sequential work no Column expression can express). Level 6
+    is the standard deflate tradeoff; the signal is monotone enough in
+    level that thresholds transfer."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return _ratio(text)

@@ -445,3 +445,29 @@ def test_c4_reference_equality(spark):
     for did, text in rows.items():
         assert got_lines[did] == ref_lines(text), did
         assert got_flags[did].sentence_count_ok == (ref_sentences(text) >= 3), did
+
+
+def test_compression_ratio_signal(spark):
+    """compression_ratio: repetitive text ≪ prose < gibberish;
+    NULL/empty → NULL; agrees with direct zlib arithmetic."""
+    import random
+    import zlib
+
+    from electrician_spark.functions.text import compression_ratio
+
+    rng = random.Random(3)
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "wanders into the quiet hills beyond the river. ") * 20
+    repeat = "spam " * 400
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, prose), (2, repeat), (3, noise), (4, None), (5, "")],
+        "id long, text string",
+    )
+    got = {r.id: r.cr for r in df.select(
+        "id", compression_ratio(F.col("text")).alias("cr")).collect()}
+    assert got[2] < got[1] < got[3]
+    assert got[2] < 0.05 and got[3] > 0.6
+    assert got[4] is None and got[5] is None
+    raw = prose.encode()
+    assert got[1] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
