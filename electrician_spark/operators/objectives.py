@@ -14,14 +14,20 @@ curated corpus and a training run:
   array<struct<role, content>> conversations → one training text plus
   assistant-content character spans for loss masking — the structure
   every instruction-tuning data loader needs.
+- :func:`fim_transform`: fill-in-the-middle rearrangement (Bavarian
+  et al. 2022, arXiv:2207.14255) — the code-model pretraining
+  objective: a deterministic md5-selected fraction of documents is
+  split at two md5-derived character cuts into (prefix, middle,
+  suffix) and re-serialized with FIM sentinels in PSM or SPM order.
 
-Both are single-projection, zero-shuffle, embarrassingly row-parallel
-— they scale with the scan at 100 TB. ``render_chat`` is a pure
-Column-expression fold; ``span_corrupt`` is an Arrow-batched pandas
-kernel (its docstring records the measured 54× case against the
-Column-expression form). Reference parity:
-the reference engine stops at transport codecs (pkg/internal/codec);
-these stages belong to the LLM-training battery this repo adds on top.
+All are single-projection, zero-shuffle, embarrassingly row-parallel
+— they scale with the scan at 100 TB. ``render_chat`` and
+``fim_transform`` are pure Column-expression rewrites;
+``span_corrupt`` is an Arrow-batched pandas kernel (its docstring
+records the measured 54× case against the Column-expression form).
+Reference parity: the reference engine stops at transport codecs
+(pkg/internal/codec); these stages belong to the LLM-training battery
+this repo adds on top.
 """
 
 from __future__ import annotations
@@ -149,6 +155,89 @@ def span_corrupt(
         .withColumn("n_masked", F.col("_sc.n_masked"))
         .drop("_sc")
     )
+
+
+# FIM sentinel tokens (public convention from the SantaCoder /
+# StarCoder model cards; any literal sentinel triple slots in).
+_FIM_PRE = "<|fim_prefix|>"
+_FIM_SUF = "<|fim_suffix|>"
+_FIM_MID = "<|fim_middle|>"
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fim_rate: float = 0.5,
+    mode: str = "psm",
+    seed: int = 0,
+    out_col: str = "fim_text",
+) -> DataFrame:
+    """Fill-in-the-middle document rearrangement (Bavarian et al.
+    2022, arXiv:2207.14255 §2) over character offsets.
+
+    Per document: selected iff ``md5(seed:id:0:f)`` (32-bit prefix) <
+    ``fim_rate`` of the range — the repo's deterministic sampling
+    convention, so the transformed subset is a pure function of
+    (corpus, seed), reproducible across runs and replayable in DuckDB
+    via the proven ``CAST('0x'||substr(md5(..),1,8) AS BIGINT)``
+    identity. Two cut points are drawn uniformly on [0, len] the same
+    way (tags ``a``/``b``, sorted), splitting the text into
+    ``prefix = text[0:c1)``, ``middle = text[c1:c2)``,
+    ``suffix = text[c2:len)``. Serialization:
+
+    - ``psm``:  ``<|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M``
+    - ``spm`` (the paper's joined SPM variant): ``<|fim_prefix|>``
+      ``<|fim_suffix|>S<|fim_middle|>PM`` — prefix and middle stay
+      contiguous so the model sees an uninterrupted P→M span.
+
+    Unselected, NULL, and empty documents pass through unchanged
+    (``fim_applied`` false). Output adds ``out_col`` plus the
+    ``fim_applied`` flag; the original ``text_col`` is untouched, so
+    the original document reassembles exactly from the three segments
+    — pinned in tests.
+
+    Pure Column expressions (substring arithmetic) — zero shuffle,
+    zero Python; the transform rides the corpus scan at 100 TB. Both
+    cut draws hash (seed, id) only, not positions, so cost is O(1)
+    per row regardless of document length.
+    """
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+    sel_thr = int(fim_rate * (1 << 32))
+    text = F.col(text_col)
+    did = F.col(id_col)
+    n = F.length(text)
+
+    selected = (
+        text.isNotNull()
+        & (n > 0)
+        & (_h32(seed, did, F.lit(0), "f") < F.lit(sel_thr))
+    )
+    u1 = _h32(seed, did, F.lit(0), "a") % (n + 1)
+    u2 = _h32(seed, did, F.lit(0), "b") % (n + 1)
+    c1 = F.least(u1, u2)
+    c2 = F.greatest(u1, u2)
+    # 1-based substring, char semantics — identical in DuckDB.
+    prefix = F.substring(text, F.lit(1), c1)
+    middle = F.substring(text, c1 + 1, c2 - c1)
+    suffix = F.substring(text, c2 + 1, n - c2)
+    if mode == "psm":
+        rendered = F.concat(
+            F.lit(_FIM_PRE), prefix, F.lit(_FIM_SUF), suffix, F.lit(_FIM_MID), middle
+        )
+    else:
+        rendered = F.concat(
+            F.lit(_FIM_PRE),
+            F.lit(_FIM_SUF),
+            suffix,
+            F.lit(_FIM_MID),
+            prefix,
+            middle,
+        )
+    return df.withColumn(
+        out_col, F.when(selected, rendered).otherwise(text)
+    ).withColumn("fim_applied", selected)
 
 
 # ChatML framing tokens (public convention; any template with literal

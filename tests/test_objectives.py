@@ -203,3 +203,98 @@ def test_render_chat_duckdb_list_reduce_replay(spark):
         )
     for cid, text in con.execute(sql).fetchall():
         assert got[cid] == text, cid
+
+
+def _ref_fim(did, text, rate=0.5, mode="psm", seed=0):
+    if text is None or len(text) == 0:
+        return text, False
+    if _h32(seed, did, 0, "f") >= int(rate * (1 << 32)):
+        return text, False
+    n = len(text)
+    u1 = _h32(seed, did, 0, "a") % (n + 1)
+    u2 = _h32(seed, did, 0, "b") % (n + 1)
+    c1, c2 = min(u1, u2), max(u1, u2)
+    p, m, s = text[:c1], text[c1:c2], text[c2:]
+    if mode == "psm":
+        out = f"<|fim_prefix|>{p}<|fim_suffix|>{s}<|fim_middle|>{m}"
+    else:
+        out = f"<|fim_prefix|><|fim_suffix|>{s}<|fim_middle|>{p}{m}"
+    return out, True
+
+
+@pytest.mark.parametrize("mode", ["psm", "spm"])
+def test_fim_reference_equality(spark, corpus, mode):
+    got = {
+        r["doc_id"]: (r["fim_text"], r["fim_applied"])
+        for r in obj.fim_transform(corpus, mode=mode, seed=7).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert got.keys() == src.keys()
+    applied = 0
+    for did, text in src.items():
+        want = _ref_fim(str(did), text, mode=mode, seed=7)
+        assert got[did] == want, did
+        applied += want[1]
+    # fim_rate=0.5 over 80 md5-uniform draws: a generous band.
+    assert 20 <= applied <= 60
+
+
+def test_fim_psm_reconstructs_original(spark, corpus):
+    out = obj.fim_transform(corpus, mode="psm", seed=3).filter("fim_applied")
+    for r in out.collect():
+        body = r["fim_text"]
+        assert body.startswith("<|fim_prefix|>")
+        rest = body[len("<|fim_prefix|>") :]
+        p, rest = rest.split("<|fim_suffix|>", 1)
+        s, m = rest.split("<|fim_middle|>", 1)
+        assert p + m + s == r["text"]
+
+
+def test_fim_edge_docs_and_mode_validation(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["fim_text"], r["fim_applied"])
+        for r in obj.fim_transform(df, fim_rate=1.0, seed=0).collect()
+    }
+    assert rows[1] == (None, False)
+    assert rows[2] == ("", False)
+    assert rows[3][1] is True and "<|fim_middle|>" in rows[3][0]
+    with pytest.raises(ValueError):
+        obj.fim_transform(df, mode="mps")
+
+
+def test_fim_duckdb_replay(spark, corpus):
+    pdf = corpus.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.execute(
+        """
+        WITH h AS (
+          SELECT doc_id, text, length(text) AS n,
+            CAST('0x' || substr(md5(concat_ws(':', '7', CAST(doc_id AS VARCHAR), '0', 'f')), 1, 8) AS BIGINT) AS hf,
+            CAST('0x' || substr(md5(concat_ws(':', '7', CAST(doc_id AS VARCHAR), '0', 'a')), 1, 8) AS BIGINT) AS ha,
+            CAST('0x' || substr(md5(concat_ws(':', '7', CAST(doc_id AS VARCHAR), '0', 'b')), 1, 8) AS BIGINT) AS hb
+          FROM docs),
+        c AS (
+          SELECT doc_id, text, n,
+            text IS NOT NULL AND n > 0 AND hf < CAST(0.5 * 4294967296 AS BIGINT) AS sel,
+            least(ha % (n + 1), hb % (n + 1)) AS c1,
+            greatest(ha % (n + 1), hb % (n + 1)) AS c2
+          FROM h)
+        SELECT doc_id,
+          CASE WHEN sel THEN concat('<|fim_prefix|>', substr(text, 1, c1),
+            '<|fim_suffix|>', substr(text, c2 + 1, n - c2),
+            '<|fim_middle|>', substr(text, c1 + 1, c2 - c1))
+          ELSE text END AS fim_text
+        FROM c ORDER BY doc_id
+        """
+    ).fetchall()
+    got = (
+        obj.fim_transform(spark.createDataFrame(pdf), mode="psm", seed=7)
+        .select("doc_id", "fim_text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["doc_id"], r["fim_text"]) for r in got] == want
