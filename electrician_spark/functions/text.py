@@ -720,3 +720,91 @@ def compression_ratio(text: Column, level: int = 6) -> Column:
         return texts.map(one)
 
     return _ratio(text)
+
+
+# cp1252-printable characters that UTF-8 continuation/lead bytes decode
+# to when a UTF-8 stream is mis-read as cp1252 — the signature alphabet
+# of mojibake ("Ã©" for é, "â€™" for ', "Â " for NBSP). The 0x80–0x9F
+# range maps to these punctuation/letter forms under cp1252.
+_MOJIBAKE_TAIL = (
+    "€‚ƒ„…†‡ˆ‰Š‹"
+    "ŒŽ‘’“”•–—˜™"
+    "š›œžŸ -¿"
+)
+# Lead class Â–ô = 0xC2–0xF4, exactly the legal UTF-8 lead bytes
+# (2-byte é → "Ã©", 3-byte ’ → "â€™", 4-byte emoji → "ð…").
+_MOJIBAKE_PATTERN = rf"[Â-ô][{_MOJIBAKE_TAIL}]"
+
+
+def mojibake_markers(text: Column) -> Column:
+    """Count of UTF-8-as-cp1252 mojibake marker bigrams (a lead-byte
+    character Â–ß followed by a cp1252 continuation form — "Ã©",
+    "â€™", "Â·", …). Pure codegen ``regexp_count``: the cheap corpus
+    statistic and the prefilter that keeps :func:`fix_mojibake`'s
+    Python kernel off clean rows. 0 for NULL/clean text. The pattern
+    is RE2-portable (plain character classes) and the count is pinned
+    against a plain-Python reference in tests."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(_MOJIBAKE_PATTERN)), F.lit(0)
+    )
+
+
+def fix_mojibake(text: Column, max_passes: int = 2) -> Column:
+    """Repair UTF-8-read-as-cp1252 mojibake (the dominant real-world
+    encoding damage in web crawls; the core ftfy case): re-encode the
+    text as cp1252 (latin-1 fallback for the five unmapped 0x81/8D/
+    8F/90/9D controls — "sloppy cp1252") and decode as UTF-8; accept a
+    pass only when the round-trip decodes cleanly. Up to ``max_passes``
+    rounds unwind double-encoded text ("cafÃƒÂ©" → "cafÃ©" → "café").
+
+    Legitimate extended-Latin text is safe by construction: "São
+    Paulo" re-encodes to ``b'S\\xe3o'``, an invalid UTF-8 sequence, so
+    the pass fails and the original is returned unchanged — pinned in
+    tests. Arrow-batched pandas UDF; the kernel early-exits on rows
+    without a marker bigram (one regex probe), so clean corpora pay
+    ~zero Python cost; compose behind a :func:`mojibake_markers` > 0
+    filter to keep the UDF off clean partitions entirely. NULL → NULL.
+    """
+    import re as _re
+
+    pat = _re.compile(_MOJIBAKE_PATTERN)
+
+    @F.pandas_udf("string")
+    def _fix(texts: pd.Series) -> pd.Series:
+        import codecs
+
+        def _pass_raw_byte(e):
+            # cp1252's five unmapped codepoints (0x81/8D/8F/90/9D)
+            # arrive here when the original lenient decoder fell back
+            # to latin-1; emit the raw byte. Anything >0xFF means the
+            # text was never cp1252-damaged — propagate the error so
+            # the caller keeps the original.
+            ch = e.object[e.start : e.end]
+            if all(ord(c) <= 0xFF for c in ch):
+                return (bytes(ord(c) for c in ch), e.end)
+            raise e
+
+        codecs.register_error("electrician_sloppy1252", _pass_raw_byte)
+
+        def enc_sloppy(t: str) -> bytes:
+            return t.encode("cp1252", errors="electrician_sloppy1252")
+
+        def one(t):
+            if t is None or not pat.search(t):
+                return t
+            cur = t
+            for _ in range(max_passes):
+                try:
+                    fixed = enc_sloppy(cur).decode("utf-8")
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    break
+                if fixed == cur:
+                    break
+                cur = fixed
+                if not pat.search(cur):
+                    break
+            return cur
+
+        return texts.map(one)
+
+    return _fix(text)

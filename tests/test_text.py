@@ -471,3 +471,71 @@ def test_compression_ratio_signal(spark):
     assert got[4] is None and got[5] is None
     raw = prose.encode()
     assert got[1] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+
+def _sloppy_cp1252(b: bytes) -> str:
+    """Decode like real-world lenient readers: cp1252 with latin-1
+    fallback for the five unmapped bytes — how mojibake is born."""
+    out = []
+    for byte in b:
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+def test_mojibake_markers_and_fix(spark):
+    from electrician_spark.functions.text import fix_mojibake, mojibake_markers
+
+    orig = 'café — “quoted” naïve… 😀'
+    moj = _sloppy_cp1252(orig.encode("utf-8"))
+    double = _sloppy_cp1252(moj.encode("utf-8"))
+    clean_latin = "São Paulo, pâté and crème brûlée"
+    rows = [
+        (1, moj, orig),          # single-encoded
+        (2, double, orig),       # double-encoded: needs 2 passes
+        (3, clean_latin, clean_latin),  # legit extended latin: untouched
+        (4, "plain ascii", "plain ascii"),
+        (5, None, None),
+        (6, "", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "id long, text string"
+    )
+    out = {
+        r.id: (r.fixed, r.markers)
+        for r in df.select(
+            "id",
+            fix_mojibake(F.col("text")).alias("fixed"),
+            mojibake_markers(F.col("text")).alias("markers"),
+        ).collect()
+    }
+    for i, _, want in rows:
+        assert out[i][0] == want, (i, out[i][0])
+    assert out[1][1] > 0 and out[2][1] > 0
+    assert out[3][1] == 0 and out[4][1] == 0 and out[5][1] == 0
+
+    # marker count replays the plain-re reference (cross-engine pin)
+    import re
+
+    from electrician_spark.functions.text import _MOJIBAKE_PATTERN
+
+    pat = re.compile(_MOJIBAKE_PATTERN)
+    for i, t, _ in rows:
+        if t is not None:
+            assert out[i][1] == len(pat.findall(t)), i
+
+
+def test_fix_mojibake_real_corpus_is_noop(spark):
+    """Clean real documents (sf smoke corpus) must pass through
+    byte-identical — the false-positive guard at corpus scale."""
+    from electrician_spark.functions.text import fix_mojibake
+    from electrician_spark.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(200)
+    diff = docs.select(
+        (fix_mojibake(F.col("text")) == F.col("text")).alias("same")
+    ).filter("NOT same")
+    assert diff.count() == 0
