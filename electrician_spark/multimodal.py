@@ -45,6 +45,7 @@ the batch row count.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -52,6 +53,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -1865,3 +1868,232 @@ def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata: parse + strip (JPEG APP1/TIFF walking, stdlib only)
+# ---------------------------------------------------------------------------
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _tiff_entries(tiff: bytes, ifd_off: int, bo: str) -> dict:
+    """One IFD's entries as {tag: (type, count, raw_value_bytes)} —
+    inline values read from the entry, larger ones from their offset.
+    Bounds-checked; raises ValueError on structural corruption."""
+    if ifd_off + 2 > len(tiff):
+        raise ValueError("IFD offset out of range")
+    n = struct.unpack(bo + "H", tiff[ifd_off : ifd_off + 2])[0]
+    out = {}
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(tiff):
+            raise ValueError("IFD entry out of range")
+        tag, typ, cnt = struct.unpack(bo + "HHI", tiff[e : e + 8])
+        size = _EXIF_TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0:
+            continue
+        if size <= 4:
+            raw = tiff[e + 8 : e + 8 + size]
+        else:
+            off = struct.unpack(bo + "I", tiff[e + 8 : e + 12])[0]
+            if off + size > len(tiff):
+                raise ValueError("IFD value out of range")
+            raw = tiff[off : off + size]
+        out[tag] = (typ, cnt, raw)
+    return out
+
+
+def _exif_ascii(v) -> str | None:
+    if v is None:
+        return None
+    return v[2].split(b"\x00", 1)[0].decode("ascii", errors="replace").strip()
+
+
+def _exif_int(v, bo: str) -> int | None:
+    if v is None:
+        return None
+    typ = v[0]
+    if typ == 3:
+        return struct.unpack(bo + "H", v[2][:2])[0]
+    if typ == 4:
+        return struct.unpack(bo + "I", v[2][:4])[0]
+    if typ == 1:
+        return v[2][0]
+    return None
+
+
+def _exif_gps_deg(v, ref: str | None, bo: str) -> float | None:
+    """Three RATIONALs (deg, min, sec) → signed decimal degrees, 6dp."""
+    if v is None or v[0] != 5 or v[1] < 3:
+        return None
+    parts = []
+    for i in range(3):
+        num, den = struct.unpack(bo + "II", v[2][8 * i : 8 * i + 8])
+        parts.append(num / den if den else 0.0)
+    deg = parts[0] + parts[1] / 60 + parts[2] / 3600
+    if ref in ("S", "W"):
+        deg = -deg
+    return round(deg, 6)
+
+
+def _jpeg_segments(payload: bytes):
+    """Yield (marker, seg_start, seg_end) for each FF-marker segment —
+    seg bounds include the FF xx bytes; entropy data ends the walk."""
+    if len(payload) < 2 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        yield marker, i, i + 2 + seg_len
+        if marker == 0xDA:  # SOS: entropy-coded data follows
+            return
+        i += 2 + seg_len
+
+
+def parse_exif(payload: bytes) -> dict:
+    """EXIF fields from a JPEG's APP1 segment (TIFF IFD walk, both
+    byte orders): make, model, orientation, datetime,
+    datetime_original, iso, exif_width/height, gps_lat/gps_lon
+    (signed decimal degrees, 6dp). Missing segment/fields → None
+    values; structural corruption raises ValueError (callers route it
+    to the error channel). Stdlib struct only — no codec dependency."""
+    none = {
+        k: None
+        for k in (
+            "make", "model", "orientation", "datetime", "datetime_original",
+            "iso", "exif_width", "exif_height", "gps_lat", "gps_lon",
+        )
+    }
+    tiff = None
+    for marker, s, e in _jpeg_segments(payload):
+        if marker == 0xE1 and payload[s + 4 : s + 10] == b"Exif\x00\x00":
+            tiff = payload[s + 10 : e]
+            break
+    if tiff is None:
+        return none
+    if len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+        raise ValueError("bad TIFF header")
+    bo = "<" if tiff[:2] == b"II" else ">"
+    if struct.unpack(bo + "H", tiff[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd0 = _tiff_entries(tiff, struct.unpack(bo + "I", tiff[4:8])[0], bo)
+    out = dict(none)
+    out["make"] = _exif_ascii(ifd0.get(0x010F))
+    out["model"] = _exif_ascii(ifd0.get(0x0110))
+    out["orientation"] = _exif_int(ifd0.get(0x0112), bo)
+    out["datetime"] = _exif_ascii(ifd0.get(0x0132))
+    exif_ptr = _exif_int(ifd0.get(0x8769), bo)
+    if exif_ptr is not None:
+        sub = _tiff_entries(tiff, exif_ptr, bo)
+        out["datetime_original"] = _exif_ascii(sub.get(0x9003))
+        out["iso"] = _exif_int(sub.get(0x8827), bo)
+        out["exif_width"] = _exif_int(sub.get(0xA002), bo)
+        out["exif_height"] = _exif_int(sub.get(0xA003), bo)
+    gps_ptr = _exif_int(ifd0.get(0x8825), bo)
+    if gps_ptr is not None:
+        gps = _tiff_entries(tiff, gps_ptr, bo)
+        out["gps_lat"] = _exif_gps_deg(
+            gps.get(0x0002), _exif_ascii(gps.get(0x0001)), bo
+        )
+        out["gps_lon"] = _exif_gps_deg(
+            gps.get(0x0004), _exif_ascii(gps.get(0x0003)), bo
+        )
+    return out
+
+
+def strip_jpeg_metadata(payload: bytes) -> bytes:
+    """Remove every APPn (except APP0/JFIF) and COM segment from a
+    JPEG — the EXIF/GPS/XMP/IPTC scrub a privacy-respecting training
+    pipeline runs before shipping crawled images. Entropy-coded image
+    data, tables, and frame headers pass through byte-identical, so
+    decoded pixels are unchanged (pinned in tests). Raises ValueError
+    on structurally broken files (error-channel contract)."""
+    drop: list[tuple[int, int]] = []
+    for marker, s, e in _jpeg_segments(payload):
+        if (0xE1 <= marker <= 0xEF) or marker == 0xFE:  # APP1–APP15, COM
+            drop.append((s, e))
+    if not drop:
+        return payload
+    out = bytearray()
+    prev = 0
+    for s, e in drop:
+        out += payload[prev:s]
+        prev = e
+    out += payload[prev:]
+    return bytes(out)
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("orientation", IntegerType()),
+        StructField("datetime", StringType()),
+        StructField("datetime_original", StringType()),
+        StructField("iso", IntegerType()),
+        StructField("exif_width", IntegerType()),
+        StructField("exif_height", IntegerType()),
+        StructField("gps_lat", DoubleType()),
+        StructField("gps_lon", DoubleType()),
+        StructField("has_gps", BooleanType()),
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def exif_metadata(df: DataFrame) -> DataFrame:
+    """Per-image EXIF extraction (mapInPandas, Arrow-batched): the
+    camera/GPS metadata census a curation pipeline needs before
+    deciding what to strip. ``has_gps`` is the PII flag the scrub
+    stage filters on. Non-JPEG / corrupt payloads land in the ``ok``
+    error channel — the shared DLQ column pattern."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    meta = parse_exif(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            **meta,
+                            "has_gps": meta["gps_lat"] is not None
+                            or meta["gps_lon"] is not None,
+                            "ok": "ok",
+                        }
+                    )
+                except Exception as ex:  # noqa: BLE001 — per-row error channel
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            **{
+                                f.name: None
+                                for f in EXIF_SCHEMA.fields
+                                if f.name not in ("media_id", "ok")
+                            },
+                            "ok": f"err:{type(ex).__name__}",
+                        }
+                    )
+            out = pd.DataFrame(rows)
+            for c, dt in (
+                ("orientation", "Int32"), ("iso", "Int32"),
+                ("exif_width", "Int32"), ("exif_height", "Int32"),
+            ):
+                out[c] = pd.array(out[c], dtype=dt)
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(gen, EXIF_SCHEMA)
