@@ -1,0 +1,161 @@
+"""robots.txt parse + RFC 9309 URL gate (operators/robots.py):
+group-semantics parsing, wildcard/$ pattern compilation, longest-match
+precedence with allow-tie, agent-group selection, rule-less hosts
+allowed, crawl-delay/sitemap side outputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from electrician_spark.operators import robots as rb
+
+_ROBOTS_A = """\
+# example.com policy
+User-agent: trainbot
+User-agent: otherbot
+Disallow: /private/
+Allow: /private/public.html
+Crawl-delay: 1.5
+
+User-agent: *
+Disallow: /tmp/*
+Disallow: /exact$
+Allow: /tmp/keep
+Sitemap: https://a.example.com/sitemap.xml
+"""
+
+# host with only a wildcard group; tie between allow and disallow of
+# equal length must go to allow (RFC 9309 §2.2.2)
+_ROBOTS_B = """\
+User-agent: *
+Disallow: /dir/
+Allow: /dirx/
+Disallow: /p
+Allow: /page
+"""
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    df = spark.createDataFrame(
+        [("a.example.com", _ROBOTS_A), ("b.example.com", _ROBOTS_B)],
+        "host string, body string",
+    )
+    return rb.robots_rules(rb.parse_robots(df))
+
+
+def _gate(spark, rules, urls, agent):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = rb.robots_allowed(df, rules, agent=agent)
+    return {r["url"]: (r["allowed"], r["matched_pattern"]) for r in out.collect()}
+
+
+def test_agent_group_and_precedence(spark, rules):
+    got = _gate(
+        spark,
+        rules,
+        [
+            "https://a.example.com/private/secret.html",
+            "https://a.example.com/private/public.html",
+            "https://a.example.com/open/page.html",
+        ],
+        agent="trainbot",
+    )
+    # trainbot group applies — not the * group
+    assert got["https://a.example.com/private/secret.html"] == (
+        False,
+        "/private/",
+    )
+    # longer allow beats shorter disallow
+    assert got["https://a.example.com/private/public.html"] == (
+        True,
+        "/private/public.html",
+    )
+    # no matching rule → allowed
+    assert got["https://a.example.com/open/page.html"] == (True, None)
+    # trainbot is NOT gated by the * group's /tmp rules
+    got2 = _gate(spark, rules, ["https://a.example.com/tmp/x"], "trainbot")
+    assert got2["https://a.example.com/tmp/x"] == (True, None)
+
+
+def test_wildcard_and_anchor(spark, rules):
+    got = _gate(
+        spark,
+        rules,
+        [
+            "https://a.example.com/tmp/junk/deep.html",
+            "https://a.example.com/tmp/keep/file",
+            "https://a.example.com/exact",
+            "https://a.example.com/exactly",  # $ anchor must not match
+        ],
+        agent="unknownbot",  # falls to the * group
+    )
+    assert got["https://a.example.com/tmp/junk/deep.html"][0] is False
+    # /tmp/keep (allow, len 9) vs /tmp/* (disallow, len 6): allow wins
+    assert got["https://a.example.com/tmp/keep/file"] == (True, "/tmp/keep")
+    assert got["https://a.example.com/exact"] == (False, "/exact$")
+    assert got["https://a.example.com/exactly"] == (True, None)
+
+
+def test_allow_wins_equal_length_tie(spark, rules):
+    got = _gate(
+        spark,
+        rules,
+        ["https://b.example.com/page"],  # /p (disallow) vs /page (allow)
+        agent="anybot",
+    )
+    assert got["https://b.example.com/page"] == (True, "/page")
+
+
+def test_unknown_host_and_root(spark, rules):
+    got = _gate(
+        spark,
+        rules,
+        ["https://nowhere.example.org/anything", "https://a.example.com"],
+        agent="trainbot",
+    )
+    assert got["https://nowhere.example.org/anything"] == (True, None)
+    # bare host → path defaults to "/"
+    assert got["https://a.example.com"] == (True, None)
+
+
+def test_crawl_delays_and_sitemaps(spark):
+    parsed = rb.parse_robots(
+        spark.createDataFrame(
+            [("a.example.com", _ROBOTS_A)], "host string, body string"
+        )
+    )
+    delays = {
+        (r["agent"]): r["delay"] for r in rb.robots_crawl_delays(parsed).collect()
+    }
+    assert delays == {"trainbot": 1.5, "otherbot": 1.5}
+    sm = [r["sitemap"] for r in rb.robots_sitemaps(parsed).collect()]
+    assert sm == ["https://a.example.com/sitemap.xml"]
+
+
+def test_parse_one_group_semantics():
+    # a User-agent line AFTER rules opens a new group, and rules with
+    # no preceding group are dropped
+    rules, _, _ = rb._parse_one(
+        "Disallow: /orphan\n"
+        "User-agent: a\nDisallow: /x\n"
+        "User-agent: b\nDisallow: /y\n"
+    )
+    assert ("a", "disallow", "/x") in rules
+    assert ("b", "disallow", "/y") in rules
+    assert all(p != "/orphan" for _, _, p in rules)
+    # consecutive agents share a group
+    rules2, _, _ = rb._parse_one("User-agent: a\nUser-agent: b\nDisallow: /z\n")
+    assert ("a", "disallow", "/z") in rules2 and ("b", "disallow", "/z") in rules2
+
+
+def test_regex_metachars_in_patterns_are_literal(spark):
+    df = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /a(b).c+\n")],
+        "host string, body string",
+    )
+    rules = rb.robots_rules(rb.parse_robots(df))
+    got = _gate(
+        spark, rules, ["https://h.com/a(b).c+", "https://h.com/aXbYcZ"], "x"
+    )
+    assert got["https://h.com/a(b).c+"][0] is False
+    assert got["https://h.com/aXbYcZ"][0] is True
