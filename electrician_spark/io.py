@@ -644,3 +644,221 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    members: dict[str, str],
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WebDataset-style tar shard export — the multimodal counterpart
+    to :func:`write_training_shards`: each shard is one POSIX tar
+    (``shard-00000.tar``) whose entries are ``{key}.{ext}`` files, one
+    group of members per sample (the public WebDataset layout that
+    streaming data loaders consume sequentially). ``members`` maps
+    extension → column (binary columns written raw; everything else
+    utf-8 text). NULL member values are skipped for that sample.
+
+    Reproducibility contract (same as the NDJSON exporter): shard
+    membership = ``shard_of(shuffle_key(seed:id))`` — a pure function
+    of (data, seed, n_shards); samples are laid out in (shuffle_key,
+    id) order; tar member metadata is pinned (mtime 0, uid/gid 0,
+    mode 0644, USTAR), and the sample key stem is
+    ``{shuffle_key:010d}_{id}`` — so re-export is byte-identical and
+    the per-shard sha256 manifest (written to ``_manifest/``, returned
+    as a DataFrame) verifies an epoch before training.
+
+    Scale notes: ONE hash exchange on the derived shard column, then
+    each shard streams through a single ``applyInPandas`` group task
+    that writes its tar straight to ``path`` (shared filesystem /
+    mounted object store — the standard WebDataset export topology)
+    without driver involvement; memory is bounded by Arrow batching
+    plus one member's bytes. Size shards via ``n_shards`` so one tar
+    ≈ 100 MB–1 GB (the published WebDataset operating range)."""
+    import io as _io
+    import os
+    import tarfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from electrician_spark.operators.sampling import shard_of, shuffle_key
+
+    spark = df.sparkSession
+    os.makedirs(path, exist_ok=True)
+    cols = [df[c] for c in {v: None for v in members.values()}]
+    keyed = (
+        df.select(F.col(id_col).alias("_id"), *cols)
+        .withColumn("_key", shuffle_key(F.col("_id"), seed))
+        .withColumn("_shard", shard_of(F.col("_key"), n_shards))
+    )
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("file", StringType()),
+            StructField("samples", LongType()),
+            StructField("bytes", LongType()),
+            StructField("sha256", StringType()),
+        ]
+    )
+    member_items = sorted(members.items())  # deterministic member order
+
+    def write_shard(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(["_key", "_id"])
+        buf = _io.BytesIO()
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
+            for _, row in pdf.iterrows():
+                stem = f"{int(row['_key']):010d}_{row['_id']}"
+                for ext, col in member_items:
+                    val = row[col]
+                    if val is None:
+                        continue
+                    data = bytes(val) if isinstance(val, (bytes, bytearray)) else str(val).encode("utf-8")
+                    ti = tarfile.TarInfo(name=f"{stem}.{ext}")
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    ti.mode = 0o644
+                    tar.addfile(ti, _io.BytesIO(data))
+                n += 1
+        blob = buf.getvalue()
+        fname = f"shard-{shard:05d}.tar"
+        tmp = os.path.join(path, f".{fname}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(path, fname))
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "file": fname,
+                    "samples": n,
+                    "bytes": len(blob),
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                }
+            ]
+        )
+
+    manifest = (
+        keyed.groupBy("_shard")
+        .applyInPandas(write_shard, out_schema)
+        .orderBy("shard")
+        .localCheckpoint()  # barrier: all tars written before manifest write
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(
+        os.path.join(path, "_manifest")
+    )
+    return manifest
+
+
+def verify_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Re-hash the tars under ``path`` against the stored
+    ``_manifest`` and recount samples by walking tar headers
+    executor-side: one row per shard, ``ok`` false on size/hash/count
+    drift. Unique sample stems are counted (members grouped by key),
+    matching the exporter's ``samples``."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stored = spark.read.json(os.path.join(path, "_manifest")).select(
+        "shard",
+        F.col("file").alias("m_file"),
+        F.col("samples").alias("m_samples"),
+        F.col("bytes").alias("m_bytes"),
+        F.col("sha256").alias("m_sha256"),
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+            F.col("length").alias("bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            F.col("content"),
+        )
+    )
+
+    def count_samples(batches):
+        import io as _io
+        import tarfile
+
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for fname, bts, sha, content in zip(
+                b["file"], b["bytes"], b["sha256"], b["content"]
+            ):
+                stems = set()
+                try:
+                    with tarfile.open(
+                        fileobj=_io.BytesIO(bytes(content)), mode="r"
+                    ) as tar:
+                        for m in tar.getmembers():
+                            stems.add(m.name.rsplit(".", 1)[0])
+                except tarfile.TarError:
+                    pass
+                rows.append(
+                    {
+                        "file": fname,
+                        "a_bytes": int(bts),
+                        "a_sha256": sha,
+                        "a_samples": len(stems),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    actual = files.mapInPandas(
+        count_samples,
+        StructType(
+            [
+                StructField("file", StringType()),
+                StructField("a_bytes", LongType()),
+                StructField("a_sha256", StringType()),
+                StructField("a_samples", LongType()),
+            ]
+        ),
+    )
+    return (
+        stored.join(actual, stored["m_file"] == actual["file"], "full")
+        .select(
+            "shard",
+            F.coalesce("m_file", "file").alias("file"),
+            (
+                F.col("m_file").isNotNull()
+                & F.col("file").isNotNull()
+                & (F.col("m_bytes") == F.col("a_bytes"))
+                & (F.col("m_sha256") == F.col("a_sha256"))
+                & (F.col("m_samples") == F.col("a_samples"))
+            ).alias("ok"),
+            "m_samples",
+            "a_samples",
+            "m_sha256",
+            "a_sha256",
+        )
+        .orderBy("file")
+    )
