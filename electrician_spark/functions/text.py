@@ -808,3 +808,55 @@ def fix_mojibake(text: Column, max_passes: int = 2) -> Column:
         return texts.map(one)
 
     return _fix(text)
+
+
+# Control/template tokens that must never appear verbatim in raw
+# training text: their presence either leaks a template into the
+# corpus or lets a crawled page inject turn boundaries into a model's
+# chat framing (prompt-injection-at-training-time). Literal tokens +
+# one regex family for the T5 sentinel series.
+DEFAULT_SPECIAL_TOKENS = (
+    "<|im_start|>", "<|im_end|>", "<|endoftext|>",
+    "<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>",
+    "<s>", "</s>", "<unk>", "<pad>", "<mask>",
+)
+_SENTINEL_RX = r"<extra_id_\d+>"
+
+
+def _special_token_rx(tokens: tuple[str, ...]) -> str:
+    import re as _re
+
+    return "|".join([_re.escape(t) for t in tokens] + [_SENTINEL_RX])
+
+
+def special_token_count(
+    text: Column, tokens: tuple[str, ...] = DEFAULT_SPECIAL_TOKENS
+) -> Column:
+    """Occurrences of control/template tokens (plus the
+    ``<extra_id_N>`` sentinel family) in raw text — the
+    contamination census a pipeline runs before deciding to scrub or
+    drop. Pure codegen ``regexp_count`` over one escaped alternation;
+    0 for NULL. For blocklists beyond ~10² literals use the
+    Aho-Corasick path (operators/keywordscan.py) instead."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(_special_token_rx(tokens))), F.lit(0)
+    )
+
+
+def scrub_special_tokens(
+    text: Column,
+    tokens: tuple[str, ...] = DEFAULT_SPECIAL_TOKENS,
+    replacement: str = "",
+) -> Column:
+    """Remove (or replace) verbatim control/template tokens from raw
+    text before tokenization — the standard hygiene pass that keeps
+    crawled pages from injecting chat-turn boundaries or sentinel ids
+    into training sequences. One codegen ``regexp_replace`` over the
+    same alternation as :func:`special_token_count`; NULL passes
+    through. Scrubbing is idempotent for the default empty
+    replacement (pinned in tests)."""
+    import re as _re
+
+    return F.regexp_replace(
+        text, _special_token_rx(tokens), _re.escape(replacement) if replacement else ""
+    )

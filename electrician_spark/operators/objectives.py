@@ -19,6 +19,10 @@ curated corpus and a training run:
   objective: a deterministic md5-selected fraction of documents is
   split at two md5-derived character cuts into (prefix, middle,
   suffix) and re-serialized with FIM sentinels in PSM or SPM order.
+- :func:`preference_pairs`: best-vs-worst pairwise preference
+  construction (reward-model / DPO training data) with deterministic
+  tie-breaking and margin gating — the one aggregation-shaped stage
+  here (map-side-combinable max_by/min_by per prompt).
 
 All are single-projection, zero-shuffle, embarrassingly row-parallel
 — they scale with the scan at 100 TB. ``render_chat`` and
@@ -298,4 +302,42 @@ def render_chat(
         .withColumn("loss_spans", folded["spans"])
         .withColumn("n_turns", F.size(msgs))
         .withColumn("n_loss_turns", F.size(folded["spans"]))
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    score_col: str = "score",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Pairwise preference construction for reward-model / DPO
+    training: per prompt, the highest-scored response becomes
+    ``chosen`` and the lowest-scored ``rejected`` (best-vs-worst — the
+    standard margin-maximizing pairing), with deterministic (score,
+    response) struct ordering so score ties cannot flap between runs.
+    Prompts whose margin (score_chosen − score_rejected) is below
+    ``min_margin`` — including single-response and all-tied prompts at
+    margin 0 when ``min_margin`` > 0 — are dropped; pairs where chosen
+    equals rejected (one distinct response) are always dropped.
+
+    One map-side-combinable groupBy over the candidate table (max_by /
+    min_by partial-aggregate per input partition before the shuffle —
+    a prompt with 10⁴ candidate responses ships one row per partition,
+    not 10⁴). Exactly replayable in DuckDB via arg_max/arg_min over
+    the same (score, response) ordering."""
+    sc = F.col(score_col).cast("double")
+    key = F.struct(sc.alias("s"), F.col(response_col).alias("r"))
+    agg = df.groupBy(prompt_col).agg(
+        F.max_by(F.col(response_col), key).alias("chosen"),
+        F.min_by(F.col(response_col), key).alias("rejected"),
+        F.max(sc).alias("score_chosen"),
+        F.min(sc).alias("score_rejected"),
+    )
+    return agg.withColumn(
+        "margin", F.round(F.col("score_chosen") - F.col("score_rejected"), 6)
+    ).filter(
+        (F.col("chosen") != F.col("rejected"))
+        & (F.col("margin") >= F.lit(min_margin))
     )

@@ -298,3 +298,54 @@ def test_fim_duckdb_replay(spark, corpus):
         .collect()
     )
     assert [(r["doc_id"], r["fim_text"]) for r in got] == want
+
+
+def test_preference_pairs(spark):
+    import duckdb as _dd
+
+    from electrician_spark.operators.objectives import preference_pairs
+
+    rows = [
+        ("p1", "bad answer", 0.1),
+        ("p1", "great answer", 0.9),
+        ("p1", "ok answer", 0.5),
+        ("p2", "only answer", 0.7),          # single response → dropped
+        ("p3", "tie a", 0.4), ("p3", "tie b", 0.4),  # margin 0, distinct text
+        ("p4", "same", 0.2), ("p4", "same", 0.8),    # chosen == rejected → dropped
+    ]
+    df = spark.createDataFrame(rows, "prompt string, response string, score double")
+    got = {r["prompt"]: r.asDict() for r in preference_pairs(df).collect()}
+    assert got["p1"]["chosen"] == "great answer"
+    assert got["p1"]["rejected"] == "bad answer"
+    assert got["p1"]["margin"] == 0.8
+    assert "p2" not in got and "p4" not in got
+    # margin-0 tie survives min_margin=0 with deterministic ordering
+    assert got["p3"]["chosen"] == "tie b" and got["p3"]["rejected"] == "tie a"
+    assert not {
+        r["prompt"]
+        for r in preference_pairs(df, min_margin=0.1).collect()
+    } & {"p3"}
+
+    # DuckDB replay over the same (score, response) total ordering
+    con = _dd.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        """
+        WITH r AS (
+          SELECT prompt, response, score,
+            row_number() OVER (PARTITION BY prompt
+                               ORDER BY score DESC, response DESC) AS rb,
+            row_number() OVER (PARTITION BY prompt
+                               ORDER BY score ASC, response ASC) AS rw
+          FROM t)
+        SELECT b.prompt, b.response AS chosen, w.response AS rejected,
+               round(b.score - w.score, 6) AS margin
+        FROM r b JOIN r w ON b.prompt = w.prompt AND b.rb = 1 AND w.rw = 1
+        WHERE b.response <> w.response ORDER BY b.prompt
+        """
+    ).fetchall()
+    got2 = sorted(
+        (r["prompt"], r["chosen"], r["rejected"], r["margin"])
+        for r in preference_pairs(df).collect()
+    )
+    assert got2 == sorted(want)
