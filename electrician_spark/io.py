@@ -721,11 +721,11 @@ def write_webdataset_shards(
         pdf = pdf.sort_values(["_key", "_id"])
         buf = _io.BytesIO()
         n = 0
+        member_cols = [pdf[col] for _, col in member_items]
         with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
-            for _, row in pdf.iterrows():
-                stem = f"{int(row['_key']):010d}_{row['_id']}"
-                for ext, col in member_items:
-                    val = row[col]
+            for key, rid, *vals in zip(pdf["_key"], pdf["_id"], *member_cols):
+                stem = f"{int(key):010d}_{rid}"
+                for (ext, _), val in zip(member_items, vals):
                     if val is None:
                         continue
                     data = bytes(val) if isinstance(val, (bytes, bytearray)) else str(val).encode("utf-8")
