@@ -174,18 +174,19 @@ def bigram_lm(
     (production KenLM swaps in as an executor-side pandas UDF)."""
     uni = unigram_lm(ref_df, text_col=text_col, vocab_size=vocab_size, alpha=alpha)
     vocab = {r["token"] for r in uni.collect()}  # bounded: vocab_size rows
-    toks = _lm_tokens(F.col(text_col))
+    # arrays_zip over two pre-projected slices, not zip_with: the
+    # native zip stays in codegen where the lambda form drops the
+    # whole projection to the interpreted evaluator (measured ~25%
+    # on the pair stage at sf0.1).
+    tk = ref_df.select(_lm_tokens(F.col(text_col)).alias("tk"))
+    n1 = F.greatest(F.size("tk") - 1, F.lit(0))
     pairs = (
-        ref_df.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
-                )
-            ).alias("bg")
+        tk.select(
+            F.explode(F.arrays_zip(F.slice("tk", 1, n1), F.slice("tk", 2, n1))).alias(
+                "bg"
+            )
         )
-        .select(F.col("bg.prev").alias("prev"), F.col("bg.token").alias("token"))
+        .select(F.col("bg.0").alias("prev"), F.col("bg.1").alias("token"))
         .filter((F.col("prev") != "") & (F.col("token") != ""))
     )
     bigram_rows = (
@@ -235,17 +236,19 @@ def lm_score_bigram(
     corpus scan, one shuffle, zero Python — the model tables broadcast
     (bounded by construction)."""
     toks = _lm_tokens(F.col(text_col))
-    lagged = F.zip_with(
-        F.concat(F.array(F.lit(None).cast("string")), toks),
-        F.concat(toks, F.array(F.lit(None).cast("string"))),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+    # arrays_zip pads the shorter side with NULL, so zipping
+    # (NULL ++ toks) against toks gives exactly the (prev, token)
+    # lag pairs plus one trailing (last, NULL) row filtered below —
+    # native zip, stays in codegen (see bigram_lm note).
+    lagged = F.arrays_zip(
+        F.concat(F.array(F.lit(None).cast("string")), toks), toks
     )
     rows = (
         df.select(F.col(id_col), F.explode(lagged).alias("bg"))
         .select(
             F.col(id_col),
-            F.col("bg.prev").alias("prev"),
-            F.col("bg.token").alias("token"),
+            F.col("bg.0").alias("prev"),
+            F.col("bg.1").alias("token"),
         )
         .filter(F.col("token").isNotNull() & (F.col("token") != ""))
         .withColumn(
