@@ -2097,3 +2097,50 @@ def exif_metadata(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("media_id", "payload").mapInPandas(gen, EXIF_SCHEMA)
+
+
+# PNG ancillary chunks that carry text/provenance metadata (incl. the
+# modern eXIf chunk); critical chunks and rendering-relevant ancillary
+# chunks (gAMA, tRNS, PLTE…) are untouched.
+_PNG_META_CHUNKS = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
+
+
+def strip_png_metadata(payload: bytes) -> bytes:
+    """Drop text/EXIF/timestamp ancillary chunks from a PNG — the PNG
+    half of the :func:`strip_jpeg_metadata` scrub (crawled PNGs carry
+    provenance in tEXt/iTXt and GPS in eXIf). Critical chunks and
+    pixel-affecting ancillary chunks pass through byte-identical, so
+    decoded pixels are unchanged (pinned in tests). Raises ValueError
+    on a non-PNG / structurally torn file (error-channel contract)."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(payload) < 8 or payload[:8] != sig:
+        raise ValueError("not a PNG")
+    out = bytearray(sig)
+    i = 8
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        end = i + 12 + length
+        if end > len(payload):
+            raise ValueError("torn PNG chunk")
+        if typ not in _PNG_META_CHUNKS:
+            out += payload[i:end]
+        i = end
+        if typ == b"IEND":
+            break
+    else:
+        raise ValueError("missing IEND")
+    return bytes(out)
+
+
+def strip_image_metadata(payload: bytes) -> bytes:
+    """Container-dispatching metadata scrub: JPEG → APP/COM strip,
+    PNG → text/EXIF chunk strip, anything else (incl. GIF, which has
+    no standard metadata blocks worth scrubbing beyond comments) is
+    returned unchanged. The per-row error contract follows the
+    dispatched function."""
+    if payload[:2] == b"\xff\xd8":
+        return strip_jpeg_metadata(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return strip_png_metadata(payload)
+    return payload

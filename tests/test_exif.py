@@ -146,3 +146,35 @@ def test_exif_metadata_census(spark):
     assert got[2]["make"] == "ACME Cameras"
     assert got[3]["ok"] == "ok" and got[3]["make"] is None
     assert got[4]["ok"].startswith("err:") and got[4]["has_gps"] is None
+
+
+def test_strip_png_metadata():
+    import struct as _s
+    import zlib as _z
+
+    def chunk(typ, data):
+        return _s.pack(">I", len(data)) + typ + data + _s.pack(
+            ">I", _z.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    base = mm.synth_png_gray(4, 4, 77)
+    # splice tEXt + eXIf chunks after IHDR (8 sig + 25 IHDR bytes)
+    head, tail = base[:33], base[33:]
+    tagged = head + chunk(b"tEXt", b"Author\x00someone") + chunk(
+        b"eXIf", b"II*\x00\x08\x00\x00\x00\x00\x00"
+    ) + tail
+    stripped = mm.strip_png_metadata(tagged)
+    assert stripped == base  # byte-identical to the clean original
+    assert mm.decode_png_pixels(stripped) == mm.decode_png_pixels(tagged)
+    assert mm.strip_png_metadata(stripped) == stripped  # idempotent
+    with pytest.raises(ValueError):
+        mm.strip_png_metadata(b"GIF89a not png")
+    with pytest.raises(ValueError):
+        mm.strip_png_metadata(tagged[:40])  # torn
+
+    # dispatcher routes by container
+    assert mm.strip_image_metadata(tagged) == base
+    jpeg = mm.synth_jpeg_gray_solid(8, 8, 5)
+    assert mm.strip_image_metadata(jpeg) == mm.strip_jpeg_metadata(jpeg)
+    gif = mm.synth_gif_solid(2, 2, (1, 2, 3))
+    assert mm.strip_image_metadata(gif) == gif
