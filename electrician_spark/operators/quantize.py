@@ -467,3 +467,77 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist", "rank")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 64,
+    seed: int = 0,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with the
+    Achlioptas (2003) sparse sign matrix — the cheap-projection rung
+    below PQ: shrink d-dim embeddings to ``out_dim`` before
+    brute-force/IVF search when memory (or GEMM width) is the binding
+    constraint. R[i][j] ∈ {+1, 0, −1} with probabilities
+    (1/6, 2/3, 1/6), scaled by sqrt(3 / out_dim); E‖Rx‖² = ‖x‖², and
+    pairwise distances are preserved within (1±ε) for
+    out_dim = O(log n / ε²) — the published JL guarantee.
+
+    The matrix is never shipped: it derives deterministically from
+    (seed, d, out_dim) via md5 counter-mode inside the kernel, so
+    every executor (and the plain-Python test reference) rebuilds the
+    identical R. Projection is one numpy GEMM per Arrow batch
+    (mapInPandas — the repo's proven vectorized path, same shape as
+    the block-GEMM cosine kernels); output is float64 rounded to 6dp
+    (the cross-engine float contract). One linear scan, no shuffle,
+    no driver state. NULL / wrong-width vectors raise (fail loudly —
+    a mixed-width embedding column is upstream corruption)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    other = [c for c in df.columns if c != vec_col]
+
+    def _matrix(d: int) -> "np.ndarray":
+        # md5 counter mode: 16 bytes per call → one uniform byte per
+        # cell; {0..255} → sign by the 1/6-2/3-1/6 split (floor(p*256)
+        # cuts at 42 and 213 — the fixed published probabilities,
+        # biased < 0.4% by integer truncation, irrelevant to JL).
+        need = d * out_dim
+        raw = bytearray()
+        ctr = 0
+        while len(raw) < need:
+            raw += hashlib.md5(f"{seed}:rp:{ctr}".encode()).digest()
+            ctr += 1
+        b = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(d, out_dim)
+        r = np.zeros((d, out_dim), dtype=np.float64)
+        r[b < 42] = 1.0
+        r[b >= 213] = -1.0
+        return r * np.sqrt(3.0 / out_dim)
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != vec_col
+    )
+    schema = (schema + ", " if schema else "") + f"{out_col} array<double>"
+
+    def gen(batches):
+        r = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            if r is None:
+                r = _matrix(mat.shape[1])
+            elif mat.shape[1] != r.shape[0]:
+                raise ValueError(
+                    f"mixed embedding widths: {mat.shape[1]} vs {r.shape[0]}"
+                )
+            proj = np.round(mat @ r, 6)
+            out = pd.DataFrame({c: b[c] for c in other})
+            out[out_col] = list(proj)
+            yield out
+
+    return df.mapInPandas(gen, schema)

@@ -171,3 +171,66 @@ def test_ivfpq_subset_of_pq_and_exhaustive_probe_equal(spark, emb):
         got_full = full_d.get((r.query_id, r.neighbor_id))
         if got_full is not None:
             assert got_full == r.dist
+
+
+def test_random_projection_reference_and_jl(spark):
+    import hashlib
+
+    import numpy as np
+
+    from electrician_spark.operators.quantize import random_projection
+
+    rng = np.random.default_rng(5)
+    d, k, n = 48, 24, 200
+    vecs = rng.normal(size=(n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)  # matrix must be identical across partitions
+
+    got = {
+        r["vec_id"]: np.array(r["projected"])
+        for r in random_projection(df, out_dim=k, seed=3).collect()
+    }
+    assert len(got) == n and all(v.shape == (k,) for v in got.values())
+
+    # plain-Python replay of the md5 counter-mode matrix
+    need = d * k
+    raw = bytearray()
+    ctr = 0
+    while len(raw) < need:
+        raw += hashlib.md5(f"3:rp:{ctr}".encode()).digest()
+        ctr += 1
+    b = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(d, k)
+    r = np.zeros((d, k))
+    r[b < 42] = 1.0
+    r[b >= 213] = -1.0
+    r *= np.sqrt(3.0 / k)
+    want = np.round(vecs @ r, 6)
+    for i in range(n):
+        assert np.array_equal(got[i], want[i]), i
+
+    # JL sanity: mean squared-norm ratio ≈ 1 (E||Rx||² = ||x||²)
+    ratios = [
+        float(np.dot(got[i], got[i]) / np.dot(vecs[i], vecs[i])) for i in range(n)
+    ]
+    assert 0.8 < float(np.mean(ratios)) < 1.2
+
+    # determinism: same seed same output; different seed differs
+    again = {
+        r["vec_id"]: np.array(r["projected"])
+        for r in random_projection(df, out_dim=k, seed=3).collect()
+    }
+    assert all(np.array_equal(got[i], again[i]) for i in range(n))
+    other = random_projection(df, out_dim=k, seed=4).first()["projected"]
+    assert not np.array_equal(np.array(other), got[0])
+
+    # mixed widths raise
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 9)], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    with _pt.raises(Exception):
+        random_projection(bad, out_dim=4).collect()
