@@ -309,3 +309,50 @@ def split_corpus(
         expr = F.when(key < F.lit(edge), F.lit(name)).otherwise(expr)
     # nested whens evaluate smallest edge first after the reversal
     return df.withColumn(out_col, expr)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 3,
+    n_shards: int = 32,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009): partition the
+    corpus into ``n_stages`` difficulty stages by quantiles of
+    ``score_col`` (ascending = easy-first when higher score means
+    harder), then lay rows out in (stage, md5-shuffle-key) order —
+    stages arrive in curriculum order while each stage is internally
+    a reproducible :func:`deterministic_shuffle` permutation.
+
+    Adds ``stage`` (0-based) and ``shuffle_key``; downstream writers
+    consume the order exactly like deterministic_shuffle's (and
+    ``write_training_shards`` keys on values, so membership is
+    reproducible). Stage thresholds come from ``approxQuantile``
+    (driver gets n_stages−1 floats — bounded); the stage label is one
+    codegen CASE. NULL scores raise (a curriculum over unscored rows
+    is an upstream bug, not a policy).
+
+    Scale: one pass for the quantile summaries (distributive merge, no
+    sort), one range-exchange on (stage, key) — no global single-task
+    sort; each task sorts its own slice. Bumping ``seed`` reshuffles
+    within stages without touching stage membership."""
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be >= 2, got {n_stages}")
+    if df.filter(F.col(score_col).isNull()).limit(1).count() > 0:
+        raise ValueError(f"curriculum_order: NULL values in {score_col}")
+    probs = [i / n_stages for i in range(1, n_stages)]
+    cuts = df.approxQuantile(score_col, probs, 0.0)
+    sc = F.col(score_col) if ascending else -F.col(score_col)
+    bounds = cuts if ascending else [-c for c in reversed(cuts)]
+    stage = F.lit(0)
+    for i, c in enumerate(bounds):
+        stage = F.when(sc > F.lit(float(c)), F.lit(i + 1)).otherwise(stage)
+    keyed = df.withColumn("stage", stage.cast("int")).withColumn(
+        "shuffle_key", shuffle_key(F.col(id_col), seed)
+    )
+    return keyed.repartitionByRange(
+        n_shards, "stage", "shuffle_key"
+    ).sortWithinPartitions("stage", "shuffle_key", id_col)

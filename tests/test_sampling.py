@@ -260,3 +260,62 @@ def test_split_corpus_deterministic_bands(spark):
         split_corpus(df, {"a": 0.5, "b": 0.6})
     with pytest.raises(ValueError):
         split_corpus(df, {})
+
+
+def test_curriculum_order(spark):
+    import hashlib
+
+    from electrician_spark.operators.sampling import curriculum_order
+
+    rows = [(i, float((i * 37) % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, difficulty double")
+    out = curriculum_order(df, "difficulty", n_stages=3, n_shards=8, seed=5)
+    collected = [
+        (r["stage"], r["shuffle_key"], r["doc_id"], r["difficulty"])
+        for part in out.rdd.glom().collect()
+        for r in part
+    ]
+    # lossless
+    assert sorted(i for _, _, i, _ in collected) == list(range(300))
+    # global order: stages ascending, keys ascending within stage
+    assert collected == sorted(collected)
+    # stage membership tracks difficulty quantiles: every stage-0 score
+    # <= every stage-1 score <= every stage-2 score
+    by_stage = {}
+    for s, _, i, d in collected:
+        by_stage.setdefault(s, []).append(d)
+    assert set(by_stage) == {0, 1, 2}
+    assert max(by_stage[0]) <= min(by_stage[1])
+    assert max(by_stage[1]) <= min(by_stage[2])
+    # balanced-ish: exact quantile cuts give ~100 per stage
+    assert all(80 <= len(v) <= 120 for v in by_stage.values())
+    # shuffle_key replays the md5 reference
+    for s, k, i, _ in collected[:20]:
+        assert k == int(hashlib.md5(f"5:{i}".encode()).hexdigest()[:8], 16)
+
+    # new seed: same stage membership, different within-stage order
+    out2 = curriculum_order(df, "difficulty", n_stages=3, n_shards=8, seed=6)
+    m1 = {r["doc_id"]: r["stage"] for r in out.collect()}
+    m2 = {r["doc_id"]: r["stage"] for r in out2.collect()}
+    assert m1 == m2
+    o1 = [r["doc_id"] for r in out.collect()]
+    o2 = [r["doc_id"] for r in out2.collect()]
+    assert o1 != o2
+
+    # descending curriculum reverses stage-score relation
+    hard_first = curriculum_order(
+        df, "difficulty", n_stages=3, n_shards=8, ascending=False
+    )
+    hs = {}
+    for r in hard_first.collect():
+        hs.setdefault(r["stage"], []).append(r["difficulty"])
+    assert min(hs[0]) >= max(hs[2])
+
+    # NULL scores raise
+    import pytest as _pt
+
+    withnull = spark.createDataFrame(
+        [(1, 2.0), (2, None)], "doc_id long, difficulty double"
+    )
+    with _pt.raises(ValueError):
+        curriculum_order(withnull, "difficulty")
