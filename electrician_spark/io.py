@@ -862,3 +862,92 @@ def verify_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("file")
     )
+
+
+def read_webdataset_shards(
+    spark: SparkSession,
+    path: str,
+    binary_members: tuple[str, ...] = (),
+    text_members: tuple[str, ...] = (),
+) -> DataFrame:
+    """Read :func:`write_webdataset_shards` output (or any
+    WebDataset-layout tars) back to one row per sample: ``key`` (the
+    member stem) plus one column per requested extension —
+    ``binary_members`` stay raw bytes, ``text_members`` decode utf-8.
+    Missing members are NULL (the exporter skips NULL values, so the
+    round-trip is exact — pinned in tests).
+
+    Scale: one input partition per tar (binaryFile source — the same
+    file-parallelism unit as the WARC reader: shards are sized
+    ~100 MB–1 GB precisely so FILE parallelism is the scaling axis);
+    each kernel walks its tar's headers sequentially and emits Arrow
+    batches. ``shard`` and in-tar order are preserved via the
+    (shard, key) output ordering columns."""
+    import io as _io
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    fields = [
+        StructField("shard", LongType()),
+        StructField("key", StringType()),
+    ]
+    for ext in binary_members:
+        fields.append(StructField(ext, BinaryType()))
+    for ext in text_members:
+        fields.append(StructField(ext, StringType()))
+    schema = StructType(fields)
+    wanted = set(binary_members) | set(text_members)
+
+    def gen(batches):
+        import re
+        import tarfile
+
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for p, content in zip(b["path"], b["content"]):
+                m = re.search(r"shard-(\d+)\.tar$", p)
+                shard = int(m.group(1)) if m else -1
+                with tarfile.open(fileobj=_io.BytesIO(bytes(content))) as tar:
+                    cur_key, cur = None, {}
+
+                    def flush():
+                        if cur_key is not None:
+                            row = {"shard": shard, "key": cur_key}
+                            for ext in binary_members:
+                                row[ext] = cur.get(ext)
+                            for ext in text_members:
+                                v = cur.get(ext)
+                                row[ext] = v.decode("utf-8") if v is not None else None
+                            rows.append(row)
+
+                    for mem in tar.getmembers():
+                        stem, _, ext = mem.name.rpartition(".")
+                        if ext not in wanted:
+                            continue
+                        if stem != cur_key:
+                            flush()
+                            cur_key, cur = stem, {}
+                        cur[ext] = tar.extractfile(mem).read()
+                    flush()
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in fields]
+            ) if rows else pd.DataFrame(
+                {f.name: [] for f in fields}
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(gen, schema)

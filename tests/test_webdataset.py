@@ -106,3 +106,31 @@ def test_webdataset_verify_and_tamper(spark, media_df, tmp_path):
     bad = {r["file"]: r["ok"] for r in verify_webdataset_shards(spark, out).collect()}
     assert bad[rows[0]["file"]] is False
     assert sum(1 for v in bad.values() if not v) == 1
+
+
+def test_webdataset_read_roundtrip(spark, media_df, tmp_path):
+    from electrician_spark.io import read_webdataset_shards
+
+    out = str(tmp_path / "rt")
+    _export(spark, media_df, out)
+    back = read_webdataset_shards(
+        spark, out, binary_members=("png",), text_members=("json", "txt")
+    )
+    rows = back.collect()
+    assert len(rows) == 40
+    src = {r["doc_id"]: r for r in media_df.collect()}
+    for r in rows:
+        doc_id = int(r["key"].split("_")[1])
+        s = src[doc_id]
+        assert bytes(r["png"]) == bytes(s["payload"])
+        assert r["json"] == s["meta"]
+        assert r["txt"] == s["caption"]  # None round-trips as NULL
+        # shard column matches the key-derived shard
+        k = _key(1, doc_id)
+        assert r["shard"] == (k * 4) >> 32
+    # in-tar order preserved per shard: keys ascending within shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["key"])
+    for ks in by_shard.values():
+        assert ks == sorted(ks)
