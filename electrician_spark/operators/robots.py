@@ -252,3 +252,55 @@ def robots_allowed(
         F.col("matched_pattern"),
         F.coalesce(F.col("allowed"), F.lit(True)).alias("allowed"),
     )
+
+
+def _xml_unescape(c):
+    """The five predefined XML entities — the only escaping the
+    sitemap protocol requires for loc URLs."""
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def parse_sitemaps(
+    sitemap_df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """XML sitemap / sitemap-index bodies → one row per entry:
+    (host, kind, loc, lastmod) where ``kind`` is ``url`` (urlset
+    entry — a frontier URL) or ``sitemap`` (index entry — another
+    sitemap to fetch). ``lastmod`` is the raw W3C datetime string or
+    NULL. The crawl-frontier seed stage that pairs with
+    :func:`robots_sitemaps` (which yields the sitemap URLs to fetch).
+
+    Pure codegen: one ``regexp_extract_all`` per block kind ((?s)
+    non-greedy block match — Java-regex and RE2 compatible), one
+    explode, per-block regexp_extract for loc/lastmod, predefined XML
+    entities unescaped. Per-row work is linear in sitemap size (the
+    protocol caps one sitemap at 50 MB/50k URLs — bounded rows). CDATA
+    sections are out of scope (vanishingly rare in real sitemaps;
+    route exotic feeds through a pandas-UDF XML parser if needed)."""
+    body = F.col(body_col)
+    out = []
+    for kind, tag in (("url", "url"), ("sitemap", "sitemap")):
+        blocks = F.regexp_extract_all(
+            body, F.lit(rf"(?s)<{tag}>(.*?)</{tag}>"), F.lit(1)
+        )
+        exploded = sitemap_df.select(
+            F.col(host_col).alias("host"), F.explode(blocks).alias("blk")
+        )
+        loc = F.regexp_extract(F.col("blk"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+        lastmod = F.regexp_extract(
+            F.col("blk"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+        )
+        out.append(
+            exploded.select(
+                "host",
+                F.lit(kind).alias("kind"),
+                _xml_unescape(loc).alias("loc"),
+                F.nullif(lastmod, F.lit("")).alias("lastmod"),
+            ).filter(F.col("loc") != "")
+        )
+    return out[0].unionAll(out[1])

@@ -159,3 +159,34 @@ def test_regex_metachars_in_patterns_are_literal(spark):
     )
     assert got["https://h.com/a(b).c+"][0] is False
     assert got["https://h.com/aXbYcZ"][0] is True
+
+
+def test_parse_sitemaps(spark):
+    urlset = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.com/page?x=1&amp;y=2</loc>
+       <lastmod>2024-01-15</lastmod></url>
+  <url><loc>
+     https://a.com/plain
+  </loc></url>
+</urlset>"""
+    index = """<sitemapindex>
+  <sitemap><loc>https://b.com/sitemap-1.xml</loc>
+           <lastmod>2024-02-01T10:00:00+00:00</lastmod></sitemap>
+  <sitemap><loc>https://b.com/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+    df = spark.createDataFrame(
+        [("a.com", urlset), ("b.com", index)], "host string, body string"
+    )
+    rows = {
+        (r["host"], r["kind"], r["loc"]): r["lastmod"]
+        for r in rb.parse_sitemaps(df).collect()
+    }
+    assert rows[("a.com", "url", "https://a.com/page?x=1&y=2")] == "2024-01-15"
+    assert rows[("a.com", "url", "https://a.com/plain")] is None
+    assert (
+        rows[("b.com", "sitemap", "https://b.com/sitemap-1.xml")]
+        == "2024-02-01T10:00:00+00:00"
+    )
+    assert rows[("b.com", "sitemap", "https://b.com/sitemap-2.xml")] is None
+    assert len(rows) == 4
