@@ -34,9 +34,12 @@ Spark-first design (one shuffle pair per iteration, nothing else):
   the standard redistribution that keeps ranks a probability
   distribution (Σ rank = 1, pinned in tests).
 - **Lineage control**: ranks are ``localCheckpoint``-ed every
-  ``checkpoint_every`` iterations — constant-depth plans regardless
-  of iteration count (the same discipline as the connected-components
-  rounds in operators/dedup.py). Production swaps localCheckpoint for
+  iteration — the dangling-mass scalar forces one action per round
+  regardless, and materializing then makes each round's work exactly
+  one join+agg over cached inputs; an unmaterialized chain would
+  re-derive all previous rounds per action (O(k²) recompute — caught
+  and pinned by tools/pagerank_probe.py, which measured a 7× blow-up
+  at 16× nodes before the fix). Production swaps localCheckpoint for
   ``checkpoint`` on a cluster-visible directory (executor loss
   safety); localCheckpoint keeps the local[32] tests hermetic.
 
@@ -66,7 +69,6 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
-    checkpoint_every: int = 4,
     round_dp: int = 6,
 ) -> DataFrame:
     """Damped PageRank with dangling-mass redistribution.
@@ -112,8 +114,11 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
 
-    for it in range(iterations):
-        # Bounded scalar: total rank parked on dangling nodes this round.
+    for _ in range(iterations):
+        # Bounded scalar: total rank parked on dangling nodes this
+        # round. Cheap by construction — `ranks` is ALWAYS a
+        # materialized checkpoint (see below), so this scans one
+        # cached table, never re-derives the iteration chain.
         d_mass = (
             ranks.join(dangling.select("node"), "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -126,16 +131,26 @@ def pagerank(
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(d_mass / n_nodes))
-            ).alias("rank"),
+        # Materialize EVERY round: the dangling scalar forces an
+        # action per round anyway, and an unmaterialized chain makes
+        # each round's action re-derive all previous rounds — O(k²)
+        # recompute that the 16× scaling probe measured as a 7×
+        # blow-up before this pin (tools/pagerank_probe.py).
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.lit(d_mass / n_nodes)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
         )
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint()
 
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))
 
