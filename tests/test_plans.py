@@ -285,3 +285,82 @@ def test_perplexity_buckets_single_scored_compute(spark):
     final = p.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 0, final
     assert final.count("Scan ExistingRDD") >= 1, final
+
+
+def test_fim_transform_plan_is_codegen_projection(spark):
+    """fim_transform must be a pure projection: zero exchanges, zero
+    Python — the transform rides the corpus scan at 100 TB."""
+    from electrician_spark.io import read_table
+    from electrician_spark.operators.objectives import fim_transform
+
+    docs = read_table(spark, SF_DIR, "documents")
+    p = plan_of(fim_transform(docs, seed=1))
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_preference_pairs_partial_aggregate(spark):
+    """preference_pairs: max_by/min_by must keep the map-side partial
+    phase (a 10⁴-response prompt ships one row per partition), and no
+    Python anywhere."""
+    from electrician_spark.operators.objectives import preference_pairs
+
+    df = spark.createDataFrame(
+        [("p", "r", 1.0)], "prompt string, response string, score double"
+    )
+    p = plan_of(preference_pairs(df))
+    assert "partial_max_by" in p or "partial" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_robots_gate_no_cartesian(spark):
+    """robots_allowed: host equi-join + RLIKE filter — never a
+    cartesian/broadcast-nested-loop product, and the only Python is
+    the bounded per-FILE parse (none in the gate itself)."""
+    from electrician_spark.operators import robots as rb
+
+    rules = rb.robots_rules(
+        rb.parse_robots(
+            spark.createDataFrame(
+                [("h.com", "User-agent: *\nDisallow: /x\n")],
+                "host string, body string",
+            )
+        )
+    )
+    urls = spark.createDataFrame([("https://h.com/a",)], "url string")
+    p = plan_of(rb.robots_allowed(urls, rules))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_random_projection_single_pass(spark):
+    """random_projection: one mapInPandas over the scan — no exchange,
+    no broadcast (the matrix derives executor-side)."""
+    from electrician_spark.io import read_table
+    from electrician_spark.operators.quantize import random_projection
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    p = plan_of(random_projection(emb, out_dim=8))
+    assert "Exchange" not in p, p
+    assert "Broadcast" not in p, p
+    # exactly one kernel node in the tree section (it reappears once
+    # more in the formatted detail listing)
+    assert "MapInPandas" in p and p.count("MapInPandas (") == 1, p
+
+
+def test_curriculum_order_no_global_sort(spark):
+    """curriculum_order: one range exchange + within-partition sort —
+    a global single-task sort must never materialize."""
+    from electrician_spark.io import read_table
+    from electrician_spark.operators.sampling import curriculum_order
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    out = curriculum_order(docs, "n_chars", n_stages=3, n_shards=8)
+    p = plan_of(out)
+    assert "rangepartitioning" in p.lower(), p
+    # every Sort in the plan is partition-local
+    import re
+
+    for m in re.finditer(r"Sort \[", p):
+        seg = p[m.start() : p.find("\n", m.start())]
+        assert "global=false" in seg or "global=true" not in seg, seg
