@@ -2135,12 +2135,66 @@ def strip_png_metadata(payload: bytes) -> bytes:
 
 def strip_image_metadata(payload: bytes) -> bytes:
     """Container-dispatching metadata scrub: JPEG → APP/COM strip,
-    PNG → text/EXIF chunk strip, anything else (incl. GIF, which has
-    no standard metadata blocks worth scrubbing beyond comments) is
-    returned unchanged. The per-row error contract follows the
-    dispatched function."""
+    PNG → text/EXIF chunk strip, GIF → comment/application extension
+    strip; anything else is returned unchanged. The per-row error
+    contract follows the dispatched function."""
     if payload[:2] == b"\xff\xd8":
         return strip_jpeg_metadata(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return strip_png_metadata(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return strip_gif_metadata(payload)
     return payload
+
+
+def strip_gif_metadata(payload: bytes) -> bytes:
+    """Drop Comment (0xFE) and Application (0xFF — where XMP and
+    animation-tool provenance hide) extension blocks from a GIF; the
+    Graphic Control extension (0xF9 — transparency/frame timing) and
+    Plain Text (0x01) affect rendering and pass through, as do all
+    image descriptors and color tables, so decoded pixels are
+    unchanged (pinned in tests). Raises ValueError on a non-GIF /
+    structurally torn stream (error-channel contract)."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    i = 13
+    if packed & 0x80:
+        i += 3 * (2 << (packed & 0x07))
+    out = bytearray(payload[:i])
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x21:  # extension: 0x21 label, then sub-blocks to 0x00
+            start = i
+            if i + 2 > len(payload):
+                raise ValueError("torn GIF extension")
+            label = payload[i + 1]
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            if i >= len(payload):
+                raise ValueError("torn GIF extension")
+            i += 1  # block terminator
+            if label not in (0xFE, 0xFF):
+                out += payload[start:i]
+        elif b0 == 0x2C:  # image descriptor: copy through trailer/next
+            start = i
+            i += 10
+            if i > len(payload):
+                raise ValueError("torn GIF image descriptor")
+            lpacked = payload[i - 1]
+            if lpacked & 0x80:
+                i += 3 * (2 << (lpacked & 0x07))
+            i += 1  # LZW min code size
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            if i >= len(payload):
+                raise ValueError("torn GIF image data")
+            i += 1
+            out += payload[start:i]
+        elif b0 == 0x3B:  # trailer
+            out += b"\x3b"
+            return bytes(out)
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("missing GIF trailer")

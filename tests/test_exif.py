@@ -178,3 +178,23 @@ def test_strip_png_metadata():
     assert mm.strip_image_metadata(jpeg) == mm.strip_jpeg_metadata(jpeg)
     gif = mm.synth_gif_solid(2, 2, (1, 2, 3))
     assert mm.strip_image_metadata(gif) == gif
+
+
+def test_strip_gif_metadata():
+    base = mm.synth_gif_solid(3, 3, (10, 20, 30))
+    # splice a comment + application extension before the image data;
+    # GIF header = 6 sig + 7 LSD; synth uses a global color table
+    packed = base[10]
+    hdr_end = 13 + 3 * (2 << (packed & 0x07))
+    comment = b"\x21\xfe\x07made by\x00"
+    app = b"\x21\xff\x0bXMP DataXMP" + b"\x03abc" + b"\x00"
+    tagged = base[:hdr_end] + comment + app + base[hdr_end:]
+    stripped = mm.strip_gif_metadata(tagged)
+    assert stripped == base
+    assert mm.decode_gif_pixels(stripped) == mm.decode_gif_pixels(tagged)
+    assert mm.strip_gif_metadata(stripped) == stripped  # idempotent
+    assert mm.strip_image_metadata(tagged) == base  # dispatcher routes
+    with pytest.raises(ValueError):
+        mm.strip_gif_metadata(b"\x89PNG not gif")
+    with pytest.raises(ValueError):
+        mm.strip_gif_metadata(tagged[:-2])  # trailer gone
