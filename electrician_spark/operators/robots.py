@@ -41,8 +41,6 @@ duplicate patterns cannot flap between runs.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
