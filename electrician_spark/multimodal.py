@@ -664,7 +664,10 @@ def phash_of_pixels(arr, hash_size: int = 8, dct_size: int = 32) -> int:
     if (h, w) != (dct_size, dct_size):
         arr = resample_image_box(arr, dct_size, dct_size)
     a = arr.astype(np.float64)
-    if a.shape[2] == 1:
+    if a.shape[2] <= 2:
+        # 1 = grayscale, 2 = gray+alpha (PNG color type 4): the luma
+        # channel is plane 0 — indexing plane 2 here raised on valid
+        # GA images and dropped them into the err channel.
         gray = a[:, :, 0]
     else:
         gray = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) / 1000.0
@@ -1547,9 +1550,13 @@ def audio_quality_stats(
                     a = np.abs(s)
                     clip_thr = int(math.floor(clip_frac * full))
                     clip = float(np.count_nonzero(a >= clip_thr)) / n
-                    sq = s * s
+                    # squares in float64: a 32-bit PCM sample squared is
+                    # ~4.6e18, so int64 frame/clip sums wrap near full
+                    # scale (negative rms → math.sqrt raise → valid WAVs
+                    # landed in the err channel)
+                    sq = s.astype(np.float64) ** 2
                     n_frames = (n + frame - 1) // frame
-                    padded = np.zeros(n_frames * frame, dtype=np.int64)
+                    padded = np.zeros(n_frames * frame, dtype=np.float64)
                     padded[:n] = sq
                     fsum = padded.reshape(n_frames, frame).sum(axis=1)
                     flen = np.full(n_frames, frame, dtype=np.int64)

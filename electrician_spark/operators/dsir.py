@@ -167,10 +167,13 @@ def dsir_log_weights(
     Explode the document's feature buckets, broadcast-join the
     log-ratio table, sum per document (map-side combinable). ``log_w``
     is rounded to 6 dp (cross-engine float contract); ``n_grams`` is
-    the feature count (0-gram documents score 0.0)."""
+    the feature count. 0-gram documents (empty/whitespace-only text)
+    produce no exploded rows, so they are restored via a left join on
+    the input ids with ``log_w = 0.0`` and ``n_grams = 0`` — every
+    input id appears in the output exactly once."""
     grams = _bucket_table(df, id_col, text_col, n_buckets)
     scored = grams.join(F.broadcast(llr_df), "bucket", "left")
-    return (
+    agg = (
         scored.groupBy(F.col("_id").alias(id_col))
         .agg(
             F.round(
@@ -178,6 +181,11 @@ def dsir_log_weights(
             ).alias("log_w"),
             F.count("*").alias("n_grams"),
         )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
     )
 
 

@@ -246,13 +246,23 @@ def incremental_dedup_sink(
     def handle(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         batch = exact_dedup(batch, text_col, keep_col=id_col)
+        from pyspark.errors import AnalysisException
+
         try:
             index = spark.read.parquet(index_path)
             # resolve NOW: under foreachBatch the read can defer path
             # resolution to the first action, which would fail the
             # whole micro-batch instead of taking the bootstrap branch
             index.limit(0).collect()
-        except Exception:  # noqa: BLE001 — first batch: empty bootstrap
+        except AnalysisException as e:
+            # Bootstrap ONLY on "the index does not exist yet". Any
+            # other read failure (transient IO, permissions, corrupt
+            # footer) must fail the micro-batch so the stream retries —
+            # deduping against an empty index would silently admit
+            # already-seen duplicates and append duplicate index rows.
+            err_class = getattr(e, "getCondition", lambda: None)() or ""
+            if "PATH_NOT_FOUND" not in err_class and "PATH_NOT_FOUND" not in str(e):
+                raise
             index = build_dedup_index(
                 batch.limit(0), id_col, text_col, n, num_hashes
             )

@@ -216,8 +216,19 @@ def robots_allowed(
         F.try_parse_url(uc, F.lit("PATH")),
         F.try_parse_url(F.concat(F.lit("http://"), uc), F.lit("PATH")),
     )
+    # RFC 9309 §2.2.2 (and Google's reference matcher) match rules
+    # against path-plus-query, not the path alone — otherwise
+    # 'Disallow: /*?sessionid=' or '/search?q=' can never fire.
+    qry = F.coalesce(
+        F.try_parse_url(uc, F.lit("QUERY")),
+        F.try_parse_url(F.concat(F.lit("http://"), uc), F.lit("QUERY")),
+    )
+    base = F.coalesce(F.nullif(path, F.lit("")), F.lit("/"))
+    target = F.when(
+        qry.isNotNull() & (qry != ""), F.concat(base, F.lit("?"), qry)
+    ).otherwise(base)
     u = urls.withColumn("_host", F.lower(url_host(uc))).withColumn(
-        "_path", F.coalesce(F.nullif(path, F.lit("")), F.lit("/"))
+        "_path", target
     )
     hits = (
         u.join(grp, u["_host"] == grp["host"], "left")

@@ -81,15 +81,14 @@ def test_log_weights_match_python_replay(spark):
     tc = dsir.fit_hashed_ngram_counts(target_df, n_buckets=B)
     rc = dsir.fit_hashed_ngram_counts(raw_df, n_buckets=B)
     llr, default_llr = dsir.log_ratio_table(tc, rc, n_buckets=B)
-    got = {
-        r.doc_id: r.log_w
-        for r in dsir.dsir_log_weights(
-            raw_df, llr, default_llr, n_buckets=B
-        ).collect()
-    }
+    rows = dsir.dsir_log_weights(raw_df, llr, default_llr, n_buckets=B).collect()
+    got = {r.doc_id: r.log_w for r in rows}
     want = _py_log_weights(RAW, TARGET)
-    # doc 6 has no grams → no exploded rows → absent from the agg
-    assert set(got) == {k for k in RAW if RAW[k].strip()}
+    # EVERY input id appears exactly once — 0-gram doc 6 is restored
+    # via the left join with log_w 0.0 / n_grams 0 (ADVICE r7)
+    assert set(got) == set(RAW) and len(rows) == len(RAW)
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[6].log_w == 0.0 and by_id[6].n_grams == 0
     for did, w in got.items():
         assert abs(w - round(want[did], 6)) < 1e-6, (did, w, want[did])
 
@@ -115,9 +114,7 @@ def test_select_matches_python_gumbel_replay(spark):
     assert len(out) == 3
     want_w = _py_log_weights(RAW, TARGET)
     keys = {}
-    for did, t in RAW.items():
-        if not t.strip():
-            continue
+    for did in RAW:  # 0-gram docs participate with weight 0.0 (ADVICE r7)
         h = hashlib.md5(f"7:{did}".encode()).hexdigest()[:8]
         u = (int(h, 16) + 0.5) / 2**32
         keys[did] = round(round(want_w[did], 6) - math.log(-math.log(u)), 6)

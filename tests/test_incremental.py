@@ -227,3 +227,32 @@ def test_corpus_diff_statuses_and_duckdb_replay(spark):
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """).fetchall()
     assert {d: s for d, s in rows} == got
+
+
+def test_sink_bootstrap_only_on_missing_path(spark, tmp_path):
+    """A corrupt/unreadable index must FAIL the micro-batch (so the
+    stream retries) rather than silently bootstrapping an empty index
+    and re-admitting already-seen duplicates; a genuinely missing
+    path still bootstraps."""
+    import pytest
+
+    def sink(df, _epoch):
+        df.collect()
+
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+
+    # corrupt footer: a parquet "file" that is not parquet
+    bad = tmp_path / "bad_index"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"definitely not parquet")
+    handler = incremental.incremental_dedup_sink(str(bad), sink)
+    with pytest.raises(Exception):
+        handler(batch, 0)
+
+    # missing path: bootstrap branch, batch admitted, index created
+    missing = str(tmp_path / "fresh_index")
+    handler2 = incremental.incremental_dedup_sink(missing, sink)
+    handler2(batch, 0)
+    assert spark.read.parquet(missing).count() == 1

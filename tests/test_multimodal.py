@@ -458,7 +458,9 @@ def _wav(rate=8000, nch=1, width=2, samples=None):
         w.setnchannels(nch)
         w.setsampwidth(width)
         w.setframerate(rate)
-        if width == 2:
+        if width == 4:
+            w.writeframes(st.pack(f"<{len(samples)}i", *samples))
+        elif width == 2:
             w.writeframes(st.pack(f"<{len(samples)}h", *samples))
         elif width == 1:
             w.writeframes(bytes((s + 128) & 0xFF for s in samples))
@@ -1279,3 +1281,21 @@ def test_audio_quality_stats_closed_form(spark):
     b8 = out[3]  # 8-bit full scale is 127 — clip detection respects width
     assert b8.clip_ratio == "1.000000" and b8.peak_dbfs == "0.000000"
     assert out[4].ok.startswith("err:") and out[4].n_samples is None
+
+
+def test_audio_quality_stats_32bit_no_int64_wrap(spark):
+    # 32-bit PCM near full scale: one squared sample is ~4.6e18, so a
+    # 1024-sample frame sum wrapped int64 (negative rms → math.sqrt
+    # raise → valid WAVs in the err channel). Squares now accumulate
+    # in float64: a constant full-scale clip is exactly 0 dBFS.
+    full = (1 << 31) - 1
+    blob, _ = _wav(width=4, samples=[full] * 4096)
+    out = mm.audio_quality_stats(
+        spark.createDataFrame(
+            [(1, bytearray(blob))], "media_id long, payload binary"
+        ),
+        frame=1024,
+    ).collect()[0]
+    assert out.ok == "ok" and out.n_samples == 4096
+    assert out.clip_ratio == "1.000000" and out.silence_ratio == "0.000000"
+    assert out.peak_dbfs == "0.000000" and out.rms_dbfs == "0.000000"

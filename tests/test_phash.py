@@ -116,3 +116,50 @@ def test_hamming_pairs_negative_signatures(spark):
         for r in dedup.hamming_pairs(sig, "media_id", "phash", max_hamming=1).collect()
     }
     assert pairs == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+def _png_gray_alpha(w: int, h: int, rows_v, alpha: int = 255) -> bytes:
+    """Color-type-4 (gray+alpha) PNG: per-row gray values from
+    ``rows_v`` (int → solid), every alpha = ``alpha``."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    if isinstance(rows_v, int):
+        rows_v = [rows_v] * h
+    ihdr = struct.pack(">II5B", w, h, 8, 4, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes([v, alpha]) * w for v in rows_v
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_gray_alpha_png_hashes_like_gray():
+    # color type 4 (gray+alpha): luma is plane 0 — the RGB formula
+    # previously indexed plane 2 and raised IndexError, silently
+    # dropping valid GA PNGs into the image_phash err channel.
+    assert _phash_bytes(_png_gray_alpha(32, 32, 77)) == H_SOLID
+    split = [180 if y < 16 else 60 for y in range(32)]
+    assert _phash_bytes(_png_gray_alpha(32, 32, split)) == H_TB_LIGHT
+
+
+def test_gray_alpha_png_through_image_phash_df(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_png_gray_alpha(32, 32, 50)))],
+        "media_id long, payload binary",
+    )
+    rows = mm.image_phash(df).collect()
+    assert len(rows) == 1 and rows[0]["ok"] == "ok"
+    assert rows[0]["phash"] == H_SOLID

@@ -190,3 +190,37 @@ def test_parse_sitemaps(spark):
     )
     assert rows[("b.com", "sitemap", "https://b.com/sitemap-2.xml")] is None
     assert len(rows) == 4
+
+
+def test_query_patterns_match_path_plus_query(spark):
+    # RFC 9309 / Google's matcher evaluate rules against path+query —
+    # 'Disallow: /*?sessionid=' and '/search?q=' must be able to fire.
+    body = """\
+User-agent: *
+Disallow: /*?sessionid=
+Disallow: /search?q=
+Allow: /search?q=keep
+"""
+    rules = rb.robots_rules(
+        rb.parse_robots(
+            spark.createDataFrame([("q.example.com", body)], "host string, body string")
+        )
+    )
+    got = _gate(
+        spark,
+        rules,
+        [
+            "http://q.example.com/page?sessionid=abc",
+            "http://q.example.com/page",
+            "http://q.example.com/search?q=foo",
+            "http://q.example.com/search?q=keep",
+            "http://q.example.com/search",
+        ],
+        "trainbot",
+    )
+    assert got["http://q.example.com/page?sessionid=abc"][0] is False
+    assert got["http://q.example.com/page"][0] is True
+    assert got["http://q.example.com/search?q=foo"][0] is False
+    # longest match wins: the Allow is longer than 'Disallow: /search?q='
+    assert got["http://q.example.com/search?q=keep"][0] is True
+    assert got["http://q.example.com/search"][0] is True
