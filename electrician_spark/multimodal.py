@@ -1685,27 +1685,26 @@ def audio_fingerprint(df: DataFrame, n_bands: int = 64) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(gen, AUDIO_FP_SCHEMA)
 
 
-def _decode_stub(payload: bytes, mime: str) -> tuple[int, int]:
-    """Dimension decode: REAL header parse first (PNG/JPEG/GIF via
-    :func:`parse_image_dims`); payloads that aren't recognized image
-    containers fall back to a deterministic fake (width, height)
-    derived from the payload hash — the clearly-marked STUB for
-    synthetic plumbing fixtures. Pixel decoding beyond dimensions
-    would slot in here (PIL.Image.open) without touching the
-    surrounding batching/schema/error plumbing."""
+def _decode_dims(payload: bytes, mime: str) -> tuple[int, int]:
+    """Dimension decode: REAL header parse (PNG/JPEG/GIF via
+    :func:`parse_image_dims`). Payloads that aren't recognized image
+    containers raise and land in the ``ok`` error channel — the same
+    real-or-explicit-error policy as every other decode path (this
+    was the tree's last synthetic-output fallback; r7 verdict item 7).
+    Byte stats (n_bytes, sha256) are still emitted for such rows."""
     if payload is None:
         raise ValueError("empty payload")
     real = parse_image_dims(bytes(payload))
-    if real is not None:
-        return real
-    h = hashlib.sha256(payload).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192
+    if real is None:
+        raise ValueError("unrecognized image container")
+    return real
 
 
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads: byte stats +
-    stubbed decode, failures captured in the ``ok`` column (DLQ column
-    pattern, reliability.py) instead of failing the task."""
+    real header-dimension decode, failures captured in the ``ok``
+    column (DLQ column pattern, reliability.py) instead of failing the
+    task — non-image payloads keep their byte stats with NULL dims."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -1730,7 +1729,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             oks: list[str] = []
             for p, mime in zip(payload, b["mime"]):
                 try:
-                    w, h = _decode_stub(p, mime)
+                    w, h = _decode_dims(p, mime)
                     widths.append(w)
                     heights.append(h)
                     oks.append("ok")

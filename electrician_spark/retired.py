@@ -1,0 +1,485 @@
+"""Archived declared-query registry — retired rows stay RUNNABLE.
+
+The driver correctness gate caps the live registry at 100 rows (two
+disjoint 50-slot windows), so redundant rows get retired to make room
+for new operators. Retirement is governance, not deletion: each row
+here carries the same (spark fn, DuckDB oracle) pair it had when it
+last passed the driver gate, so every SURVEY-declared query remains
+executable in both engines (SURVEY §2 contract; r7 verdict item 3).
+
+Run them with ``python tools/check.py --archived`` (18/18 must pass);
+``tests/test_oracle.py`` pins archive ∩ live registry = ∅ and that
+every row named RETIRED in queries.py / COVERAGE.md is present here.
+
+Each entry documents the subsumption argument that justified its
+retirement (which live row now attests the same machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from electrician_spark.operators import relational as rel
+from electrician_spark.queries import REGISTRY, QueryDef, TS, _t
+
+RETIRED_REGISTRY: dict[str, QueryDef] = {}
+
+
+def retired_query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        assert name not in REGISTRY, f"{name} is both live and archived"
+        RETIRED_REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+# --- §2.1 scans -------------------------------------------------------------
+
+
+@retired_query(
+    "q_s4_cursor_scan",
+    "SELECT count(*) AS n FROM orders WHERE o_orderkey > 1000",
+    tags=("scan",),
+)
+def q_s4(spark, sf_dir):
+    # Retired r6: cursor path stays test-pinned in test_io; the scan
+    # shape is q_s2's. Reference S5 StartAfterKey cursor.
+    from electrician_spark.io import scan_projected
+    import os
+
+    df = scan_projected(
+        spark, os.path.join(sf_dir, "orders.parquet"), start_after=("o_orderkey", 1000)
+    )
+    return df.agg(F.count("*").alias("n"))
+
+
+@retired_query(
+    "q_t1_revenue_projection",
+    "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 2) AS revenue "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    tags=("transform",),
+)
+def q_t1(spark, sf_dir):
+    # Retired r6: identity/projection transform chains run inside every
+    # multi-stage live row; the filter-pushdown pin lives on q_j2.
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= TS("1998-09-02"))
+        .select("l_orderkey", "l_linenumber", rel.round2(rel.revenue_expr()).alias("revenue"))
+    )
+    return rel.top_k(df, [F.col("l_orderkey"), F.col("l_linenumber")], 100)
+
+
+# --- §2.4 aggregations ------------------------------------------------------
+
+
+@retired_query(
+    "q_a4_count_distinct",
+    "SELECT count(DISTINCT o_custkey) AS n_custs FROM orders",
+    tags=("agg",),
+)
+def q_a4(spark, sf_dir):
+    # Retired r7: distinct counting stays attested via q_ds1/q_pr1.
+    return _t(spark, sf_dir, "orders").agg(F.countDistinct("o_custkey").alias("n_custs"))
+
+
+@retired_query(
+    "q_a5_peak_rate",
+    "SELECT max(n) AS peak FROM (SELECT count(*) AS n FROM events "
+    "GROUP BY date_trunc('hour', ts)) t",
+    tags=("agg", "events"),
+)
+def q_a5(spark, sf_dir):
+    # Retired r7: agg-of-agg shape attested via q_o1.
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    return hourly.agg(F.max("n").alias("peak"))
+
+
+@retired_query(
+    "q_a6_grouped_stats",
+    "SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    tags=("agg", "events"),
+)
+def q_a6(spark, sf_dir):
+    # Retired r7: grouped-avg shape attested via q_a1/q_q1.
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@retired_query(
+    "q_q2_winsorized_stats",
+    "WITH b AS (SELECT l_returnflag, "
+    "round(quantile_cont(l_extendedprice, 0.05), 6) AS p5, "
+    "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95 "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT l_returnflag, count(*) AS n, "
+    "round(avg(least(greatest(l_extendedprice, p5), p95)), 6) AS avg_clipped, "
+    "round(min(least(greatest(l_extendedprice, p5), p95)), 6) AS min_clipped, "
+    "round(max(least(greatest(l_extendedprice, p5), p95)), 6) AS max_clipped "
+    "FROM lineitem JOIN b USING (l_returnflag) "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+    tags=("agg", "quantile"),
+)
+def q_q2(spark, sf_dir):
+    # Retired r7: percentile machinery via q_q1, approxQuantile path
+    # via q_lm2. Winsorized robust statistics: per-group [p5, p95]
+    # clamp (bounds pass + broadcast join), then aggregates.
+    from electrician_spark.operators import olap
+
+    clipped = olap.clip_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        plo=0.05,
+        phi=0.95,
+        group_cols=["l_returnflag"],
+    )
+    c = F.col("l_extendedprice_clipped")
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(c), 6).alias("avg_clipped"),
+            F.round(F.min(c), 6).alias("min_clipped"),
+            F.round(F.max(c), 6).alias("max_clipped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@retired_query(
+    "q_hg1_price_histogram",
+    "SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 23) "
+    "AS BIGINT) AS bucket, count(*) AS n, "
+    "round(0.0 + CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 23) "
+    "AS BIGINT) * 5000.0, 6) AS bucket_lo "
+    "FROM lineitem GROUP BY 1 ORDER BY bucket",
+    tags=("agg", "histogram"),
+)
+def q_hg1(spark, sf_dir):
+    # Retired r7: the integer-bucket groupBy shape is attested by
+    # every live agg row; exact pins stay in test_olap.
+    from electrician_spark.operators import olap
+
+    return olap.histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", lo=0.0, hi=120_000.0, nbins=24
+    ).orderBy("bucket")
+
+
+# --- §2.8 window functions --------------------------------------------------
+
+
+@retired_query(
+    "q_wf3_running_sum",
+    "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running "
+    "FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderdate, o_orderkey",
+    tags=("winfunc",),
+)
+def q_wf3(spark, sf_dir):
+    # Retired r7: identical ROWS UNBOUNDED PRECEDING cumsum runs inside
+    # q_sp1's pack stage.
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            rel.round2(F.sum("o_totalprice").over(w)).alias("running"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .drop("o_orderdate")
+    )
+
+
+# --- §2.9 set ops -----------------------------------------------------------
+
+
+@retired_query(
+    "q_u1_union_all",
+    "SELECT count(*) AS n FROM (SELECT o_custkey AS k FROM orders "
+    "UNION ALL SELECT c_custkey AS k FROM customer) t",
+    tags=("setop",),
+)
+def q_u1(spark, sf_dir):
+    # Retired r6: the UNION ALL stage runs inside q_u2.
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return a.unionByName(b).agg(F.count("*").alias("n"))
+
+
+@retired_query(
+    "q_u4_intersect",
+    "SELECT count(*) AS n FROM (SELECT c_custkey AS k FROM customer "
+    "INTERSECT SELECT o_custkey AS k FROM orders) t",
+    tags=("setop",),
+)
+def q_u4(spark, sf_dir):
+    # Retired r7: INTERSECT plans as a left-semi over distinct — the
+    # shape q_j4 attests.
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b).agg(F.count("*").alias("n"))
+
+
+# --- §2.11 sinks ------------------------------------------------------------
+
+
+@retired_query(
+    "q_k5_upsert_executed",
+    "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn "
+    "FROM orders WHERE o_custkey < 500) t WHERE rn = 1 ORDER BY o_custkey",
+    tags=("sink", "jdbc"),
+)
+def q_k5(spark, sf_dir):
+    # Retired r7 (it was the one row collecting a batch driver-side to
+    # feed DuckDB; K4 stays attested by q_k4 + the Derby MERGE test).
+    # K4 executed: the generated CREATE TABLE / INSERT ... ON CONFLICT
+    # DO UPDATE SQL actually runs against a SQL engine, with the batch
+    # applied TWICE — idempotent last-writer-wins.
+    import duckdb
+
+    from electrician_spark.operators.upsert import create_table_ddl, upsert_sql
+
+    batch = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+    ddl = create_table_ddl(batch, "upsert_target", keys=["o_custkey"])
+    sql = upsert_sql(batch, "upsert_target", keys=["o_custkey"])
+    rows = [(r["o_custkey"], r["o_orderkey"], r["o_totalprice"]) for r in batch.collect()]
+    con = duckdb.connect()
+    con.execute(ddl)
+    for _ in range(2):  # re-applying the batch must be a no-op
+        con.executemany(sql, rows)
+    final = con.execute(
+        "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total "
+        "FROM upsert_target ORDER BY o_custkey"
+    ).fetch_df()
+    con.close()
+    return spark.createDataFrame(final).orderBy("o_custkey")
+
+
+# --- §2.12 reliability -------------------------------------------------------
+
+
+@retired_query(
+    "q_r4_retry_table",
+    "SELECT event_id, event_id % 5 AS priority, 2 AS retry_count "
+    "FROM events WHERE event_type = 'error'",
+    tags=("reliability",),
+)
+def q_r4(spark, sf_dir):
+    # Retired r7: retry family attested via q_r2 (executed schedule),
+    # priority drain via q_o3. Two failure rounds through the retry
+    # table: retry_count bumps per requeue.
+    from electrician_spark import reliability
+
+    failed = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", (F.col("event_id") % 5).alias("priority"))
+    )
+    once = reliability.to_retry_table(failed)
+    twice = reliability.to_retry_table(once.drop("_enqueued_at"))
+    return twice.select("event_id", "priority", "retry_count")
+
+
+# --- sampling ---------------------------------------------------------------
+
+_SQL_SAMPLE_KEY = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{d}' THEN {int(r * (1 << 32))}" for d, r in sorted(_MIXTURE_RATES.items())
+    )
+    default = int(0.05 * (1 << 32))
+    return (
+        f"SELECT doc_id, source FROM documents WHERE {_SQL_SAMPLE_KEY} < "
+        f"(CASE source {cases} ELSE {default} END)"
+    )
+
+
+@retired_query("q_sm3_mixture_sample", _mixture_oracle(), tags=("sampling",))
+def q_sm3(spark, sf_dir):
+    # Retired r7: the md5-threshold filter shape lives in q_sm2,
+    # domain-rate arithmetic in q_dm1.
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        docs, "source", _MIXTURE_RATES, default_rate=0.05
+    ).select("doc_id", "source")
+
+
+_WEIGHTED_C = 0.3 * float(1 << 32) / 800.0  # base_rate=0.3, scale=800 chars
+
+
+@retired_query(
+    "q_sm4_weighted_sample",
+    # Include iff md5_key < n_chars * c — one IEEE multiply and an
+    # integer-vs-double compare; both engines agree bit-for-bit.
+    f"WITH s AS (SELECT lang, n_chars FROM documents WHERE {_SQL_SAMPLE_KEY} < "
+    f"n_chars * {_WEIGHTED_C!r}) "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM s GROUP BY lang ORDER BY lang",
+    tags=("sampling",),
+)
+def q_sm4(spark, sf_dir):
+    # Retired r7: md5-threshold inclusion test-pinned in test_sampling.
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = sampling.weighted_bernoulli_sample(
+        docs, "n_chars", base_rate=0.3, scale=800.0
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("lang")
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+@retired_query(
+    "q_x1_token_stats",
+    f"SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens, "
+    "CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents "
+    "ORDER BY doc_id LIMIT 50",
+    tags=("text",),
+)
+def q_x1(spark, sf_dir):
+    # Retired r6: counts attested via q_x2 ratios + q_x8 BPE counts.
+    from electrician_spark.functions import text as tx
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        tx.char_count(F.col("text")).cast("long").alias("n_chars_actual"),
+    )
+    return rel.top_k(df, [F.col("doc_id")], 50)
+
+
+@retired_query(
+    "q_x4_fingerprint",
+    f"SELECT doc_id, md5(lower(array_to_string({_SQL_TOKENS}, ' '))) AS fp "
+    "FROM documents ORDER BY doc_id LIMIT 50",
+    tags=("text",),
+)
+def q_x4(spark, sf_dir):
+    # Retired r6: the fingerprint is q_d1's groupBy key.
+    from electrician_spark.functions import text as tx
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    )
+    return rel.top_k(df, [F.col("doc_id")], 50)
+
+
+@retired_query(
+    "q_x5_repetition_stats",
+    f"WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents), "
+    "s AS (SELECT doc_id, lang, len(toks) AS n, "
+    "1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS dtf, "
+    "CASE WHEN len(toks) > 1 THEN 1.0 - len(list_distinct("
+    "[toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) * 1.0 "
+    "/ (len(toks) - 1) ELSE 0.0 END AS dbf "
+    "FROM t WHERE len(toks) > 0), "
+    "m AS (SELECT doc_id, max(c) AS mx FROM (SELECT doc_id, tok, count(*) AS c "
+    "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok) "
+    "GROUP BY doc_id) "
+    "SELECT lang, count(*) AS n_docs, round(avg(dtf), 6) AS avg_dup_token_frac, "
+    "round(avg(dbf), 6) AS avg_dup_bigram_frac, "
+    "round(avg(mx * 1.0 / n), 6) AS avg_top_token_frac "
+    "FROM s JOIN m USING (doc_id) GROUP BY lang ORDER BY lang",
+    tags=("text",),
+)
+def q_x5(spark, sf_dir):
+    # Retired r7: strictly subsumed by q_gq1's 13-signal battery.
+    from electrician_spark.functions import text as tx
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tx.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    reps = tx.token_repetition_stats(F.col("toks"))
+    stats = base.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n"),
+        reps["dup_token_frac"].alias("dtf"),
+        reps["dup_bigram_frac"].alias("dbf"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    return (
+        stats.join(top, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dtf"), 6).alias("avg_dup_token_frac"),
+            F.round(F.avg("dbf"), 6).alias("avg_dup_bigram_frac"),
+            F.round(F.avg(F.col("mx") / F.col("n")), 6).alias("avg_top_token_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@retired_query(
+    "q_m1_media_features",
+    "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
+    "sha256(text) AS sha FROM documents ORDER BY media_id LIMIT 50",
+    tags=("multimodal",),
+)
+def q_m1(spark, sf_dir):
+    # Retired r7: superseded by the real-decode rows (q_px1/q_rz1/
+    # q_vf1). Archived WITHOUT the stub width/height columns the
+    # original row checked — unrecognized-byte payloads now surface in
+    # the err channel instead of fabricating dims (r7 verdict item 7),
+    # so the archived surface is byte stats + digest only.
+    from electrician_spark import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs, "text", id_col="doc_id")
+    feats = mm.extract_features(media).select(
+        "media_id", "n_bytes", F.col("sha256").alias("sha")
+    )
+    return rel.top_k(feats, [F.col("media_id")], 50)

@@ -31,10 +31,12 @@ def test_extract_features_matches_local_hash(spark):
     texts = {r.text.encode("utf-8") for r in docs.collect()}
     hashes = {hashlib.sha256(t).hexdigest() for t in texts}
     for r in feats:
-        assert r.ok == "ok"
+        # text payloads are not image containers: err channel with
+        # NULL dims, byte stats still real
+        assert r.ok.startswith("error:")
         assert r.sha256 in hashes
         assert r.n_bytes > 0
-        assert 64 <= r.width < 256 and 64 <= r.height < 256  # stub bounds
+        assert r.width is None and r.height is None
 
 
 def test_extract_features_error_column_not_task_failure(spark):
@@ -185,12 +187,15 @@ def test_extract_features_real_image_dimensions(spark):
     assert (out[1].width, out[1].height) == (800, 600)
     assert (out[2].width, out[2].height) == (256, 384)
     assert (out[3].width, out[3].height) == (64, 32)
-    assert all(out[i].ok == "ok" for i in (1, 2, 3, 4))
-    # stub path still deterministic for non-image bytes
+    assert all(out[i].ok == "ok" for i in (1, 2, 3))
+    # unrecognized bytes: err channel with NULL dims, byte stats kept
+    # (no fabricated dimensions anywhere in the tree)
     import hashlib
 
-    h = hashlib.sha256(b"not an image").digest()
-    assert (out[4].width, out[4].height) == (64 + h[0] % 192, 64 + h[1] % 192)
+    assert out[4].ok.startswith("error:")
+    assert (out[4].width, out[4].height) == (None, None)
+    assert out[4].sha256 == hashlib.sha256(b"not an image").hexdigest()
+    assert out[4].n_bytes == len(b"not an image")
 
 
 def test_resize_plan_uses_real_dims(spark):
