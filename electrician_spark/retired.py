@@ -19,8 +19,19 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from electrician_spark.functions import scalar as sf
 from electrician_spark.operators import relational as rel
-from electrician_spark.queries import REGISTRY, QueryDef, TS, _t
+from electrician_spark.queries import (
+    REGISTRY,
+    QueryDef,
+    TS,
+    _SQL_DOT,
+    _SQL_JACCARD_CTES,
+    _SQL_NORM_CTE,
+    _as_doubles,
+    _t,
+)
+from electrician_spark.streaming import windows as win
 
 RETIRED_REGISTRY: dict[str, QueryDef] = {}
 
@@ -483,3 +494,202 @@ def q_m1(spark, sf_dir):
         "media_id", "n_bytes", F.col("sha256").alias("sha")
     )
     return rel.top_k(feats, [F.col("media_id")], 50)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 retirements — each replaced by a new r8 promotion row in the
+# live registry (subsumption rationale at each queries.py retirement
+# site and on each row below).
+# ---------------------------------------------------------------------------
+
+@retired_query(
+    "q_t9_sha256",
+    "SELECT c_custkey, sha256(c_name) AS name_hash FROM customer ORDER BY c_custkey LIMIT 50",
+    tags=("transform",),
+)
+def q_t9(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer").select(
+        "c_custkey", sf.sha256_hex(F.col("c_name")).alias("name_hash")
+    )
+    return rel.top_k(df, [F.col("c_custkey")], 50)
+
+
+@retired_query(
+    "q_o1_global_topk",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25",
+    tags=("order",),
+)
+def q_o1(spark, sf_dir):
+    return rel.top_k(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        25,
+    )
+
+
+@retired_query(
+    "q_w8_dedupe_key",
+    "SELECT count(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) t",
+    tags=("window", "events"),
+)
+def q_w8(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return win.dedupe(df, ["user_id", "event_type"]).agg(F.count("*").alias("n"))
+
+
+@retired_query(
+    "q_w9_ordered_replay",
+    "SELECT user_id, min(event_id) AS first_seq, max(event_id) AS last_seq, count(*) AS n "
+    "FROM events GROUP BY user_id ORDER BY user_id LIMIT 50",
+    tags=("window", "events"),
+)
+def q_w9(spark, sf_dir):
+    out = win.ordered_replay_summary(_t(spark, sf_dir, "events"), "user_id", "event_id")
+    return rel.top_k(out, [F.col("user_id")], 50)
+
+
+@retired_query(
+    "q_f4_array_agg",
+    "SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys "
+    "FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey ORDER BY o_custkey",
+    tags=("scalar",),
+)
+def q_f4(spark, sf_dir):
+    # collect_list → sort → join: deterministic string form so the hash
+    # comparison is representation-stable across engines.
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 20)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("order_keys")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@retired_query(
+    "q_x2_quality_metrics",
+    f"SELECT doc_id, round(len(list_filter({_SQL_TOKENS}, x -> x IN "
+    "('the','a','of','and','to','in','is','it'))) * 1.0 / "
+    f"len({_SQL_TOKENS}), 6) AS stop_ratio, "
+    f"round(list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) * 1.0 / "
+    f"len({_SQL_TOKENS}), 6) AS avg_tok_len "
+    "FROM documents ORDER BY doc_id LIMIT 50",
+    tags=("text",),
+)
+def q_x2(spark, sf_dir):
+    from electrician_spark.functions import text as tx
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(tx.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(tx.avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
+    )
+    return rel.top_k(df, [F.col("doc_id")], 50)
+
+
+@retired_query(
+    "q_d7_canonical_docs",
+    # Terminal dedup materialization: the corpus minus non-canonical
+    # near-dup cluster members. Same 2-round propagation oracle as q_d6
+    # (exact on clique-shaped fixture clusters).
+    f"WITH {_SQL_JACCARD_CTES}, "
+    "p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8), "
+    "sym AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION ALL SELECT id_b, id_a FROM p), "
+    "l0 AS (SELECT src AS node, least(src, min(dst)) AS rep FROM sym GROUP BY src), "
+    "l1 AS (SELECT l0.node, least(l0.rep, min(ln.rep)) AS rep "
+    "FROM l0 JOIN sym ON sym.src = l0.node JOIN l0 ln ON ln.node = sym.dst "
+    "GROUP BY l0.node, l0.rep) "
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE doc_id NOT IN (SELECT node FROM l1 WHERE rep <> node) "
+    "ORDER BY doc_id",
+    tags=("dedup",),
+)
+def q_d7(spark, sf_dir):
+    from electrician_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return (
+        dedup.canonical_docs(docs, pairs)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@retired_query(
+    "q_sm1_stratified_sample",
+    # Quota sampling for data mixing: 5 docs per lang, chosen by the
+    # md5 key so the sample is reproducible across runs and engines.
+    f"WITH keyed AS (SELECT lang, doc_id, {_SQL_SAMPLE_KEY} AS k FROM documents), "
+    "r AS (SELECT lang, doc_id, ROW_NUMBER() OVER "
+    "(PARTITION BY lang ORDER BY k, doc_id) AS rn FROM keyed) "
+    "SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id",
+    tags=("sampling",),
+)
+def q_sm1(spark, sf_dir):
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(docs, ["lang"], 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@retired_query(
+    "q_n2_ann_ivf",
+    "WITH ex AS (SELECT label AS cl, d.dim AS dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v "
+    "FROM embeddings, (SELECT unnest(range(64)) AS dim) d), "
+    "means AS (SELECT cl, dim, avg(v) AS m FROM ex GROUP BY cl, dim), "
+    "cents AS (SELECT cl, list(m ORDER BY dim) AS centroid FROM means GROUP BY cl), "
+    f"{_SQL_NORM_CTE}, "
+    "q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM norms WHERE vec_id < 10), "
+    "routed AS (SELECT query_id, qv, qn, cl, "
+    + _SQL_DOT.format(a="qv", b="centroid")
+    + " / (qn * sqrt(list_sum(list_transform(centroid, x -> x * x)))) AS ccos FROM q, cents), "
+    "probe AS (SELECT query_id, qv, qn, cl FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY ccos DESC, cl) AS rn FROM routed) r WHERE rn = 1), "
+    "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
+    f"round({_SQL_DOT.format(a='qv', b='e.embedding')} / (qn * n2.nrm), 4) AS cos "
+    "FROM probe p JOIN embeddings e ON e.label = p.cl AND e.vec_id != p.query_id "
+    "JOIN norms n2 ON n2.vec_id = e.vec_id), "
+    "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
+    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5 "
+    "ORDER BY query_id, rank",
+    tags=("similarity",),
+)
+def q_n2(spark, sf_dir):
+    from electrician_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+@retired_query(
+    "q_p1_signal_energy",
+    "SELECT vec_id, round(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy "
+    "FROM embeddings ORDER BY vec_id LIMIT 50",
+    tags=("dsp",),
+)
+def q_p1(spark, sf_dir):
+    # TotalEnergy (utils.go:167-175) over the embedding vectors treated
+    # as real-valued samples — JVM-side sequential fold, same summation
+    # order as the oracle's list_sum.
+    from electrician_spark.functions import dsp
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", _as_doubles("embedding").alias("re"))
+    out = emb.select("vec_id", F.round(dsp.energy(F.col("re")), 6).alias("energy"))
+    return rel.top_k(out, [F.col("vec_id")], 50)

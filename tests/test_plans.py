@@ -80,7 +80,9 @@ def test_regional_revenue_plan_shape(plans):
 
 
 def test_topk_avoids_global_sort(plans):
-    assert "TakeOrderedAndProject" in plans("q_o1_global_topk")
+    # q_o1 retired r8 (archived); q_s3 carries the same
+    # TakeOrderedAndProject pin on the live surface.
+    assert "TakeOrderedAndProject" in plans("q_s3_predicate_pushdown")
 
 
 def test_revenue_filter_pushed(plans):
@@ -129,7 +131,6 @@ def test_multiprobe_ivf_broadcasts_probe_side(plans):
 # else must use an equi/range join.
 _BNLJ_ALLOWED = {
     "q_n1_ann_bruteforce",
-    "q_n2_ann_ivf",
     "q_n3_ann_ivf_kmeans",
     "q_n4_ann_ivf_probes",
     "q_e1_quantize_embeddings",
@@ -148,6 +149,9 @@ _BNLJ_ALLOWED = {
     # shard census × the ONE-row verification aggregate (bool_and over
     # four manifest rows) — the sanctioned single-row broadcast shape.
     "q_sh1_training_shards",
+    # q_wd1 folds the one-row verify aggregate onto the shard census —
+    # the same single-row broadcast bounds-join shape as q_sh1.
+    "q_wd1_webdataset_shards",
 }
 
 
