@@ -1304,3 +1304,52 @@ def test_audio_quality_stats_32bit_no_int64_wrap(spark):
     assert out.ok == "ok" and out.n_samples == 4096
     assert out.clip_ratio == "1.000000" and out.silence_ratio == "0.000000"
     assert out.peak_dbfs == "0.000000" and out.rms_dbfs == "0.000000"
+
+
+def test_h264_video_payloads_degrade_to_err_channel(spark):
+    """Real-crawl video is overwhelmingly H.264; a pure-stdlib H.264
+    decoder is out of scope, so the ATTESTED policy is graceful
+    degradation: H.264-class frame payloads flow through the same
+    video_frame_stats plan as MJPEG and land per-frame in the err
+    channel (census-able frame_idx preserved), while MJPEG rows in the
+    same batch decode to real pixels. Non-RIFF containers (an MP4)
+    err at the container level. Nothing fabricates pixels, nothing
+    fails the task."""
+    from electrician_spark.multimodal import synth_avi_mjpeg, synth_jpeg_gray_solid
+
+    mjpeg = synth_avi_mjpeg([synth_jpeg_gray_solid(8, 8, 90)] * 3, 8, 8)
+    # H.264-class chunks: Annex-B NAL units (start code + SPS/IDR
+    # NAL types) in the 00dc stream; fourcc patched MJPG -> H264 so
+    # the container is honest about its codec.
+    nals = [
+        b"\x00\x00\x00\x01\x67\x42\x00\x1e" + bytes(16),
+        b"\x00\x00\x00\x01\x65\x88\x84\x00" + bytes(32),
+    ]
+    h264 = synth_avi_mjpeg(nals, 16, 16).replace(b"vidsMJPG", b"vidsH264")
+    assert b"H264" in h264
+    mp4 = (
+        b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2"
+        + b"\x00\x00\x00\x08moov"
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mjpeg)),
+            (2, bytearray(h264)),
+            (3, bytearray(mp4)),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = mm.video_frame_stats(media, every_n=1).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.media_id, []).append(r)
+    # MJPEG: all three frames decode with real pixel means
+    assert [r.ok for r in by[1]] == ["ok"] * 3
+    assert all(r.mean == "90.000000" for r in by[1])
+    # H.264: frames are extracted (the movi walk is container-level)
+    # but each one errs at decode — census keeps the frame count
+    assert sorted(r.frame_idx for r in by[2]) == [0, 1]
+    assert all(r.ok == "err:ValueError" and r.mean is None for r in by[2])
+    # MP4: container-level reject, one err row, frame_idx -1
+    assert len(by[3]) == 1 and by[3][0].frame_idx == -1
+    assert by[3][0].ok == "err:ValueError"
