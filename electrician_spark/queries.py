@@ -4202,30 +4202,33 @@ def q_rs1(spark, sf_dir):
 # (q_ph1 — closed-form DCT sign patterns of solid/half-plane
 # fixtures). Retired in exchange: q_q2/q_hg1/q_sm4/q_m1/q_r4/q_u4
 # (rationale at each site).
-# Round-8 rotation recipe: window = the 50 queries attested in r6
+# Round-8 rotation (executed): window = the 50 queries attested in r6
+# minus 10 RETIRED rows (q_t9/q_o1/q_w8/q_w9/q_f4/q_x2/q_d7/q_sm1/
+# q_n2/q_p1 — each archived in electrician_spark.retired with a
+# subsumption note, runnable via tools/check.py --archived) plus the
+# 10 NEW promotion rows (q_rb1/q_pg1/q_id1/q_bl1/q_sc1/q_fim1/q_ex1/
+# q_wd1/q_sv1/q_rs1) placed first. Every archived row keeps its exact
+# query+oracle pair, so all SURVEY-declared queries stay runnable —
+# the r7 verdict's governance item 3.
+#
+# Round-9 rotation recipe: window = the 50 rows of CORRECTNESS_r07
 # (the complement of this window — the invariant test enforces it).
-# Remaining oracle-candidates for NEW r8 rows (each requires retiring
-# a sibling): BPE encode counts (test-pinned vs Sennrich reference in
-# test_tokenizer), fastText scoring with a frozen coefficient table,
-# incremental dedup vs persisted index (operators/incremental.py —
-# md5-deterministic end to end, trivially DuckDB-replayable), and the
-# audio quality battery (multimodal.audio_quality_stats — closed-form
-# over crafted WAV fixtures, the q_px1 pattern), and bloom-prefiltered
-# decontamination (operators/bloom.py — md5 bit positions replay in
-# DuckDB; oracle = the q_d8 containment SQL, attesting equality).
-# Late-r7 additions to the same queue: audio spectral fingerprint +
-# hamming near-dup (multimodal.audio_fingerprint — closed-form
+# Oracle-candidate queue for NEW r9 rows (each requires retiring an
+# r7-window sibling): ORC sink/source roundtrip (io.read_orc/write_orc
+# — the q_k1 shape with the scan swapped), audio spectral fingerprint
+# + hamming near-dup (multimodal.audio_fingerprint — closed-form
 # single-bit hashes of exact-bin sine WAV fixtures, the q_ph1
-# pattern), HTML main-content extraction (functions/html.py — every
-# regex RE2-portable by pinned invariant, so the whole block pipeline
-# replays in DuckDB list_* functions, the q_c4_1 pattern), and the ORC
-# sink/source roundtrip (io.read_orc/write_orc — the q_k1 shape with
-# the scan swapped); T5 span corruption (objectives.span_corrupt — the
-# md5 arithmetic is the proven conv/substr DuckDB identity, so input/
-# target strings replay exactly), ChatML SFT rendering
-# (objectives.render_chat — list_reduce fold replay, already pinned in
-# test_objectives), and the WARC record census (warc_datasource —
-# no SQL form for the scan itself; rows-only check or fixture replay).
+# pattern), the audio quality battery (audio_quality_stats —
+# closed-form over crafted WAV fixtures), HTML main-content extraction
+# (functions/html.py — RE2-portable regexes replay in DuckDB list_*
+# functions, the q_c4_1 pattern), ChatML SFT rendering
+# (objectives.render_chat — list_reduce fold replay, pinned in
+# test_objectives), preference pairs (objectives.preference_pairs —
+# window replay pinned), WordPiece encode (tokenizer — greedy-match
+# replay against a frozen vocab), BPE encode counts (test-pinned vs
+# the Sennrich reference), fastText scoring with a frozen coefficient
+# table, and the WARC record census (warc_datasource — no SQL form for
+# the scan itself; rows-only check or fixture replay).
 _DRIVER_PRIORITY = [
     # Round-8 window = the 50 queries attested in r6 (the complement of
     # the r7 window — the invariant test enforces the 2-round exact
