@@ -168,24 +168,32 @@ def dsir_log_weights(
     log-ratio table, sum per document (map-side combinable). ``log_w``
     is rounded to 6 dp (cross-engine float contract); ``n_grams`` is
     the feature count. 0-gram documents (empty/whitespace-only text)
-    produce no exploded rows, so they are restored via a left join on
-    the input ids with ``log_w = 0.0`` and ``n_grams = 0`` — every
-    input id appears in the output exactly once."""
-    grams = _bucket_table(df, id_col, text_col, n_buckets)
+    score ``log_w = 0.0`` with ``n_grams = 0`` — every input id
+    appears in the output exactly once. They ride the SAME scan via
+    ``explode_outer`` (empty gram arrays keep one NULL-bucket row), so
+    restoring them costs zero extra joins/shuffles — a corpus-wide
+    left join back onto the ids would be two avoidable exchanges at
+    100 TB."""
+    t = df.select(
+        F.col(id_col).alias("_id"), _lower_tokens(F.col(text_col)).alias("_tk")
+    )
+    grams = t.select(
+        "_id", F.explode_outer(gram_buckets(F.col("_tk"), n_buckets)).alias("bucket")
+    )
     scored = grams.join(F.broadcast(llr_df), "bucket", "left")
-    agg = (
+    return (
         scored.groupBy(F.col("_id").alias(id_col))
         .agg(
             F.round(
-                F.sum(F.coalesce(F.col("llr"), F.lit(default_llr))), 6
+                F.sum(
+                    F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
+                        F.coalesce(F.col("llr"), F.lit(default_llr))
+                    )
+                ),
+                6,
             ).alias("log_w"),
-            F.count("*").alias("n_grams"),
+            F.count("bucket").alias("n_grams"),
         )
-    )
-    return df.select(id_col).join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
-        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
     )
 
 

@@ -187,16 +187,20 @@ def robots_allowed(
 ) -> DataFrame:
     """Gate URLs against a :func:`robots_rules` table for ``agent``.
 
-    RFC 9309 evaluation, fully relational:
+    RFC 9309 evaluation, zero shuffle of the URL corpus:
 
     1. group selection — keep the host's rows for the requested agent
        if any exist, else its ``*`` rows (one max over a 2-valued
-       rank, per host);
-    2. match — equi-join URL host → rules host, RLIKE the
-       precompiled pattern regex against the URL path;
-    3. verdict — per URL, ``max_by`` over (pattern length, allow-bit,
-       pattern): longest match wins, allow wins ties; unmatched or
-       rule-less URLs are allowed.
+       rank; rules-table-sized work, broadcast joins);
+    2. the selected rules collapse to ONE array-of-structs row per
+       host (bounded: a robots.txt is ≤500 KB by RFC 9309 §2.5) and
+       broadcast-join onto the URLs — the corpus never exchanges;
+    3. verdict — per URL row, an array filter of the precompiled
+       pattern regexes against path+query and a struct-ordered
+       descending sort: longest match wins, allow wins ties
+       (the (length, allow-bit, pattern) total order); unmatched or
+       rule-less URLs are allowed. Row-local JVM HOFs, no Python,
+       no groupBy — the gate rides the URL scan.
 
     Adds ``allowed`` (boolean) and ``matched_pattern`` (NULL when no
     rule matched)."""
@@ -207,9 +211,20 @@ def robots_allowed(
         "_arank", F.when(F.col("agent") == agent, 2).otherwise(1)
     )
     best_rank = cand.groupBy("host").agg(F.max("_arank").alias("_amax"))
-    grp = cand.join(best_rank, "host").filter(
+    grp = cand.join(F.broadcast(best_rank), "host").filter(
         F.col("_arank") == F.col("_amax")
     ).select("host", "rule", "pattern", "rx")
+    host_rules = grp.filter(F.col("rx").isNotNull()).groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("pattern").alias("l"),
+                (F.col("rule") == "allow").cast("int").alias("a"),
+                F.col("pattern").alias("p"),
+                F.col("rule").alias("rule"),
+                F.col("rx").alias("rx"),
+            )
+        ).alias("_rules")
+    )
 
     uc = F.col(url_col)
     path = F.coalesce(
@@ -230,36 +245,20 @@ def robots_allowed(
     u = urls.withColumn("_host", F.lower(url_host(uc))).withColumn(
         "_path", target
     )
-    hits = (
-        u.join(grp, u["_host"] == grp["host"], "left")
-        .filter(F.col("rx").isNull() | F.expr("_path rlike rx"))
-        .groupBy(*[u[c] for c in urls.columns], "_host", "_path")
-        .agg(
-            F.max_by(
-                F.struct(
-                    F.col("rule").alias("rule"), F.col("pattern").alias("pattern")
-                ),
-                F.struct(
-                    F.length("pattern").alias("l"),
-                    (F.col("rule") == "allow").cast("int").alias("a"),
-                    F.col("pattern").alias("p"),
-                ),
-            ).alias("_best")
-        )
+    j = u.join(
+        F.broadcast(host_rules), u["_host"] == host_rules["host"], "left"
     )
-    # URLs whose every candidate rule failed the RLIKE filter vanish
-    # from `hits` — restore them via left join (unmatched = allowed).
-    verdict = hits.select(
-        *urls.columns,
-        F.col("_best.pattern").alias("matched_pattern"),
-        F.coalesce(F.col("_best.rule") != "disallow", F.lit(True)).alias(
-            "allowed"
-        ),
-    )
-    return urls.join(verdict, urls.columns, "left").select(
-        *urls.columns,
-        F.col("matched_pattern"),
-        F.coalesce(F.col("allowed"), F.lit(True)).alias("allowed"),
+    # row-local verdict: matching rules → descending struct sort →
+    # head. F.get is NULL-safe on the empty/NULL array (unlike
+    # element_at under ANSI), so unmatched and rule-less hosts fall
+    # through to allowed=true with a NULL pattern.
+    path = F.col("_path")
+    matches = F.filter(F.col("_rules"), lambda r: F.regexp_like(path, r["rx"]))
+    best = F.get(F.sort_array(matches, False), 0)
+    return j.select(
+        *[u[c] for c in urls.columns],
+        best["p"].alias("matched_pattern"),
+        F.coalesce(best["rule"] != "disallow", F.lit(True)).alias("allowed"),
     )
 
 

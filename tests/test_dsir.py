@@ -153,3 +153,8 @@ def test_scoring_plan_is_jvm_only_with_broadcast(spark):
     assert "BroadcastHashJoin" in plan  # llr table broadcasts
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan or "partial" in plan.lower()  # map-side combine
+    # 0-gram docs ride the scan via explode_outer — restoring them must
+    # NOT cost a corpus-wide join (two exchanges at 100 TB); the only
+    # sanctioned SMJ is the FullOuter over the two bounded count tables
+    # inside log_ratio_table.
+    assert "SortMergeJoin LeftOuter" not in plan

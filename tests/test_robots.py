@@ -224,3 +224,27 @@ Allow: /search?q=keep
     # longest match wins: the Allow is longer than 'Disallow: /search?q='
     assert got["http://q.example.com/search?q=keep"][0] is True
     assert got["http://q.example.com/search"][0] is True
+
+
+def test_gate_plan_never_shuffles_urls(spark, rules):
+    """The gate must ride the URL scan: per-host rule arrays broadcast
+    onto the corpus, verdict computed row-local (array filter + struct
+    sort). No SortMergeJoin, no hash exchange of the URLs, no Python
+    in the gate plan — the 100 TB posture (r8 plan-audit fix: the
+    first implementation planned 6 SMJs plus a corpus self-join)."""
+    df = spark.createDataFrame(
+        [("http://a.example.com/private/doc.html",)], "url string"
+    )
+    plan = (
+        rb.robots_allowed(df, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    # the only hash exchanges are the two RULES-side aggregations
+    # (agent-rank max + per-host collect_list) — bounded by the rules
+    # table; the URL side reaches the verdict through a broadcast join
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
