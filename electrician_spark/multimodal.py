@@ -808,6 +808,118 @@ def image_phash(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(gen, PHASH_SCHEMA)
 
 
+def _gray_f64(arr):
+    """(h, w, ch) uint8 → float64 gray plane: plane 0 for 1/2-channel
+    (gray / gray+alpha), integer-scaled BT.601 luma for RGB(A) — the
+    shared convention of every perceptual hash here."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    if a.shape[2] <= 2:
+        return a[:, :, 0]
+    return (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) / 1000.0
+
+
+def _bits_to_signed64(bits) -> int:
+    """Row-major boolean grid → 64-bit signature, bit b = 8·u+v, with
+    bit 63 as the two's-complement sign term (the repo-wide signed-
+    BIGINT signature convention shared with simhash/phash)."""
+    val = 0
+    h, w = bits.shape
+    for u in range(h):
+        for v in range(w):
+            if bits[u, v]:
+                val |= 1 << (w * u + v)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def ahash_of_pixels(arr, hash_size: int = 8) -> int:
+    """64-bit average hash (aHash): gray → exact area-average box
+    resample to ``hash_size``² → bit set iff the cell EXCEEDS the grid
+    mean (strict >, so a constant image hashes to exactly 0 — the
+    closed-form fixture case). Means are rounded to 6 dp before the
+    compare, the same float-noise collapse as :func:`phash_of_pixels`.
+    Cheapest of the three perceptual hashes; coarser than pHash (no
+    frequency separation) but a strong prefilter at corpus scale."""
+    import numpy as np
+
+    h, w, _ch = arr.shape
+    if (h, w) != (hash_size, hash_size):
+        arr = resample_image_box(arr, hash_size, hash_size)
+    g = np.round(_gray_f64(arr), 6)
+    return _bits_to_signed64(g > np.round(float(g.mean()), 6))
+
+
+def dhash_of_pixels(arr, hash_size: int = 8) -> int:
+    """64-bit difference hash (dHash): gray → box resample to
+    (``hash_size``+1)×``hash_size`` (one extra column) → bit 8·r+c set
+    iff cell (r, c) > cell (r, c+1) — horizontal gradient signs.
+    Captures edge structure aHash's global mean misses; constant
+    images hash to exactly 0 (closed form). 6 dp rounding as above."""
+    import numpy as np
+
+    h, w, _ch = arr.shape
+    if (h, w) != (hash_size, hash_size + 1):
+        arr = resample_image_box(arr, hash_size + 1, hash_size)
+    g = np.round(_gray_f64(arr), 6)
+    return _bits_to_signed64(g[:, :-1] > g[:, 1:])
+
+
+IMAGE_HASHES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("ahash", LongType()),
+        StructField("dhash", LongType()),
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def image_perceptual_hashes(df: DataFrame) -> DataFrame:
+    """All three perceptual hashes (pHash / aHash / dHash) per image in
+    ONE decode pass — decode dominates the cost, so a corpus dedup that
+    wants multiple hash families (pHash for recall, dHash for edge
+    structure, aHash as the cheap prefilter band) should compute them
+    together rather than re-decoding per family. Same Arrow batching,
+    err-channel, and signed-BIGINT conventions as :func:`image_phash`;
+    each column feeds ``dedup.hamming_pairs`` independently."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ph, ah, dh, oks = [], [], [], [], []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                ids.append(mid)
+                try:
+                    w, h, ch, px = decode_image_pixels(
+                        bytes(payload) if payload is not None else None
+                    )
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                    ph.append(phash_of_pixels(arr))
+                    ah.append(ahash_of_pixels(arr))
+                    dh.append(dhash_of_pixels(arr))
+                    oks.append("ok")
+                except Exception as ex:  # noqa: BLE001 — per-row error channel
+                    ph.append(None)
+                    ah.append(None)
+                    dh.append(None)
+                    oks.append(f"err:{type(ex).__name__}")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "phash": pd.array(ph, dtype="Int64"),
+                    "ahash": pd.array(ah, dtype="Int64"),
+                    "dhash": pd.array(dh, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, IMAGE_HASHES_SCHEMA)
+
+
 # JPEG zig-zag coefficient order (ITU T.81 Figure 5)
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,

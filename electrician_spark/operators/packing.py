@@ -230,3 +230,71 @@ def chunk_documents(
         .filter(F.col("chunk_tokens") > 0)
         .drop("__chunks", "__chunk")
     )
+
+
+def length_batches(
+    df: DataFrame,
+    batch_size: int,
+    len_col: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Length-grouped batch assignment (dynamic batching): within each
+    md5-derived shard, documents sort by (length DESC, md5 key, id)
+    and window into fixed-size batches — so every batch holds
+    similar-length sequences and the padding waste
+    ``batch_size·max_len − Σ len`` stays small (the standard
+    alternative to random batching for variable-length training, the
+    'sortish' / length-grouped sampler every training framework
+    ships).
+
+    Adds ``shard``, ``batch_id`` (per shard, 0-based), ``pos`` (0-based
+    slot within the batch). Deterministic in (corpus, seed,
+    batch_size, n_shards): the md5 tiebreak makes equal-length order
+    reproducible and seed-shuffleable without changing batch-length
+    locality. Fully window-SQL replayable (an r9 oracle candidate).
+
+    Scale: same posture as :func:`pack_sequences` — one hash exchange
+    on the shard key, per-shard window sort; no global sort, no
+    Python, bounded per-task state. Within-shard length locality
+    equals global locality in expectation because shard assignment is
+    length-independent (md5 of the id)."""
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from electrician_spark.operators.sampling import shuffle_key
+
+    key = shuffle_key(F.col(id_col), seed)
+    shard = (sample_key(F.col(id_col)) % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy(
+        F.col(len_col).desc(), key.asc(), F.col(id_col).asc()
+    )
+    rn = F.row_number().over(w) - 1
+    return (
+        df.select("*", shard)
+        .withColumn("batch_id", F.floor(rn / F.lit(batch_size)))
+        .withColumn("pos", rn % F.lit(batch_size))
+    )
+
+
+def length_batch_stats(batched: DataFrame, len_col: str) -> DataFrame:
+    """Per-batch padding audit for :func:`length_batches` output:
+    (shard, batch_id, n, max_len, sum_len, pad_frac) where ``pad_frac``
+    = 1 − Σlen / (n·max_len) — the fraction of a padded batch tensor
+    that is waste. One map-side-combined aggregation."""
+    return (
+        batched.groupBy("shard", "batch_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(len_col).alias("max_len"),
+            F.sum(len_col).alias("sum_len"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(
+                1.0 - F.col("sum_len") / (F.col("n") * F.col("max_len")), 6
+            ),
+        )
+    )

@@ -244,3 +244,97 @@ def test_pack_best_fit_validates_args(spark):
         packing.pack_best_fit(df, "n_tokens", 0)
     with pytest.raises(ValueError):
         packing.pack_best_fit(df, "n_tokens", 10, n_shards=0)
+
+
+# --- length-grouped batching (r8) --------------------------------------------
+
+
+def _py_length_batches(rows, batch_size, n_shards, seed=0):
+    """Plain-Python replay: md5 shard + (len desc, md5 key, id) order."""
+    import hashlib
+
+    def skey(did):
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16)
+
+    def kkey(did):
+        return int(hashlib.md5(f"{seed}:{did}".encode()).hexdigest()[:8], 16)
+
+    out = {}
+    by_shard = {}
+    for did, ln in rows:
+        by_shard.setdefault(skey(did) % n_shards, []).append((did, ln))
+    for sh, docs in by_shard.items():
+        docs.sort(key=lambda t: (-t[1], kkey(t[0]), t[0]))
+        for i, (did, _ln) in enumerate(docs):
+            out[did] = (sh, i // batch_size, i % batch_size)
+    return out
+
+
+def test_length_batches_matches_python_replay(spark):
+    rows = [(i, 10 + (i * 37) % 90) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.shard, r.batch_id, r.pos)
+        for r in packing.length_batches(
+            df, batch_size=8, len_col="n_tokens", n_shards=4, seed=3
+        ).collect()
+    }
+    assert got == _py_length_batches(rows, 8, 4, seed=3)
+
+
+def test_length_batches_cut_padding_vs_random_batching(spark):
+    # the operator's reason to exist: on a wide length mix, grouped
+    # batches waste far less padding than id-order batching
+    rows = [(i, 5 + (i * 97) % 500) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    batched = packing.length_batches(df, 16, "n_tokens", n_shards=2)
+    stats = packing.length_batch_stats(batched, "n_tokens").collect()
+    grouped_waste = sum(r.n * r.max_len - r.sum_len for r in stats)
+    # id-order batching baseline (same shards, order by id)
+    import hashlib
+
+    by_shard = {}
+    for did, ln in rows:
+        sh = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 2
+        by_shard.setdefault(sh, []).append((did, ln))
+    base_waste = 0
+    for docs in by_shard.values():
+        docs.sort()
+        for i in range(0, len(docs), 16):
+            chunk = [ln for _, ln in docs[i : i + 16]]
+            base_waste += len(chunk) * max(chunk) - sum(chunk)
+    assert grouped_waste < base_waste / 3  # big, not marginal, win
+    # full batches are exactly batch_size; only per-shard tails short
+    sizes = sorted(r.n for r in stats)
+    assert sizes.count(16) >= len(sizes) - 2
+
+
+def test_length_batches_deterministic_and_seed_sensitive(spark):
+    rows = [(i, 50) for i in range(1, 101)]  # all-equal lengths
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = {r.doc_id: (r.shard, r.batch_id, r.pos) for r in
+         packing.length_batches(df, 8, "n_tokens", n_shards=2, seed=1).collect()}
+    b = {r.doc_id: (r.shard, r.batch_id, r.pos) for r in
+         packing.length_batches(df, 8, "n_tokens", n_shards=2, seed=1).collect()}
+    assert a == b
+    c = {r.doc_id: (r.shard, r.batch_id, r.pos) for r in
+         packing.length_batches(df, 8, "n_tokens", n_shards=2, seed=2).collect()}
+    assert a != c  # equal lengths: the md5 tiebreak is the order
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        packing.length_batches(df, 0, "n_tokens")
+
+
+def test_length_batches_plan_one_exchange_no_python(spark):
+    rows = [(i, 10 + i % 30) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    plan = (
+        packing.length_batches(df, 8, "n_tokens", n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1  # the shard key
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan

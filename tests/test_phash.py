@@ -163,3 +163,63 @@ def test_gray_alpha_png_through_image_phash_df(spark):
     rows = mm.image_phash(df).collect()
     assert len(rows) == 1 and rows[0]["ok"] == "ok"
     assert rows[0]["phash"] == H_SOLID
+
+
+# --- aHash / dHash (r8: one-decode-pass hash family) -------------------------
+
+AH_TB = 0x00000000FFFFFFFF            # top-light: rows 0-3 above the mean
+AH_LR = 0x0F0F0F0F0F0F0F0F            # left-light: cols 0-3 above the mean
+DH_LR = 0x1818181818181818            # left-light: falling edges at c=3,4
+
+
+def test_ahash_dhash_closed_forms():
+    solid_png = mm.synth_png_gray(32, 32, 77)
+    solid_gif = mm.synth_gif_solid(8, 8, (10, 10, 10))
+    for payload in (solid_png, solid_gif):
+        w, h, ch, px = mm.decode_image_pixels(payload)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+        # constant image: no cell exceeds the mean, no gradient
+        assert mm.ahash_of_pixels(arr) == 0
+        assert mm.dhash_of_pixels(arr) == 0
+
+    def arr_of(payload):
+        w, h, ch, px = mm.decode_image_pixels(payload)
+        return np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+
+    tb = arr_of(mm.synth_png_gray_split(32, 32, 180, 60, True))
+    lr = arr_of(mm.synth_png_gray_split(32, 32, 180, 60, False))
+    assert mm.ahash_of_pixels(tb) == AH_TB
+    assert mm.ahash_of_pixels(lr) == AH_LR
+    # horizontal-constant rows: dHash sees no gradient top/bottom —
+    # the edge structure aHash can't separate, dHash pins exactly
+    assert mm.dhash_of_pixels(tb) == 0
+    # left-light rows resample to [180*4, 120, 60*4]: falling edges at
+    # columns 3 and 4 in every row
+    assert mm.dhash_of_pixels(lr) == DH_LR
+
+
+def test_ahash_dhash_resize_invariance():
+    for dims in [(32, 32), (64, 64), (96, 32)]:
+        a = mm.synth_png_gray_split(dims[0], dims[1], 150, 40, False)
+        w, h, ch, px = mm.decode_image_pixels(a)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+        assert mm.ahash_of_pixels(arr) == AH_LR
+        assert mm.dhash_of_pixels(arr) == DH_LR
+
+
+def test_image_perceptual_hashes_dataframe(spark):
+    rows = [
+        (1, bytearray(mm.synth_png_gray(32, 32, 50))),
+        (2, bytearray(mm.synth_png_gray_split(64, 64, 180, 60, False))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in mm.image_perceptual_hashes(df).collect()}
+    assert out[1].ok == "ok" and (out[1].phash, out[1].ahash, out[1].dhash) == (
+        H_SOLID, 0, 0
+    )
+    assert (out[2].ahash, out[2].dhash) == (AH_LR, DH_LR)
+    # one decode pass must agree with the standalone phash op
+    assert out[2].phash == _phash_bytes(bytes(rows[1][1]))
+    assert out[3].ok.startswith("err:")
+    assert out[3].phash is None and out[3].ahash is None and out[3].dhash is None
