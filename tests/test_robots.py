@@ -248,3 +248,72 @@ def test_gate_plan_never_shuffles_urls(spark, rules):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_gate_matches_python_rfc_reference_on_random_policies(spark):
+    """Randomized equivalence: the relational gate (array filter +
+    struct sort after the r8 zero-shuffle rewrite) must agree with a
+    direct plain-Python RFC 9309 matcher (longest-match, allow-tie,
+    '$' anchor, '*' wildcard, path+query target) on md5-derived random
+    policies and URLs — guards the HOF verdict logic beyond the
+    crafted cases."""
+    import hashlib
+    import re as _re
+
+    def h(s, n):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n
+
+    segs = ["/a", "/ab", "/a/b", "/x", "/x?q=1", "/x?q=12", "/y/z", "/"]
+    pats = ["/a", "/a*", "/ab", "/a/b$", "/x", "/x?q=*", "/*?q=1", "/y", "/a$", "/"]
+
+    hosts, bodies = [], {}
+    for hi in range(6):
+        host = f"r{hi}.example.com"
+        lines = ["User-agent: *"]
+        rules = []
+        for ri in range(1 + h(f"n:{hi}", 4)):
+            pat = pats[h(f"p:{hi}:{ri}", len(pats))]
+            kind = "Allow" if h(f"k:{hi}:{ri}", 2) else "Disallow"
+            lines.append(f"{kind}: {pat}")
+            rules.append((kind.lower(), pat))
+        hosts.append((host, "\n".join(lines) + "\n"))
+        bodies[host] = rules
+
+    def py_match(pat: str, target: str) -> bool:
+        rx = "".join(
+            ".*" if c == "*" else _re.escape(c) for c in pat.rstrip("$")
+        )
+        if pat.endswith("$"):
+            rx += "$"
+        return _re.match(rx, target) is not None
+
+    def py_verdict(host: str, target: str):
+        matched = [
+            (len(p), 1 if k == "allow" else 0, p, k)
+            for k, p in bodies[host]
+            if py_match(p, target)
+        ]
+        if not matched:
+            return True, None
+        l, a, p, k = max(matched)
+        return k != "disallow", p
+
+    rules_df = rb.robots_rules(
+        rb.parse_robots(spark.createDataFrame(hosts, "host string, body string"))
+    )
+    urls = []
+    for hi in range(6):
+        for s in segs:
+            urls.append((f"http://r{hi}.example.com{s}",))
+    out = {
+        r.url: (r.allowed, r.matched_pattern)
+        for r in rb.robots_allowed(
+            spark.createDataFrame(urls, "url string"), rules_df, agent="bot"
+        ).collect()
+    }
+    for hi in range(6):
+        host = f"r{hi}.example.com"
+        for s in segs:
+            url = f"http://{host}{s}"
+            want = py_verdict(host, s)
+            assert out[url] == want, (url, out[url], want, bodies[host])
