@@ -541,3 +541,114 @@ def random_projection(
             yield out
 
     return df.mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization — the rung below PQ: one BIT per
+# dimension (32x memory vs float32), searched by Hamming distance,
+# which for sign bits is a monotone proxy for angular distance
+# (the SimHash/sign-LSH estimate: cos ≈ cos(π·hamming/d)). The
+# standard cheap-prefilter tier of modern vector stores; re-rank the
+# survivors with exact cosine when recall matters.
+# ---------------------------------------------------------------------------
+
+_WORD = 64
+
+
+def binary_quantize(
+    df: DataFrame,
+    vec_col: str,
+    d: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Append ``{vec_col}_b``: the d-dim float vector as ⌈d/64⌉ signed
+    BIGINT words, bit j of word w set iff ``vec[64w+j] > 0`` (strict —
+    zeros quantize to 0, so the all-zeros vector is all-zero words).
+    Bit 63 is the two's-complement sign term, the repo-wide
+    signed-BIGINT convention (simhash/phash) — built arithmetically by
+    summing per-bit literals with ``-(2^63)`` standing in for bit 63,
+    so every op is exact integer Column arithmetic and the encoding
+    replays in any engine (DuckDB: the same CASE/sum).
+
+    ``d`` is explicit (not inferred) so the per-word bit expressions
+    unroll at plan time into one codegen'd projection — zero Python,
+    zero shuffle, rides the corpus scan."""
+    if d <= 0:
+        raise ValueError(f"d must be positive, got {d}")
+    out = out_col or f"{vec_col}_b"
+    vec = F.col(vec_col)
+    words = []
+    for w in range(0, d, _WORD):
+        bits = []
+        for j in range(min(_WORD, d - w)):
+            weight = -(1 << 63) if j == 63 else (1 << j)
+            bits.append(
+                F.when(
+                    F.get(vec, w + j).cast("double") > 0.0,
+                    F.lit(weight).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc)
+    return df.withColumn(out, F.array(*words))
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized top-k neighbors per query: both sides sign-bit
+    encode (:func:`binary_quantize`), distance = Σ bit_count(XOR) over
+    the word arrays — exact integer arithmetic, fully SQL-replayable
+    (DuckDB ``xor``/``bit_count``). Returns (query_id, neighbor_id,
+    hamming, rank) with the deterministic (hamming asc, neighbor id)
+    tie-break; self-matches excluded.
+
+    Plan shape = the attested ``cosine_topk`` oracle form: corpus scan
+    → broadcast query join → per-query window. At scale, swap the
+    window for the local-top-k + tiny re-rank trick
+    (``cosine_topk_gemm``); the scoring itself is already ~100x
+    cheaper per pair than a float dot product (⌈d/64⌉ XOR+popcounts,
+    no multiplies), which is the point of the tier."""
+    from pyspark.sql import Window
+
+    from electrician_spark.io import fan_out_small
+
+    q = binary_quantize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        vec_col,
+        d,
+        out_col="qb",
+    ).select("query_id", "qb")
+    c = binary_quantize(
+        fan_out_small(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        ),
+        vec_col,
+        d,
+        out_col="cb",
+    ).select("neighbor_id", "cb")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("cb"), F.col("qb"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", dist.alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )

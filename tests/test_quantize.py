@@ -234,3 +234,96 @@ def test_random_projection_reference_and_jl(spark):
     ).coalesce(1)
     with _pt.raises(Exception):
         random_projection(bad, out_dim=4).collect()
+
+
+# --- binary (sign-bit) quantization + hamming ANN (r8) ------------------------
+
+
+def test_binary_quantize_matches_python_sign_bits(spark):
+    import numpy as np
+
+    rng = [
+        (i, [float(((i * 37 + j * 11) % 13) - 6) for j in range(100)])
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: list(r.embedding_b)
+        for r in quantize.binary_quantize(df, "embedding", d=100).collect()
+    }
+
+    def py_words(vec):
+        words = []
+        for w in range(0, 100, 64):
+            val = 0
+            for j in range(min(64, 100 - w)):
+                if vec[w + j] > 0:
+                    val |= 1 << j
+            if val >= 1 << 63:
+                val -= 1 << 64
+            words.append(val)
+        return words
+
+    for vid, vec in rng:
+        assert got[vid] == py_words(vec), vid
+    # 100 dims -> 2 words; second word uses 36 bits
+    assert all(len(w) == 2 for w in got.values())
+
+
+def test_binary_quantize_bit63_sign_convention(spark):
+    # a vector whose ONLY positive dim is 63 must quantize to the
+    # single negative word -(2^63) — the signed-BIGINT convention
+    vec = [0.0] * 64
+    vec[63] = 1.0
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    (r,) = quantize.binary_quantize(df, "embedding", d=64).collect()
+    assert list(r.embedding_b) == [-(1 << 63)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        quantize.binary_quantize(df, "embedding", d=0)
+
+
+def test_hamming_topk_matches_python_replay(spark):
+    rows = [
+        (i, [float(((i * 29 + j * 7) % 11) - 5) for j in range(64)])
+        for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") <= 3)
+    got = [
+        (r.query_id, r.neighbor_id, r.hamming, r.rank)
+        for r in quantize.hamming_topk(df, queries, d=64, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+
+    def bits(vec):
+        return [1 if x > 0 else 0 for x in vec]
+
+    want = []
+    by_id = dict(rows)
+    for qid in (1, 2, 3):
+        qb = bits(by_id[qid])
+        scored = sorted(
+            (sum(a != b for a, b in zip(qb, bits(v))), nid)
+            for nid, v in rows
+            if nid != qid
+        )
+        for rank, (hm, nid) in enumerate(scored[:4], 1):
+            want.append((qid, nid, hm, rank))
+    assert got == want
+
+
+def test_hamming_topk_plan_broadcast_no_python(spark):
+    rows = [(i, [float(i + j) for j in range(64)]) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = (
+        quantize.hamming_topk(df, df.filter(F.col("vec_id") <= 2), d=64, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
