@@ -652,3 +652,59 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d: int,
+    k: int = 5,
+    prefilter_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full binary-quantization tier stack: Hamming prefilter to
+    ``prefilter_factor·k`` candidates per query (:func:`hamming_topk` —
+    XOR/popcount, no multiplies), then EXACT cosine re-rank of the
+    survivors to top-``k``. Returns (query_id, neighbor_id, cos, rank)
+    — the :func:`similarity.cosine_topk` surface, so the two are
+    drop-in comparable; recall < 1 exactly when a true neighbor's sign
+    pattern ranks outside the prefilter band (the tier's documented
+    trade).
+
+    Scale: the expensive float dot products run on candidate rows only
+    (``prefilter_factor·k`` per query instead of the corpus), joined
+    back by id — the candidate set broadcasts, the corpus is scanned
+    twice (encode+score, candidate fetch) and shuffled never."""
+    from pyspark.sql import Window
+
+    from electrician_spark.operators.similarity import cosine
+
+    if prefilter_factor < 1:
+        raise ValueError(f"prefilter_factor must be >= 1, got {prefilter_factor}")
+    cand = hamming_topk(
+        corpus, queries, d, k=prefilter_factor * k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -327,3 +327,46 @@ def test_hamming_topk_plan_broadcast_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_hamming_rerank_surface_and_subset(spark):
+    """The tier stack returns the cosine_topk surface; its results are
+    exact-cosine over the hamming candidate band, so with a prefilter
+    wide enough to cover the corpus it EQUALS brute-force cosine_topk."""
+    from electrician_spark.operators import similarity as sim
+
+    rows = [
+        (i, [float(((i * 31 + j * 13) % 17) - 8) for j in range(64)])
+        for i in range(1, 25)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") <= 2)
+    # prefilter_factor*k >= corpus size: must equal exact brute force
+    wide = [
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in quantize.hamming_rerank_topk(df, q, d=64, k=3, prefilter_factor=10)
+        .orderBy("query_id", "rank").collect()
+    ]
+    exact = [
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in sim.cosine_topk(df, q, k=3).orderBy("query_id", "rank").collect()
+    ]
+    assert wide == exact
+    # narrow band: still k rows per query, cos descending, hamming-band subset
+    narrow = quantize.hamming_rerank_topk(df, q, d=64, k=3, prefilter_factor=1).collect()
+    per_q = {}
+    for r in narrow:
+        per_q.setdefault(r.query_id, []).append(r)
+    band = {
+        (r.query_id, r.neighbor_id)
+        for r in quantize.hamming_topk(df, q, d=64, k=3).collect()
+    }
+    for qid, rs in per_q.items():
+        assert len(rs) == 3
+        coss = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
+        assert coss == sorted(coss, reverse=True)
+        assert all((r.query_id, r.neighbor_id) in band for r in rs)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        quantize.hamming_rerank_topk(df, q, d=64, k=3, prefilter_factor=0)
