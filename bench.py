@@ -55,6 +55,17 @@ EXTRA_QUERIES = [
     # late-r7 promotions (DSIR selection + perceptual image hashing)
     "q_ir1_dsir_select",
     "q_ph1_image_phash",
+    # r8 promotion rows (tracked from their first driver-attested
+    # round; the IO-bound q_wd1 tar export and the streaming q_rs1 are
+    # left out of the timed series like q_sh1/q_es1 before them)
+    "q_rb1_robots_gate",
+    "q_pg1_pagerank",
+    "q_id1_incremental_dedup",
+    "q_bl1_bloom_decontaminate",
+    "q_sc1_span_corrupt",
+    "q_fim1_fim_transform",
+    "q_ex1_exif_census",
+    "q_sv1_split_corpus",
 ]
 
 
