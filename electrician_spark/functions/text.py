@@ -860,3 +860,46 @@ def scrub_special_tokens(
     return F.regexp_replace(
         text, _special_token_rx(tokens), _re.escape(replacement) if replacement else ""
     )
+
+
+def non_ascii_count(text: Column) -> Column:
+    """Codegen count of non-ASCII characters — the prefilter for
+    :func:`nfkc_normalize` (ASCII text is NFKC-invariant, so rows
+    with count 0 can skip the Arrow kernel entirely)."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(r"[^\x00-\x7F]")), F.lit(0)
+    )
+
+
+def nfkc_normalize(text: Column, form: str = "NFKC") -> Column:
+    """Unicode normalization (default NFKC — the SentencePiece /
+    tokenizer-prep convention): fullwidth forms fold to ASCII
+    (ＡＢＣ→ABC), ligatures expand (ﬁ→fi), compatibility variants
+    (① → 1, ㎞ → km) and combining sequences canonicalize — without
+    this, visually-identical strings tokenize differently and dedup
+    fingerprints split. ``form`` accepts any of NFC/NFD/NFKC/NFKD.
+
+    Arrow-batched pandas UDF over ``unicodedata`` (stdlib — the same
+    tables every tokenizer library uses); the kernel early-exits rows
+    that are pure ASCII (NFKC-invariant by definition), and composing
+    behind a ``non_ascii_count(text) > 0`` filter keeps the UDF off
+    clean partitions entirely — the :func:`fix_mojibake` prefilter
+    pattern. Idempotent (Unicode normalization is a projection);
+    NULL → NULL."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be one of NFC/NFD/NFKC/NFKD, got {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(t):
+            if t is None:
+                return None
+            if t.isascii():
+                return t
+            return unicodedata.normalize(form, t)
+
+        return texts.map(one)
+
+    return _norm(text)

@@ -575,3 +575,72 @@ def test_special_token_scrub_and_count(spark):
         scrub_special_tokens(scrub_special_tokens(F.col("text"))).alias("s")
     ).collect()
     assert [r.s for r in again] == [got[i][1] for i in sorted(got)]
+
+
+# --- NFKC normalization (r8) --------------------------------------------------
+
+
+def test_nfkc_normalize_matches_unicodedata(spark):
+    import unicodedata
+
+    from electrician_spark.functions import text as tx
+
+    rows = [
+        (1, "ＡＢＣ　ｄｅｆ 123"),          # fullwidth letters + ideographic space
+        (2, "ﬁle ﬂow"),                   # ligatures
+        (3, "① ② ㎞ ㎡"),                 # enclosed digits, unit squares
+        (4, "café vs café"),   # combining acute vs precomposed
+        (5, "plain ascii stays"),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", tx.nfkc_normalize(F.col("text")).alias("n")
+        ).collect()
+    }
+    for did, t in rows:
+        want = None if t is None else unicodedata.normalize("NFKC", t)
+        assert got[did] == want, (did, got[did], want)
+    # the canonical wins: both spellings of café normalize equal
+    assert "café vs café" == got[4]
+    # idempotence
+    again = {
+        r.doc_id: r.n2
+        for r in df.select(
+            "doc_id",
+            tx.nfkc_normalize(tx.nfkc_normalize(F.col("text"))).alias("n2"),
+        ).collect()
+    }
+    assert again == got
+
+
+def test_nfkc_prefilter_and_forms(spark):
+    import pytest as _pt
+
+    from electrician_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "plain"), (2, "Ｆｕｌｌ"), (3, None)], "doc_id long, text string"
+    )
+    counts = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", tx.non_ascii_count(F.col("text")).alias("c")
+        ).collect()
+    }
+    assert counts == {1: 0, 2: 4, 3: 0}
+    # NFD expands the precomposed é; NFC round-trips it back
+    got = (
+        spark.createDataFrame([("café",)], "t string")
+        .select(
+            tx.nfkc_normalize(F.col("t"), "NFD").alias("d"),
+            tx.nfkc_normalize(tx.nfkc_normalize(F.col("t"), "NFD"), "NFC").alias("c"),
+        )
+        .collect()[0]
+    )
+    assert got.d == "café" and got.c == "café"
+    with _pt.raises(ValueError):
+        tx.nfkc_normalize(F.col("t"), "NFX")
