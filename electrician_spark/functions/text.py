@@ -168,6 +168,93 @@ def redact_pii(
     return F.regexp_replace(scrubbed, LONG_NUMBER_PATTERN, number_token)
 
 
+# RE2-portable PII shapes (no lookarounds/backrefs — the same pattern
+# text runs in Java regex and the DuckDB oracle byte-for-byte)
+IPV4_PATTERN = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+)
+# candidate card runs: 13-19 digits with optional single space/dash
+# separators; Luhn decides which candidates actually redact
+CARD_CANDIDATE_PATTERN = r"\b(\d(?:[ -]?\d){12,18})\b"
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """Luhn checksum over a digit run (separators stripped): reversed
+    digits, every second one doubled with 9-subtraction, sum % 10 == 0
+    — the precision lever that separates real card numbers from
+    arbitrary digit runs. Pure integer Column arithmetic (exact,
+    engine-portable); length gated to the 13–19 card range."""
+    digits = F.regexp_extract_all(
+        F.regexp_replace(candidate, r"[ -]", ""), F.lit(r"(\d)"), 1
+    )
+    n = F.size(digits)
+    rev = F.reverse(digits)
+    def step(d: Column, i: Column) -> Column:
+        d2 = d.cast("int") * 2
+        doubled = F.when(d2 > 9, d2 - 9).otherwise(d2)
+        return F.when(i % 2 == 1, doubled).otherwise(d.cast("int"))
+
+    total = F.aggregate(
+        F.zip_with(rev, F.sequence(F.lit(0), n - 1), step),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-class PII shape counts — the census a redaction policy
+    audits before scrubbing: emails, IPv4 addresses, Luhn-VERIFIED
+    card-shaped runs, and 9+-digit runs. Counts are codegen
+    regexp_count except cards (one extract + an integer HOF per
+    candidate — candidates are rare, so the interpreted fold is off
+    the hot path). Counts are independent per-class shape counts over
+    the RAW text — classes overlap by design (a card number is also a
+    13+-digit run), so the census shows every lens that would fire."""
+    cands = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_PATTERN), 1)
+    return {
+        "n_emails": F.coalesce(F.regexp_count(text, F.lit(EMAIL_PATTERN)), F.lit(0)),
+        "n_ipv4": F.coalesce(F.regexp_count(text, F.lit(IPV4_PATTERN)), F.lit(0)),
+        "n_cards": F.coalesce(F.size(F.filter(cands, luhn_valid)), F.lit(0)),
+        "n_long_numbers": F.coalesce(
+            F.regexp_count(text, F.lit(LONG_NUMBER_PATTERN)), F.lit(0)
+        ),
+    }
+
+
+def redact_pii_extended(
+    text: Column,
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    card_token: str = "<CARD>",
+    number_token: str = "<NUM>",
+) -> Column:
+    """:func:`redact_pii` plus IPv4 addresses and Luhn-verified card
+    numbers. Order matters: emails → IPs → verified cards (an exact
+    substring fold over the rare candidate list) → the generic
+    9+-digit sweep. Card-shaped candidates that FAIL Luhn are still
+    account-shaped digit runs, so they fall to ``number_token``
+    (recall-first — this also catches separator-carrying runs the
+    contiguous 9+-digit sweep can't see), while verified cards get the
+    typed token (precision). Every stage is engine-portable;
+    NULL → NULL."""
+    scrubbed = F.regexp_replace(text, EMAIL_PATTERN, email_token)
+    scrubbed = F.regexp_replace(scrubbed, IPV4_PATTERN, ip_token)
+    cands = F.regexp_extract_all(scrubbed, F.lit(CARD_CANDIDATE_PATTERN), 1)
+    scrubbed = F.aggregate(
+        F.filter(cands, luhn_valid),
+        scrubbed,
+        lambda acc, c: F.replace(acc, c, F.lit(card_token)),
+    )
+    scrubbed = F.aggregate(
+        F.filter(cands, lambda c: ~luhn_valid(c)),
+        scrubbed,
+        lambda acc, c: F.replace(acc, c, F.lit(number_token)),
+    )
+    return F.regexp_replace(scrubbed, LONG_NUMBER_PATTERN, number_token)
+
+
 def token_repetition_stats(toks: Column) -> dict[str, Column]:
     """Gopher-style within-document repetition signals from a token
     array column (pre-project the array; see shingles_from_tokens):

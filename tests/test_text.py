@@ -644,3 +644,92 @@ def test_nfkc_prefilter_and_forms(spark):
     assert got.d == "café" and got.c == "café"
     with _pt.raises(ValueError):
         tx.nfkc_normalize(F.col("t"), "NFX")
+
+
+# --- extended PII battery (r8) -------------------------------------------------
+
+
+def test_pii_extended_redaction_and_census(spark):
+    from electrician_spark.functions import text as tx
+
+    rows = [
+        (1, "mail bob@example.com from 10.0.0.1"),
+        (2, "visa 4111 1111 1111 1111 amex 378282246310005"),
+        (3, "4111-1111-1111-1112 fails luhn"),            # → <NUM> fallback
+        (4, "ip 256.1.1.1 is invalid, 999.999.999.999 too"),
+        (5, "ssn-shaped 123456789"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    from pyspark.sql import functions as F
+
+    c = tx.pii_counts(F.col("text"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            tx.redact_pii_extended(F.col("text")).alias("r"),
+            *[v.alias(k) for k, v in c.items()],
+        ).collect()
+    }
+    assert out[1].r == "mail <EMAIL> from <IP>"
+    assert (out[1].n_emails, out[1].n_ipv4) == (1, 1)
+    assert out[2].r == "visa <CARD> amex <CARD>" and out[2].n_cards == 2
+    # Luhn-failing card-shaped run falls to <NUM> (recall), never survives
+    assert out[3].r == "<NUM> fails luhn" and out[3].n_cards == 0
+    # invalid octets never match the IPv4 shape
+    assert out[4].n_ipv4 == 0 and "<IP>" not in out[4].r
+    assert out[5].r == "ssn-shaped <NUM>" and out[5].n_long_numbers == 1
+    assert out[6].r is None and out[6].n_cards == 0
+
+
+def test_luhn_column_matches_python(spark):
+    from electrician_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    def py_luhn(s):
+        ds = [int(ch) for ch in s if ch.isdigit()]
+        if not 13 <= len(ds) <= 19:
+            return False
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    cands = [
+        "4111111111111111", "4111 1111 1111 1111", "378282246310005",
+        "4222222222222", "4111111111111112", "1234567890123",
+        "5500005555555559", "6011000990139424", "30569309025904",
+    ]
+    df = spark.createDataFrame([(c,) for c in cands], "cand string")
+    got = {
+        r.cand: r.ok
+        for r in df.select("cand", tx.luhn_valid(F.col("cand")).alias("ok")).collect()
+    }
+    for c in cands:
+        assert got[c] == py_luhn(c), c
+
+
+def test_pii_patterns_are_duckdb_portable():
+    """The shape patterns must fire identically in DuckDB's RE2 — the
+    precondition for an oracle row (the BPE-pretokens cross-engine
+    discipline)."""
+    import duckdb
+
+    from electrician_spark.functions import text as tx
+
+    con = duckdb.connect()
+    for text, n_ip in [("a 10.0.0.1 b 8.8.8.8", 2), ("999.1.1.1", 0), ("x", 0)]:
+        (got,) = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [text, tx.IPV4_PATTERN]
+        ).fetchone()
+        assert got == n_ip, (text, got)
+    (cards,) = con.execute(
+        "SELECT regexp_extract_all(?, ?, 1)",
+        ["take 4111 1111 1111 1111 or 378282246310005", tx.CARD_CANDIDATE_PATTERN],
+    ).fetchone()
+    assert cards == ["4111 1111 1111 1111", "378282246310005"]
