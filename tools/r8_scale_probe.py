@@ -112,11 +112,25 @@ def op_robots(spark, mult: int) -> int:
     return out.filter(~F.col("allowed")).count()
 
 
+def op_hamming(spark, mult: int) -> int:
+    """Binary-quantization tier: sign-bit encode the scaled corpus +
+    hamming_rerank_topk for a fixed query set (prefilter 4x, exact
+    re-rank) — the full tier stack end to end."""
+    from pyspark.sql import functions as F
+
+    from electrician_spark.operators import quantize as qz
+
+    emb = scaled_embeddings(spark, SF_DIR, mult)
+    q = emb.filter(F.col("vec_id") < 10)
+    return qz.hamming_rerank_topk(emb, q, d=64, k=5, prefilter_factor=4).count()
+
+
 OPS = {
     "q_ir1_dsir_select": op_dsir,
     "q_lm2_bigram_buckets": op_lm2,
     "q_pq2_ivfpq_topk": op_ivfpq,
     "q_rb1_robots_gate": op_robots,
+    "hamming_rerank_topk": op_hamming,
 }
 
 
