@@ -4144,17 +4144,26 @@ def q_rs1(spark, sf_dir):
     )
     delivered = stateful.resequence(stream, "key", "seq", "payload")
     name = "q_rs1_sink_" + os.path.basename(tmp).replace("q_rs1_", "")
-    q = (
-        delivered.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
+    # State-partition count is captured from the session conf at query
+    # start; 7 keys under a default 200-partition session means 600
+    # near-empty state tasks across the three micro-batches (measured
+    # 36 s vs 8 s). Scope the override to this query and restore.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            delivered.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).select("key", "seq", "payload").orderBy("key", "seq")
 
 
