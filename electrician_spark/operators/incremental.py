@@ -255,13 +255,16 @@ def incremental_dedup_sink(
             # whole micro-batch instead of taking the bootstrap branch
             index.limit(0).collect()
         except AnalysisException as e:
-            # Bootstrap ONLY on "the index does not exist yet". Any
-            # other read failure (transient IO, permissions, corrupt
-            # footer) must fail the micro-batch so the stream retries —
-            # deduping against an empty index would silently admit
-            # already-seen duplicates and append duplicate index rows.
+            # Bootstrap ONLY on "the index does not exist yet" — a
+            # missing path, or an existing-but-empty directory (no
+            # parquet files → UNABLE_TO_INFER_SCHEMA). Any other read
+            # failure (transient IO, permissions, corrupt footer) must
+            # fail the micro-batch so the stream retries — deduping
+            # against an empty index would silently admit already-seen
+            # duplicates and append duplicate index rows.
             err_class = getattr(e, "getCondition", lambda: None)() or ""
-            if "PATH_NOT_FOUND" not in err_class and "PATH_NOT_FOUND" not in str(e):
+            probe = err_class + " " + str(e)
+            if "PATH_NOT_FOUND" not in probe and "UNABLE_TO_INFER_SCHEMA" not in probe:
                 raise
             index = build_dedup_index(
                 batch.limit(0), id_col, text_col, n, num_hashes

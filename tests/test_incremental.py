@@ -256,3 +256,19 @@ def test_sink_bootstrap_only_on_missing_path(spark, tmp_path):
     handler2 = incremental.incremental_dedup_sink(missing, sink)
     handler2(batch, 0)
     assert spark.read.parquet(missing).count() == 1
+
+
+def test_sink_bootstrap_on_empty_existing_dir(spark, tmp_path):
+    """An index PATH that exists but holds no parquet files is 'no
+    index yet' (UNABLE_TO_INFER_SCHEMA), not corruption — the sink
+    must bootstrap, admit the batch, and create real index rows."""
+    def sink(df, _epoch):
+        df.collect()
+
+    empty = tmp_path / "empty_index"
+    empty.mkdir()
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    incremental.incremental_dedup_sink(str(empty), sink)(batch, 0)
+    assert spark.read.parquet(str(empty)).count() == 1
