@@ -112,3 +112,91 @@ def sketch_distinct(
     return estimate_distinct(
         distinct_sketch(df, value_col, k, group_cols), k, precision
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — per-KEY frequency
+# estimation with a fixed-size table, the counting companion of the
+# KMV distinct sketch and the MG heavy-hitters candidates: answer
+# "about how often does key x occur?" over a keyspace too large to
+# groupBy, with one-sided error (estimates never undercount; they
+# overcount by ≤ ε·N with probability 1−δ at width w = ⌈e/ε⌉, depth
+# d = ⌈ln 1/δ⌉).
+#
+# Same DataFrame-native posture as the Bloom filter (operators/bloom):
+# the sketch IS a (row, col, cnt) table of ≤ d·w rows — mergeable by
+# union+sum (a monoid), portable across engines via the md5 column
+# hash, never driver-side state.
+# ---------------------------------------------------------------------------
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Build the sketch table: one (row, col, cnt) entry per occupied
+    cell, ``col = md5(row:key) % width`` (the repo-portable hash —
+    DuckDB replays it bit-for-bit). One linear scan: a d-way explode
+    of each input row followed by a map-side-combined count; the
+    shuffle is bounded by d·w cells regardless of input size."""
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width/depth must be positive, got {width}/{depth}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (_register_hash(F.col(key_col), r) % width).alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches built with the SAME (width, depth): cell-wise
+    sum — the monoid that lets per-day/per-shard sketches roll up
+    without re-touching raw data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc = acc.unionByName(s)
+    return acc.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    keys_df: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Append ``out_col``: the Count-Min estimate min over the d row
+    counters for each key — NEVER below the true count (one-sided),
+    above it only through hash collisions. d broadcast joins of the
+    bounded cell table; the probed keys never shuffle (the Bloom probe
+    shape). Keys absent from the stream estimate 0."""
+    cur = keys_df
+    ests = []
+    for r in range(depth):
+        col_r = _register_hash(F.col(key_col), r) % width
+        cur = cur.withColumn(f"_cmc{r}", col_r).join(
+            F.broadcast(
+                sketch.filter(F.col("row") == r).select(
+                    F.col("col").alias(f"_cmc{r}"), F.col("cnt").alias(f"_cmv{r}")
+                )
+            ),
+            f"_cmc{r}",
+            "left",
+        )
+        ests.append(F.coalesce(F.col(f"_cmv{r}"), F.lit(0).cast("long")))
+    drop = [c for r in range(depth) for c in (f"_cmc{r}", f"_cmv{r}")]
+    return cur.withColumn(out_col, F.least(*ests)).drop(*drop)

@@ -83,3 +83,97 @@ def test_k_validation(spark):
 
     with pytest.raises(ValueError):
         sketch.distinct_sketch(_ids(spark, 10), "v", k=0)
+
+
+# --- Count-Min sketch (r8) -----------------------------------------------------
+
+
+def _py_cm_cells(key: str, width: int, depth: int):
+    import hashlib
+
+    return [
+        (r, int(hashlib.md5(f"{r}:{key}".encode()).hexdigest()[:8], 16) % width)
+        for r in range(depth)
+    ]
+
+
+def test_count_min_build_matches_python_replay(spark):
+    from electrician_spark.operators import sketch as sk
+
+    keys = [f"k{i % 7}" for i in range(1, 200)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {
+        (r.row, r.col): r.cnt
+        for r in sk.count_min_build(df, "key", width=32, depth=3).collect()
+    }
+    want: dict = {}
+    for k in keys:
+        for cell in _py_cm_cells(k, 32, 3):
+            want[cell] = want.get(cell, 0) + 1
+    assert got == want
+
+
+def test_count_min_estimate_one_sided_and_exact_when_sparse(spark):
+    from pyspark.sql import functions as F
+
+    from electrician_spark.operators import sketch as sk
+
+    import collections
+
+    keys = [f"key{(i * i) % 23}" for i in range(1, 500)]
+    true = collections.Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    sketch = sk.count_min_build(df, "key", width=512, depth=4)
+    probe = spark.createDataFrame(
+        [(k,) for k in list(true) + ["never-seen"]], "key string"
+    )
+    got = {
+        r.key: r.est_count
+        for r in sk.count_min_estimate(probe, sketch, "key", width=512, depth=4).collect()
+    }
+    for k, n in true.items():
+        assert got[k] >= n, (k, got[k], n)  # NEVER undercounts
+    # 23 keys in 512 columns x 4 rows: min over rows is exact w.h.p. —
+    # verify it actually is for this fixed fixture
+    assert all(got[k] == n for k, n in true.items())
+    assert got["never-seen"] == 0
+
+
+def test_count_min_merge_equals_build_on_union(spark):
+    from electrician_spark.operators import sketch as sk
+
+    a = spark.createDataFrame([(f"a{i % 5}",) for i in range(50)], "key string")
+    b = spark.createDataFrame([(f"a{i % 9}",) for i in range(70)], "key string")
+    merged = {
+        (r.row, r.col): r.cnt
+        for r in sk.count_min_merge(
+            sk.count_min_build(a, "key", 64, 3), sk.count_min_build(b, "key", 64, 3)
+        ).collect()
+    }
+    full = {
+        (r.row, r.col): r.cnt
+        for r in sk.count_min_build(a.unionByName(b), "key", 64, 3).collect()
+    }
+    assert merged == full
+
+
+def test_count_min_probe_plan_broadcast_no_shuffle_of_keys(spark):
+    from electrician_spark.operators import sketch as sk
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "key string")
+    sketch = sk.count_min_build(df, "key", 64, 3)
+    plan = (
+        sk.count_min_estimate(df, sketch, "key", 64, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sk.count_min_build(df, "key", 0, 3)
+    with _pt.raises(ValueError):
+        sk.count_min_merge()
