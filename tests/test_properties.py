@@ -289,3 +289,46 @@ def test_span_corrupt_md5_arithmetic_bounds(did, n):
         masked.update(range(s, min(s + ln, n)))
     assert all(0 <= i < n for i in masked)
     assert len(masked) <= min(n, len(starts) * (2 * m - 1))
+
+
+# -- aHash / dHash / binary-quantization kernels (r8) --------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_ahash_dhash_deterministic_and_in_64bit_range(seed):
+    from electrician_spark import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    a1, a2 = mm.ahash_of_pixels(arr), mm.ahash_of_pixels(arr.copy())
+    d1, d2 = mm.dhash_of_pixels(arr), mm.dhash_of_pixels(arr.copy())
+    assert a1 == a2 and d1 == d2
+    for v in (a1, d1):
+        assert -(1 << 63) <= v < (1 << 63)
+    # gray+alpha uses plane 0 only: adding an alpha plane changes nothing
+    ga = np.stack([arr[:, :, 0], np.full((16, 16), 255, np.uint8)], axis=2)
+    gray = arr[:, :, :1]
+    assert mm.ahash_of_pixels(ga) == mm.ahash_of_pixels(gray)
+    assert mm.dhash_of_pixels(ga) == mm.dhash_of_pixels(gray)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="0123456789", min_size=12, max_size=18))
+def test_luhn_check_digit_construction(body):
+    """For ANY digit body, exactly one check digit makes the full
+    number Luhn-valid — the defining property of the checksum."""
+
+    def py_luhn(ds):
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    digits = [int(c) for c in body]
+    valid = [c for c in range(10) if py_luhn(digits + [c])]
+    assert len(valid) == 1

@@ -370,3 +370,21 @@ def test_hamming_rerank_surface_and_subset(spark):
 
     with _pt.raises(ValueError):
         quantize.hamming_rerank_topk(df, q, d=64, k=3, prefilter_factor=0)
+
+
+def test_binary_quantize_word_boundaries(spark):
+    """Dim counts straddling the 64-bit word boundaries (63/64/65,
+    127/128/129) must pack/round-trip exactly — the off-by-one zone
+    of the plan-time unrolling."""
+    for d in (63, 64, 65, 127, 128, 129):
+        vec = [1.0 if (i * 7) % 3 == 0 else -1.0 for i in range(d)]
+        df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+        (r,) = quantize.binary_quantize(df, "embedding", d=d).collect()
+        words = list(r.embedding_b)
+        assert len(words) == (d + 63) // 64
+        back = []
+        for wi, word in enumerate(words):
+            u = word + (1 << 64) if word < 0 else word
+            for j in range(min(64, d - wi * 64)):
+                back.append(bool(u >> j & 1))
+        assert back == [x > 0 for x in vec], d
