@@ -689,3 +689,62 @@ def wordpiece_encode(
         return texts.map(enc)
 
     return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer artifact persistence — a tokenizer is trained ONCE and
+# reused for the life of a model; the artifact must round-trip across
+# runs, clusters, and languages. One JSON file per tokenizer (the
+# HF-tokenizers/SentencePiece convention at its simplest): a `type`
+# discriminator plus the family's learned state. JSON keeps the
+# artifact human-diffable and engine-agnostic; logprobs serialize via
+# repr-roundtrip floats so encodings are bit-identical after reload.
+# ---------------------------------------------------------------------------
+
+
+def save_tokenizer(path: str, kind: str, artifact) -> None:
+    """Write a trained tokenizer artifact:
+
+    - ``kind='bpe'``: the ordered merge list from
+      :func:`train_bpe_merges` (list of string pairs),
+    - ``kind='wordpiece'``: the vocabulary list from
+      :func:`train_wordpiece_vocab`,
+    - ``kind='unigram'``: the (piece, logprob) list from
+      :func:`train_unigram_tokenizer`.
+    """
+    import json
+    import os
+
+    if kind not in ("bpe", "wordpiece", "unigram"):
+        raise ValueError(f"unknown tokenizer kind {kind!r}")
+    if kind == "bpe":
+        payload = [[a, b] for a, b in artifact]
+    elif kind == "wordpiece":
+        payload = list(artifact)
+    else:
+        payload = [[p, float(lp)] for p, lp in artifact]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"type": kind, "version": 1, "data": payload}, f)
+    os.replace(tmp, path)  # atomic: readers never see a torn artifact
+
+
+def load_tokenizer(path: str):
+    """Read a :func:`save_tokenizer` artifact → ``(kind, artifact)``
+    with the exact in-memory shape the encoders take (BPE merge list
+    of tuples / WordPiece vocab list / unigram (piece, logprob)
+    tuples) — reloaded artifacts encode bit-identically (pinned)."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    kind = doc.get("type")
+    data = doc.get("data")
+    if kind == "bpe":
+        return kind, [(a, b) for a, b in data]
+    if kind == "wordpiece":
+        return kind, list(data)
+    if kind == "unigram":
+        return kind, [(p, float(lp)) for p, lp in data]
+    raise ValueError(f"unknown tokenizer artifact type {kind!r} in {path}")

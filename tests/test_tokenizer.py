@@ -383,3 +383,52 @@ def test_wordpiece_encode_roundtrip_on_corpus(spark):
                 assert "".join(p[2:] if p.startswith("##") else p for p in ps) == w
             i += len(ps)
         assert i == len(r.pieces)
+
+
+def test_tokenizer_artifacts_round_trip(spark, tmp_path):
+    """save/load must reproduce bit-identical encodings for all three
+    families — the train-once/reuse-everywhere contract."""
+    from electrician_spark.functions import tokenizer as tk
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "the five boxing wizards jump quickly",
+        ] * 5)],
+        "doc_id long, text string",
+    )
+    sample = spark.createDataFrame([(1, "the quick wizard packs jugs")],
+                                   "doc_id long, text string")
+
+    merges = tk.train_bpe_merges(docs, num_merges=40, min_count=1)
+    tk.save_tokenizer(str(tmp_path / "bpe.json"), "bpe", merges)
+    kind, back = tk.load_tokenizer(str(tmp_path / "bpe.json"))
+    assert kind == "bpe" and back == merges
+    a = tk.bpe_encode(sample, merges).collect()[0]
+    b = tk.bpe_encode(sample, back).collect()[0]
+    assert a.bpe_tokens == b.bpe_tokens
+
+    vocab = tk.train_wordpiece_vocab(docs, vocab_size=80, min_count=1)
+    tk.save_tokenizer(str(tmp_path / "wp.json"), "wordpiece", vocab)
+    kind, backv = tk.load_tokenizer(str(tmp_path / "wp.json"))
+    assert kind == "wordpiece" and backv == vocab
+    a = tk.wordpiece_encode(sample, vocab).collect()[0]
+    b = tk.wordpiece_encode(sample, backv).collect()[0]
+    assert a.pieces == b.pieces
+
+    pieces = tk.train_unigram_tokenizer(docs, vocab_size=60)
+    tk.save_tokenizer(str(tmp_path / "ug.json"), "unigram", pieces)
+    kind, backp = tk.load_tokenizer(str(tmp_path / "ug.json"))
+    assert kind == "unigram" and backp == pieces  # exact float round-trip
+    a = tk.unigram_encode(sample, pieces).collect()[0]
+    b = tk.unigram_encode(sample, backp).collect()[0]
+    assert a.pieces == b.pieces
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tk.save_tokenizer(str(tmp_path / "x.json"), "sentencepiece", [])
+    (tmp_path / "bad.json").write_text('{"type": "mystery", "data": []}')
+    with _pt.raises(ValueError):
+        tk.load_tokenizer(str(tmp_path / "bad.json"))
