@@ -708,3 +708,32 @@ def hamming_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def save_codebooks(path: str, codebooks: list[list[list[float]]]) -> None:
+    """Persist :func:`pq_train` codebooks (m × k × d/m floats) as one
+    JSON artifact — codebooks are trained once and reused for every
+    later encode/search epoch, so they must round-trip across runs and
+    clusters. repr-roundtrip floats keep ADC results bit-identical
+    after reload; atomic replace keeps readers torn-free."""
+    import json
+    import os
+
+    payload = [[[float(x) for x in c] for c in sub] for sub in codebooks]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"type": "pq_codebooks", "version": 1, "data": payload}, f)
+    os.replace(tmp, path)
+
+
+def load_codebooks(path: str) -> list[list[list[float]]]:
+    """Read a :func:`save_codebooks` artifact back into the exact
+    in-memory shape pq_encode/pq_topk/ivfpq_topk take."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("type") != "pq_codebooks":
+        raise ValueError(f"not a pq_codebooks artifact: {path}")
+    return [[[float(x) for x in c] for c in sub] for sub in doc["data"]]

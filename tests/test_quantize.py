@@ -388,3 +388,30 @@ def test_binary_quantize_word_boundaries(spark):
             for j in range(min(64, d - wi * 64)):
                 back.append(bool(u >> j & 1))
         assert back == [x > 0 for x in vec], d
+
+
+def test_pq_codebooks_round_trip(spark, tmp_path):
+    """Reloaded codebooks must encode and ADC-search bit-identically —
+    the train-once/reuse-everywhere contract for PQ."""
+    import pytest as _pt
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 13 + j * 7) % 19) - 9) for j in range(16)]) for i in range(1, 41)],
+        "vec_id long, embedding array<double>",
+    )
+    books = quantize.pq_train(emb, vec_col="embedding", m=4, k=4, iters=1, id_col="vec_id")
+    p = str(tmp_path / "books.json")
+    quantize.save_codebooks(p, books)
+    back = quantize.load_codebooks(p)
+    assert back == books  # exact float round-trip
+    q = emb.filter(F.col("vec_id") <= 2)
+    a = [(r.query_id, r.neighbor_id, r.rank) for r in
+         quantize.pq_topk(quantize.pq_encode(emb, books), q, books, k=3)
+         .orderBy("query_id", "rank").collect()]
+    b = [(r.query_id, r.neighbor_id, r.rank) for r in
+         quantize.pq_topk(quantize.pq_encode(emb, back), q, back, k=3)
+         .orderBy("query_id", "rank").collect()]
+    assert a == b
+    (tmp_path / "bad.json").write_text('{"type": "other", "data": []}')
+    with _pt.raises(ValueError):
+        quantize.load_codebooks(str(tmp_path / "bad.json"))
