@@ -242,15 +242,25 @@ def redact_pii_extended(
     scrubbed = F.regexp_replace(text, EMAIL_PATTERN, email_token)
     scrubbed = F.regexp_replace(scrubbed, IPV4_PATTERN, ip_token)
     cands = F.regexp_extract_all(scrubbed, F.lit(CARD_CANDIDATE_PATTERN), 1)
+
+    # Rewrite each candidate boundary-anchored (the same \b…\b the
+    # extraction used) — a plain substring replace would also mangle
+    # the candidate's digit string where it occurs INSIDE a longer run
+    # elsewhere in the document. Candidates match [\d -]+ only, so the
+    # only regex metacharacter possible is none; still anchor, don't
+    # trust: the pattern is built per-candidate.
+    def bounded(c: Column) -> Column:
+        return F.concat(F.lit(r"\b"), c, F.lit(r"\b"))
+
     scrubbed = F.aggregate(
         F.filter(cands, luhn_valid),
         scrubbed,
-        lambda acc, c: F.replace(acc, c, F.lit(card_token)),
+        lambda acc, c: F.regexp_replace(acc, bounded(c), F.lit(card_token)),
     )
     scrubbed = F.aggregate(
         F.filter(cands, lambda c: ~luhn_valid(c)),
         scrubbed,
-        lambda acc, c: F.replace(acc, c, F.lit(number_token)),
+        lambda acc, c: F.regexp_replace(acc, bounded(c), F.lit(number_token)),
     )
     return F.regexp_replace(scrubbed, LONG_NUMBER_PATTERN, number_token)
 
@@ -612,26 +622,6 @@ def normalize_text(
         out = F.regexp_replace(out, rf"\n{{{max_consecutive_newlines + 1},}}", run)
     # trim() strips ASCII space only — newline-adjacent edges need \s.
     return F.regexp_replace(out, r"^\s+|\s+$", "")
-
-
-def nfkc_normalize(text: Column) -> Column:
-    """Full NFKC compatibility folding (ligatures ﬁ→fi, full-width
-    Ａ→A, ²→2, …) — the opt-in Python stage :func:`normalize_text`
-    deliberately excludes. Arrow-batched pandas UDF (never row-at-a-time
-    Python); compose as ``normalize_text(nfkc_normalize(col))`` when a
-    corpus needs the full fold, and keep it off hot paths that the
-    regexp chain already serves."""
-    from pyspark.sql.types import StringType
-
-    @F.pandas_udf(StringType())
-    def _nfkc(s):
-        import unicodedata
-
-        return s.map(
-            lambda x: unicodedata.normalize("NFKC", x) if x is not None else None
-        )
-
-    return _nfkc(text)
 
 
 def token_frequency_table(

@@ -22,10 +22,10 @@ stdlib+numpy. Video FRAMES decode for real too when the container is
 AVI/MJPEG (:func:`avi_video_frames` RIFF walk → each frame is a whole
 JPEG through the same decoder; :func:`video_frame_stats`); H.264-class
 payloads (MP4) surface in the error channel rather than faking pixels.
-The remaining stubs are clearly marked and minor: `extract_features`'
-deterministic dims fake for unrecognized bytes, and H.264/H.265 frame
-entropy decode — PIL/ffmpeg swap in as one-function changes on the
-executor side.
+The one remaining stub is clearly marked and minor: H.264/H.265 frame
+entropy decode — ffmpeg swaps in as a one-function change on the
+executor side (``extract_features`` has no fake path: unrecognized
+bytes keep their byte stats with NULL dims and an error-channel row).
 
 Audio decodes for real too (:func:`decode_wav_pcm` — stdlib ``wave``,
 8/16/32-bit PCM → integer samples, with :func:`audio_feature_stats`
@@ -294,26 +294,33 @@ def synth_jpeg_with_exif(
             return entry(tag, 2, len(val), val)
         return entry(tag, 2, len(val), struct.pack(bo + "I", off))
 
+    # TIFF 6.0 requires IFD entries sorted by ascending integer TAG —
+    # sorting the raw entry bytes breaks under 'II' (little-endian tag
+    # storage makes 0x8769 sort after 0x8825), so carry (tag, bytes)
+    # pairs and sort on the integer before joining.
+    def ifd(entries: list[tuple[int, bytes]]) -> bytes:
+        body = b"".join(e for _, e in sorted(entries, key=lambda te: te[0]))
+        return struct.pack(bo + "H", len(entries)) + body + b"\x00" * 4
+
     e0 = [
-        ascii_entry(0x010F, make_b, make_off),
-        ascii_entry(0x0110, model_b, model_off),
-        entry(0x0112, 3, 1, struct.pack(bo + "H", orientation)),
-        entry(0x8769, 4, 1, struct.pack(bo + "I", exif_off)),
+        (0x010F, ascii_entry(0x010F, make_b, make_off)),
+        (0x0110, ascii_entry(0x0110, model_b, model_off)),
+        (0x0112, entry(0x0112, 3, 1, struct.pack(bo + "H", orientation))),
+        (0x8769, entry(0x8769, 4, 1, struct.pack(bo + "I", exif_off))),
     ]
     if gps:
-        e0.append(entry(0x8825, 4, 1, struct.pack(bo + "I", gps_off)))
-    ifd0 = struct.pack(bo + "H", len(e0)) + b"".join(sorted(e0)) + b"\x00" * 4
-    ee = [entry(0x8827, 3, 1, struct.pack(bo + "H", iso))]
-    exif = struct.pack(bo + "H", len(ee)) + b"".join(ee) + b"\x00" * 4
+        e0.append((0x8825, entry(0x8825, 4, 1, struct.pack(bo + "I", gps_off))))
+    ifd0 = ifd(e0)
+    exif = ifd([(0x8827, entry(0x8827, 3, 1, struct.pack(bo + "H", iso)))])
     parts = [struct.pack(bo + "2sHI", byte_order.encode(), 42, ifd0_off), ifd0, exif]
     if gps:
         ge = [
-            entry(0x0001, 2, 2, lat_ref.encode() + b"\x00\x00\x00"),
-            entry(0x0002, 5, 3, struct.pack(bo + "I", lat_off)),
-            entry(0x0003, 2, 2, lon_ref.encode() + b"\x00\x00\x00"),
-            entry(0x0004, 5, 3, struct.pack(bo + "I", lon_off)),
+            (0x0001, entry(0x0001, 2, 2, lat_ref.encode() + b"\x00\x00\x00")),
+            (0x0002, entry(0x0002, 5, 3, struct.pack(bo + "I", lat_off))),
+            (0x0003, entry(0x0003, 2, 2, lon_ref.encode() + b"\x00\x00\x00")),
+            (0x0004, entry(0x0004, 5, 3, struct.pack(bo + "I", lon_off))),
         ]
-        parts.append(struct.pack(bo + "H", len(ge)) + b"".join(sorted(ge)) + b"\x00" * 4)
+        parts.append(ifd(ge))
     tiff = b"".join(parts) + heap_bytes
     body = b"Exif\x00\x00" + tiff
     app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body

@@ -576,7 +576,19 @@ def binary_quantize(
     if d <= 0:
         raise ValueError(f"d must be positive, got {d}")
     out = out_col or f"{vec_col}_b"
-    vec = F.col(vec_col)
+    # Guard the silent-wrong-codes mode: if d overruns the actual
+    # vector length, F.get returns NULL and the when() would quantize
+    # phantom dimensions to 0 — wrong sign-bit codes with no error.
+    # raise_error costs nothing when the predicate is false (codegen
+    # branch) and turns the mismatch into a loud task failure.
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) >= d,
+        F.concat(
+            F.lit(f"binary_quantize: d={d} exceeds vector length "),
+            F.size(F.col(vec_col)).cast("string"),
+        ),
+    )
+    vec = F.when(guard.isNull(), F.col(vec_col))
     words = []
     for w in range(0, d, _WORD):
         bits = []

@@ -140,7 +140,13 @@ def count_min_build(
     cell, ``col = md5(row:key) % width`` (the repo-portable hash —
     DuckDB replays it bit-for-bit). One linear scan: a d-way explode
     of each input row followed by a map-side-combined count; the
-    shuffle is bounded by d·w cells regardless of input size."""
+    shuffle is bounded by d·w cells regardless of input size.
+
+    The (width, depth) geometry is STAMPED into the table as literal
+    columns — merge/estimate read and validate it, so a probe built
+    with mismatched params fails loudly instead of silently hashing
+    into the wrong cell layout (which would break the one-sided
+    never-undercount guarantee)."""
     if width <= 0 or depth <= 0:
         raise ValueError(f"width/depth must be positive, got {width}/{depth}")
     cells = F.array(
@@ -156,34 +162,76 @@ def count_min_build(
         df.select(F.explode(cells).alias("_c"))
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
         .agg(F.count("*").alias("cnt"))
+        .withColumn("width", F.lit(width))
+        .withColumn("depth", F.lit(depth))
     )
+
+
+def _cm_geometry(sketch: DataFrame) -> tuple[int, int]:
+    """Read the stamped (width, depth) off a sketch table — one tiny
+    job on a ≤ d·w-row governance table (bounded by construction, so
+    the driver action is cheap and safe)."""
+    if "width" not in sketch.columns or "depth" not in sketch.columns:
+        raise ValueError(
+            "sketch lacks the (width, depth) stamp — build it with "
+            "count_min_build (mismatched geometry would silently break "
+            "the never-undercount guarantee)"
+        )
+    head = sketch.select("width", "depth").first()
+    if head is None:  # empty stream: any geometry estimates all-zero correctly
+        return (0, 0)
+    return (int(head["width"]), int(head["depth"]))
 
 
 def count_min_merge(*sketches: DataFrame) -> DataFrame:
     """Union sketches built with the SAME (width, depth): cell-wise
     sum — the monoid that lets per-day/per-shard sketches roll up
-    without re-touching raw data."""
+    without re-touching raw data. Geometry stamps are validated up
+    front (mixed-geometry cells would sum counters from different
+    hash layouts — an undetectable corruption otherwise)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    geoms = {g for s in sketches for g in [_cm_geometry(s)] if g != (0, 0)}
+    if len(geoms) > 1:
+        raise ValueError(f"cannot merge sketches with mixed geometry: {sorted(geoms)}")
     acc = sketches[0]
     for s in sketches[1:]:
         acc = acc.unionByName(s)
-    return acc.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    return (
+        acc.groupBy("row", "col", "width", "depth").agg(F.sum("cnt").alias("cnt"))
+        .select("row", "col", "cnt", "width", "depth")
+    )
 
 
 def count_min_estimate(
     keys_df: DataFrame,
     sketch: DataFrame,
     key_col: str,
-    width: int = 1024,
-    depth: int = 4,
+    width: int | None = None,
+    depth: int | None = None,
     out_col: str = "est_count",
 ) -> DataFrame:
     """Append ``out_col``: the Count-Min estimate min over the d row
     counters for each key — NEVER below the true count (one-sided),
     above it only through hash collisions. d broadcast joins of the
     bounded cell table; the probed keys never shuffle (the Bloom probe
-    shape). Keys absent from the stream estimate 0."""
+    shape). Keys absent from the stream estimate 0.
+
+    (width, depth) default to the geometry STAMPED on the sketch by
+    :func:`count_min_build`; passing them explicitly is validated
+    against the stamp — probing with a different layout than the build
+    used would hash into the wrong cells and coalesce misses to 0,
+    silently voiding the one-sided guarantee."""
+    sw, sd = _cm_geometry(sketch)
+    if (sw, sd) == (0, 0):  # empty sketch: every probe estimates 0
+        sw = width if width is not None else 1024
+        sd = depth if depth is not None else 4
+    if width is not None and width != sw:
+        raise ValueError(f"width={width} does not match sketch stamp width={sw}")
+    if depth is not None and depth != sd:
+        raise ValueError(f"depth={depth} does not match sketch stamp depth={sd}")
+    width, depth = sw, sd
+    sketch = sketch.select("row", "col", "cnt")
     cur = keys_df
     ests = []
     for r in range(depth):

@@ -3787,12 +3787,12 @@ def q_wd1(spark, sf_dir):
     #   even host, shape 3 (/page?sessionid=<k>): Disallow
     #     /*?sessionid= fires — rules match path+QUERY (RFC 9309);
     #   odd host, shape 2 (/tmp/x<k>): Disallow /tmp/* fires, EXCEPT
-    #     path exactly '/tmp/x' (doc_id % 100 = 2) where Allow
+    #     path exactly '/tmp/x' (doc_id % 100 = 7: shape 7%5=2, odd host h=7) where Allow
     #     /tmp/x$ (7) out-lengths /tmp/* (6) — the '$' anchor;
     #   odd host, shape 4 (/search<k>): Disallow /search fires.
     # Everything else is unmatched → allowed with NULL pattern.
     "WITH f AS (SELECT doc_id, doc_id % 10 AS h, doc_id % 5 AS shape, "
-    "doc_id % 100 = 2 AS exact_x FROM documents WHERE doc_id BETWEEN 1 AND 300), "
+    "doc_id % 100 = 7 AS exact_x FROM documents WHERE doc_id BETWEEN 1 AND 300), "
     "u AS (SELECT doc_id, h % 2 = 0 AS even, shape, exact_x, "
     "'http://h' || CAST(h AS VARCHAR) || '.example.com' || "
     "CASE shape WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR) "
@@ -3854,7 +3854,7 @@ def q_rb1(spark, sf_dir):
         .when(shape == 1, F.concat(F.lit("/public/doc"), d.cast("string")))
         .when(
             shape == 2,
-            F.when(d % 100 == 2, F.lit("/tmp/x")).otherwise(
+            F.when(d % 100 == 7, F.lit("/tmp/x")).otherwise(
                 F.concat(F.lit("/tmp/x"), d.cast("string"))
             ),
         )

@@ -7,7 +7,8 @@ here carries the same (spark fn, DuckDB oracle) pair it had when it
 last passed the driver gate, so every SURVEY-declared query remains
 executable in both engines (SURVEY §2 contract; r7 verdict item 3).
 
-Run them with ``python tools/check.py --archived`` (18/18 must pass);
+Run them with ``python tools/check.py --archived`` (every archived
+row must pass — the tool exits non-zero on any miss);
 ``tests/test_oracle.py`` pins archive ∩ live registry = ∅ and that
 every row named RETIRED in queries.py / COVERAGE.md is present here.
 
