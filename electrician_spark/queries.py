@@ -4167,6 +4167,240 @@ def q_rs1(spark, sf_dir):
     return spark.table(name).select("key", "seq", "payload").orderBy("key", "seq")
 
 
+
+# ---------------------------------------------------------------------------
+# Round-9 promotions — test-pinned operators elevated to driver-attested
+# oracle rows (r8 verdict items 1/2/6/7/8). Each new row retired one
+# redundant r7-window sibling into electrician_spark.retired.
+# ---------------------------------------------------------------------------
+
+
+# WordPiece: the training mini-corpus is a LITERAL (sf-independent), so
+# the trained vocabulary is known at oracle-authoring time and FROZEN
+# into the SQL below — if the trainer, the JSON artifact round-trip, or
+# the greedy encoder drifts by one piece, the value hash breaks. The
+# oracle replays greedy longest-match-first segmentation per distinct
+# word with a recursive CTE (correlated max-length probe into the vocab
+# at each cursor position; BERT whole-word-[UNK] on a dead end), then
+# joins back to per-document word multiplicity.
+_WP_MINI_CORPUS = (
+    "the table scans fast and the sort spills slow",
+    "a hash join beats a merge join on small tables",
+    "stream batch window group filter value row line",
+    "spark data column vector part customer order big agg",
+)
+# train_wordpiece_vocab(_WP_MINI_CORPUS, vocab_size=70, min_count=1) —
+# 56 pieces (likelihood scoring exhausts below the cap). The corpus
+# deliberately contains no 'y', so 'key'/'query' in documents exercise
+# the whole-word-[UNK] rule live (not vacuously).
+_WP_FROZEN_VOCAB = [
+    "[UNK]", "##a", "##as", "##at", "##b", "##bl", "##ble", "##c", "##d",
+    "##e", "##er", "##g", "##h", "##i", "##il", "##k", "##l", "##lu",
+    "##m", "##n", "##nd", "##o", "##ow", "##p", "##r", "##rt", "##s",
+    "##t", "##to", "##u", "##w", "a", "b", "c", "d", "f", "g", "h", "j",
+    "jo", "joi", "join", "l", "m", "o", "p", "r", "s", "sp", "t", "ta",
+    "table", "th", "the", "v", "w",
+]
+_WP_VOCAB_SQL = ", ".join(f"('{p}')" for p in _WP_FROZEN_VOCAB)
+
+
+@query(
+    "q_wp1_wordpiece_encode",
+    "WITH RECURSIVE "
+    f"vocab(piece) AS (VALUES {_WP_VOCAB_SQL}), "
+    "vp AS (SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS raw, "
+    "piece LIKE '##%' AS cont FROM vocab WHERE piece <> '[UNK]'), "
+    "dw AS (SELECT doc_id, w AS word FROM (SELECT doc_id, "
+    "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+    "WHERE length(w) > 0), "
+    "words AS (SELECT DISTINCT word FROM dw), "
+    "seg AS ("
+    "SELECT word, 0 AS pos, 0 AS n_pieces, 0 AS n_cont, false AS unk FROM words "
+    "UNION ALL "
+    "SELECT word, "
+    "CASE WHEN best_len IS NULL THEN length(word) ELSE pos + best_len END AS pos, "
+    "CASE WHEN best_len IS NULL THEN 1 ELSE n_pieces + 1 END AS n_pieces, "
+    "CASE WHEN best_len IS NULL THEN 0 "
+    "WHEN pos > 0 THEN n_cont + 1 ELSE n_cont END AS n_cont, "
+    "best_len IS NULL AS unk "
+    "FROM (SELECT word, pos, n_pieces, n_cont, "
+    "(SELECT max(length(v.raw)) FROM vp v WHERE v.cont = (s.pos > 0) "
+    "AND v.raw = substr(s.word, s.pos + 1, length(v.raw))) AS best_len "
+    "FROM seg s WHERE s.pos < length(s.word) AND NOT s.unk)), "
+    "fin AS (SELECT word, n_pieces, n_cont, unk FROM seg "
+    "WHERE pos = length(word) AND pos > 0) "
+    "SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+    "CAST(sum(f.n_pieces) AS BIGINT) AS n_pieces, "
+    "CAST(sum(CASE WHEN f.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk, "
+    "CAST(sum(f.n_cont) AS BIGINT) AS n_cont "
+    "FROM dw JOIN fin f USING (word) GROUP BY dw.doc_id ORDER BY dw.doc_id",
+    tags=("tokenizer",),
+)
+def q_wp1(spark, sf_dir):
+    # train -> save -> load -> encode, all on the attested path: the
+    # trainer runs live on the literal mini-corpus, the artifact
+    # round-trips through tokenizer.save_tokenizer/load_tokenizer, and
+    # the reloaded vocab drives wordpiece_encode over the corpus. Any
+    # drift from the frozen oracle vocabulary breaks the row.
+    # Reference: Schuster & Nakajima 2012 (WordPiece), the BERT
+    # greedy longest-match + whole-word-[UNK] convention.
+    import os
+    import tempfile
+
+    from electrician_spark.functions import tokenizer as tk
+
+    mini = spark.createDataFrame([(t,) for t in _WP_MINI_CORPUS], "text string")
+    vocab = tk.train_wordpiece_vocab(mini, vocab_size=70, min_count=1)
+    path = os.path.join(tempfile.mkdtemp(prefix="q_wp1_"), "wp.json")
+    tk.save_tokenizer(path, "wordpiece", vocab)
+    _kind, vocab2 = tk.load_tokenizer(path)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = tk.wordpiece_encode(docs, vocab2)
+    pieces = F.col("pieces")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    return (
+        enc.select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_words"),
+            F.size(pieces).cast("long").alias("n_pieces"),
+            F.size(F.filter(pieces, lambda x: x == F.lit("[UNK]")))
+            .cast("long")
+            .alias("n_unk"),
+            F.size(F.filter(pieces, lambda x: x.startswith("##")))
+            .cast("long")
+            .alias("n_cont"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_or1_orc_roundtrip",
+    "SELECT l_linestatus, count(*) AS n, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_price "
+    "FROM lineitem WHERE l_returnflag = 'R' "
+    "GROUP BY l_linestatus ORDER BY l_linestatus",
+    tags=("sink", "io"),
+)
+def q_or1(spark, sf_dir):
+    # io.write_orc (zstd, hive-partitioned by l_returnflag) -> read_orc
+    # -> filtered per-partition aggregate equality: the q_k1 round-trip
+    # shape on the SECOND columnar format. The read-back filter on the
+    # partition column prunes to one directory (plan-pinned in
+    # test_io); the aggregation never sees the other partitions.
+    import tempfile
+
+    from electrician_spark.io import read_orc, write_orc
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="q_or1_") + "/lineitem_orc"
+    write_orc(li, path, partition_by=["l_returnflag"])
+    back = read_orc(spark, path)
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            rel.round2(F.sum("l_quantity")).alias("sum_qty"),
+            rel.round2(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_SQL_MD5_KEY = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+@query(
+    "q_lb1_length_batches",
+    # Window-SQL replay of the length-grouped batcher: md5-derived
+    # shard, (length DESC, epoch key, id) order within shard, fixed
+    # 16-slot batches, then the per-batch padding audit.
+    f"WITH k AS (SELECT doc_id, n_chars, {_SQL_MD5_KEY} % 8 AS shard, "
+    + _SQL_EPOCH_KEY.format(seed=3)
+    + " AS key FROM documents), "
+    "p AS (SELECT shard, n_chars, row_number() OVER (PARTITION BY shard "
+    "ORDER BY n_chars DESC, key ASC, doc_id ASC) - 1 AS rn FROM k), "
+    "b AS (SELECT shard, rn // 16 AS batch_id, n_chars FROM p) "
+    "SELECT shard, batch_id, CAST(count(*) AS BIGINT) AS n, "
+    "max(n_chars) AS max_len, CAST(sum(n_chars) AS BIGINT) AS sum_len, "
+    "round(1.0 - CAST(sum(n_chars) AS DOUBLE) / (count(*) * max(n_chars)), 6) "
+    "AS pad_frac "
+    "FROM b GROUP BY shard, batch_id ORDER BY shard, batch_id",
+    tags=("packing",),
+)
+def q_lb1(spark, sf_dir):
+    # operators/packing.length_batches: one hash exchange on the
+    # md5-shard, per-shard window sort into fixed-size batches (the
+    # 'sortish' length-grouped sampler), then length_batch_stats'
+    # map-side-combined padding audit. Low pad_frac vs random batching
+    # is the property test; the oracle pins the exact assignment.
+    from electrician_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    batched = packing.length_batches(
+        docs, batch_size=16, len_col="n_chars", n_shards=8, seed=3
+    )
+    return (
+        packing.length_batch_stats(batched, "n_chars")
+        .select("shard", "batch_id", "n", "max_len", "sum_len", "pad_frac")
+        .orderBy("shard", "batch_id")
+    )
+
+
+@query(
+    "q_cm1_count_min",
+    # Count-Min frequency estimates replayed cell-by-cell: the sketch
+    # is the (row, col, cnt) table with col = md5(row:key) % width —
+    # the engine-portable md5 identity — and the estimate is the min
+    # over depth probes with misses coalesced to 0. true_count joins
+    # back so the one-sided guarantee (est >= true, = when sparse) is
+    # visible IN the attested values, not just asserted in tests.
+    "WITH src AS (SELECT 'k' || CAST(o_custkey % 211 AS VARCHAR) AS key FROM orders), "
+    "cells AS (SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || key), 1, 8) "
+    "AS BIGINT) % 256 AS col, count(*) AS cnt "
+    "FROM src, (VALUES (0), (1), (2)) t(r) GROUP BY 1, 2), "
+    "probes AS (SELECT 'k' || CAST(doc_id AS VARCHAR) AS key FROM documents WHERE doc_id < 220), "
+    "pc AS (SELECT p.key, t.r, CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || p.key), 1, 8) "
+    "AS BIGINT) % 256 AS col FROM probes p, (VALUES (0), (1), (2)) t(r)), "
+    "est AS (SELECT pc.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count "
+    "FROM pc LEFT JOIN cells c ON c.r = pc.r AND c.col = pc.col GROUP BY pc.key), "
+    "tru AS (SELECT key, count(*) AS n FROM src GROUP BY key) "
+    "SELECT e.key, e.est_count, CAST(coalesce(t.n, 0) AS BIGINT) AS true_count "
+    "FROM est e LEFT JOIN tru t ON t.key = e.key ORDER BY e.key",
+    tags=("sketch",),
+)
+def q_cm1(spark, sf_dir):
+    # operators/sketch.count_min_*: one linear scan builds the bounded
+    # <= depth*width cell table (map-side-combined), probes broadcast-
+    # join it (keys never shuffle); geometry travels stamped on the
+    # sketch, validated at estimate time. Cormode & Muthukrishnan 2005.
+    from electrician_spark.operators import sketch as sk
+
+    src = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("k"), (F.col("o_custkey") % 211).cast("string")).alias("key")
+    )
+    cm = sk.count_min_build(src, "key", width=256, depth=3)
+    probes = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 220).select(
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("key")
+    )
+    est = sk.count_min_estimate(probes, cm, "key")
+    tru = src.groupBy("key").agg(F.count("*").alias("n"))
+    return (
+        est.join(tru, "key", "left")
+        .select(
+            "key",
+            "est_count",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("true_count"),
+        )
+        .orderBy("key")
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
