@@ -4401,6 +4401,272 @@ def q_cm1(spark, sf_dir):
     )
 
 
+# Sign-bit encoding replay: bit j of the 64-d embedding's single code
+# word is set iff embedding[j] > 0, with bit 63 carried as the two's-
+# complement sign term (the repo-wide signed-BIGINT convention). The
+# positive terms accumulate to at most 2^63-1 before the bit-63 term
+# (kept LAST) lands, so the fold never overflows checked BIGINT math.
+_SQL_SIGNBIT = "(" + " + ".join(
+    f"CASE WHEN embedding[{j + 1}] > 0 THEN "
+    + ("(-9223372036854775807 - 1)" if j == 63 else str(1 << j))
+    + " ELSE 0 END"
+    for j in range(64)
+) + ")"
+
+
+@query(
+    "q_bq1_binary_hamming_tier",
+    # The full binary-quantization ANN tier: sign-bit encode both
+    # sides, Hamming (XOR/popcount) prefilter to 4k candidates, exact
+    # cosine re-rank of the survivors to top-k — replayed stage by
+    # stage (same encode fold, same bit_count(xor()), same rounded
+    # cosine and tie-break) so prefilter membership AND final ranking
+    # are both value-attested.
+    f"WITH b AS (SELECT vec_id, {_SQL_SIGNBIT} AS code FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, code AS qc FROM b WHERE vec_id < 8), "
+    "scored AS (SELECT query_id, c.vec_id AS neighbor_id, "
+    "bit_count(xor(c.code, qc)) AS ham FROM q JOIN b c ON c.vec_id <> query_id), "
+    "cand AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rk "
+    "FROM scored) WHERE rk <= 20), "
+    f"{_SQL_NORM_CTE}, "
+    "qv AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < 8), "
+    "rr AS (SELECT cand.query_id, cand.neighbor_id, "
+    f"round({_SQL_DOT.format(a='qe', b='c.embedding')} / (qn * c.nrm), 4) AS cos "
+    "FROM cand JOIN norms c ON c.vec_id = cand.neighbor_id "
+    "JOIN qv ON qv.query_id = cand.query_id), "
+    "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rr) "
+    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5 "
+    "ORDER BY query_id, rank",
+    tags=("similarity", "quantize"),
+)
+def q_bq1(spark, sf_dir):
+    # operators/quantize.hamming_rerank_topk: binary_quantize is one
+    # codegen'd integer projection riding the scan (32x memory vs
+    # float32); the prefilter scores ~100x cheaper per pair than a
+    # float dot (1 XOR + popcount for d=64); the exact cosine runs on
+    # 4k candidate rows per query only, fetched by broadcast join —
+    # the corpus never shuffles at any stage.
+    from electrician_spark.operators import quantize as qz
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = qz.hamming_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 8), d=64, k=5, prefilter_factor=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "q_ah1_image_hash_family",
+    # aHash/dHash one-decode-pass family over crafted two-level PNGs,
+    # closed form (all grid cells land exactly because the 72-px width
+    # is a multiple of both the 8-col aHash grid (9 px cells, split on
+    # the col-3/4 boundary) and the 9-col dHash grid (8 px cells, the
+    # straddling cell averaging to exactly (a+b)/2)):
+    #   solid        -> ahash = 0 (strict > mean), dhash = 0;
+    #   left-light   -> ahash bits {8r+c : c<4} = 15*(2^64-1)/255
+    #                   = 1085102592571150095; dhash bits {8r+3, 8r+4}
+    #                   = 24*(2^64-1)/255 = 1736164148113840152;
+    #   top-light    -> ahash bits {8r+c : r<4} = 255*16843009
+    #                   = 4294967295; dhash = 0 (rows are constant).
+    # dHash near-dup merges solid with top-light (both 0) — the
+    # documented coarseness of gradient-sign hashing, visible in the
+    # attested n_near values rather than asserted in prose.
+    "WITH f AS (SELECT doc_id, doc_id % 3 AS fam FROM documents "
+    "WHERE doc_id BETWEEN 1 AND 36), "
+    "h AS (SELECT doc_id, "
+    "CASE fam WHEN 0 THEN 0 WHEN 1 THEN 1085102592571150095 "
+    "ELSE 4294967295 END AS ahash, "
+    "CASE fam WHEN 1 THEN 1736164148113840152 ELSE 0 END AS dhash FROM f), "
+    "p AS (SELECT a.doc_id AS ida, count(*) AS n_near FROM h a JOIN h b "
+    "ON a.doc_id <> b.doc_id AND bit_count(xor(a.dhash, b.dhash)) <= 3 "
+    "GROUP BY a.doc_id) "
+    "SELECT h.doc_id AS media_id, h.ahash, h.dhash, "
+    "CAST(coalesce(p.n_near, 0) AS BIGINT) AS n_near "
+    "FROM h LEFT JOIN p ON p.ida = h.doc_id ORDER BY media_id",
+    tags=("multimodal", "dedup"),
+)
+def q_ah1(spark, sf_dir):
+    # REAL pipeline: executor-synthesized PNGs -> one decode pass
+    # computing BOTH hashes (multimodal.image_perceptual_hashes — the
+    # decode-dominates argument for computing the family together) ->
+    # dedup.hamming_pairs banded near-dup on the dhash band.
+    from electrician_spark import multimodal as mm
+    from electrician_spark.operators import dedup
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 36))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from electrician_spark import multimodal as m
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                fam = did % 3
+                h = 32 * (1 + did % 2)
+                a = 160 + (did * 7) % 64
+                b = a - 100
+                if fam == 0:
+                    payloads.append(m.synth_png_gray(48, h, a))
+                elif fam == 1:
+                    # left-light: vertical EDGE = horizontal split
+                    payloads.append(m.synth_png_gray_split(72, h, a, b, False))
+                else:
+                    # top-light: horizontal EDGE = vertical split
+                    payloads.append(m.synth_png_gray_split(72, h, a, b, True))
+                mids.append(did)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    sig = mm.image_perceptual_hashes(media).select("media_id", "ahash", "dhash")
+    pairs = dedup.hamming_pairs(sig, "media_id", "dhash", max_hamming=3)
+    near = (
+        pairs.select(F.col("id_a").alias("media_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        sig.join(near, "media_id", "left")
+        .select(
+            "media_id",
+            "ahash",
+            "dhash",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "q_cml1_chatml_render",
+    # ChatML SFT rendering with loss-mask spans, attested two ways at
+    # once: Spark computes spans with the linear fold in
+    # objectives.render_chat, the oracle computes the same offsets
+    # ANALYTICALLY from the fixed frame widths (im_start+role+NL, the
+    # 14-char system turn, im_end+NL) — so the fold's cursor arithmetic
+    # is checked against independent closed-form math, per document,
+    # including the substring extraction of the last masked turn.
+    "WITH m AS (SELECT doc_id, substr(text, 1, 40) AS u1, substr(text, 41, 40) AS a1, "
+    "substr(text, 81, 30) AS u2, substr(text, 111, 30) AS a2, n_chars > 120 AS big "
+    "FROM documents WHERE doc_id < 300), "
+    "r AS (SELECT doc_id, big, u1, a1, u2, a2, "
+    "'<|im_start|>system' || chr(10) || 'You are terse.<|im_end|>' || chr(10) || "
+    "'<|im_start|>user' || chr(10) || u1 || '<|im_end|>' || chr(10) || "
+    "'<|im_start|>assistant' || chr(10) || a1 || '<|im_end|>' || chr(10) || "
+    "CASE WHEN big THEN "
+    "'<|im_start|>user' || chr(10) || u2 || '<|im_end|>' || chr(10) || "
+    "'<|im_start|>assistant' || chr(10) || a2 || '<|im_end|>' || chr(10) "
+    "ELSE '' END AS chat_text FROM m), "
+    "s AS (SELECT doc_id, chat_text, "
+    "CASE WHEN big THEN 5 ELSE 3 END AS n_turns, "
+    "CASE WHEN big THEN 2 ELSE 1 END AS n_loss_turns, "
+    "CASE WHEN big THEN 94 + length(u1) + length(a1) + 11 + 50 + length(u2) "
+    "ELSE 94 + length(u1) END AS s_last, "
+    "CASE WHEN big THEN length(a2) ELSE length(a1) END AS last_len FROM r) "
+    "SELECT doc_id, chat_text, CAST(n_turns AS INTEGER) AS n_turns, "
+    "CAST(n_loss_turns AS INTEGER) AS n_loss_turns, "
+    "CAST(s_last AS INTEGER) AS span_start, "
+    "CAST(s_last + last_len AS INTEGER) AS span_end, "
+    "substr(chat_text, s_last + 1, last_len) AS span_text "
+    "FROM s ORDER BY doc_id",
+    tags=("objectives",),
+)
+def q_cml1(spark, sf_dir):
+    # operators/objectives.render_chat: one aggregate fold per row
+    # (linear, no shuffle); conversations derived from documents by
+    # pure Column expressions so both engines see identical turns.
+    from electrician_spark.operators import objectives as obj
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    turn = lambda role, content: F.struct(  # noqa: E731
+        F.lit(role).alias("role"), content.alias("content")
+    )
+    t = F.col("text")
+    msgs3 = F.array(
+        turn("system", F.lit("You are terse.")),
+        turn("user", F.substring(t, 1, 40)),
+        turn("assistant", F.substring(t, 41, 40)),
+    )
+    msgs5 = F.concat(
+        msgs3,
+        F.array(
+            turn("user", F.substring(t, 81, 30)),
+            turn("assistant", F.substring(t, 111, 30)),
+        ),
+    )
+    conv = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") > 120, msgs5).otherwise(msgs3).alias("messages"),
+    )
+    rendered = obj.render_chat(conv)
+    last = F.element_at(F.col("loss_spans"), -1)
+    return rendered.select(
+        "doc_id",
+        "chat_text",
+        F.col("n_turns").cast("int").alias("n_turns"),
+        F.col("n_loss_turns").cast("int").alias("n_loss_turns"),
+        last["start"].alias("span_start"),
+        last["end"].alias("span_end"),
+        F.expr(
+            "substring(chat_text, element_at(loss_spans, -1).start + 1, "
+            "element_at(loss_spans, -1).end - element_at(loss_spans, -1).start)"
+        ).alias("span_text"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_pp1_preference_pairs",
+    # Best-vs-worst preference pairing with the deterministic
+    # (score, response) struct order: chosen = lexicographic max,
+    # rejected = lexicographic min, margin-gated; replayed with two
+    # opposite-direction row_number windows over the same ordering.
+    "WITH c AS (SELECT 'p' || CAST(o_custkey % 40 AS VARCHAR) AS prompt, "
+    "'r' || CAST(o_orderkey % 1000 AS VARCHAR) AS response, "
+    "CAST(o_orderkey % 13 AS DOUBLE) / 4 AS score FROM orders), "
+    "w AS (SELECT prompt, response, score, "
+    "row_number() OVER (PARTITION BY prompt ORDER BY score DESC, response DESC) AS rd, "
+    "row_number() OVER (PARTITION BY prompt ORDER BY score ASC, response ASC) AS ra FROM c), "
+    "agg AS (SELECT prompt, max(CASE WHEN rd = 1 THEN response END) AS chosen, "
+    "max(CASE WHEN ra = 1 THEN response END) AS rejected, "
+    "max(score) AS score_chosen, min(score) AS score_rejected, "
+    "round(max(score) - min(score), 6) AS margin FROM w GROUP BY prompt) "
+    "SELECT prompt, chosen, rejected, score_chosen, score_rejected, margin "
+    "FROM agg WHERE chosen <> rejected AND margin >= 0.5 ORDER BY prompt",
+    tags=("objectives",),
+)
+def q_pp1(spark, sf_dir):
+    # operators/objectives.preference_pairs: ONE map-side-combinable
+    # groupBy (max_by/min_by partial-aggregate before the shuffle — a
+    # prompt with 10^4 candidates ships one row per input partition).
+    from electrician_spark.operators import objectives as obj
+
+    cands = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("p"), (F.col("o_custkey") % 40).cast("string")).alias("prompt"),
+        F.concat(F.lit("r"), (F.col("o_orderkey") % 1000).cast("string")).alias(
+            "response"
+        ),
+        (F.col("o_orderkey") % 13).cast("double").alias("_s4"),
+    ).withColumn("score", F.col("_s4") / 4).drop("_s4")
+    return (
+        obj.preference_pairs(cands, min_margin=0.5)
+        .select(
+            "prompt", "chosen", "rejected", "score_chosen", "score_rejected", "margin"
+        )
+        .orderBy("prompt")
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
