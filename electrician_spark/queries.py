@@ -170,32 +170,14 @@ def q_t5(spark, sf_dir):
 # over real bytes) and the bench sha256 pipeline.)
 
 
-@query(
-    "q_t10_json_encode",
-    "SELECT o_orderkey, to_json(struct_pack(o_orderkey := o_orderkey, "
-    "o_orderstatus := o_orderstatus)) AS js FROM orders ORDER BY o_orderkey LIMIT 20",
-    tags=("transform",),
-)
-def q_t10(spark, sf_dir):
-    df = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", sf.json_encode("o_orderkey", "o_orderstatus").alias("js")
-    )
-    return rel.top_k(df, [F.col("o_orderkey")], 20)
+# (q_t10_json_encode: RETIRED r9 -> electrician_spark.retired. to_json
+# scalar shape; JSON machinery stays live via q_f5_json_extract and the
+# q_k2 NDJSON sink round-trip, which encodes JSON on the real write path.)
 
 
-@query(
-    "q_t11_key_template",
-    "SELECT o_orderkey, 'orders/' || CAST(o_custkey AS VARCHAR) || '/' || o_orderstatus AS obj_key "
-    "FROM orders ORDER BY o_orderkey LIMIT 20",
-    tags=("transform",),
-)
-def q_t11(spark, sf_dir):
-    # Kafka/S3 {field} key templates (adapter/kafkaclient/templates.go:9-60).
-    df = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        sf.expand_template("orders/{o_custkey}/{o_orderstatus}").alias("obj_key"),
-    )
-    return rel.top_k(df, [F.col("o_orderkey")], 20)
+# (q_t11_key_template: RETIRED r9 -> electrician_spark.retired. {field}
+# template expansion stays live on the attested path via q_wd1's
+# format_string key stems ('{shuffle_key:010d}_{id}' sample keys).)
 
 
 # ---------------------------------------------------------------------------
@@ -236,17 +218,10 @@ def q_a2(spark, sf_dir):
     )
 
 
-@query(
-    "q_a3_error_ratio",
-    "SELECT round(100.0 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / count(*), 6) "
-    "AS error_pct FROM events",
-    tags=("agg", "events"),
-)
-def q_a3(spark, sf_dir):
-    # Meter error-percentage (meter/registry_definitions.go:5-12).
-    df = _t(spark, sf_dir, "events")
-    errors = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
-    return df.agg(F.round(100.0 * errors / F.count("*"), 6).alias("error_pct"))
+# (q_a3_error_ratio: RETIRED r9 -> electrician_spark.retired. the
+# conditional-aggregate ratio shape stays live via q_a2 rate buckets and
+# the q_gq1 battery's per-rule pass ratios; A3 semantics test-pinned in
+# test_metrics.)
 
 
 # (q_a4 count-distinct, q_a5 peak rate, q_a6 grouped stats: RETIRED r7
@@ -987,40 +962,10 @@ def q_wf2(spark, sf_dir):
 # q_wf2/q_wf4.)
 
 
-@query(
-    "q_wf4_distribution_ranks",
-    # Total order inside the window (price, key tiebreak) → rank has no
-    # ties → percent_rank/cume_dist are engine-independent rationals.
-    "WITH r AS (SELECT o_orderpriority, "
-    "ntile(4) OVER w AS quartile, "
-    "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd "
-    "FROM orders WINDOW w AS (PARTITION BY o_orderpriority "
-    "ORDER BY o_totalprice, o_orderkey)) "
-    "SELECT o_orderpriority, quartile, count(*) AS n, "
-    "round(avg(pr), 6) AS avg_pct_rank, round(max(cd), 6) AS max_cume_dist "
-    "FROM r GROUP BY o_orderpriority, quartile "
-    "ORDER BY o_orderpriority, quartile",
-    tags=("winfunc",),
-)
-def q_wf4(spark, sf_dir):
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    ranked = _t(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-    )
-    return (
-        ranked.groupBy("o_orderpriority", "quartile")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
-            F.round(F.max("cd"), 6).alias("max_cume_dist"),
-        )
-        .orderBy("o_orderpriority", "quartile")
-    )
+# (q_wf4_distribution_ranks: RETIRED r9 -> electrician_spark.retired.
+# ntile/percent_rank/cume_dist replay archived; the ranking-window
+# machinery stays live via q_wf1 (rank/dense_rank) + q_wf2 (lag frames)
+# and every grouped-top-k row (q_o2, q_bq1, q_n1).)
 
 
 # ---------------------------------------------------------------------------
@@ -1043,16 +988,9 @@ def q_u2(spark, sf_dir):
     return a.unionByName(b).distinct().agg(F.count("*").alias("n"))
 
 
-@query(
-    "q_u3_except",
-    "SELECT count(*) AS n FROM (SELECT c_custkey AS k FROM customer "
-    "EXCEPT SELECT o_custkey AS k FROM orders) t",
-    tags=("setop",),
-)
-def q_u3(spark, sf_dir):
-    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    return a.exceptAll(b).distinct().agg(F.count("*").alias("n"))
+# (q_u3_except: RETIRED r9 -> electrician_spark.retired. EXCEPT plans as
+# distinct + left-anti — exactly the shape q_j5_anti_join attests live;
+# distinct set machinery stays via q_u2_union_distinct.)
 
 
 # (q_u4 intersect: RETIRED r7 — INTERSECT plans as a left-semi over
@@ -1083,39 +1021,14 @@ def q_f1(spark, sf_dir):
     return rel.top_k(df, [F.col("c_custkey")], 20)
 
 
-@query(
-    "q_f2_date",
-    "SELECT o_orderkey, CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, "
-    "CAST(date_part('month', o_orderdate) AS INTEGER) AS order_month, "
-    "o_orderdate + INTERVAL 30 DAY AS due_ts FROM orders ORDER BY o_orderkey LIMIT 20",
-    tags=("scalar",),
-)
-def q_f2(spark, sf_dir):
-    df = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
-    )
-    return rel.top_k(df, [F.col("o_orderkey")], 20)
+# (q_f2_date: RETIRED r9 -> electrician_spark.retired. date scalar
+# extraction stays live via q_k1's {yyyy} partition template, q_wf2's
+# datediff gaps, and q_ht1's calendar rollup buckets.)
 
 
-@query(
-    "q_f3_math",
-    "SELECT l_orderkey, l_linenumber, round(log10(l_extendedprice), 6) AS log_price, "
-    "round(sqrt(l_quantity), 6) AS sqrt_qty, round(pow(l_discount, 2), 6) AS disc_sq "
-    "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20",
-    tags=("scalar",),
-)
-def q_f3(spark, sf_dir):
-    df = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.log10("l_extendedprice"), 6).alias("log_price"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
-        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
-    )
-    return rel.top_k(df, [F.col("l_orderkey"), F.col("l_linenumber")], 20)
+# (q_f3_math: RETIRED r9 -> electrician_spark.retired. float math
+# scalars stay live via q_p2_snr (log10), q_gq1 ratios, and the cosine
+# family's sqrt/pow (q_n1/q_bq1/q_d5).)
 
 
 # (q_f4_array_agg: RETIRED r8 -> electrician_spark.retired. collect/sort/join
@@ -2099,48 +2012,10 @@ def q_k2(spark, sf_dir):
     )
 
 
-@query(
-    "q_k6_csv_roundtrip",
-    "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, "
-    "count(DISTINCT o_orderstatus) AS n_status FROM orders",
-    tags=("sink",),
-)
-def q_k6(spark, sf_dir):
-    # CSV writer/reader round-trip with an explicit typed schema (no
-    # inferSchema — that's a full extra scan at 100 TB).
-    import tempfile
-
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    from electrician_spark.io import read_csv, write_csv
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-    path = tempfile.mkdtemp(prefix="esk_k6_") + "/orders"
-    write_csv(orders, path)
-    back = read_csv(
-        spark,
-        path,
-        schema=StructType(
-            [
-                StructField("o_orderkey", LongType()),
-                StructField("o_totalprice", DoubleType()),
-                StructField("o_orderstatus", StringType()),
-            ]
-        ),
-    )
-    return back.agg(
-        F.count("*").alias("n"),
-        rel.round2(F.sum("o_totalprice")).alias("total"),
-        F.countDistinct("o_orderstatus").alias("n_status"),
-    )
+# (q_k6_csv_roundtrip: RETIRED r9 -> electrician_spark.retired. the
+# sink round-trip shape stays live on THREE formats: q_k1 parquet, q_k2
+# NDJSON, and the new q_or1 ORC row; CSV schema/options test-pinned in
+# test_io.)
 
 
 @query(
@@ -2385,61 +2260,10 @@ def q_sk1(spark, sf_dir):
 # frames) and extract_features keeps its test_multimodal pins.)
 
 
-@query(
-    "q_vf1_video_frames",
-    # Solid-gray MJPEG frames make every decoded sample a pure function
-    # of (doc_id, frame_idx): DC = 8·(v−128) is an integer under the
-    # all-ones quant table, so the IDCT reconstructs v exactly and the
-    # oracle needs no codec — just the frame-sampling arithmetic.
-    "WITH f AS (SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w, "
-    "2 + doc_id % 4 AS n_frames FROM documents WHERE doc_id BETWEEN 1 AND 18), "
-    "fr AS (SELECT doc_id, w, CAST(unnest(range(0, n_frames, 2)) AS INTEGER) "
-    "AS frame_idx FROM f) "
-    "SELECT doc_id AS media_id, frame_idx, w AS width, "
-    "CAST(8 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels, "
-    "printf('%.6f', CAST((doc_id * 37 + frame_idx * 11) % 256 AS DOUBLE)) AS mean, "
-    "'ok' AS ok FROM fr ORDER BY media_id, frame_idx",
-    tags=("multimodal", "video"),
-)
-def q_vf1(spark, sf_dir):
-    # REAL video-frame attestation: executor-synthesized AVI/MJPEG
-    # containers (multimodal.synth_avi_mjpeg around synth_jpeg_gray_
-    # solid frames) run the full RIFF movi walk → every-2nd-frame
-    # sample → baseline JPEG pixel decode (video_frame_stats). The
-    # frame values are closed-form in (doc_id, frame_idx), so the
-    # oracle replays sampling + stats as arithmetic — attesting the
-    # decode path, not a stub. Replaces the retired q_m1 stub-dims
-    # row: the binary-column plumbing it covered is now attested by
-    # three REAL-decode rows (q_px1/q_rz1/q_vf1), and extract_features
-    # keeps its test_multimodal pins.
-    from electrician_spark import multimodal as mm
-
-    ids = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 18))
-    )
-
-    def synth(batches):
-        import pandas as pd
-
-        from electrician_spark import multimodal as m
-
-        for batch in batches:
-            mids, payloads = [], []
-            for did in batch["doc_id"]:
-                did = int(did)
-                w, n = 8 * (1 + did % 3), 2 + did % 4
-                frames = [
-                    m.synth_jpeg_gray_solid(w, 8, (did * 37 + fi * 11) % 256)
-                    for fi in range(n)
-                ]
-                payloads.append(m.synth_avi_mjpeg(frames, w, 8))
-                mids.append(did)
-            yield pd.DataFrame({"media_id": mids, "payload": payloads})
-
-    media = ids.mapInPandas(synth, "media_id long, payload binary")
-    return mm.video_frame_stats(media, every_n=2).orderBy("media_id", "frame_idx")
+# (q_vf1_video_frames: RETIRED r9 -> electrician_spark.retired. the
+# REAL-decode media stack stays live via q_px1 (pixel stats), q_rz1
+# (resize), and the new q_ah1 hash family; the AVI/MJPEG frame walk
+# keeps its test_multimodal closed-form pins.)
 
 
 # ---------------------------------------------------------------------------
@@ -2492,24 +2316,10 @@ def q_fm1(spark, sf_dir):
     )
 
 
-@query(
-    "q_w5_blackout_filter",
-    "SELECT event_type, count(*) AS n FROM events WHERE NOT ("
-    "date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts) >= 5400 "
-    "AND date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts) < 10800"
-    ") GROUP BY event_type",
-    tags=("window", "events"),
-)
-def q_w5(spark, sf_dir):
-    # Blackout window 01:30–03:00 applied at event time (the batch /
-    # backfill form of the sink-side wall-clock blackout).
-    import datetime as dt
-
-    from electrician_spark.streaming.sinks import outside_blackout
-
-    ev = _t(spark, sf_dir, "events")
-    keep = outside_blackout(F.col("ts"), dt.time(1, 30), dt.time(3, 0))
-    return ev.filter(keep).groupBy("event_type").agg(F.count("*").alias("n"))
+# (q_w5_blackout_filter: RETIRED r9 -> electrician_spark.retired. the
+# time-gated drop shape stays live via q_w7_ttl_expiry (the full
+# wrap->TTL->unwrap stack); wall-clock blackout logic test-pinned in
+# test_streaming.)
 
 
 @query(
@@ -4920,84 +4730,81 @@ def q_wc1(spark, sf_dir):
 # query+oracle pair, so all SURVEY-declared queries stay runnable —
 # the r7 verdict's governance item 3.
 #
-# Round-9 rotation recipe: window = the 50 rows of CORRECTNESS_r07
-# (the complement of this window — the invariant test enforces it).
-# Oracle-candidate queue for NEW r9 rows (each requires retiring an
-# r7-window sibling): ORC sink/source roundtrip (io.read_orc/write_orc
-# — the q_k1 shape with the scan swapped), audio spectral fingerprint
-# + hamming near-dup (multimodal.audio_fingerprint — closed-form
-# single-bit hashes of exact-bin sine WAV fixtures, the q_ph1
-# pattern), the audio quality battery (audio_quality_stats —
-# closed-form over crafted WAV fixtures), HTML main-content extraction
-# (functions/html.py — RE2-portable regexes replay in DuckDB list_*
-# functions, the q_c4_1 pattern), ChatML SFT rendering
-# (objectives.render_chat — list_reduce fold replay, pinned in
-# test_objectives), preference pairs (objectives.preference_pairs —
-# window replay pinned), WordPiece encode (tokenizer — greedy-match
-# replay against a frozen vocab), BPE encode counts (test-pinned vs
-# the Sennrich reference), fastText scoring with a frozen coefficient
-# table, and the WARC record census (warc_datasource — no SQL form for
-# the scan itself; rows-only check or fixture replay).
+# Round-9 rotation (executed): window = the 50 rows of CORRECTNESS_r07
+# minus 10 RETIRED rows (q_t10/q_t11/q_a3/q_wf4/q_u3/q_f2/q_f3/q_k6/
+# q_vf1/q_w5 — each archived in electrician_spark.retired with a
+# subsumption note, runnable via tools/check.py --archived) plus the
+# 10 NEW promotion rows (q_wp1/q_or1/q_lb1/q_cm1/q_bq1/q_ah1/q_cml1/
+# q_pp1/q_rl1/q_wc1) placed first. Remaining r10 oracle-candidate
+# queue: audio spectral fingerprint + hamming near-dup
+# (multimodal.audio_fingerprint — closed-form single-bit hashes of
+# exact-bin sine WAV fixtures, the q_ph1 pattern), the audio quality
+# battery (audio_quality_stats — closed-form over crafted WAV
+# fixtures), HTML main-content extraction (functions/html.py —
+# RE2-portable regexes, the q_c4_1 pattern), BPE encode counts
+# (test-pinned vs the Sennrich reference), and fastText scoring with
+# a frozen coefficient table.
 _DRIVER_PRIORITY = [
-    # Round-8 window = the 50 queries attested in r6 (the complement of
-    # the r7 window — the invariant test enforces the 2-round exact
-    # cover), minus the 10 rows RETIRED r8 (each archived in
-    # electrician_spark.retired), plus the 10 NEW r8 promotion rows
-    # placed first so they are driver-attested immediately:
-    # robots gate, PageRank, incremental dedup, Bloom decontamination,
-    # span corruption, FIM, EXIF census, WebDataset export, corpus
-    # split, and the stateful resequence batch-equivalence row.
-    "q_rb1_robots_gate",
-    "q_pg1_pagerank",
-    "q_id1_incremental_dedup",
-    "q_bl1_bloom_decontaminate",
-    "q_sc1_span_corrupt",
-    "q_fim1_fim_transform",
-    "q_ex1_exif_census",
-    "q_wd1_webdataset_shards",
-    "q_sv1_split_corpus",
-    "q_rs1_resequence_stateful",
-    # r6-window survivors (latest driver row is r6: due now)
-    "q_a1_pricing_summary",
-    "q_a2_rate_per_hour",
-    "q_ch1_chunk_documents",
-    "q_d1_exact_dedup",
-    "q_d3_minhash_lsh",
-    "q_d4_simhash",
-    "q_d5_embedding_near_dup",
-    "q_d6_dup_clusters",
-    "q_d8_decontaminate",
-    "q_dm1_domain_mixture",
-    "q_f1_string",
-    "q_f5_json_extract",
-    "q_j1_broadcast_inner",
-    "q_j2_shipping_priority",
-    "q_j6_range_join",
-    "q_k1_parquet_roundtrip",
-    "q_k2_ndjson_roundtrip",
-    "q_k4_upsert_idempotent",
-    "q_lm1_perplexity_buckets",
-    "q_n1_ann_bruteforce",
-    "q_n4_ann_ivf_probes",
-    "q_o2_grouped_topk",
-    "q_o3_priority_drain",
-    "q_p2_snr",
-    "q_p3_wave_roundtrip",
-    "q_r1_resequenced_replay",
-    "q_s1_full_scan",
-    "q_s2_projection_pushdown",
-    "q_s3_predicate_pushdown",
-    "q_sd1_semantic_dedup",
-    "q_sm2_hash_sample",
-    "q_ss1_substring_dedup",
-    "q_t3_keyword_filter",
-    "q_t5_classifier",
-    "q_t6_tagger",
-    "q_w1_tumbling_hour",
-    "q_w3_session_counts",
-    "q_wf1_rank",
-    "q_x3_language_id",
-    "q_x7_quality_filter_pipeline",
+    # Round-9 window = the 50 queries attested in r7 (the complement of
+    # the r8 window — the invariant test enforces the 2-round exact
+    # cover), minus the 10 rows RETIRED r9 (each archived in
+    # electrician_spark.retired with its oracle), plus the 10 NEW r9
+    # promotion rows placed first so they are driver-attested
+    # immediately: WordPiece train->save->load->encode, ORC round-trip,
+    # length-grouped batching, Count-Min sketch, the binary-Hamming ANN
+    # tier, the aHash/dHash family, ChatML rendering, preference pairs,
+    # the stateful token-bucket stream row, and the WARC census.
+    "q_wp1_wordpiece_encode",
+    "q_or1_orc_roundtrip",
+    "q_lb1_length_batches",
+    "q_cm1_count_min",
+    "q_bq1_binary_hamming_tier",
+    "q_ah1_image_hash_family",
+    "q_cml1_chatml_render",
+    "q_pp1_preference_pairs",
+    "q_rl1_rate_limit_stateful",
+    "q_wc1_warc_census",
+    # r7-window survivors (latest driver row is r7: due now)
+    "q_a7_rollup_subtotals",
+    "q_aj1_asof_join",
+    "q_c4_1_c4_cleaning",
+    "q_d2_ngram_jaccard",
+    "q_d9_lsh_near_dup",
+    "q_ds1_distinct_sketch",
+    "q_e1_quantize_embeddings",
+    "q_es1_epoch_shuffle",
+    "q_fm1_headers_map",
+    "q_gq1_gopher_battery",
+    "q_hh1_heavy_hitters",
+    "q_ht1_hypertable_rollup",
+    "q_ir1_dsir_select",
+    "q_j3_left_join_counts",
+    "q_j4_semi_join",
+    "q_j5_anti_join",
+    "q_j7_regional_revenue",
+    "q_k3_kafka_frame_roundtrip",
+    "q_lm2_bigram_buckets",
+    "q_n3_ann_ivf_kmeans",
+    "q_ph1_image_phash",
+    "q_pk2_best_fit_packing",
+    "q_pq1_pq_adc_topk",
+    "q_pq2_ivfpq_topk",
+    "q_pr1_table_profile",
+    "q_px1_image_pixel_stats",
+    "q_q1_grouped_quantiles",
+    "q_r2_retry_backoff",
+    "q_rj1_range_join",
+    "q_rz1_resize_media",
+    "q_sh1_training_shards",
+    "q_sk1_salted_agg",
+    "q_sp1_sequence_packing",
+    "q_u2_union_distinct",
+    "q_w2_sliding_30m_15m",
+    "q_w7_ttl_expiry",
+    "q_wf2_lag_gap",
+    "q_x6_pii_redaction",
+    "q_x8_curation_pipeline",
+    "q_z1_compression_roundtrip",
 ]
 
 

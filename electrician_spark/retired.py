@@ -694,3 +694,262 @@ def q_p1(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", _as_doubles("embedding").alias("re"))
     out = emb.select("vec_id", F.round(dsp.energy(F.col("re")), 6).alias("energy"))
     return rel.top_k(out, [F.col("vec_id")], 50)
+
+
+# --- Round-9 retirements (slots went to q_wp1/q_or1/q_lb1/q_cm1/q_bq1/
+# q_ah1/q_cml1/q_pp1/q_rl1/q_wc1 — the r8 verdict promotion queue) ----
+
+@retired_query(
+    "q_t10_json_encode",
+    "SELECT o_orderkey, to_json(struct_pack(o_orderkey := o_orderkey, "
+    "o_orderstatus := o_orderstatus)) AS js FROM orders ORDER BY o_orderkey LIMIT 20",
+    tags=("transform",),
+)
+def q_t10(spark, sf_dir):
+    # Retired r9: to_json scalar; JSON stays live via q_f5 + q_k2's NDJSON
+    # sink (encode on the real write path).
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", sf.json_encode("o_orderkey", "o_orderstatus").alias("js")
+    )
+    return rel.top_k(df, [F.col("o_orderkey")], 20)
+
+@retired_query(
+    "q_t11_key_template",
+    "SELECT o_orderkey, 'orders/' || CAST(o_custkey AS VARCHAR) || '/' || o_orderstatus AS obj_key "
+    "FROM orders ORDER BY o_orderkey LIMIT 20",
+    tags=("transform",),
+)
+def q_t11(spark, sf_dir):
+    # Retired r9: {field} templates stay live via q_wd1's format_string
+    # sample-key stems.
+    # Kafka/S3 {field} key templates (adapter/kafkaclient/templates.go:9-60).
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        sf.expand_template("orders/{o_custkey}/{o_orderstatus}").alias("obj_key"),
+    )
+    return rel.top_k(df, [F.col("o_orderkey")], 20)
+
+@retired_query(
+    "q_a3_error_ratio",
+    "SELECT round(100.0 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / count(*), 6) "
+    "AS error_pct FROM events",
+    tags=("agg", "events"),
+)
+def q_a3(spark, sf_dir):
+    # Retired r9: conditional-agg ratio shape lives in q_a2/q_gq1; meter
+    # semantics test-pinned in test_metrics.
+    # Meter error-percentage (meter/registry_definitions.go:5-12).
+    df = _t(spark, sf_dir, "events")
+    errors = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return df.agg(F.round(100.0 * errors / F.count("*"), 6).alias("error_pct"))
+
+@retired_query(
+    "q_wf4_distribution_ranks",
+    # Total order inside the window (price, key tiebreak) → rank has no
+    # ties → percent_rank/cume_dist are engine-independent rationals.
+    "WITH r AS (SELECT o_orderpriority, "
+    "ntile(4) OVER w AS quartile, "
+    "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd "
+    "FROM orders WINDOW w AS (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey)) "
+    "SELECT o_orderpriority, quartile, count(*) AS n, "
+    "round(avg(pr), 6) AS avg_pct_rank, round(max(cd), 6) AS max_cume_dist "
+    "FROM r GROUP BY o_orderpriority, quartile "
+    "ORDER BY o_orderpriority, quartile",
+    tags=("winfunc",),
+)
+def q_wf4(spark, sf_dir):
+    # Retired r9: ranking windows stay live via q_wf1/q_wf2 and every
+    # grouped-top-k row.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+@retired_query(
+    "q_u3_except",
+    "SELECT count(*) AS n FROM (SELECT c_custkey AS k FROM customer "
+    "EXCEPT SELECT o_custkey AS k FROM orders) t",
+    tags=("setop",),
+)
+def q_u3(spark, sf_dir):
+    # Retired r9: EXCEPT = distinct + left-anti, the exact plan
+    # q_j5_anti_join attests; distinct via q_u2.
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).distinct().agg(F.count("*").alias("n"))
+
+@retired_query(
+    "q_f2_date",
+    "SELECT o_orderkey, CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, "
+    "CAST(date_part('month', o_orderdate) AS INTEGER) AS order_month, "
+    "o_orderdate + INTERVAL 30 DAY AS due_ts FROM orders ORDER BY o_orderkey LIMIT 20",
+    tags=("scalar",),
+)
+def q_f2(spark, sf_dir):
+    # Retired r9: date scalars live via q_k1 {yyyy} partitions, q_wf2
+    # datediff, q_ht1 rollup buckets.
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+    )
+    return rel.top_k(df, [F.col("o_orderkey")], 20)
+
+@retired_query(
+    "q_f3_math",
+    "SELECT l_orderkey, l_linenumber, round(log10(l_extendedprice), 6) AS log_price, "
+    "round(sqrt(l_quantity), 6) AS sqrt_qty, round(pow(l_discount, 2), 6) AS disc_sq "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20",
+    tags=("scalar",),
+)
+def q_f3(spark, sf_dir):
+    # Retired r9: float math lives via q_p2_snr log10 and the cosine family's
+    # sqrt (q_n1/q_bq1/q_d5).
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log10("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+    )
+    return rel.top_k(df, [F.col("l_orderkey"), F.col("l_linenumber")], 20)
+
+@retired_query(
+    "q_k6_csv_roundtrip",
+    "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, "
+    "count(DISTINCT o_orderstatus) AS n_status FROM orders",
+    tags=("sink",),
+)
+def q_k6(spark, sf_dir):
+    # Retired r9: sink round-trip live on parquet (q_k1), NDJSON (q_k2), ORC
+    # (q_or1); CSV options test-pinned.
+    # CSV writer/reader round-trip with an explicit typed schema (no
+    # inferSchema — that's a full extra scan at 100 TB).
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from electrician_spark.io import read_csv, write_csv
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="esk_k6_") + "/orders"
+    write_csv(orders, path)
+    back = read_csv(
+        spark,
+        path,
+        schema=StructType(
+            [
+                StructField("o_orderkey", LongType()),
+                StructField("o_totalprice", DoubleType()),
+                StructField("o_orderstatus", StringType()),
+            ]
+        ),
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        rel.round2(F.sum("o_totalprice")).alias("total"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+
+@retired_query(
+    "q_vf1_video_frames",
+    # Solid-gray MJPEG frames make every decoded sample a pure function
+    # of (doc_id, frame_idx): DC = 8·(v−128) is an integer under the
+    # all-ones quant table, so the IDCT reconstructs v exactly and the
+    # oracle needs no codec — just the frame-sampling arithmetic.
+    "WITH f AS (SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w, "
+    "2 + doc_id % 4 AS n_frames FROM documents WHERE doc_id BETWEEN 1 AND 18), "
+    "fr AS (SELECT doc_id, w, CAST(unnest(range(0, n_frames, 2)) AS INTEGER) "
+    "AS frame_idx FROM f) "
+    "SELECT doc_id AS media_id, frame_idx, w AS width, "
+    "CAST(8 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels, "
+    "printf('%.6f', CAST((doc_id * 37 + frame_idx * 11) % 256 AS DOUBLE)) AS mean, "
+    "'ok' AS ok FROM fr ORDER BY media_id, frame_idx",
+    tags=("multimodal", "video"),
+)
+def q_vf1(spark, sf_dir):
+    # Retired r9: REAL-decode media rows live via q_px1/q_rz1/q_ah1; AVI
+    # frame walk pinned in test_multimodal.
+    # REAL video-frame attestation: executor-synthesized AVI/MJPEG
+    # containers (multimodal.synth_avi_mjpeg around synth_jpeg_gray_
+    # solid frames) run the full RIFF movi walk → every-2nd-frame
+    # sample → baseline JPEG pixel decode (video_frame_stats). The
+    # frame values are closed-form in (doc_id, frame_idx), so the
+    # oracle replays sampling + stats as arithmetic — attesting the
+    # decode path, not a stub. Replaces the retired q_m1 stub-dims
+    # row: the binary-column plumbing it covered is now attested by
+    # three REAL-decode rows (q_px1/q_rz1/q_vf1), and extract_features
+    # keeps its test_multimodal pins.
+    from electrician_spark import multimodal as mm
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 18))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from electrician_spark import multimodal as m
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                w, n = 8 * (1 + did % 3), 2 + did % 4
+                frames = [
+                    m.synth_jpeg_gray_solid(w, 8, (did * 37 + fi * 11) % 256)
+                    for fi in range(n)
+                ]
+                payloads.append(m.synth_avi_mjpeg(frames, w, 8))
+                mids.append(did)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return mm.video_frame_stats(media, every_n=2).orderBy("media_id", "frame_idx")
+
+@retired_query(
+    "q_w5_blackout_filter",
+    "SELECT event_type, count(*) AS n FROM events WHERE NOT ("
+    "date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts) >= 5400 "
+    "AND date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts) < 10800"
+    ") GROUP BY event_type",
+    tags=("window", "events"),
+)
+def q_w5(spark, sf_dir):
+    # Retired r9: time-gated drop lives via q_w7's full TTL stack; blackout
+    # calendar pinned in test_streaming.
+    # Blackout window 01:30–03:00 applied at event time (the batch /
+    # backfill form of the sink-side wall-clock blackout).
+    import datetime as dt
+
+    from electrician_spark.streaming.sinks import outside_blackout
+
+    ev = _t(spark, sf_dir, "events")
+    keep = outside_blackout(F.col("ts"), dt.time(1, 30), dt.time(3, 0))
+    return ev.filter(keep).groupBy("event_type").agg(F.count("*").alias("n"))
