@@ -121,6 +121,7 @@ def contamination_scores_bloom(
     n: int = 3,
     m_bits: int = 1 << 20,
     k: int = 4,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Bloom-prefiltered benchmark decontamination — EXACTLY the
     ``contamination_scores`` output (id, n_shingles, n_hits,
@@ -137,7 +138,16 @@ def contamination_scores_bloom(
     4. count hits per document as usual.
 
     False positives die in step 3, so the result is exact — the bloom
-    only bounds how much of the corpus reaches the verify join."""
+    only bounds how much of the corpus reaches the verify join.
+
+    ``max_broadcast_rows`` bounds the step-3/4 broadcasts: the
+    candidate set is *expected* small (true contamination + the
+    filter's ε·|corpus shingles| false positives), but an undersized
+    filter or a genuinely contaminated corpus can blow it up — and a
+    multi-GB broadcast OOMs every executor at once. Above the bound
+    the verify/hit joins fall back to shuffle joins (correct at any
+    size, just not shuffle-free); the candidate count is one cheap
+    job on the already-checkpointed survivor set."""
     sh_c = _shingle_table(corpus, id_col, text_col, n, None)
     try:
         sh_c = sh_c.localCheckpoint()  # probed + counted + hit-joined
@@ -147,9 +157,15 @@ def contamination_scores_bloom(
     bloom = build_bloom(sh_t, "_s", m_bits, k)
     probed = with_bloom_membership(sh_c, "_s", bloom, m_bits, k)
     cand = probed.filter(F.col("maybe_member")).select("_s").distinct()
-    verified = sh_t.join(F.broadcast(cand), "_s", "left_semi").distinct()
+    try:
+        cand = cand.localCheckpoint()  # counted (guard) + verify-joined
+    except Exception:  # noqa: BLE001
+        pass
+    small = cand.count() <= max_broadcast_rows
+    bcast = F.broadcast if small else (lambda df: df)
+    verified = sh_t.join(bcast(cand), "_s", "left_semi").distinct()
     hits = (
-        sh_c.join(F.broadcast(verified), "_s")
+        sh_c.join(bcast(verified), "_s")
         .groupBy("_id")
         .agg(F.count("*").alias("n_hits"))
     )

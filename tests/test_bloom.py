@@ -89,3 +89,27 @@ def test_decontamination_equals_broadcast_exact(spark):
     }
     assert a == b
     assert any(v[1] > 0 for v in a.values())  # planted hits actually exist
+
+
+def test_decontamination_broadcast_guard_fallback_equal(spark):
+    """max_broadcast_rows=0 forces the over-threshold path: the verify
+    and hit joins run WITHOUT broadcast hints (shuffle joins — the
+    multi-GB-candidate-set survival mode) and the result is identical
+    to the broadcast path."""
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    testset = corpus.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    fast = {
+        r.doc_id: (r.n_shingles, r.n_hits)
+        for r in bloom.contamination_scores_bloom(
+            corpus, testset, m_bits=M, k=K
+        ).collect()
+    }
+    guarded = {
+        r.doc_id: (r.n_shingles, r.n_hits)
+        for r in bloom.contamination_scores_bloom(
+            corpus, testset, m_bits=M, k=K, max_broadcast_rows=0
+        ).collect()
+    }
+    assert fast == guarded
