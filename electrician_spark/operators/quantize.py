@@ -722,6 +722,133 @@ def hamming_rerank_topk(
     )
 
 
+def hamming_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d: int,
+    k: int = 5,
+    label_col: str = "label",
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-routed binary-quantized top-k — the large-QUERY-set tier of
+    :func:`hamming_topk`. The brute form is corpus x queries by
+    construction (one broadcast join scores every pair), which is the
+    right plan while the query set is small; its cost grows LINEARLY
+    in |Q| (measured exponent ~1 on the query axis, SCALE.md), so past
+    a crossover the bucketed form wins: route each query to its
+    ``nprobe`` nearest coarse cells (float-centroid cosine — the same
+    IVF router q_n3/q_n4 attest), then XOR/popcount only within probed
+    cells — |Q|·|C|·(nprobe/cells) pairs instead of |Q|·|C|.
+
+    Same output contract as :func:`hamming_topk` (query_id,
+    neighbor_id, hamming, rank; (hamming asc, id) tie-break;
+    self-matches excluded), approximate with the classic IVF recall
+    knob: a true Hamming neighbor in an unprobed cell is missed;
+    nprobe = n_cells recovers brute-force exactly (pinned in
+    test_quantize)."""
+    from pyspark.sql import Window
+
+    from electrician_spark.io import fan_out_small
+    from electrician_spark.operators.similarity import cosine, label_centroids
+
+    cents = label_centroids(corpus, label_col, vec_col)
+    q = binary_quantize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        vec_col,
+        d,
+        out_col="qb",
+    ).select("query_id", "qb", F.col(vec_col).alias("_qv"))
+    routed = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qb",
+        "cl",
+        cosine(F.col("_qv"), F.col("centroid")).alias("_ccos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_ccos").desc(), F.col("cl"))
+    probe = (
+        routed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qb", "cl")
+    )
+    c = binary_quantize(
+        fan_out_small(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col),
+                F.col(label_col).alias("cl"),
+            )
+        ),
+        vec_col,
+        d,
+        out_col="cb",
+    ).select("neighbor_id", "cb", "cl")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("cb"), F.col("qb"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(probe), "cl")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("hamming"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
+# Measured crossover on the query-count axis (tools/r9_scale_probe.py,
+# fixed 2k-vector corpus, SCALE.md r9 table): brute hamming_topk scales
+# ~linearly in |Q| while the cell-routed form is flat-ish until the
+# per-cell windows dominate; the curves cross in the few-hundred-query
+# range. Routing above this keeps the small-Q path on the exact
+# zero-recall-loss plan and sends bulk query batches to the bucketed
+# tier.
+HAMMING_BRUTE_MAX_QUERIES = 200
+
+
+def hamming_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d: int,
+    k: int = 5,
+    label_col: str | None = "label",
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_brute_queries: int = HAMMING_BRUTE_MAX_QUERIES,
+) -> DataFrame:
+    """Route between :func:`hamming_topk` (exact, corpus x queries)
+    and :func:`hamming_topk_ivf` (cell-bucketed, approximate) on the
+    QUERY-count axis: the brute plan's cost is linear in |Q| (the
+    corpus side is fixed), so above ``max_brute_queries`` — or always,
+    when no ``label_col`` exists to bucket by — the measured-crossover
+    rule applies. The |Q| count is one cheap aggregate on the (small
+    relative to corpus) query side, never on the corpus."""
+    n_q = queries.count()
+    if label_col is None or n_q <= max_brute_queries:
+        return hamming_topk(corpus, queries, d, k, id_col=id_col, vec_col=vec_col)
+    return hamming_topk_ivf(
+        corpus,
+        queries,
+        d,
+        k,
+        label_col=label_col,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def save_codebooks(path: str, codebooks: list[list[list[float]]]) -> None:
     """Persist :func:`pq_train` codebooks (m × k × d/m floats) as one
     JSON artifact — codebooks are trained once and reused for every

@@ -415,3 +415,78 @@ def test_pq_codebooks_round_trip(spark, tmp_path):
     (tmp_path / "bad.json").write_text('{"type": "other", "data": []}')
     with _pt.raises(ValueError):
         quantize.load_codebooks(str(tmp_path / "bad.json"))
+
+
+def _toy_labeled_emb(spark, n=60, d=16, cells=3):
+    rows = [
+        (i, [float(((i * 13 + j * 7) % 19) - 9) for j in range(d)], i % cells)
+        for i in range(1, n + 1)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_hamming_topk_ivf_full_probe_equals_brute(spark):
+    """nprobe = n_cells probes every cell — the bucketed form must then
+    recover brute-force hamming_topk exactly (same pairs, same ranks)."""
+    emb = _toy_labeled_emb(spark)
+    q = emb.filter(F.col("vec_id") <= 5)
+    brute = [(r.query_id, r.neighbor_id, r.hamming, r.rank) for r in
+             quantize.hamming_topk(emb, q, d=16, k=4)
+             .orderBy("query_id", "rank").collect()]
+    full = [(r.query_id, r.neighbor_id, r.hamming, r.rank) for r in
+            quantize.hamming_topk_ivf(emb, q, d=16, k=4, nprobe=3)
+            .orderBy("query_id", "rank").collect()]
+    assert brute == full
+
+
+def test_hamming_topk_ivf_partial_probe_subset_and_bounded(spark):
+    """nprobe=1 scores only the routed cell: every returned neighbor
+    belongs to a probed cell, hamming values match the brute scores for
+    those pairs (the router changes WHICH pairs, never their distance),
+    and per-query result count is bounded by k."""
+    emb = _toy_labeled_emb(spark)
+    q = emb.filter(F.col("vec_id") <= 5)
+    brute = {(r.query_id, r.neighbor_id): r.hamming for r in
+             quantize.hamming_topk(emb, q, d=16, k=60).collect()}
+    part = quantize.hamming_topk_ivf(emb, q, d=16, k=4, nprobe=1).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    per_q: dict = {}
+    for r in part:
+        assert brute[(r.query_id, r.neighbor_id)] == r.hamming
+        per_q.setdefault(r.query_id, set()).add(labels[r.neighbor_id])
+    for cells in per_q.values():
+        assert len(cells) == 1  # nprobe=1 -> one cell per query
+
+
+def test_hamming_topk_auto_routes_on_query_count(spark):
+    """Below the threshold auto == brute; above it auto == the ivf
+    form (same parameters) — the measured-crossover routing rule."""
+    emb = _toy_labeled_emb(spark)
+    small_q = emb.filter(F.col("vec_id") <= 3)
+    a = [(r.query_id, r.neighbor_id, r.rank) for r in
+         quantize.hamming_topk_auto(emb, small_q, d=16, k=4, max_brute_queries=5)
+         .orderBy("query_id", "rank").collect()]
+    b = [(r.query_id, r.neighbor_id, r.rank) for r in
+         quantize.hamming_topk(emb, small_q, d=16, k=4)
+         .orderBy("query_id", "rank").collect()]
+    assert a == b
+    big_q = emb.filter(F.col("vec_id") <= 10)
+    c = [(r.query_id, r.neighbor_id, r.rank) for r in
+         quantize.hamming_topk_auto(emb, big_q, d=16, k=4, nprobe=2,
+                                    max_brute_queries=5)
+         .orderBy("query_id", "rank").collect()]
+    d_ = [(r.query_id, r.neighbor_id, r.rank) for r in
+          quantize.hamming_topk_ivf(emb, big_q, d=16, k=4, nprobe=2)
+          .orderBy("query_id", "rank").collect()]
+    assert c == d_
+
+
+def test_hamming_topk_ivf_plan_no_sort_merge_no_python(spark):
+    emb = _toy_labeled_emb(spark)
+    q = emb.filter(F.col("vec_id") <= 3)
+    plan = (
+        quantize.hamming_topk_ivf(emb, q, d=16, k=4, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
