@@ -134,6 +134,10 @@ _BNLJ_ALLOWED = {
     "q_n3_ann_ivf_kmeans",
     "q_n4_ann_ivf_probes",
     "q_e1_quantize_embeddings",
+    # binary-Hamming tier: the 8-query sign-bit codes broadcast against
+    # the corpus scan under the != self-match guard — the q_n1 ANN
+    # shape with XOR/popcount scoring; the corpus never shuffles.
+    "q_bq1_binary_hamming_tier",
     # bm25's corpus-stats join: build side is exactly ONE row (count +
     # avgdl aggregate) broadcast to every task — the sanctioned bounds
     # join shape, not an accidental cross (a constant equi-key can't
