@@ -47,11 +47,11 @@ EXTRA_QUERIES = [
     "q_lm2_bigram_buckets",
     "q_pq1_pq_adc_topk",
     "q_pk2_best_fit_packing",
-    # mid-r7 promotions (C4 battery + multimodal decode/resize/video)
+    # mid-r7 promotions (C4 battery + multimodal decode/resize;
+    # q_vf1 retired r9 -> archive, dropped from the tracked series)
     "q_c4_1_c4_cleaning",
     "q_px1_image_pixel_stats",
     "q_rz1_resize_media",
-    "q_vf1_video_frames",
     # late-r7 promotions (DSIR selection + perceptual image hashing)
     "q_ir1_dsir_select",
     "q_ph1_image_phash",
@@ -66,6 +66,17 @@ EXTRA_QUERIES = [
     "q_fim1_fim_transform",
     "q_ex1_exif_census",
     "q_sv1_split_corpus",
+    # r9 promotion rows (tracked from their first driver-attested
+    # round; the streaming q_rl1 and the fixture-synthesis-bound
+    # q_wc1 are left out of the timed series like q_rs1/q_wd1)
+    "q_wp1_wordpiece_encode",
+    "q_or1_orc_roundtrip",
+    "q_lb1_length_batches",
+    "q_cm1_count_min",
+    "q_bq1_binary_hamming_tier",
+    "q_ah1_image_hash_family",
+    "q_cml1_chatml_render",
+    "q_pp1_preference_pairs",
 ]
 
 
