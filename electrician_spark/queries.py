@@ -682,18 +682,10 @@ def q_j3(spark, sf_dir):
     return rel.top_k(agg, [F.col("n_orders").desc(), F.col("c_custkey")], 20)
 
 
-@query(
-    "q_j4_semi_join",
-    "SELECT count(*) AS n FROM part WHERE p_partkey IN "
-    "(SELECT l_partkey FROM lineitem WHERE l_quantity > 45)",
-    tags=("join",),
-)
-def q_j4(spark, sf_dir):
-    part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
-    return part.join(
-        li, part.p_partkey == li.l_partkey, "left_semi"
-    ).agg(F.count("*").alias("n"))
+# (q_j4_semi_join: RETIRED r9 -> electrician_spark.retired. the LeftSemi
+# plan shape runs live inside q_bl1's verified-member semi-join, q_id1's
+# exact probe, and q_d8's decontamination gate; q_j5 keeps the anti side
+# attested.)
 
 
 @query(
@@ -1928,38 +1920,10 @@ def q_n3(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
-@query(
-    "q_e1_quantize_embeddings",
-    # Same double-cast-first arithmetic and exact floor bucketing as
-    # the operator — codes are bit-identical across engines.
-    "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
-    "generate_subscripts(embedding, 1) AS pos FROM embeddings), "
-    "b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos), "
-    "c AS (SELECT vec_id, CASE WHEN hi > lo THEN "
-    "least(255, greatest(0, CAST(floor((x - lo) * 256.0 / (hi - lo)) AS BIGINT))) "
-    "ELSE 0 END AS code FROM e JOIN b USING (pos)) "
-    "SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum, "
-    "CAST(min(code) AS BIGINT) AS code_min, CAST(max(code) AS BIGINT) AS code_max "
-    "FROM c GROUP BY vec_id ORDER BY vec_id LIMIT 50",
-    tags=("similarity", "quantize"),
-)
-def q_e1(spark, sf_dir):
-    # int8 scalar quantization: 4× memory reduction for ANN working
-    # sets. Bounds pass is a codegen posexplode agg (d rows out);
-    # encoding is a broadcast of the bounds row + a transform — the
-    # vectors themselves never shuffle.
-    from electrician_spark.operators import quantize
-
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    coded = quantize.quantize_embeddings(emb, "embedding", bits=8)
-    per_vec = coded.select(
-        "vec_id", F.explode("embedding_q").alias("code")
-    ).groupBy("vec_id").agg(
-        F.sum("code").cast("long").alias("code_sum"),
-        F.min("code").cast("long").alias("code_min"),
-        F.max("code").cast("long").alias("code_max"),
-    )
-    return rel.top_k(per_vec, [F.col("vec_id")], 50)
+# (q_e1_quantize_embeddings: RETIRED r9 -> electrician_spark.retired. the
+# quantization family is attested live at three rungs — PQ ADC (q_pq1),
+# IVF-PQ (q_pq2), binary sign-bit (q_bq1); int8 scalar codes keep their
+# test_quantize bit-exactness pins.)
 
 
 # ---------------------------------------------------------------------------
@@ -4677,6 +4641,195 @@ def q_wc1(spark, sf_dir):
     )
 
 
+@query(
+    "q_af1_audio_fingerprint",
+    # Audio spectral fingerprints (Haitsma & Kalker 2002 family) over
+    # crafted exact-bin sine WAVs, closed form: a pure tone on FFT bin
+    # k (N=4096, 64 bands over the 2048 usable bins) has all its
+    # energy in band (k-1)*64//2048 (zero leakage up to PCM
+    # quantization, collapsed by the 6dp rounding), so the hash is the
+    # single bit of that band; amplitude/phase/DC vary per id and must
+    # NOT change the hash (the documented invariances, attested live):
+    #   fam 0 (silence)            -> 0
+    #   fam 1 (bin 512)            -> 1<<15 = 32768
+    #   fam 2 (bins 512 + 1536)    -> (1<<15)|(1<<47) = 140737488388096
+    #   fam 3 (bin 2017, band 63)  -> bit 63 = the signed minimum
+    # hamming<=1 near-dup merges silence with both single-bit hashes
+    # and single-tone with its two-tone superset — visible in n_near.
+    "WITH f AS (SELECT doc_id, doc_id % 4 AS fam FROM documents "
+    "WHERE doc_id BETWEEN 1 AND 36), "
+    "h AS (SELECT doc_id, CASE fam WHEN 0 THEN 0 WHEN 1 THEN 32768 "
+    "WHEN 2 THEN 140737488388096 ELSE (-9223372036854775807 - 1) END AS afp FROM f), "
+    "p AS (SELECT a.doc_id AS ida, count(*) AS n_near FROM h a JOIN h b "
+    "ON a.doc_id <> b.doc_id AND bit_count(xor(a.afp, b.afp)) <= 1 "
+    "GROUP BY a.doc_id) "
+    "SELECT h.doc_id AS media_id, h.afp, "
+    "CAST(coalesce(p.n_near, 0) AS BIGINT) AS n_near "
+    "FROM h LEFT JOIN p ON p.ida = h.doc_id ORDER BY media_id",
+    tags=("multimodal", "audio", "dedup"),
+)
+def q_af1(spark, sf_dir):
+    # REAL pipeline: executor-synthesized RIFF/WAV (stdlib wave module,
+    # int16 mono 8 kHz) -> multimodal.audio_fingerprint (REAL PCM
+    # decode -> mono mix -> rFFT power bands -> median-threshold bits)
+    # -> dedup.hamming_pairs banded near-dup — completing the
+    # cross-modal near-dup family (SimHash text / pHash+dHash image /
+    # this for audio) on the driver-attested path.
+    import math
+
+    from electrician_spark import multimodal as mm
+    from electrician_spark.operators import dedup
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 36))
+    )
+
+    def synth(batches):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        RATE, N = 8000, 4096
+
+        def tone(bins, amp, phase, offset):
+            out = [0.0] * N
+            for b in bins:
+                f = b * RATE / N
+                for k in range(N):
+                    out[k] += amp * math.sin(2 * math.pi * f * k / RATE + phase)
+            return [int(round(x)) + offset for x in out]
+
+        def wav(samples):
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(RATE)
+            w.writeframes(struct.pack("<%dh" % len(samples), *samples))
+            w.close()
+            return buf.getvalue()
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                fam = did % 4
+                amp = 2000 + (did * 37) % 8000
+                phase = (did % 3) * math.pi / 4
+                offset = (did % 5) * 100
+                if fam == 0:
+                    s = [offset] * N  # DC-only: mean removal zeroes it
+                elif fam == 1:
+                    s = tone([512], amp, phase, offset)
+                elif fam == 2:
+                    s = tone([512, 1536], amp / 2, phase, offset)
+                else:
+                    s = tone([2017], amp, phase, offset)
+                payloads.append(wav(s))
+                mids.append(did)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    sig = mm.audio_fingerprint(media).select("media_id", "afp")
+    pairs = dedup.hamming_pairs(sig, "media_id", "afp", max_hamming=1)
+    near = (
+        pairs.select(F.col("id_a").alias("media_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        sig.join(near, "media_id", "left")
+        .select(
+            "media_id",
+            "afp",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# q_hx1's synthesized page template, shared between the Spark builder
+# and the analytic derivation in the oracle comment: chrome the
+# extractor must drop (title, script, nav link farm, anchor-only div,
+# a too-short paragraph) around one or two real prose blocks taken
+# from the document text.
+_HX_NWORDS = (
+    "CASE WHEN {s} = '' THEN 0 "
+    "ELSE length({s}) - length(replace({s}, ' ', '')) + 1 END"
+)
+
+
+@query(
+    "q_hx1_html_main_text",
+    # jusText-lite main-content extraction over pages SYNTHESIZED from
+    # documents, so the expected output is closed-form: the two <p>
+    # prose blocks survive iff they carry >= 5 words (link density 0);
+    # title ('T', 1 word), the nav link farm ('Home B', 2 words, all
+    # anchor text), the anchor-only div ('click here now', 3 words,
+    # density 1) and '<p>tiny</p>' are all dropped. Raw block-fragment
+    # census: 8 non-empty fragments per page (html/head preamble, 'T',
+    # head/body glue, nav inner, s1, div inner, 'tiny', body/html
+    # tail) + 1 when the page is big enough to carry the second
+    # paragraph. Word counts replay as space counts because the
+    # cleaner collapses whitespace runs to single spaces.
+    "WITH m AS (SELECT doc_id, substr(text, 1, 120) AS s1r, "
+    "substr(text, 121, 80) AS s2r, n_chars > 200 AS big "
+    "FROM documents WHERE doc_id < 250), "
+    "t AS (SELECT doc_id, big, "
+    "trim(regexp_replace(s1r, '\\s+', ' ', 'g')) AS s1, "
+    "CASE WHEN big THEN trim(regexp_replace(s2r, '\\s+', ' ', 'g')) ELSE '' END AS s2 "
+    "FROM m), "
+    "w AS (SELECT doc_id, big, s1, s2, "
+    f"{_HX_NWORDS.format(s='s1')} AS w1, {_HX_NWORDS.format(s='s2')} AS w2 FROM t), "
+    "g AS (SELECT doc_id, big, s1, s2, w1 >= 5 AS g1, big AND w2 >= 5 AS g2 FROM w) "
+    "SELECT doc_id, CAST(8 + CASE WHEN big THEN 1 ELSE 0 END AS INTEGER) AS n_blocks, "
+    "CAST(CASE WHEN g1 THEN 1 ELSE 0 END + CASE WHEN g2 THEN 1 ELSE 0 END AS INTEGER) "
+    "AS n_good_blocks, "
+    "CASE WHEN g1 AND g2 THEN s1 || chr(10) || s2 "
+    "WHEN g1 THEN s1 WHEN g2 THEN s2 ELSE '' END AS text "
+    "FROM g ORDER BY doc_id",
+    tags=("crawl", "text"),
+)
+def q_hx1(spark, sf_dir):
+    # functions/html.extract_main_text: comment/script-content strip,
+    # block split at every block-tag boundary, per-block features
+    # (words, VISIBLE anchor chars, link density), prose gate — all
+    # RE2-portable Column expressions, zero shuffle, zero Python.
+    from electrician_spark.functions import html as hx
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    t = F.col("text")
+    page = F.concat(
+        F.lit(
+            '<html><head><title>T</title><script>var x = 1;</script></head>'
+            '<body><nav><a href="/">Home</a> <a href="/b">B</a></nav><p>'
+        ),
+        F.substring(t, 1, 120),
+        F.lit('</p><div><a href="/x">click here now</a></div><p>tiny</p>'),
+        F.when(
+            F.col("n_chars") > 200,
+            F.concat(F.lit("<p>"), F.substring(t, 121, 80), F.lit("</p>")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return (
+        hx.extract_main_text(pages)
+        .select(
+            "doc_id",
+            F.col("n_blocks").cast("int").alias("n_blocks"),
+            F.col("n_good_blocks").cast("int").alias("n_good_blocks"),
+            "text",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -4731,29 +4884,26 @@ def q_wc1(spark, sf_dir):
 # the r7 verdict's governance item 3.
 #
 # Round-9 rotation (executed): window = the 50 rows of CORRECTNESS_r07
-# minus 10 RETIRED rows (q_t10/q_t11/q_a3/q_wf4/q_u3/q_f2/q_f3/q_k6/
-# q_vf1/q_w5 — each archived in electrician_spark.retired with a
-# subsumption note, runnable via tools/check.py --archived) plus the
-# 10 NEW promotion rows (q_wp1/q_or1/q_lb1/q_cm1/q_bq1/q_ah1/q_cml1/
-# q_pp1/q_rl1/q_wc1) placed first. Remaining r10 oracle-candidate
-# queue: audio spectral fingerprint + hamming near-dup
-# (multimodal.audio_fingerprint — closed-form single-bit hashes of
-# exact-bin sine WAV fixtures, the q_ph1 pattern), the audio quality
-# battery (audio_quality_stats — closed-form over crafted WAV
-# fixtures), HTML main-content extraction (functions/html.py —
-# RE2-portable regexes, the q_c4_1 pattern), BPE encode counts
-# (test-pinned vs the Sennrich reference), and fastText scoring with
-# a frozen coefficient table.
+# minus 12 RETIRED rows (q_t10/q_t11/q_a3/q_wf4/q_u3/q_f2/q_f3/q_k6/
+# q_vf1/q_w5/q_j4/q_e1 — each archived in electrician_spark.retired
+# with a subsumption note, runnable via tools/check.py --archived)
+# plus the 12 NEW promotion rows (q_wp1/q_or1/q_lb1/q_cm1/q_bq1/
+# q_ah1/q_cml1/q_pp1/q_rl1/q_wc1/q_af1/q_hx1) placed first.
+# Remaining r10 oracle-candidate queue: the audio quality battery
+# (audio_quality_stats — closed-form over crafted WAV fixtures), BPE
+# encode counts (test-pinned vs the Sennrich reference), and fastText
+# scoring with a frozen coefficient table.
 _DRIVER_PRIORITY = [
     # Round-9 window = the 50 queries attested in r7 (the complement of
     # the r8 window — the invariant test enforces the 2-round exact
-    # cover), minus the 10 rows RETIRED r9 (each archived in
-    # electrician_spark.retired with its oracle), plus the 10 NEW r9
+    # cover), minus the 12 rows RETIRED r9 (each archived in
+    # electrician_spark.retired with its oracle), plus the 12 NEW r9
     # promotion rows placed first so they are driver-attested
     # immediately: WordPiece train->save->load->encode, ORC round-trip,
     # length-grouped batching, Count-Min sketch, the binary-Hamming ANN
     # tier, the aHash/dHash family, ChatML rendering, preference pairs,
-    # the stateful token-bucket stream row, and the WARC census.
+    # the stateful token-bucket stream row, the WARC census, the audio
+    # spectral fingerprint, and HTML main-content extraction.
     "q_wp1_wordpiece_encode",
     "q_or1_orc_roundtrip",
     "q_lb1_length_batches",
@@ -4764,6 +4914,8 @@ _DRIVER_PRIORITY = [
     "q_pp1_preference_pairs",
     "q_rl1_rate_limit_stateful",
     "q_wc1_warc_census",
+    "q_af1_audio_fingerprint",
+    "q_hx1_html_main_text",
     # r7-window survivors (latest driver row is r7: due now)
     "q_a7_rollup_subtotals",
     "q_aj1_asof_join",
@@ -4771,7 +4923,6 @@ _DRIVER_PRIORITY = [
     "q_d2_ngram_jaccard",
     "q_d9_lsh_near_dup",
     "q_ds1_distinct_sketch",
-    "q_e1_quantize_embeddings",
     "q_es1_epoch_shuffle",
     "q_fm1_headers_map",
     "q_gq1_gopher_battery",
@@ -4779,7 +4930,6 @@ _DRIVER_PRIORITY = [
     "q_ht1_hypertable_rollup",
     "q_ir1_dsir_select",
     "q_j3_left_join_counts",
-    "q_j4_semi_join",
     "q_j5_anti_join",
     "q_j7_regional_revenue",
     "q_k3_kafka_frame_roundtrip",

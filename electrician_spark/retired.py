@@ -953,3 +953,54 @@ def q_w5(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     keep = outside_blackout(F.col("ts"), dt.time(1, 30), dt.time(3, 0))
     return ev.filter(keep).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@retired_query(
+    "q_j4_semi_join",
+    "SELECT count(*) AS n FROM part WHERE p_partkey IN "
+    "(SELECT l_partkey FROM lineitem WHERE l_quantity > 45)",
+    tags=("join",),
+)
+def q_j4(spark, sf_dir):
+    # Retired r9: LeftSemi shape lives in q_bl1/q_id1/q_d8; q_j5 keeps the
+    # anti side.
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_semi"
+    ).agg(F.count("*").alias("n"))
+
+@retired_query(
+    "q_e1_quantize_embeddings",
+    # Same double-cast-first arithmetic and exact floor bucketing as
+    # the operator — codes are bit-identical across engines.
+    "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+    "generate_subscripts(embedding, 1) AS pos FROM embeddings), "
+    "b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos), "
+    "c AS (SELECT vec_id, CASE WHEN hi > lo THEN "
+    "least(255, greatest(0, CAST(floor((x - lo) * 256.0 / (hi - lo)) AS BIGINT))) "
+    "ELSE 0 END AS code FROM e JOIN b USING (pos)) "
+    "SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum, "
+    "CAST(min(code) AS BIGINT) AS code_min, CAST(max(code) AS BIGINT) AS code_max "
+    "FROM c GROUP BY vec_id ORDER BY vec_id LIMIT 50",
+    tags=("similarity", "quantize"),
+)
+def q_e1(spark, sf_dir):
+    # Retired r9: quantization attested at three live rungs
+    # (q_pq1/q_pq2/q_bq1); int8 pins in test_quantize.
+    # int8 scalar quantization: 4× memory reduction for ANN working
+    # sets. Bounds pass is a codegen posexplode agg (d rows out);
+    # encoding is a broadcast of the bounds row + a transform — the
+    # vectors themselves never shuffle.
+    from electrician_spark.operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coded = quantize.quantize_embeddings(emb, "embedding", bits=8)
+    per_vec = coded.select(
+        "vec_id", F.explode("embedding_q").alias("code")
+    ).groupBy("vec_id").agg(
+        F.sum("code").cast("long").alias("code_sum"),
+        F.min("code").cast("long").alias("code_min"),
+        F.max("code").cast("long").alias("code_max"),
+    )
+    return rel.top_k(per_vec, [F.col("vec_id")], 50)

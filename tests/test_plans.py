@@ -133,7 +133,6 @@ _BNLJ_ALLOWED = {
     "q_n1_ann_bruteforce",
     "q_n3_ann_ivf_kmeans",
     "q_n4_ann_ivf_probes",
-    "q_e1_quantize_embeddings",
     # binary-Hamming tier: the 8-query sign-bit codes broadcast against
     # the corpus scan under the != self-match guard — the q_n1 ANN
     # shape with XOR/popcount scoring; the corpus never shuffles.
