@@ -77,6 +77,8 @@ EXTRA_QUERIES = [
     "q_ah1_image_hash_family",
     "q_cml1_chatml_render",
     "q_pp1_preference_pairs",
+    "q_af1_audio_fingerprint",
+    "q_hx1_html_main_text",
 ]
 
 

@@ -806,13 +806,17 @@ def hamming_topk_ivf(
     )
 
 
-# Measured crossover on the query-count axis (tools/r9_scale_probe.py,
-# fixed 2k-vector corpus, SCALE.md r9 table): brute hamming_topk scales
-# ~linearly in |Q| while the cell-routed form is flat-ish until the
-# per-cell windows dominate; the curves cross in the few-hundred-query
-# range. Routing above this keeps the small-Q path on the exact
-# zero-recall-loss plan and sends bulk query batches to the bucketed
-# tier.
+# Measured on the query-count axis (tools/r9_scale_probe.py, fixed
+# 16k-vector corpus, SCALE.md r9 table): brute hamming_topk grows
+# near-linearly in |Q| (exponent 0.83; 7.3 s at Q=10 → 226 s at
+# Q=640) while the cell-routed form stays sublinear (0.41; 3.4 s →
+# 19 s) because each query scores only nprobe/cells of the corpus.
+# The routing rule is therefore about BOUNDEDNESS, not a time
+# crossover: below the threshold the exact zero-recall-loss answer
+# costs single-digit seconds and is worth keeping; above it the
+# brute plan's linear growth dominates (12x slower at Q=640 and
+# widening) and the bucketed tier's recall knob (nprobe) is the
+# right trade.
 HAMMING_BRUTE_MAX_QUERIES = 200
 
 
