@@ -127,3 +127,53 @@ def quality_filter(
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     scored = quality_scores(df, model, text_col=text_col)
     return scored.filter(F.col("quality_score") >= threshold)
+
+
+def linear_scores(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    score_col: str = "quality_z",
+    keep_col: str = "quality_keep",
+) -> DataFrame:
+    """Frozen-coefficient linear text scorer — the DEPLOYMENT mode of a
+    quality classifier: an explicit (token → weight) table (a distilled
+    / pruned / hand-audited model, the interpretable sibling of the
+    hashed fastText pipeline above), scored as
+    ``z = bias + Σ weight(token)`` over token MULTIPLICITY, with
+    ``keep = z > 0``. Shipping the weight table instead of a model
+    binary is what makes the cut auditable and engine-portable — the
+    exact property a 100 TB curation run wants when two systems must
+    agree on which documents survive.
+
+    Plan shape: the weight table folds into a literal map and the score
+    is one per-row ``aggregate`` over the token array — zero shuffle,
+    zero Python, rides the corpus scan. The fold runs interpreted (the
+    documented HOF trade); the weight table is human-scale by contract
+    (hundreds of tokens), so per-row cost is ~|tokens| map probes. For
+    models past ~10³ tokens, switch to explode → broadcast-join →
+    groupBy(doc) — one bounded shuffle, full codegen.
+
+    Determinism contract: pass dyadic-rational weights (multiples of
+    2^-k) and every score is EXACT in float64 regardless of summation
+    order — the keep/drop decision cannot flip between engines or
+    partitionings."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    m = F.create_map(
+        *[
+            x
+            for tok, wt in sorted(weights.items())
+            for x in (F.lit(tok), F.lit(float(wt)))
+        ]
+    )
+    toks = tokens(F.lower(F.col(text_col)))
+    z = F.aggregate(
+        toks,
+        F.lit(float(bias)),
+        lambda acc, t: acc + F.coalesce(m[t], F.lit(0.0)),
+    )
+    return df.withColumn(score_col, z).withColumn(
+        keep_col, F.col(score_col) > 0.0
+    )

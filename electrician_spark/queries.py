@@ -2258,26 +2258,10 @@ def q_t6(spark, sf_dir):
     return ev.select("event_id", F.array_join(tags, ",").alias("tags"))
 
 
-@query(
-    "q_fm1_headers_map",
-    "SELECT event_id, event_type AS h_type, CAST(user_id AS VARCHAR) AS h_user "
-    "FROM events",
-    tags=("functions",),
-)
-def q_fm1(spark, sf_dir):
-    # Header-map construction + typed access (the reference carries
-    # per-message string headers; proto header map). Build the map,
-    # read it back by key — both sides stay JVM expressions.
-    ev = _t(spark, sf_dir, "events")
-    m = F.map_from_arrays(
-        F.array(F.lit("type"), F.lit("user")),
-        F.array(F.col("event_type"), F.col("user_id").cast("string")),
-    )
-    return ev.select(
-        "event_id",
-        F.element_at(m, "type").alias("h_type"),
-        F.element_at(m, "user").alias("h_user"),
-    )
+# (q_fm1_headers_map: RETIRED r9 -> electrician_spark.retired. map
+# construction/access archived; struct/array assembly machinery stays
+# live via q_cml1's message structs and q_gq1's feature arrays, JSON
+# field access via q_f5.)
 
 
 # (q_w5_blackout_filter: RETIRED r9 -> electrician_spark.retired. the
@@ -2988,42 +2972,10 @@ def q_sh1(spark, sf_dir):
     ).orderBy("shard")
 
 
-@query(
-    "q_es1_epoch_shuffle",
-    # Deterministic epoch shuffle, fully value-attested: every row's
-    # epoch key (md5(seed:id)), key-derived shard, and in-shard
-    # position. Same seed → identical permutation on any engine;
-    # the oracle recomputes all three columns from scratch.
-    f"WITH keyed AS (SELECT doc_id, {_SQL_EPOCH_KEY.format(seed=3)} AS shuffle_key "
-    "FROM documents), "
-    "sh AS (SELECT doc_id, shuffle_key, "
-    "CAST((shuffle_key * 8) >> 32 AS BIGINT) AS shard FROM keyed) "
-    "SELECT doc_id, shuffle_key, shard, CAST(row_number() OVER "
-    "(PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos "
-    "FROM sh ORDER BY doc_id",
-    tags=("sampling",),
-)
-def q_es1(spark, sf_dir):
-    # sampling.deterministic_shuffle: one range-exchange shuffle (the
-    # sampled boundaries affect only task placement, never the emitted
-    # shuffle_key/shard VALUES), in-partition sort finishes the
-    # permutation. The position column is computed from the operator's
-    # own output columns.
-    from pyspark.sql import Window
-
-    from electrician_spark.operators import sampling
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    out = sampling.deterministic_shuffle(docs, n_shards=8, seed=3)
-    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
-    return (
-        out.withColumn("pos", F.row_number().over(w).cast("long"))
-        .select("doc_id", "shuffle_key", "shard", "pos")
-        .orderBy("doc_id")
-    )
-
-
-# Lowercased whitespace tokens — the LM tokenization (_lm_tokens).
+# (q_es1_epoch_shuffle: RETIRED r9 -> electrician_spark.retired. the
+# md5 epoch-key + shard_of + within-shard order machinery is live in
+# THREE rows: q_sh1 training shards, q_wd1 webdataset export, and
+# q_lb1's seed-keyed batch order.)
 _SQL_LM_TOKENS = (
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
 )
@@ -4830,6 +4782,148 @@ def q_hx1(spark, sf_dir):
     )
 
 
+# Frozen coefficient table for q_fc1 — every weight is a dyadic
+# rational (a multiple of 2^-6), so the fold's float64 sums are EXACT
+# in any summation order and the keep/drop boundary cannot drift
+# between engines. Mirrored verbatim into the oracle VALUES list.
+_FC_WEIGHTS = {
+    "table": 0.25, "fast": 0.5, "slow": -0.5, "merge": 0.125,
+    "spark": 0.375, "window": -0.25, "key": 0.1875, "query": 0.3125,
+    "customer": -0.125, "vector": 0.4375, "filter": 0.0625,
+    "the": -0.015625, "a": -0.015625,
+}
+_FC_BIAS = -1.0
+_FC_VALUES = ", ".join(f"('{t}', {w!r})" for t, w in sorted(_FC_WEIGHTS.items()))
+
+
+@query(
+    "q_fc1_frozen_linear_scores",
+    # Frozen-coefficient linear quality scorer replay: same tokenizer
+    # (whitespace split of the lowercased, trimmed text), same weight
+    # table, score summed over token multiplicity + bias, keep = z > 0.
+    # Dyadic weights make both engines' sums bit-exact.
+    f"WITH w(tok, wt) AS (VALUES {_FC_VALUES}), "
+    "t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+    "FROM documents), "
+    "s AS (SELECT t.doc_id, sum(coalesce(w.wt, 0.0)) AS acc, "
+    "sum(CASE WHEN w.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_hits "
+    "FROM t LEFT JOIN w ON w.tok = t.tok GROUP BY t.doc_id) "
+    "SELECT doc_id, CAST(-1.0 + acc AS DOUBLE) AS quality_z, "
+    "(-1.0 + acc) > 0 AS quality_keep, CAST(n_hits AS BIGINT) AS n_hits "
+    "FROM s ORDER BY doc_id",
+    tags=("classifier", "text"),
+)
+def q_fc1(spark, sf_dir):
+    # operators/classifier.linear_scores: the auditable deployment mode
+    # of a quality model — literal weight map, one per-row fold, zero
+    # shuffle, keep-decision exactness guaranteed by dyadic weights.
+    # n_hits (tokens carrying a weight) rides along via the same map.
+    from electrician_spark.functions.text import tokens as _tokens
+    from electrician_spark.operators.classifier import linear_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = linear_scores(docs, _FC_WEIGHTS, bias=_FC_BIAS)
+    toks = _tokens(F.lower(F.col("text")))
+    vocab = sorted(_FC_WEIGHTS)
+    n_hits = F.size(F.filter(toks, lambda t: t.isin(*vocab)))
+    return (
+        scored.select(
+            "doc_id",
+            "quality_z",
+            "quality_keep",
+            n_hits.cast("long").alias("n_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_aq1_audio_quality",
+    # Audio quality battery over crafted WAVs, closed form per family:
+    #   fam 0 all-zero:       clip 0, silence 1, rms/peak None (-inf);
+    #   fam 1 ±A alternating: rms == A exactly (sqrt of a perfect
+    #     square), so rms_dbfs == peak_dbfs == 20·log10(A/full);
+    #   fam 2 half zeros, half ±full: clip 1024/2048 of samples ... —
+    #     clip counts |s| >= full over ALL samples = 0.5; the zero
+    #     half makes silence_ratio 0.5 (frame 1024 divides the 2048-
+    #     sample halves); rms = full/√2 → dbfs = 20·log10(1/√2);
+    #   fam 3 ±full everywhere: clip 1, rms_dbfs = peak_dbfs = 0.
+    # dbfs strings are %.6f of the same double arithmetic both sides.
+    "WITH f AS (SELECT doc_id, doc_id % 4 AS fam, "
+    "1000 + (doc_id * 13) % 2000 AS amp FROM documents "
+    "WHERE doc_id BETWEEN 1 AND 40) "
+    "SELECT doc_id AS media_id, CAST(4096 AS BIGINT) AS n_samples, "
+    "CASE fam WHEN 2 THEN '0.500000' WHEN 3 THEN '1.000000' "
+    "ELSE '0.000000' END AS clip_ratio, "
+    "CASE fam WHEN 0 THEN '1.000000' WHEN 2 THEN '0.500000' "
+    "ELSE '0.000000' END AS silence_ratio, "
+    "CASE fam WHEN 0 THEN NULL "
+    "WHEN 1 THEN printf('%.6f', 20 * log10(CAST(amp AS DOUBLE) / 32767)) "
+    "WHEN 2 THEN printf('%.6f', 20 * log10(sqrt(32767.0 * 32767.0 / 2) / 32767)) "
+    "ELSE '0.000000' END AS rms_dbfs, "
+    "CASE fam WHEN 0 THEN NULL "
+    "WHEN 1 THEN printf('%.6f', 20 * log10(CAST(amp AS DOUBLE) / 32767)) "
+    "ELSE '0.000000' END AS peak_dbfs, "
+    "'ok' AS ok FROM f ORDER BY media_id",
+    tags=("multimodal", "audio"),
+)
+def q_aq1(spark, sf_dir):
+    # REAL pipeline: executor-synthesized RIFF/WAV -> multimodal.
+    # audio_quality_stats (REAL stdlib-wave PCM decode, numpy-
+    # vectorized clip/silence/level battery, DLQ error channel) — the
+    # pre-transcription gates an audio corpus runs at scale.
+    from electrician_spark import multimodal as mm
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 40))
+    )
+
+    def synth(batches):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        N, FULL = 4096, 32767
+
+        def wav(samples):
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack("<%dh" % len(samples), *samples))
+            w.close()
+            return buf.getvalue()
+
+        def alt(a, n):
+            return [a if k % 2 == 0 else -a for k in range(n)]
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                fam = did % 4
+                amp = 1000 + (did * 13) % 2000
+                if fam == 0:
+                    s = [0] * N
+                elif fam == 1:
+                    s = alt(amp, N)
+                elif fam == 2:
+                    s = [0] * (N // 2) + alt(FULL, N // 2)
+                else:
+                    s = alt(FULL, N)
+                payloads.append(wav(s))
+                mids.append(did)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return mm.audio_quality_stats(media).orderBy("media_id")
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -4884,26 +4978,27 @@ def q_hx1(spark, sf_dir):
 # the r7 verdict's governance item 3.
 #
 # Round-9 rotation (executed): window = the 50 rows of CORRECTNESS_r07
-# minus 12 RETIRED rows (q_t10/q_t11/q_a3/q_wf4/q_u3/q_f2/q_f3/q_k6/
-# q_vf1/q_w5/q_j4/q_e1 — each archived in electrician_spark.retired
-# with a subsumption note, runnable via tools/check.py --archived)
-# plus the 12 NEW promotion rows (q_wp1/q_or1/q_lb1/q_cm1/q_bq1/
-# q_ah1/q_cml1/q_pp1/q_rl1/q_wc1/q_af1/q_hx1) placed first.
-# Remaining r10 oracle-candidate queue: the audio quality battery
-# (audio_quality_stats — closed-form over crafted WAV fixtures), BPE
-# encode counts (test-pinned vs the Sennrich reference), and fastText
-# scoring with a frozen coefficient table.
+# minus 14 RETIRED rows (q_t10/q_t11/q_a3/q_wf4/q_u3/q_f2/q_f3/q_k6/
+# q_vf1/q_w5/q_j4/q_e1/q_fm1/q_es1 — each archived in
+# electrician_spark.retired with a subsumption note, runnable via
+# tools/check.py --archived) plus the 14 NEW promotion rows
+# (q_wp1/q_or1/q_lb1/q_cm1/q_bq1/q_ah1/q_cml1/q_pp1/q_rl1/q_wc1/
+# q_af1/q_hx1/q_fc1/q_aq1) placed first. Remaining r10
+# oracle-candidate queue: BPE encode counts (test-pinned vs the
+# Sennrich reference; the merge-application replay needs an
+# iterative SQL construction — the one queue survivor).
 _DRIVER_PRIORITY = [
     # Round-9 window = the 50 queries attested in r7 (the complement of
     # the r8 window — the invariant test enforces the 2-round exact
-    # cover), minus the 12 rows RETIRED r9 (each archived in
-    # electrician_spark.retired with its oracle), plus the 12 NEW r9
+    # cover), minus the 14 rows RETIRED r9 (each archived in
+    # electrician_spark.retired with its oracle), plus the 14 NEW r9
     # promotion rows placed first so they are driver-attested
     # immediately: WordPiece train->save->load->encode, ORC round-trip,
     # length-grouped batching, Count-Min sketch, the binary-Hamming ANN
     # tier, the aHash/dHash family, ChatML rendering, preference pairs,
     # the stateful token-bucket stream row, the WARC census, the audio
-    # spectral fingerprint, and HTML main-content extraction.
+    # spectral fingerprint, HTML main-content extraction, the
+    # frozen-coefficient linear scorer, and the audio quality battery.
     "q_wp1_wordpiece_encode",
     "q_or1_orc_roundtrip",
     "q_lb1_length_batches",
@@ -4916,6 +5011,8 @@ _DRIVER_PRIORITY = [
     "q_wc1_warc_census",
     "q_af1_audio_fingerprint",
     "q_hx1_html_main_text",
+    "q_fc1_frozen_linear_scores",
+    "q_aq1_audio_quality",
     # r7-window survivors (latest driver row is r7: due now)
     "q_a7_rollup_subtotals",
     "q_aj1_asof_join",
@@ -4923,8 +5020,6 @@ _DRIVER_PRIORITY = [
     "q_d2_ngram_jaccard",
     "q_d9_lsh_near_dup",
     "q_ds1_distinct_sketch",
-    "q_es1_epoch_shuffle",
-    "q_fm1_headers_map",
     "q_gq1_gopher_battery",
     "q_hh1_heavy_hitters",
     "q_ht1_hypertable_rollup",

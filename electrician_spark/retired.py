@@ -27,6 +27,7 @@ from electrician_spark.queries import (
     QueryDef,
     TS,
     _SQL_DOT,
+    _SQL_EPOCH_KEY,
     _SQL_JACCARD_CTES,
     _SQL_NORM_CTE,
     _as_doubles,
@@ -1004,3 +1005,66 @@ def q_e1(spark, sf_dir):
         F.max("code").cast("long").alias("code_max"),
     )
     return rel.top_k(per_vec, [F.col("vec_id")], 50)
+
+
+@retired_query(
+    "q_fm1_headers_map",
+    "SELECT event_id, event_type AS h_type, CAST(user_id AS VARCHAR) AS h_user "
+    "FROM events",
+    tags=("functions",),
+)
+def q_fm1(spark, sf_dir):
+    # Retired r9: map functions archived; struct/array assembly live via
+    # q_cml1/q_gq1, JSON access via q_f5.
+    # Header-map construction + typed access (the reference carries
+    # per-message string headers; proto header map). Build the map,
+    # read it back by key — both sides stay JVM expressions.
+    ev = _t(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("h_type"),
+        F.element_at(m, "user").alias("h_user"),
+    )
+
+@retired_query(
+    "q_es1_epoch_shuffle",
+    # Deterministic epoch shuffle, fully value-attested: every row's
+    # epoch key (md5(seed:id)), key-derived shard, and in-shard
+    # position. Same seed → identical permutation on any engine;
+    # the oracle recomputes all three columns from scratch.
+    f"WITH keyed AS (SELECT doc_id, {_SQL_EPOCH_KEY.format(seed=3)} AS shuffle_key "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, shuffle_key, "
+    "CAST((shuffle_key * 8) >> 32 AS BIGINT) AS shard FROM keyed) "
+    "SELECT doc_id, shuffle_key, shard, CAST(row_number() OVER "
+    "(PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos "
+    "FROM sh ORDER BY doc_id",
+    tags=("sampling",),
+)
+def q_es1(spark, sf_dir):
+    # Retired r9: epoch-key machinery live in q_sh1/q_wd1/q_lb1 (same md5 key
+    # + shard + order).
+    # sampling.deterministic_shuffle: one range-exchange shuffle (the
+    # sampled boundaries affect only task placement, never the emitted
+    # shuffle_key/shard VALUES), in-partition sort finishes the
+    # permutation. The position column is computed from the operator's
+    # own output columns.
+    from pyspark.sql import Window
+
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = sampling.deterministic_shuffle(docs, n_shards=8, seed=3)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shuffle_key", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
+# Lowercased whitespace tokens — the LM tokenization (_lm_tokens).
