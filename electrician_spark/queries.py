@@ -2858,53 +2858,10 @@ def q_pq2(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
-@query(
-    "q_pk2_best_fit_packing",
-    # Best-Fit-Decreasing replayed as a recursive CTE: per md5 shard,
-    # docs in (chars desc, id) order go to the open pack with the
-    # least-but-sufficient remaining room (state = sorted list of
-    # (rem, pid) structs — struct comparison sorts by field order, so
-    # list_sort + [1] IS the bisect_left best-fit probe); no fit opens
-    # pack next_pack; leftover room re-enters only when positive.
-    f"WITH RECURSIVE t AS (SELECT doc_id, n_chars, {_SQL_SAMPLE_KEY} % 4 AS shard "
-    "FROM documents), "
-    "r AS (SELECT doc_id, n_chars, shard, row_number() OVER "
-    "(PARTITION BY shard ORDER BY n_chars DESC, doc_id) AS rn FROM t), "
-    "sim(shard, rn, doc_id, n_chars, pack_id, state, next_pack) AS ("
-    "SELECT shard, 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
-    "CAST([] AS STRUCT(rem BIGINT, pid BIGINT)[]), CAST(0 AS BIGINT) "
-    "FROM (SELECT DISTINCT shard FROM r) "
-    "UNION ALL "
-    "SELECT shard, rn, doc_id, n_chars, "
-    "CASE WHEN best.pid IS NOT NULL THEN best.pid ELSE next_pack END, "
-    "CASE WHEN best.pid IS NOT NULL THEN "
-    "list_append(list_filter(state, x -> x.pid <> best.pid), "
-    "{'rem': best.rem - n_chars, 'pid': best.pid}) "
-    "WHEN 2048 - n_chars > 0 THEN "
-    "list_append(state, {'rem': 2048 - n_chars, 'pid': next_pack}) "
-    "ELSE state END, "
-    "CASE WHEN best.pid IS NOT NULL THEN next_pack ELSE next_pack + 1 END "
-    "FROM (SELECT s.shard, d.rn, d.doc_id, d.n_chars, s.state, s.next_pack, "
-    "list_sort(list_filter(s.state, x -> x.rem >= d.n_chars))[1] AS best "
-    "FROM sim s JOIN r d ON d.shard = s.shard AND d.rn = s.rn + 1)) "
-    "SELECT doc_id, n_chars, shard, pack_id FROM sim WHERE doc_id IS NOT NULL "
-    "ORDER BY doc_id",
-    tags=("packing",),
-)
-def q_pk2(spark, sf_dir):
-    # packing.pack_best_fit: the greedy loop is inherently sequential,
-    # so it runs per SHARD inside applyInPandas — n_shards independent
-    # bounded streams, md5-balanced; within a shard the open-pack probe
-    # is a bisect over remaining capacities. Deterministic on any
-    # cluster size (md5 shard key, total sort order, bisect tiebreaks)
-    # — which is exactly what lets a SQL engine replay it.
-    from electrician_spark.operators import packing
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    out = packing.pack_best_fit(docs, "n_chars", budget=2048, n_shards=4)
-    return out.select(
-        "doc_id", "n_chars", F.col("shard").cast("long").alias("shard"), "pack_id"
-    ).orderBy("doc_id")
+# (q_pk2_best_fit_packing: RETIRED r9 -> electrician_spark.retired. the
+# packing family keeps two live rows — q_sp1's greedy cumsum pack and
+# q_lb1's length-grouped batcher; the best-fit bin-search kernel keeps
+# its test_packing reference-equality pins.)
 
 
 _SQL_EPOCH_KEY = (
@@ -4924,6 +4881,106 @@ def q_aq1(spark, sf_dir):
     return mm.audio_quality_stats(media).orderBy("media_id")
 
 
+# Frozen BPE merge list for q_bp1 — train_bpe_merges on the SAME
+# literal mini-corpus as q_wp1 (num_merges=40, min_count=1; the
+# likelihood loop exhausts at 34). The oracle replays ENCODING — the
+# lowest-rank-first merge loop — per distinct pre-token with a
+# recursive CTE over the symbol list; the trainer/artifact round-trip
+# is attested by the hash: any drift from this literal breaks it.
+_BPE_FROZEN_MERGES = [
+    ("e", "</w>"), (" ", "s"), ("e", "r"), ("i", "n"), ("s", "</w>"),
+    (" ", "a"), (" ", "b"), (" ", "t"), ("a", "t"), ("er", "</w>"),
+    ("o", "r"), ("o", "w"), ("ow", "</w>"), ("s", "t"), (" ", "c"),
+    (" ", "f"), (" ", "j"), (" ", "v"), (" j", "o"), (" jo", "in"),
+    (" join", "</w>"), (" t", "a"), (" ta", "b"), (" tab", "l"),
+    ("a", "</w>"), ("a", "l"), ("a", "r"), ("g", "</w>"), ("h", "</w>"),
+    ("h", "e</w>"), ("i", "l"), ("n", "</w>"), ("p", "ar"), ("t", "</w>"),
+]
+# rank rows as 'a<SEP>b' keys; SEP = chr(1), which cannot occur in any
+# symbol (symbols are corpus characters + the </w> marker)
+_BPE_RK_SQL = ", ".join(
+    "('" + (a + "\x01" + b).replace("\x01", "' || chr(1) || '") + f"', {i})"
+    for i, (a, b) in enumerate(_BPE_FROZEN_MERGES)
+)
+
+
+@query(
+    "q_bp1_bpe_encode",
+    # BPE encoding replay (Sennrich 2016): GPT-2-style pre-tokenization
+    # (same RE2 pattern both engines), then per distinct pre-token the
+    # exact encode_word loop — find the LOWEST-RANK adjacent symbol
+    # pair, merge its first occurrence, repeat until no learned pair
+    # remains — as a recursive CTE over the symbol list. Documents
+    # reassemble by pre-token position; the md5 hash of the full
+    # space-joined piece string pins every piece, boundary, and order.
+    "WITH RECURSIVE "
+    f"rk(k, rank) AS (VALUES {_BPE_RK_SQL}), "
+    "dw AS (SELECT doc_id, word, pos FROM ("
+    "SELECT doc_id, unnest(pts) AS word, generate_subscripts(pts, 1) AS pos "
+    "FROM (SELECT doc_id, regexp_extract_all(text, "
+    "'(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+)', 1) "
+    "AS pts FROM documents)) WHERE NOT regexp_matches(word, '^\\s+$')), "
+    "words AS (SELECT DISTINCT word FROM dw), "
+    "seg AS ("
+    "SELECT word, list_append(string_split(word, ''), '</w>') AS syms FROM words "
+    "UNION ALL "
+    "SELECT word, list_concat(list_concat(list_slice(syms, 1, bi - 1), "
+    "[syms[bi] || syms[bi + 1]]), list_slice(syms, bi + 2, len(syms))) AS syms "
+    "FROM (SELECT word, syms, list_position(pairs, bk) AS bi "
+    "FROM (SELECT word, syms, pairs, "
+    "(SELECT r.k FROM rk r WHERE list_contains(pairs, r.k) "
+    "ORDER BY r.rank LIMIT 1) AS bk "
+    "FROM (SELECT word, syms, list_transform(generate_series(1, len(syms) - 1), "
+    "i -> syms[i] || chr(1) || syms[i + 1]) AS pairs FROM seg)) "
+    "WHERE bk IS NOT NULL)), "
+    "fin AS (SELECT word, syms FROM seg s WHERE NOT EXISTS ("
+    "SELECT 1 FROM rk r WHERE list_contains("
+    "list_transform(generate_series(1, len(s.syms) - 1), "
+    "i -> s.syms[i] || chr(1) || s.syms[i + 1]), r.k))), "
+    "docs AS (SELECT dw.doc_id, "
+    "string_agg(array_to_string(f.syms, ' '), ' ' ORDER BY dw.pos) AS enc, "
+    "CAST(sum(len(f.syms)) AS BIGINT) AS n_pieces, "
+    "CAST(count(*) AS BIGINT) AS n_pretokens "
+    "FROM dw JOIN fin f USING (word) GROUP BY dw.doc_id) "
+    "SELECT doc_id, n_pretokens, n_pieces, "
+    "CAST('0x' || substr(md5(enc), 1, 8) AS BIGINT) AS enc_hash "
+    "FROM docs ORDER BY doc_id",
+    tags=("tokenizer",),
+)
+def q_bp1(spark, sf_dir):
+    # train -> save -> load -> encode on the attested path (the q_wp1
+    # recipe for the BPE family): tokenizer.train_bpe_merges on the
+    # literal mini-corpus, save_tokenizer/load_tokenizer round-trip,
+    # bpe_encode over the corpus (JVM pre-tokenization + Arrow-batched
+    # merge loop with a per-batch word cache).
+    import os
+    import tempfile
+
+    from electrician_spark.functions import tokenizer as tk
+    from electrician_spark.functions.text import bpe_pretokens
+
+    mini = spark.createDataFrame([(t,) for t in _WP_MINI_CORPUS], "text string")
+    merges = tk.train_bpe_merges(mini, num_merges=40, min_count=1)
+    path = os.path.join(tempfile.mkdtemp(prefix="q_bp1_"), "bpe.json")
+    tk.save_tokenizer(path, "bpe", merges)
+    _kind, merges2 = tk.load_tokenizer(path)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = tk.bpe_encode(docs, merges2)
+    joined = F.array_join(F.col("bpe_tokens"), " ")
+    return (
+        enc.select(
+            "doc_id",
+            F.size(bpe_pretokens(F.col("text"))).cast("long").alias("n_pretokens"),
+            F.size(F.col("bpe_tokens")).cast("long").alias("n_pieces"),
+            F.conv(F.substring(F.md5(joined), 1, 8), 16, 10)
+            .cast("long")
+            .alias("enc_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -4978,23 +5035,23 @@ def q_aq1(spark, sf_dir):
 # the r7 verdict's governance item 3.
 #
 # Round-9 rotation (executed): window = the 50 rows of CORRECTNESS_r07
-# minus 14 RETIRED rows (q_t10/q_t11/q_a3/q_wf4/q_u3/q_f2/q_f3/q_k6/
-# q_vf1/q_w5/q_j4/q_e1/q_fm1/q_es1 — each archived in
+# minus 15 RETIRED rows (q_t10/q_t11/q_a3/q_wf4/q_u3/q_f2/q_f3/q_k6/
+# q_vf1/q_w5/q_j4/q_e1/q_fm1/q_es1/q_pk2 — each archived in
 # electrician_spark.retired with a subsumption note, runnable via
-# tools/check.py --archived) plus the 14 NEW promotion rows
+# tools/check.py --archived) plus the 15 NEW promotion rows
 # (q_wp1/q_or1/q_lb1/q_cm1/q_bq1/q_ah1/q_cml1/q_pp1/q_rl1/q_wc1/
-# q_af1/q_hx1/q_fc1/q_aq1) placed first. Remaining r10
-# oracle-candidate queue: BPE encode counts (test-pinned vs the
-# Sennrich reference; the merge-application replay needs an
-# iterative SQL construction — the one queue survivor).
+# q_af1/q_hx1/q_fc1/q_aq1/q_bp1) placed first. The r8 verdict's
+# oracle-candidate queue is now EMPTY: q_bp1 closed its final item by
+# replaying the lowest-rank-first merge loop as a recursive CTE over
+# the symbol list (the construction the queue note doubted existed).
 _DRIVER_PRIORITY = [
     # Round-9 window = the 50 queries attested in r7 (the complement of
     # the r8 window — the invariant test enforces the 2-round exact
     # cover), minus the 14 rows RETIRED r9 (each archived in
     # electrician_spark.retired with its oracle), plus the 14 NEW r9
     # promotion rows placed first so they are driver-attested
-    # immediately: WordPiece train->save->load->encode, ORC round-trip,
-    # length-grouped batching, Count-Min sketch, the binary-Hamming ANN
+    # immediately: WordPiece AND BPE train->save->load->encode, ORC,
+    # length-grouped batching, Count-Min sketch, the binary-Hamming
     # tier, the aHash/dHash family, ChatML rendering, preference pairs,
     # the stateful token-bucket stream row, the WARC census, the audio
     # spectral fingerprint, HTML main-content extraction, the
@@ -5013,6 +5070,7 @@ _DRIVER_PRIORITY = [
     "q_hx1_html_main_text",
     "q_fc1_frozen_linear_scores",
     "q_aq1_audio_quality",
+    "q_bp1_bpe_encode",
     # r7-window survivors (latest driver row is r7: due now)
     "q_a7_rollup_subtotals",
     "q_aj1_asof_join",
@@ -5031,7 +5089,6 @@ _DRIVER_PRIORITY = [
     "q_lm2_bigram_buckets",
     "q_n3_ann_ivf_kmeans",
     "q_ph1_image_phash",
-    "q_pk2_best_fit_packing",
     "q_pq1_pq_adc_topk",
     "q_pq2_ivfpq_topk",
     "q_pr1_table_profile",

@@ -1068,3 +1068,54 @@ def q_es1(spark, sf_dir):
 
 
 # Lowercased whitespace tokens — the LM tokenization (_lm_tokens).
+
+
+@retired_query(
+    "q_pk2_best_fit_packing",
+    # Best-Fit-Decreasing replayed as a recursive CTE: per md5 shard,
+    # docs in (chars desc, id) order go to the open pack with the
+    # least-but-sufficient remaining room (state = sorted list of
+    # (rem, pid) structs — struct comparison sorts by field order, so
+    # list_sort + [1] IS the bisect_left best-fit probe); no fit opens
+    # pack next_pack; leftover room re-enters only when positive.
+    f"WITH RECURSIVE t AS (SELECT doc_id, n_chars, {_SQL_SAMPLE_KEY} % 4 AS shard "
+    "FROM documents), "
+    "r AS (SELECT doc_id, n_chars, shard, row_number() OVER "
+    "(PARTITION BY shard ORDER BY n_chars DESC, doc_id) AS rn FROM t), "
+    "sim(shard, rn, doc_id, n_chars, pack_id, state, next_pack) AS ("
+    "SELECT shard, 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+    "CAST([] AS STRUCT(rem BIGINT, pid BIGINT)[]), CAST(0 AS BIGINT) "
+    "FROM (SELECT DISTINCT shard FROM r) "
+    "UNION ALL "
+    "SELECT shard, rn, doc_id, n_chars, "
+    "CASE WHEN best.pid IS NOT NULL THEN best.pid ELSE next_pack END, "
+    "CASE WHEN best.pid IS NOT NULL THEN "
+    "list_append(list_filter(state, x -> x.pid <> best.pid), "
+    "{'rem': best.rem - n_chars, 'pid': best.pid}) "
+    "WHEN 2048 - n_chars > 0 THEN "
+    "list_append(state, {'rem': 2048 - n_chars, 'pid': next_pack}) "
+    "ELSE state END, "
+    "CASE WHEN best.pid IS NOT NULL THEN next_pack ELSE next_pack + 1 END "
+    "FROM (SELECT s.shard, d.rn, d.doc_id, d.n_chars, s.state, s.next_pack, "
+    "list_sort(list_filter(s.state, x -> x.rem >= d.n_chars))[1] AS best "
+    "FROM sim s JOIN r d ON d.shard = s.shard AND d.rn = s.rn + 1)) "
+    "SELECT doc_id, n_chars, shard, pack_id FROM sim WHERE doc_id IS NOT NULL "
+    "ORDER BY doc_id",
+    tags=("packing",),
+)
+def q_pk2(spark, sf_dir):
+    # Retired r9: packing family keeps q_sp1 (greedy cumsum pack) and
+    # q_lb1 (length batcher) live; best-fit kernel pinned in test_packing.
+    # packing.pack_best_fit: the greedy loop is inherently sequential,
+    # so it runs per SHARD inside applyInPandas — n_shards independent
+    # bounded streams, md5-balanced; within a shard the open-pack probe
+    # is a bisect over remaining capacities. Deterministic on any
+    # cluster size (md5 shard key, total sort order, bisect tiebreaks)
+    # — which is exactly what lets a SQL engine replay it.
+    from electrician_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = packing.pack_best_fit(docs, "n_chars", budget=2048, n_shards=4)
+    return out.select(
+        "doc_id", "n_chars", F.col("shard").cast("long").alias("shard"), "pack_id"
+    ).orderBy("doc_id")
