@@ -88,3 +88,41 @@ def test_train_validates_hash_bits(spark):
     labeled = _labeled_corpus(spark, n=5)
     with pytest.raises(ValueError):
         qc.train_quality_classifier(labeled, hash_bits=4)
+
+
+def test_linear_scores_matches_python_replay(spark):
+    """Frozen-coefficient scorer: z = bias + Σ weight(token) over token
+    MULTIPLICITY, keep = z > 0 — vs a plain-Python fold. Dyadic weights
+    make the float sums exact, so equality is bitwise, not approximate."""
+    w = {"good": 0.5, "bad": -0.75, "the": -0.015625}
+    rows = [
+        (1, "good good the story"),   # 0.5+0.5-0.015625-1 = -0.015625
+        (2, "GOOD Bad good"),          # case-folded: 0.5-0.75+0.5-1+... 
+        (3, "neutral words only"),
+        (4, "good good good good"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.quality_z, r.quality_keep) for r in
+           qc.linear_scores(df, w, bias=-1.0).collect()}
+    for did, text in rows:
+        z = -1.0 + sum(w.get(t, 0.0) for t in text.lower().split())
+        assert got[did] == (z, z > 0), (did, got[did], z)
+    assert got[4][1] is True and got[3][1] is False
+
+
+def test_linear_scores_zero_shuffle_no_python(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    scored = qc.linear_scores(df, {"a": 0.5}, bias=0.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scored.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    import pytest
+
+    with pytest.raises(ValueError):
+        qc.linear_scores(df, {})
