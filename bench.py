@@ -211,7 +211,24 @@ def main() -> None:
         .count()
     )
 
+    # Second sha position: end of the full series. r7 and this round's
+    # closing series both recorded a collapse HERE (3.0-3.6M items/s vs
+    # 15M+ at the first position) that a 6-query checkpoint-heavy
+    # series does NOT reproduce — so snapshot what end-of-series JVM
+    # state looks like, then re-measure after an explicit driver+JVM
+    # GC: if post-GC recovers, the mechanism is GC-reclaimable state
+    # (broadcast/RDD blocks pinned by Python refs); if not, it's heap
+    # fragmentation or ambient.
+    import gc as _gc
+
+    sc = spark.sparkContext
+    diag = {"persistent_rdds": sc._jsc.sc().getPersistentRDDs().size()}
     sha_last = measure_sha()  # second position: end of the full series
+    _gc.collect()
+    sc._jvm.System.gc()
+    time.sleep(2)
+    diag["persistent_rdds_post_gc"] = sc._jsc.sc().getPersistentRDDs().size()
+    diag["sha_last_post_gc"] = measure_sha()
 
     total = round(sum(results.values()), 4)
     calibration = {
@@ -228,6 +245,7 @@ def main() -> None:
     # over ambient machine drift (r5 verdict item 8).
     detail = {
         "extra_queries": extras,
+        "sha_diag": diag,
         "queries_normalized": {
             n: round(v / shuffle_probe, 3) for n, v in {**results, **extras}.items()
         },

@@ -2869,64 +2869,11 @@ _SQL_EPOCH_KEY = (
 )
 
 
-@query(
-    "q_sh1_training_shards",
-    # Reproducible shard export: membership is (key·n) >> 32 of the
-    # md5(seed:id) epoch key — a pure function of the data, which is
-    # the whole point (the oracle recomputes every shard's row count,
-    # id sum, and order endpoints without seeing the written files);
-    # all_ok additionally carries the manifest hash verification
-    # outcome from the actual written files on the Spark side.
-    f"WITH keyed AS (SELECT doc_id, {_SQL_EPOCH_KEY.format(seed=0)} AS k FROM documents), "
-    "sh AS (SELECT doc_id, k, CAST((k * 4) >> 32 AS BIGINT) AS shard FROM keyed), "
-    "pos AS (SELECT shard, doc_id, k, row_number() OVER "
-    "(PARTITION BY shard ORDER BY k, doc_id) AS rn, "
-    "count(*) OVER (PARTITION BY shard) AS n FROM sh) "
-    "SELECT shard, CAST(count(*) AS BIGINT) AS rows, "
-    "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
-    "CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc, "
-    "CAST(min(CASE WHEN rn = n THEN doc_id END) AS BIGINT) AS last_doc, "
-    "true AS all_ok FROM pos GROUP BY shard ORDER BY shard",
-    tags=("io", "sampling"),
-)
-def q_sh1(spark, sf_dir):
-    # io.write_training_shards: ONE hash exchange on the key-derived
-    # shard column, one NDJSON file per shard=N/ directory, rows sorted
-    # by (shuffle_key, id); executor-side sha256 manifest. The query
-    # round-trips: export → read the written shards back → per-shard
-    # census + order endpoints, and verify_training_shards' hash/size/
-    # row-count comparison folds in as all_ok. A membership or order
-    # drift (the failure mode sampled range boundaries would cause at
-    # scale) flips sum_ids/first_doc/last_doc; tampering flips all_ok.
-    import os
-    import tempfile
-
-    from pyspark.sql import Window
-
-    from electrician_spark.io import verify_training_shards, write_training_shards
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="q_sh1_"), "shards")
-    write_training_shards(docs, out_dir, n_shards=4, seed=0)
-    back = spark.read.json(out_dir).select(
-        "doc_id", "shuffle_key", F.col("shard").cast("long").alias("shard")
-    )
-    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
-    pos = back.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("shard"))
-    )
-    census = pos.groupBy("shard").agg(
-        F.count("*").alias("rows"),
-        F.sum("doc_id").alias("sum_ids"),
-        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("first_doc"),
-        F.min(F.when(F.col("rn") == F.col("n"), F.col("doc_id"))).alias("last_doc"),
-    )
-    ok = verify_training_shards(spark, out_dir).agg(
-        F.bool_and("ok").alias("all_ok")
-    )
-    return census.join(F.broadcast(ok)).select(
-        "shard", "rows", "sum_ids", "first_doc", "last_doc", "all_ok"
-    ).orderBy("shard")
+# (q_sh1_training_shards: RETIRED r9 -> electrician_spark.retired. the
+# reproducible shard-export machinery (epoch key -> shard -> ordered
+# write -> sha256 manifest -> verify) stays live via q_wd1's WebDataset
+# tar form and q_sv1's split manifests; the NDJSON shard form keeps its
+# test_io pins.)
 
 
 # (q_es1_epoch_shuffle: RETIRED r9 -> electrician_spark.retired. the
@@ -4981,6 +4928,92 @@ def q_bp1(spark, sf_dir):
     )
 
 
+@query(
+    "q_fo1_fanout_dlq",
+    # C4 fan-out + C5/C6 divert/DLQ through the REAL foreachBatch
+    # router on a REAL two-micro-batch stream: every primary sink
+    # receives every non-error row of every batch (channels a and b
+    # must come back IDENTICAL — the fan-out contract), error-typed
+    # rows divert to the DLQ parquet sink instead of being dropped.
+    # The oracle derives all three channels from the source directly.
+    "WITH e AS (SELECT event_type FROM events WHERE event_id < 600), "
+    "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e "
+    "WHERE event_type <> 'error' GROUP BY event_type), "
+    "d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e "
+    "WHERE event_type = 'error' GROUP BY event_type) "
+    "SELECT channel, event_type, n FROM ("
+    "SELECT 'a' AS channel, event_type, n FROM g "
+    "UNION ALL SELECT 'b', event_type, n FROM g "
+    "UNION ALL SELECT 'dlq', event_type, n FROM d) "
+    "ORDER BY channel, event_type",
+    tags=("streaming", "reliability", "sink"),
+)
+def q_fo1(spark, sf_dir):
+    # streaming/sinks.ForEachBatchRouter driven by writeStream.
+    # foreachBatch (availableNow, maxFilesPerTrigger=1 -> two real
+    # micro-batches): DLQ split first (reliability.with_dlq_split —
+    # one predicate, both sides off the same scan), then every
+    # primary sink gets the surviving batch (persist() guards the
+    # double-write from recomputation). Census runs on the READ-BACK
+    # parquet of all three channels, so the attested values crossed
+    # the actual sink boundary, not a driver-side buffer.
+    import os
+    import tempfile
+
+    from electrician_spark.streaming.sinks import ForEachBatchRouter, parquet_sink
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 600)
+        .select("event_id", "event_type")
+    )
+    tmp = tempfile.mkdtemp(prefix="q_fo1_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    ev.filter(F.col("event_id") % 2 == 1).toPandas().to_json(
+        os.path.join(src, "a_odds.json"), orient="records", lines=True
+    )
+    ev.filter(F.col("event_id") % 2 == 0).toPandas().to_json(
+        os.path.join(src, "b_evens.json"), orient="records", lines=True
+    )
+    base = os.path.getmtime(os.path.join(src, "b_evens.json"))
+    os.utime(os.path.join(src, "a_odds.json"), (base - 100, base - 100))
+
+    paths = {c: os.path.join(tmp, f"sink_{c}") for c in ("a", "b", "dlq")}
+    router = ForEachBatchRouter(
+        sinks=[parquet_sink(paths["a"]), parquet_sink(paths["b"])],
+        dlq_sink=parquet_sink(paths["dlq"]),
+        error_condition=F.col("event_type") == "error",
+    )
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(router)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+
+    parts = [
+        spark.read.parquet(p).select(F.lit(c).alias("channel"), "event_type")
+        for c, p in paths.items()
+    ]
+    union = parts[0]
+    for part in parts[1:]:
+        union = union.unionByName(part)
+    return (
+        union.groupBy("channel", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("channel", "event_type")
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -5071,6 +5104,7 @@ _DRIVER_PRIORITY = [
     "q_fc1_frozen_linear_scores",
     "q_aq1_audio_quality",
     "q_bp1_bpe_encode",
+    "q_fo1_fanout_dlq",
     # r7-window survivors (latest driver row is r7: due now)
     "q_a7_rollup_subtotals",
     "q_aj1_asof_join",
@@ -5097,7 +5131,6 @@ _DRIVER_PRIORITY = [
     "q_r2_retry_backoff",
     "q_rj1_range_join",
     "q_rz1_resize_media",
-    "q_sh1_training_shards",
     "q_sk1_salted_agg",
     "q_sp1_sequence_packing",
     "q_u2_union_distinct",

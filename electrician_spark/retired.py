@@ -1119,3 +1119,65 @@ def q_pk2(spark, sf_dir):
     return out.select(
         "doc_id", "n_chars", F.col("shard").cast("long").alias("shard"), "pack_id"
     ).orderBy("doc_id")
+
+
+@retired_query(
+    "q_sh1_training_shards",
+    # Reproducible shard export: membership is (key·n) >> 32 of the
+    # md5(seed:id) epoch key — a pure function of the data, which is
+    # the whole point (the oracle recomputes every shard's row count,
+    # id sum, and order endpoints without seeing the written files);
+    # all_ok additionally carries the manifest hash verification
+    # outcome from the actual written files on the Spark side.
+    f"WITH keyed AS (SELECT doc_id, {_SQL_EPOCH_KEY.format(seed=0)} AS k FROM documents), "
+    "sh AS (SELECT doc_id, k, CAST((k * 4) >> 32 AS BIGINT) AS shard FROM keyed), "
+    "pos AS (SELECT shard, doc_id, k, row_number() OVER "
+    "(PARTITION BY shard ORDER BY k, doc_id) AS rn, "
+    "count(*) OVER (PARTITION BY shard) AS n FROM sh) "
+    "SELECT shard, CAST(count(*) AS BIGINT) AS rows, "
+    "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+    "CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc, "
+    "CAST(min(CASE WHEN rn = n THEN doc_id END) AS BIGINT) AS last_doc, "
+    "true AS all_ok FROM pos GROUP BY shard ORDER BY shard",
+    tags=("io", "sampling"),
+)
+def q_sh1(spark, sf_dir):
+    # Retired r9: shard-export machinery live via q_wd1 (tar form) and
+    # q_sv1 (split manifests); NDJSON shard form pinned in test_io.
+    # io.write_training_shards: ONE hash exchange on the key-derived
+    # shard column, one NDJSON file per shard=N/ directory, rows sorted
+    # by (shuffle_key, id); executor-side sha256 manifest. The query
+    # round-trips: export → read the written shards back → per-shard
+    # census + order endpoints, and verify_training_shards' hash/size/
+    # row-count comparison folds in as all_ok. A membership or order
+    # drift (the failure mode sampled range boundaries would cause at
+    # scale) flips sum_ids/first_doc/last_doc; tampering flips all_ok.
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from electrician_spark.io import verify_training_shards, write_training_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="q_sh1_"), "shards")
+    write_training_shards(docs, out_dir, n_shards=4, seed=0)
+    back = spark.read.json(out_dir).select(
+        "doc_id", "shuffle_key", F.col("shard").cast("long").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    pos = back.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("shard"))
+    )
+    census = pos.groupBy("shard").agg(
+        F.count("*").alias("rows"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("first_doc"),
+        F.min(F.when(F.col("rn") == F.col("n"), F.col("doc_id"))).alias("last_doc"),
+    )
+    ok = verify_training_shards(spark, out_dir).agg(
+        F.bool_and("ok").alias("all_ok")
+    )
+    return census.join(F.broadcast(ok)).select(
+        "shard", "rows", "sum_ids", "first_doc", "last_doc", "all_ok"
+    ).orderBy("shard")

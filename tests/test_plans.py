@@ -149,11 +149,10 @@ _BNLJ_ALLOWED = {
     "q_lm1_perplexity_buckets",
     # lm_score_bigram has the same single-row OOV bounds join.
     "q_lm2_bigram_buckets",
-    # shard census × the ONE-row verification aggregate (bool_and over
-    # four manifest rows) — the sanctioned single-row broadcast shape.
-    "q_sh1_training_shards",
-    # q_wd1 folds the one-row verify aggregate onto the shard census —
-    # the same single-row broadcast bounds-join shape as q_sh1.
+    # q_wd1 folds the one-row verify aggregate (bool_and over the
+    # manifest rows) onto the shard census — the sanctioned single-row
+    # broadcast bounds-join shape (q_sh1 carried it until its r9
+    # retirement).
     "q_wd1_webdataset_shards",
 }
 
