@@ -42,11 +42,11 @@ EXTRA_QUERIES = [
     "q_ss1_substring_dedup",
     "q_lm1_perplexity_buckets",
     "q_ch1_chunk_documents",
-    # r7 promotion rows (tracked from their first driver-attested round)
+    # r7 promotion rows (tracked from their first driver-attested
+    # round; q_pk2 retired r9 -> archive, dropped from the series)
     "q_gq1_gopher_battery",
     "q_lm2_bigram_buckets",
     "q_pq1_pq_adc_topk",
-    "q_pk2_best_fit_packing",
     # mid-r7 promotions (C4 battery + multimodal decode/resize;
     # q_vf1 retired r9 -> archive, dropped from the tracked series)
     "q_c4_1_c4_cleaning",
@@ -67,7 +67,7 @@ EXTRA_QUERIES = [
     "q_ex1_exif_census",
     "q_sv1_split_corpus",
     # r9 promotion rows (tracked from their first driver-attested
-    # round; the streaming q_rl1 and the fixture-synthesis-bound
+    # round; the streaming q_rl1/q_fo1 and the fixture-synthesis-bound
     # q_wc1 are left out of the timed series like q_rs1/q_wd1)
     "q_wp1_wordpiece_encode",
     "q_or1_orc_roundtrip",
@@ -79,6 +79,9 @@ EXTRA_QUERIES = [
     "q_pp1_preference_pairs",
     "q_af1_audio_fingerprint",
     "q_hx1_html_main_text",
+    "q_fc1_frozen_linear_scores",
+    "q_aq1_audio_quality",
+    "q_bp1_bpe_encode",
 ]
 
 
