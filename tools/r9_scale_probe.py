@@ -83,9 +83,109 @@ def hamming_query_axis(spark, corpus_mult: int, qn: int, form: str) -> int:
     return qz.hamming_topk_ivf(emb, q, d=64, k=5, nprobe=2).count()
 
 
+def op_wordpiece(spark, mult: int) -> int:
+    """wordpiece_encode over a scaled corpus under a FIXED vocab — the
+    token-prefix bijection makes per-replica words distinct, so the
+    per-batch word cache cannot shortcut across replicas (worst case
+    for the encoder)."""
+    from pyspark.sql import functions as F
+
+    from electrician_spark.functions import tokenizer as tk
+    from electrician_spark.queries import _WP_FROZEN_VOCAB
+
+    docs = scaled_docs(spark, SF_DIR, mult)
+    enc = tk.wordpiece_encode(docs, list(_WP_FROZEN_VOCAB))
+    return enc.agg(F.sum(F.size("pieces"))).collect()[0][0]
+
+
+def op_bpe(spark, mult: int) -> int:
+    """bpe_encode over a scaled corpus under the FIXED frozen merge
+    list — same worst-case-cache construction as the WordPiece probe."""
+    from pyspark.sql import functions as F
+
+    from electrician_spark.functions import tokenizer as tk
+    from electrician_spark.queries import _BPE_FROZEN_MERGES
+
+    docs = scaled_docs(spark, SF_DIR, mult)
+    enc = tk.bpe_encode(docs, list(_BPE_FROZEN_MERGES))
+    return enc.agg(F.sum(F.size("bpe_tokens"))).collect()[0][0]
+
+
+def op_length_batches(spark, mult: int) -> int:
+    """length_batches + padding audit on the scaled corpus: one hash
+    exchange on the md5 shard, per-shard window sort."""
+    from pyspark.sql import functions as F
+
+    from electrician_spark.operators import packing
+
+    docs = scaled_docs(spark, SF_DIR, mult).withColumn(
+        "n_chars", F.length("text")
+    )
+    b = packing.length_batches(docs, 16, "n_chars", n_shards=32, seed=3)
+    return packing.length_batch_stats(b, "n_chars").count()
+
+
+def op_count_min(spark, mult: int) -> int:
+    """count_min_build over a scaled stream + a fixed probe set: the
+    sketch stays <= depth*width cells no matter the input size, so the
+    exchange is constant and only the linear scan grows."""
+    from pyspark.sql import functions as F
+
+    from electrician_spark.operators import sketch as sk
+
+    docs = scaled_docs(spark, SF_DIR, mult).select(
+        (F.col("doc_id") % 4096).cast("string").alias("key")
+    )
+    cm = sk.count_min_build(docs, "key", width=1024, depth=4)
+    probes = scaled_docs(spark, SF_DIR, 1).select(
+        (F.col("doc_id") % 4096).cast("string").alias("key")
+    ).distinct()
+    return sk.count_min_estimate(probes, cm, "key").count()
+
+
+def op_linear_scores(spark, mult: int) -> int:
+    """Frozen-coefficient linear scorer over the scaled corpus: one
+    per-row fold riding the scan, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from electrician_spark.operators.classifier import linear_scores
+    from electrician_spark.queries import _FC_BIAS, _FC_WEIGHTS
+
+    docs = scaled_docs(spark, SF_DIR, mult)
+    return linear_scores(docs, _FC_WEIGHTS, bias=_FC_BIAS).filter(
+        F.col("quality_keep")
+    ).count()
+
+
+def op_html_extract(spark, mult: int) -> int:
+    """HTML main-content extraction over pages synthesized from the
+    scaled corpus — the q_hx1 page template, regex-bound per row."""
+    from pyspark.sql import functions as F
+
+    from electrician_spark.functions import html as hx
+
+    docs = scaled_docs(spark, SF_DIR, mult)
+    page = F.concat(
+        F.lit('<html><head><title>T</title><script>var x = 1;</script></head>'
+              '<body><nav><a href="/">Home</a> <a href="/b">B</a></nav><p>'),
+        F.substring(F.col("text"), 1, 400),
+        F.lit('</p><div><a href="/x">click here now</a></div><p>tiny</p><p>'),
+        F.substring(F.col("text"), 401, 400),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return hx.extract_main_text(pages).filter(F.col("n_good_blocks") > 0).count()
+
+
 CORPUS_OPS = {
     "q_bl1_bloom_decontaminate": op_bloom,
     "q_id1_incremental_dedup": op_incremental,
+    "q_wp1_wordpiece_encode": op_wordpiece,
+    "q_bp1_bpe_encode": op_bpe,
+    "q_lb1_length_batches": op_length_batches,
+    "q_cm1_count_min": op_count_min,
+    "q_fc1_frozen_linear_scores": op_linear_scores,
+    "q_hx1_html_main_text": op_html_extract,
 }
 
 
