@@ -332,3 +332,50 @@ def test_luhn_check_digit_construction(body):
     digits = [int(c) for c in body]
     valid = [c for c in range(10) if py_luhn(digits + [c])]
     assert len(valid) == 1
+
+
+# -- BPE encode kernel (greedy lowest-rank merge loop) ------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcd", min_size=1, max_size=24))
+def test_bpe_encode_word_lossless_and_terminal(word):
+    """encode_word under any learned-looking merge table: pieces always
+    concatenate back to word + '</w>' (merging never loses or invents
+    characters), and the terminal state is a true fixpoint — no
+    adjacent piece pair remains in the rank table."""
+    from electrician_spark.functions.tokenizer import encode_word
+
+    ranks = {
+        ("a", "b"): 0, ("ab", "c"): 1, ("c", "d"): 2, ("a", "a"): 3,
+        ("d", "</w>"): 4, ("b", "b"): 5, ("cd", "</w>"): 6, ("ab", "ab"): 7,
+    }
+    ps = encode_word(word, ranks)
+    assert "".join(ps) == word + "</w>"
+    for a, b in zip(ps, ps[1:]):
+        assert (a, b) not in ranks  # greedy loop ran to exhaustion
+
+
+# -- dyadic-weight exactness (the q_fc1 determinism contract) -----------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-64, max_value=64), min_size=1, max_size=200),
+    st.randoms(use_true_random=False),
+)
+def test_dyadic_weight_sums_order_invariant(units, rng):
+    """linear_scores' contract: weights that are multiples of 2^-6 sum
+    EXACTLY in float64 regardless of summation order (every partial sum
+    is a dyadic rational well inside the 53-bit mantissa), so the
+    keep/drop boundary cannot flip between engines or partitionings."""
+    ws = [u / 64.0 for u in units]
+    forward = 0.0
+    for w in ws:
+        forward += w
+    shuffled = list(ws)
+    rng.shuffle(shuffled)
+    backward = 0.0
+    for w in reversed(shuffled):
+        backward += w
+    assert forward == backward == sum(units) / 64.0
