@@ -1,13 +1,16 @@
 """One-off r9 scaling probe — SCALE.md artifacts for (a) the two r8
 ceiling rows that had scale ARGUMENTS but no measurements yet (r8
 verdict item 5): the Bloom decontamination stack and incremental
-dedup, both on the CORPUS/INDEX axis at 1x/4x/16x; and (b) the
+dedup, both on the CORPUS/INDEX axis at 1x/4x/16x; (b) the
 binary-ANN tier on the QUERY-count axis (r8 verdict item 6): the r8
 probe scaled the corpus (exponent 0.10) but hamming_topk is
 corpus x queries by design, so this measures cost vs |Q| at a FIXED
 scaled corpus for the brute broadcast form AND the cell-routed
 hamming_topk_ivf form, locating the crossover the
-hamming_topk_auto routing rule enforces.
+hamming_topk_auto routing rule enforces; and (c) the r9-NEW operator
+batch (tokenizer encodes under frozen artifacts, length batching,
+Count-Min, the frozen-coefficient scorer, HTML extraction) so new
+rows land WITH measured exponents instead of scale arguments.
 
 Usage: python tools/r9_scale_probe.py [--mults 1,4,16] [--runs 2]
        [--qmults 10,40,160,640] [--corpus-mult 8]
