@@ -588,7 +588,13 @@ def binary_quantize(
             F.size(F.col(vec_col)).cast("string"),
         ),
     )
-    vec = F.when(guard.isNull(), F.col(vec_col))
+    # Materialize the guarded vector as its OWN projection before the
+    # d per-bit terms reference it — wrapping the when() around the
+    # source column would splice the guard subtree into every one of
+    # the d F.get terms (d-fold re-evaluation if CSE misses it).
+    gv = "_bq_guarded"
+    df = df.withColumn(gv, F.when(guard.isNull(), F.col(vec_col)))
+    vec = F.col(gv)
     words = []
     for w in range(0, d, _WORD):
         bits = []
@@ -604,7 +610,28 @@ def binary_quantize(
         for b in bits[1:]:
             acc = acc + b
         words.append(acc)
-    return df.withColumn(out, F.array(*words))
+    return df.withColumn(out, F.array(*words)).drop(gv)
+
+
+def _hamming_expr(a_col: str, b_col: str, d: int) -> Column:
+    """Σ bit_count(a[w] XOR b[w]) over the ⌈d/64⌉ code words as a
+    STATIC expression — the word count is known at plan time, so the
+    sum unrolls into codegen'd integer ops instead of an interpreted
+    aggregate/zip_with HOF pair (higher-order lambdas run interpreted
+    per element — pure overhead on the tier's hot scoring path, where
+    d=64 means folding over a single-element array)."""
+    nwords = (d + _WORD - 1) // _WORD
+    terms = [
+        F.bit_count(
+            F.get(F.col(a_col), w).bitwiseXOR(F.get(F.col(b_col), w))
+        ).cast("long")
+        for w in range(nwords)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
 
 
 def hamming_topk(
@@ -646,13 +673,7 @@ def hamming_topk(
         d,
         out_col="cb",
     ).select("neighbor_id", "cb")
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("cb"), F.col("qb"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    dist = _hamming_expr("cb", "qb", d)
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select("query_id", "neighbor_id", dist.alias("hamming"))
@@ -784,13 +805,7 @@ def hamming_topk_ivf(
         d,
         out_col="cb",
     ).select("neighbor_id", "cb", "cl")
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("cb"), F.col("qb"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    dist = _hamming_expr("cb", "qb", d)
     scored = (
         c.join(F.broadcast(probe), "cl")
         .filter(F.col("query_id") != F.col("neighbor_id"))
