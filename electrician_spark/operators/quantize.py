@@ -581,11 +581,19 @@ def binary_quantize(
     # phantom dimensions to 0 — wrong sign-bit codes with no error.
     # raise_error costs nothing when the predicate is false (codegen
     # branch) and turns the mismatch into a loud task failure.
+    # size(NULL) is -1 under the default legacy sizeOfNull, so a NULL
+    # vector trips the same guard — name that case in the message
+    # instead of reporting a misleading "length -1".
     guard = F.assert_true(
         F.size(F.col(vec_col)) >= d,
-        F.concat(
-            F.lit(f"binary_quantize: d={d} exceeds vector length "),
-            F.size(F.col(vec_col)).cast("string"),
+        F.when(
+            F.col(vec_col).isNull(),
+            F.lit(f"binary_quantize: d={d} but vector is NULL"),
+        ).otherwise(
+            F.concat(
+                F.lit(f"binary_quantize: d={d} exceeds vector length "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
         ),
     )
     # Materialize the guarded vector as its OWN projection before the
@@ -849,10 +857,16 @@ def hamming_topk_auto(
     """Route between :func:`hamming_topk` (exact, corpus x queries)
     and :func:`hamming_topk_ivf` (cell-bucketed, approximate) on the
     QUERY-count axis: the brute plan's cost is linear in |Q| (the
-    corpus side is fixed), so above ``max_brute_queries`` — or always,
-    when no ``label_col`` exists to bucket by — the measured-crossover
-    rule applies. The |Q| count is one cheap aggregate on the (small
-    relative to corpus) query side, never on the corpus."""
+    corpus side is fixed), so above ``max_brute_queries`` the measured
+    crossover rule routes to the IVF tier. When ``label_col`` is None
+    OR the named column is absent from the corpus schema there is
+    nothing to bucket by, so the exact brute plan always runs — the
+    schema check keeps the default ``label_col="label"`` from raising
+    inside hamming_topk_ivf on unlabeled corpora. The |Q| count is one
+    cheap aggregate on the (small relative to corpus) query side,
+    never on the corpus."""
+    if label_col is not None and label_col not in corpus.columns:
+        label_col = None
     n_q = queries.count()
     if label_col is None or n_q <= max_brute_queries:
         return hamming_topk(corpus, queries, d, k, id_col=id_col, vec_col=vec_col)

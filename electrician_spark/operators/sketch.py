@@ -221,7 +221,11 @@ def count_min_estimate(
     :func:`count_min_build`; passing them explicitly is validated
     against the stamp — probing with a different layout than the build
     used would hash into the wrong cells and coalesce misses to 0,
-    silently voiding the one-sided guarantee."""
+    silently voiding the one-sided guarantee. Exception: an EMPTY
+    sketch carries no rows and therefore no stamp (the stamp rides the
+    cell rows), so explicit (width, depth) are accepted unvalidated
+    there — harmless, since every probe against an empty sketch
+    coalesces to the exact answer 0 regardless of geometry."""
     sw, sd = _cm_geometry(sketch)
     if (sw, sd) == (0, 0):  # empty sketch: every probe estimates 0
         sw = width if width is not None else 1024

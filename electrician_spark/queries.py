@@ -5068,27 +5068,28 @@ def q_fo1(spark, sf_dir):
 # the r7 verdict's governance item 3.
 #
 # Round-9 rotation (executed): window = the 50 rows of CORRECTNESS_r07
-# minus 15 RETIRED rows (q_t10/q_t11/q_a3/q_wf4/q_u3/q_f2/q_f3/q_k6/
-# q_vf1/q_w5/q_j4/q_e1/q_fm1/q_es1/q_pk2 — each archived in
+# minus 16 RETIRED rows (q_t10/q_t11/q_a3/q_wf4/q_u3/q_f2/q_f3/q_k6/
+# q_vf1/q_w5/q_j4/q_e1/q_fm1/q_es1/q_pk2/q_sh1 — each archived in
 # electrician_spark.retired with a subsumption note, runnable via
-# tools/check.py --archived) plus the 15 NEW promotion rows
+# tools/check.py --archived) plus the 16 NEW promotion rows
 # (q_wp1/q_or1/q_lb1/q_cm1/q_bq1/q_ah1/q_cml1/q_pp1/q_rl1/q_wc1/
-# q_af1/q_hx1/q_fc1/q_aq1/q_bp1) placed first. The r8 verdict's
+# q_af1/q_hx1/q_fc1/q_aq1/q_bp1/q_fo1) placed first. The r8 verdict's
 # oracle-candidate queue is now EMPTY: q_bp1 closed its final item by
 # replaying the lowest-rank-first merge loop as a recursive CTE over
 # the symbol list (the construction the queue note doubted existed).
 _DRIVER_PRIORITY = [
     # Round-9 window = the 50 queries attested in r7 (the complement of
     # the r8 window — the invariant test enforces the 2-round exact
-    # cover), minus the 14 rows RETIRED r9 (each archived in
-    # electrician_spark.retired with its oracle), plus the 14 NEW r9
+    # cover), minus the 16 rows RETIRED r9 (each archived in
+    # electrician_spark.retired with its oracle), plus the 16 NEW r9
     # promotion rows placed first so they are driver-attested
     # immediately: WordPiece AND BPE train->save->load->encode, ORC,
     # length-grouped batching, Count-Min sketch, the binary-Hamming
     # tier, the aHash/dHash family, ChatML rendering, preference pairs,
     # the stateful token-bucket stream row, the WARC census, the audio
     # spectral fingerprint, HTML main-content extraction, the
-    # frozen-coefficient linear scorer, and the audio quality battery.
+    # frozen-coefficient linear scorer, the audio quality battery, and
+    # the fan-out + DLQ row through the real foreachBatch router.
     "q_wp1_wordpiece_encode",
     "q_or1_orc_roundtrip",
     "q_lb1_length_batches",

@@ -45,7 +45,14 @@ def ndjson_sink(path: str) -> Sink:
 
 
 def memory_sink(buffer: list) -> Sink:
-    """Test sink: drain to a driver-side list (reference Load())."""
+    """Test sink: drain to a driver-side list (reference Load()).
+
+    DRIVER-BOUNDED BY DESIGN: every micro-batch is collect()ed into
+    driver memory, so this is for test assertions and interactive
+    result capture over streams expected to stay in the low thousands
+    of rows total. Never route a production stream here — use
+    parquet_sink/ndjson_sink (distributed appends) for anything whose
+    row count you can't bound up front."""
 
     def write(df: DataFrame, _epoch: int) -> None:
         buffer.extend(df.collect())

@@ -481,6 +481,23 @@ def test_hamming_topk_auto_routes_on_query_count(spark):
     assert c == d_
 
 
+def test_hamming_topk_auto_unlabeled_corpus_falls_back_to_brute(spark):
+    """With the default label_col='label' but NO label column in the
+    corpus, auto must route to the exact brute plan even above the
+    query-count threshold — never raise from inside hamming_topk_ivf
+    (r9 advice: the docstring promised the fallback, the code didn't)."""
+    emb = _toy_labeled_emb(spark).drop("label")
+    big_q = emb.filter(F.col("vec_id") <= 10)
+    a = [(r.query_id, r.neighbor_id, r.rank) for r in
+         quantize.hamming_topk_auto(emb, big_q, d=16, k=4,
+                                    max_brute_queries=5)
+         .orderBy("query_id", "rank").collect()]
+    b = [(r.query_id, r.neighbor_id, r.rank) for r in
+         quantize.hamming_topk(emb, big_q, d=16, k=4)
+         .orderBy("query_id", "rank").collect()]
+    assert a == b
+
+
 def test_hamming_topk_ivf_plan_no_sort_merge_no_python(spark):
     emb = _toy_labeled_emb(spark)
     q = emb.filter(F.col("vec_id") <= 3)
