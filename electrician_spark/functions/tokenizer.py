@@ -451,10 +451,20 @@ def train_unigram_tokenizer(
     wf = token_frequency_table(
         df, text_col=text_col, top_n=top_n_words, tokenizer=tokenizer
     )
-    words = [(r["token"], int(r["count"])) for r in wf.collect()]  # bounded
-    seed = seed_piece_table(
-        wf, seed_size=vocab_size * seed_multiplier, max_piece_len=max_piece_len
-    ).collect()  # bounded: seed_size + alphabet rows
+    # Sort both bounded driver-side tables: EM accumulates FLOAT
+    # expected counts, and float addition is order-sensitive, so the
+    # collect() partition order must not leak into the trained bits —
+    # the trainer contract is bit-deterministic for a given corpus
+    # (artifact freezing / cross-session reproducibility depend on it).
+    words = sorted(
+        (r["token"], int(r["count"])) for r in wf.collect()
+    )  # bounded
+    seed = sorted(
+        seed_piece_table(
+            wf, seed_size=vocab_size * seed_multiplier, max_piece_len=max_piece_len
+        ).collect(),  # bounded: seed_size + alphabet rows
+        key=lambda r: r["piece"],
+    )
     weights = {r["piece"]: float(r["weight"]) for r in seed}
     total_w = sum(weights.values())
     logp = {p: math.log(wt / total_w) for p, wt in weights.items()}
@@ -491,6 +501,27 @@ def train_unigram_tokenizer(
         logp = {p: lp for p, lp in logp.items() if len(p) == 1 or p in kept}
     logp = em_sweeps(logp, 1)
     return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def quantize_logprobs(
+    model: list[tuple[str, float]], bits: int = 20
+) -> list[tuple[str, float]]:
+    """Snap each piece log-probability to the nearest multiple of
+    2**-bits (a DYADIC rational, exactly representable in binary64).
+    Viterbi path scores become exact sums of dyadics — no floating-
+    point rounding anywhere in the DP — so the best segmentation is
+    reproducible bit-for-bit across engines, serialization round-trips,
+    and summation orders (the property every cross-engine replay and
+    every distributed re-score of an encoded corpus needs). At the
+    default 20 bits the grid is ~1e-6 — far below any meaningful
+    likelihood difference between segmentations, so quantization
+    changes ties only where the model itself had none to speak of.
+    Ordering follows the :func:`train_unigram_tokenizer` contract:
+    (logprob desc, piece)."""
+    q = float(1 << bits)
+    out = [(p, round(lp * q) / q) for p, lp in model]
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out
 
 
 def unigram_encode(

@@ -432,3 +432,32 @@ def test_tokenizer_artifacts_round_trip(spark, tmp_path):
     (tmp_path / "bad.json").write_text('{"type": "mystery", "data": []}')
     with _pt.raises(ValueError):
         tk.load_tokenizer(str(tmp_path / "bad.json"))
+
+
+def test_quantize_logprobs_dyadic_exact_and_sorted():
+    """Quantized logprobs are exact multiples of 2^-bits (binary64-
+    representable, so DP sums are exact in ANY engine) and the list
+    keeps the trainer's (logprob desc, piece) order contract."""
+    model = [("ab", -1.2345678), ("a", -0.1), ("b", -7.7), ("zz", -0.1)]
+    qm = bpe.quantize_logprobs(model, bits=20)
+    for p, lp in qm:
+        k = lp * (1 << 20)
+        assert k == int(k), (p, lp)
+        assert abs(lp - dict(model)[p]) <= 2 ** -21 + 1e-12
+    assert qm == sorted(qm, key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_unigram_frozen_model_reproduces(spark):
+    """The q_ug1 oracle freezes the quantized model trained on the
+    shared mini-corpus; re-training must land on the same dyadic grid
+    points bit-for-bit (the trainer's determinism contract — sorted
+    driver-side tables make the float EM accumulation order fixed)."""
+    from electrician_spark.queries import _UG_FROZEN_MODEL, _WP_MINI_CORPUS
+
+    mini = spark.createDataFrame([(t,) for t in _WP_MINI_CORPUS], "text string")
+    model = bpe.train_unigram_tokenizer(
+        mini, vocab_size=60, max_piece_len=6, em_iters=2
+    )
+    qm = bpe.quantize_logprobs(model, bits=20)
+    got = [(p, int(lp * (1 << 20))) for p, lp in qm]
+    assert got == list(_UG_FROZEN_MODEL)
