@@ -5170,6 +5170,102 @@ def q_ug1(spark, sf_dir):
     )
 
 
+@query(
+    "q_cb1_breaker_divert",
+    # C5 neutral-wire divert (reference wire/submit.go:54-80 +
+    # surgeprotector/submit.go:17-32): while the breaker is open every
+    # micro-batch goes to the BACKUP sinks and the primaries receive
+    # nothing. The oracle therefore shows the full source census under
+    # the backup channel and ZERO primary rows — if the router ever
+    # wrote a primary batch, the Spark side would emit extra
+    # 'primary'-channel rows and the row count would break.
+    "WITH e AS (SELECT event_type FROM events WHERE event_id < 600) "
+    "SELECT 'backup' AS channel, event_type, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM e GROUP BY event_type ORDER BY channel, event_type",
+    tags=("streaming", "reliability", "sink"),
+)
+def q_cb1(spark, sf_dir):
+    # The q_fo1 recipe with a PRE-TRIPPED CircuitBreaker(clock=frozen):
+    # a real two-micro-batch availableNow stream through the real
+    # ForEachBatchRouter, breaker opened by one recorded error under a
+    # frozen monotonic clock (reset_timeout never elapses), so the
+    # divert path — not the fan-out path — carries both batches. The
+    # census runs on the READ-BACK backup parquet; the primary channel
+    # is re-added to the union only if its sink directory exists, so
+    # an erroneous primary write surfaces as extra rows, never as a
+    # silently-ignored file. Breaker DYNAMICS (open/half-open/close
+    # transitions) stay test-pinned in test_reliability.
+    import os
+    import tempfile
+
+    from electrician_spark.reliability import CircuitBreaker
+    from electrician_spark.streaming.sinks import ForEachBatchRouter, parquet_sink
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 600)
+        .select("event_id", "event_type")
+    )
+    tmp = tempfile.mkdtemp(prefix="q_cb1_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    ev.filter(F.col("event_id") % 2 == 1).toPandas().to_json(
+        os.path.join(src, "a_odds.json"), orient="records", lines=True
+    )
+    ev.filter(F.col("event_id") % 2 == 0).toPandas().to_json(
+        os.path.join(src, "b_evens.json"), orient="records", lines=True
+    )
+    base = os.path.getmtime(os.path.join(src, "b_evens.json"))
+    os.utime(os.path.join(src, "a_odds.json"), (base - 100, base - 100))
+
+    paths = {c: os.path.join(tmp, f"sink_{c}") for c in ("primary", "backup")}
+    breaker = CircuitBreaker(
+        threshold=1, reset_timeout_sec=1e9, clock=lambda: 0.0
+    )
+    breaker.record_error()  # trip: one error meets threshold=1
+    assert breaker.is_open()
+    router = ForEachBatchRouter(
+        sinks=[parquet_sink(paths["primary"])],
+        backups=[parquet_sink(paths["backup"])],
+        breaker=breaker,
+    )
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(router)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+
+    parts = [
+        spark.read.parquet(paths["backup"]).select(
+            F.lit("backup").alias("channel"), "event_type"
+        )
+    ]
+    if os.path.isdir(paths["primary"]):  # divert failed -> extra rows
+        parts.append(
+            spark.read.parquet(paths["primary"]).select(
+                F.lit("primary").alias("channel"), "event_type"
+            )
+        )
+    union = parts[0]
+    for part in parts[1:]:
+        union = union.unionByName(part)
+    return (
+        union.groupBy("channel", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("channel", "event_type")
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
