@@ -5266,6 +5266,99 @@ def q_cb1(spark, sf_dir):
     )
 
 
+@query(
+    "q_ev1_eviction_flush",
+    # Stateful processing-time timeout/eviction, batch-equivalent: key
+    # 'a' arrives ONLY in micro-batch 1 with a hole at seq 3, so its
+    # 4..50 tail sits in the resequencer buffer when the batch ends;
+    # key 'b' arrives in micro-batch 2, whose processing necessarily
+    # lands past 'a's 1 ms idle timeout, so Spark invokes 'a's group
+    # with hasTimedOut and the buffer FLUSHES in seq order (the gap
+    # abandoned, state dropped). The delivered set is therefore
+    # exactly "everything that arrived" — which the plain resequencer
+    # would NOT produce (without eviction, 4..50 wait forever behind
+    # the missing seq 3), so the oracle attests the eviction wave
+    # itself, not just resequencing.
+    "WITH e AS (SELECT event_id, event_type FROM events "
+    "WHERE event_id BETWEEN 1 AND 50) "
+    "SELECT key, seq, payload FROM ("
+    "SELECT 'a' AS key, event_id AS seq, event_type AS payload "
+    "FROM e WHERE event_id <> 3 "
+    "UNION ALL "
+    "SELECT 'b', event_id, event_type FROM e WHERE event_id <= 40) "
+    "ORDER BY key, seq",
+    tags=("streaming", "stateful", "reliability"),
+)
+def q_ev1(spark, sf_dir):
+    # streaming/stateful.resequence(idle_timeout_ms=1) through the
+    # REAL applyInPandasWithState path with ProcessingTimeTimeout (the
+    # q_rl1 recipe extended with an eviction wave — the r9 verdict's
+    # item 5). Two mtime-ordered NDJSON files -> two real micro-
+    # batches; payloads are event_type values from the events table so
+    # the attested rows carry corpus data, not synthetics.
+    import os
+    import tempfile
+
+    from electrician_spark.streaming import stateful
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= 1) & (F.col("event_id") <= 50))
+        .select("event_id", "event_type")
+    )
+    tmp = tempfile.mkdtemp(prefix="q_ev1_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    a = ev.filter(F.col("event_id") != 3).select(
+        F.lit("a").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("payload"),
+    )
+    b = ev.filter(F.col("event_id") <= 40).select(
+        F.lit("b").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("payload"),
+    )
+    a.toPandas().to_json(
+        os.path.join(src, "a_wave1.json"), orient="records", lines=True
+    )
+    b.toPandas().to_json(
+        os.path.join(src, "b_wave2.json"), orient="records", lines=True
+    )
+    base = os.path.getmtime(os.path.join(src, "b_wave2.json"))
+    os.utime(os.path.join(src, "a_wave1.json"), (base - 100, base - 100))
+
+    stream = (
+        spark.readStream.schema("key string, seq long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = stateful.resequence(stream, idle_timeout_ms=1)
+    name = "q_ev1_sink_" + os.path.basename(tmp).replace("q_ev1_", "")
+    # Everything that arrived must eventually deliver (normal path +
+    # eviction flush) — that count is the sink-side completion signal
+    # for drain_timeout_query; a missing flush leaves the sink short
+    # and the oracle compare red.
+    n_expected = a.count() + b.count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        stateful.drain_timeout_query(
+            q, lambda: spark.table(name).count() >= n_expected
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select("key", "seq", "payload").orderBy("key", "seq")
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator

@@ -42,7 +42,7 @@ def _write_batches(dirpath: str, batches: list[list[dict]]) -> None:
         os.utime(os.path.join(dirpath, f"b{i:04d}.json"), (time.time() + i, time.time() + i))
 
 
-def _run(spark, stream_df, name: str, checkpoint: str):
+def _run(spark, stream_df, name: str, checkpoint: str, expect_rows: int | None = None):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -51,7 +51,16 @@ def _run(spark, stream_df, name: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if expect_rows is not None:
+        # ProcessingTimeTimeout queries never self-terminate under
+        # availableNow (see stateful.drain_timeout_query) — poll the
+        # sink for the expected delivery instead of burning the full
+        # awaitTermination budget.
+        stateful.drain_timeout_query(
+            q, lambda: spark.table(name).count() >= expect_rows, timeout_sec=120
+        )
+    else:
+        q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -156,6 +165,7 @@ def test_resequencer_idle_timeout_flushes_and_drops_state(spark, tmp_path):
         stateful.resequence(stream, idle_timeout_ms=1),
         "t_reseq_ttl",
         str(tmp_path / "ck_ttl"),
+        expect_rows=4,  # a3,a5 flushed + b1,b2 delivered
     ).collect()
     by_key = {}
     for r in sorted(out, key=lambda r: (r.key, r.seq)):
@@ -192,6 +202,7 @@ def test_rate_limit_idle_timeout_resets_bucket(spark, tmp_path):
         stateful.rate_limit(stream, capacity=2, refill_per_sec=0.0, idle_timeout_ms=1),
         "t_rate_ttl",
         str(tmp_path / "ck_rate_ttl"),
+        expect_rows=5,  # p1..p4 + q1 all marked (never dropped)
     ).collect()
     marks = {r.payload: r.admitted for r in out}
     assert marks == {"p1": "admit", "p2": "admit", "p3": "divert", "q1": "admit", "p4": "admit"}
