@@ -1,0 +1,150 @@
+"""Suffix-array-family operators (operators/suffixarray.py): the
+doubling-fingerprint dedup path must be output-EQUAL to the fixed-
+window path (dedup.repeated_ngram_spans), the true suffix array must
+match the plain-Python sorted-suffixes reference, and the binary-search
+longest-repeated-run must match brute force."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from electrician_spark.operators import dedup
+from electrician_spark.operators import suffixarray as sa
+
+from tests.test_dedup import _SUBSTR_CORPUS, _substr_df
+
+
+def _rand_corpus(seed: int, n_docs: int = 16, vocab_n: int = 6) -> dict[int, str]:
+    rng = random.Random(seed)
+    vocab = ["red", "blue", "green", "gold", "black", "white"][:vocab_n]
+    return {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40)))
+        for i in range(n_docs)
+    }
+
+
+def _spans_set(df) -> set[tuple]:
+    return {
+        (r[0], r["start_tok"], r["end_tok"], r["n_tokens"]) for r in df.collect()
+    }
+
+
+def test_sa_spans_equal_fixed_window_spans(spark):
+    """The doubling-ladder detector and the naive min_len-window
+    detector are the SAME operator semantically — pinned equal on the
+    crafted corpus and on dense random collisions, for both keep modes
+    and several window lengths (incl. non-powers-of-two, which exercise
+    the two-half-windows overlap)."""
+    for corpus_df in (
+        _substr_df(spark),
+        spark.createDataFrame(
+            sorted(_rand_corpus(11).items()), "doc_id long, text string"
+        ),
+    ):
+        for L in (3, 5, 8):
+            for keep in (None, "first"):
+                a = _spans_set(
+                    dedup.repeated_ngram_spans(corpus_df, min_len=L, keep=keep)
+                )
+                b = _spans_set(
+                    sa.sa_duplicated_spans(corpus_df, min_len=L, keep=keep)
+                )
+                assert a == b, (L, keep)
+
+
+def test_window_fingerprints_equality_semantics(spark):
+    """fp equality <=> token-window equality: replay windows in plain
+    Python and compare the induced equivalence classes."""
+    corpus = _rand_corpus(23, n_docs=10)
+    df = spark.createDataFrame(sorted(corpus.items()), "doc_id long, text string")
+    L = 5
+    rows = sa.window_fingerprints(df, L).collect()
+    by_fp: dict[str, set[tuple]] = {}
+    for r in rows:
+        by_fp.setdefault(r.fp, set()).add((r.doc_id, r.pos))
+    by_win: dict[tuple, set[tuple]] = {}
+    for i, text in corpus.items():
+        tk = text.split()
+        for p in range(len(tk) - L + 1):
+            by_win.setdefault(tuple(tk[p : p + L]), set()).add((i, p))
+    assert sorted(map(sorted, by_fp.values())) == sorted(
+        map(sorted, by_win.values())
+    )
+
+
+def test_suffix_array_matches_python_reference(spark):
+    """suffix_array rank == dense rank of sorted suffix token tails
+    (equal tails share a rank), across documents."""
+    corpus = dict(list(_SUBSTR_CORPUS.items())[:6])
+    df = spark.createDataFrame(sorted(corpus.items()), "doc_id long, text string")
+    got = {(r.doc_id, r.pos): r.rank for r in sa.suffix_array(df).collect()}
+    suffixes = {}
+    for i, text in corpus.items():
+        tk = text.split()
+        for p in range(len(tk)):
+            suffixes[(i, p)] = tuple(tk[p:])
+    ordered = sorted(set(suffixes.values()))
+    rank_of = {s: r for r, s in enumerate(ordered)}
+    expect = {k: rank_of[s] for k, s in suffixes.items()}
+    assert got == expect
+
+
+def test_suffix_array_dense_rank_spans_partitions(spark):
+    """The range-partition dense rank must stay correct when the data
+    spreads over many partitions (offsets exercised, not all-zero)."""
+    corpus = _rand_corpus(5, n_docs=30)
+    df = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id long, text string"
+    ).repartition(8)
+    got = {(r.doc_id, r.pos): r.rank for r in sa.suffix_array(df).collect()}
+    suffixes = {
+        (i, p): tuple(text.split()[p:])
+        for i, text in corpus.items()
+        for p in range(len(text.split()))
+    }
+    rank_of = {s: r for r, s in enumerate(sorted(set(suffixes.values())))}
+    assert got == {k: rank_of[s] for k, s in suffixes.items()}
+
+
+def test_longest_repeated_run_matches_bruteforce(spark):
+    corpus = _rand_corpus(31, n_docs=8)
+    df = spark.createDataFrame(sorted(corpus.items()), "doc_id long, text string")
+
+    def brute() -> int:
+        seen_best = 0
+        toks = {i: t.split() for i, t in corpus.items()}
+        sites = [(i, p) for i, tk in toks.items() for p in range(len(tk))]
+        for li, (i, p) in enumerate(sites):
+            for (j, q) in sites[li + 1 :]:
+                a, b = toks[i][p:], toks[j][q:]
+                m = 0
+                while m < len(a) and m < len(b) and a[m] == b[m]:
+                    m += 1
+                seen_best = max(seen_best, m)
+        return seen_best
+
+    assert sa.longest_repeated_run(df) == brute()
+
+
+def test_longest_repeated_run_no_duplicates_is_zero(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    assert sa.longest_repeated_run(df, min_len=2) == 0
+
+
+def test_sa_spans_plan_single_exchange_ladder(spark):
+    """The doubling ladder must reuse ONE per-document exchange for all
+    levels (the whole point of stacking leads over the same window
+    spec) and never fall to a Python UDF."""
+    corpus = _rand_corpus(3, n_docs=6)
+    df = spark.createDataFrame(sorted(corpus.items()), "doc_id long, text string")
+    plan = (
+        sa.window_fingerprints(df, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(_id") <= 1, plan
