@@ -38,8 +38,8 @@ EXTRA_QUERIES = [
     "q_n4_ann_ivf_probes",
     "q_d9_lsh_near_dup",
     "q_x8_curation_pipeline",
-    # r6 rows (new operators promoted to the driver window this round)
-    "q_ss1_substring_dedup",
+    # r6 rows (new operators promoted to the driver window this round;
+    # q_ss1 retired r10 -> archive, succeeded in the series by q_sa1)
     "q_lm1_perplexity_buckets",
     "q_ch1_chunk_documents",
     # r7 promotion rows (tracked from their first driver-attested
@@ -82,6 +82,12 @@ EXTRA_QUERIES = [
     "q_fc1_frozen_linear_scores",
     "q_aq1_audio_quality",
     "q_bp1_bpe_encode",
+    # r10 promotion rows (q_ss1 retired r10 -> archive but stays in the
+    # series through its replacement q_sa1, the same substring-dedup
+    # capability on the suffix-doubling path; the streaming q_cb1/q_ev1
+    # are left out of the timed series like q_rl1/q_fo1 before them)
+    "q_ug1_unigram_viterbi_encode",
+    "q_sa1_suffix_spans",
 ]
 
 

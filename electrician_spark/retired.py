@@ -30,6 +30,7 @@ from electrician_spark.queries import (
     _SQL_EPOCH_KEY,
     _SQL_JACCARD_CTES,
     _SQL_NORM_CTE,
+    _SQL_SAMPLE_KEY,
     _as_doubles,
     _t,
 )
@@ -1181,3 +1182,104 @@ def q_sh1(spark, sf_dir):
     return census.join(F.broadcast(ok)).select(
         "shard", "rows", "sum_ids", "first_doc", "last_doc", "all_ok"
     ).orderBy("shard")
+
+
+# --- Round-10 retirements ----------------------------------------------------
+
+
+@retired_query(
+    "q_f1_string",
+    "SELECT c_custkey, upper(c_name) AS name_upper, length(c_mktsegment) AS seg_len, "
+    "c_name || '#' || c_mktsegment AS tagged FROM customer ORDER BY c_custkey LIMIT 20",
+    tags=("scalar",),
+)
+def q_f1(spark, sf_dir):
+    # Retired r10 (made room for q_ug1): upper/length/concat scalar
+    # shapes run live inside q_x3, q_gq1, q_c4_1, q_wd1 and q_f5; the
+    # ordered-LIMIT pin lives on q_o2/q_s3.
+    df = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_mktsegment").alias("seg_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+    )
+    return rel.top_k(df, [F.col("c_custkey")], 20)
+
+
+@retired_query(
+    "q_sm2_hash_sample",
+    f"SELECT doc_id, lang FROM documents WHERE {_SQL_SAMPLE_KEY} < 1073741824 "
+    "ORDER BY doc_id",
+    tags=("sampling",),
+)
+def q_sm2(spark, sf_dir):
+    # Retired r10 (made room for q_cb1): the md5-threshold Bernoulli
+    # filter runs live inside q_sv1 (split assignment), q_dm1
+    # (per-domain rates) and q_ir1; sampling.hash_sample keeps its
+    # test_sampling equivalence pins.
+    from electrician_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, 0.25).select("doc_id", "lang").orderBy("doc_id")
+
+
+@retired_query(
+    "q_p2_snr",
+    "WITH e AS (SELECT vec_id, list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS en FROM embeddings) "
+    "SELECT a.vec_id, round(10.0 * log10(a.en / b.en), 6) + 0.0 AS snr_db "
+    "FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 ORDER BY a.vec_id LIMIT 50",
+    tags=("dsp",),
+)
+def q_p2(spark, sf_dir):
+    # Retired r10 (made room for q_ev1): the dsp.energy fold + log10
+    # ratio shape runs live in q_p3 (wave roundtrip) and q_aq1 (audio
+    # quality battery); DSP identities stay pinned in test_dsp.
+    # `+ 0.0` on both sides: DuckDB round keeps IEEE -0.0 where Spark
+    # normalizes to +0.0.
+    from electrician_spark.functions import dsp
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", dsp.energy(_as_doubles("embedding")).alias("en")
+    )
+    a = emb.select(F.col("vec_id"), F.col("en").alias("ea"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("en").alias("eb"))
+    out = a.join(b, "vec_id").select(
+        "vec_id",
+        (F.round(10.0 * F.log10(F.col("ea") / F.col("eb")), 6) + F.lit(0.0)).alias("snr_db"),
+    )
+    return rel.top_k(out, [F.col("vec_id")], 50)
+
+
+@retired_query(
+    "q_ss1_substring_dedup",
+    "WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), "
+    "x -> x <> '') AS t FROM documents), "
+    "big AS (SELECT doc_id, t FROM tk WHERE len(t) >= 8), "
+    "sites AS (SELECT doc_id, t, unnest(range(0, len(t) - 8 + 1)) AS p FROM big), "
+    "fps AS (SELECT doc_id, p, md5(array_to_string(list_slice(t, p + 1, p + 8), chr(31))) AS fp "
+    "FROM sites), "
+    "rk AS (SELECT doc_id, p, row_number() OVER (PARTITION BY fp ORDER BY doc_id, p) AS rn, "
+    "count(*) OVER (PARTITION BY fp) AS cnt FROM fps), "
+    "flagged AS (SELECT doc_id, p FROM rk WHERE cnt >= 2 AND rn >= 2), "
+    "cov AS (SELECT DISTINCT doc_id, pos FROM "
+    "(SELECT doc_id, unnest(range(p, p + 8)) AS pos FROM flagged)), "
+    "toks AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos FROM tk), "
+    "kept AS (SELECT tt.doc_id, tt.pos, tt.tok FROM toks tt LEFT JOIN cov c "
+    "ON c.doc_id = tt.doc_id AND c.pos = tt.pos WHERE c.doc_id IS NULL), "
+    "rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text "
+    "FROM kept GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(r.text, '') AS text FROM documents d "
+    "LEFT JOIN rebuilt r ON r.doc_id = d.doc_id ORDER BY d.doc_id",
+    tags=("dedup", "text"),
+)
+def q_ss1(spark, sf_dir):
+    # Retired r10 (made room for q_sa1, which attests the SAME exact-
+    # substring capability through the suffix-doubling detection core
+    # with analytically-known plants): strip_repeated_ngrams keeps its
+    # full plain-Python replay pins in test_dedup and the output-
+    # equality pin against sa_duplicated_spans in test_suffixarray.
+    from electrician_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.strip_repeated_ngrams(docs, min_len=8).orderBy("doc_id")
