@@ -2197,25 +2197,11 @@ def q_sk1(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_t6_tagger",
-    "SELECT event_id, array_to_string([event_type] "
-    "|| (CASE WHEN value > 100 THEN ['high_value'] ELSE CAST([] AS VARCHAR[]) END) "
-    "|| (CASE WHEN user_id % 2 = 0 THEN ['even_user'] ELSE CAST([] AS VARCHAR[]) END), "
-    "',') AS tags FROM events",
-    tags=("transform",),
-)
-def q_t6(spark, sf_dir):
-    # Sentiment-tagger shape (chain/main.go:49-59): conditional
-    # array_union appends; all inside codegen, no shuffle at all.
-    # Output is the ','-joined tag list: the driver canonicalizer
-    # sorts result columns with pandas, which cannot sort raw list
-    # cells (r3 ERR) — the join serializes without losing order.
-    ev = _t(spark, sf_dir, "events")
-    tags = F.array(F.col("event_type"))
-    tags = sf.tag_when(tags, F.col("value") > 100, "high_value")
-    tags = sf.tag_when(tags, F.col("user_id") % 2 == 0, "even_user")
-    return ev.select("event_id", F.array_join(tags, ",").alias("tags"))
+# (q_t6_tagger: RETIRED r10 -> electrician_spark.retired, making room
+# for the mid-round q_rt1 rate-limit timeout row. The conditional
+# array-append tag shape stays live via q_t5's classify CASE chain and
+# the q_x7 pipeline composition; sf.tag_when keeps its test_pipeline
+# pins.)
 
 
 # (q_fm1_headers_map: RETIRED r9 -> electrician_spark.retired. map
@@ -5368,6 +5354,124 @@ def q_sa1(spark, sf_dir):
     )
 
 
+@query(
+    "q_rt1_rate_limit_timeout",
+    # The SECOND stateful eviction path (q_ev1 covers resequence):
+    # rate_limit's idle timeout DROPS the bucket, so a key that
+    # returns after idling starts FULL. Three micro-batches: key 'a'
+    # exhausts capacity 5 in batch 1 (refill 0 — the bucket can never
+    # recover by event time), key 'b' occupies batch 2 while 'a'
+    # idles past the 1 ms timeout (the drop fires DURING batch 2 —
+    # Spark only invokes hasTimedOut for keys with no data in the
+    # running batch), 'a' returns in batch 3 and is admitted 5 more
+    # times — WITHOUT the state drop every batch-3 row would divert
+    # (refill_per_sec=0, so elapsed event time can never explain an
+    # admit). Closed form: within each 10-row wave, the 5 earliest
+    # event times admit.
+    "WITH e AS (SELECT event_id, event_type FROM events "
+    "WHERE event_id BETWEEN 1 AND 30) "
+    "SELECT CASE WHEN event_id BETWEEN 11 AND 20 THEN 'b' ELSE 'a' END AS key, "
+    "event_id, event_type AS payload, "
+    "CASE WHEN (event_id - 1) % 10 < 5 THEN 'admit' ELSE 'divert' END AS admitted "
+    "FROM e ORDER BY event_id",
+    tags=("streaming", "stateful", "reliability"),
+)
+def q_rt1(spark, sf_dir):
+    # streaming/stateful.rate_limit(idle_timeout_ms=1) through the
+    # REAL applyInPandasWithState + ProcessingTimeTimeout path (the
+    # q_ev1 recipe on the second stateful operator). Event times are
+    # event_id-derived within each wave so the in-batch admit order is
+    # deterministic; event_id rides through as the payload-adjacent
+    # column for the closed-form oracle join-back.
+    import os
+    import tempfile
+
+    from electrician_spark.streaming import stateful
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= 1) & (F.col("event_id") <= 30))
+        .select("event_id", "event_type")
+    )
+    tmp = tempfile.mkdtemp(prefix="q_rt1_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    waves = {
+        "a_wave1.json": ev.filter(F.col("event_id") <= 10).select(
+            F.lit("a").alias("key"),
+            (F.lit(1.0) + F.col("event_id") * 0.001).alias("event_time_s"),
+            F.col("event_id"),
+            F.col("event_type").alias("payload"),
+        ),
+        "b_wave2.json": ev.filter(
+            (F.col("event_id") >= 11) & (F.col("event_id") <= 20)
+        ).select(
+            F.lit("b").alias("key"),
+            (F.lit(2.0) + F.col("event_id") * 0.001).alias("event_time_s"),
+            F.col("event_id"),
+            F.col("event_type").alias("payload"),
+        ),
+        "c_wave3.json": ev.filter(F.col("event_id") >= 21).select(
+            F.lit("a").alias("key"),
+            (F.lit(1.0) + F.col("event_id") * 0.001).alias("event_time_s"),
+            F.col("event_id"),
+            F.col("event_type").alias("payload"),
+        ),
+    }
+    for i, (fname, df) in enumerate(waves.items()):
+        path = os.path.join(src, fname)
+        df.toPandas().to_json(path, orient="records", lines=True)
+    base = os.path.getmtime(path)
+    for i, fname in enumerate(waves):
+        os.utime(os.path.join(src, fname), (base - 100 + i, base - 100 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "key string, event_time_s double, event_id long, payload string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    # event_id is carried INSIDE the payload-adjacent column set: the
+    # operator's output schema is fixed (key, time, payload, admitted),
+    # so stash event_id in the payload and split it back out after.
+    tagged = stream.select(
+        "key",
+        "event_time_s",
+        F.concat(
+            F.col("event_id").cast("string"), F.lit("|"), F.col("payload")
+        ).alias("payload"),
+    )
+    out = stateful.rate_limit(
+        tagged, capacity=5.0, refill_per_sec=0.0, idle_timeout_ms=1
+    )
+    name = "q_rt1_sink_" + os.path.basename(tmp).replace("q_rt1_", "")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        stateful.drain_timeout_query(
+            q, lambda: spark.table(name).count() >= 30
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    res = spark.table(name)
+    split = F.split(F.col("payload"), r"\|", 2)
+    return res.select(
+        "key",
+        split.getItem(0).cast("long").alias("event_id"),
+        split.getItem(1).alias("payload"),
+        "admitted",
+    ).orderBy("event_id")
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -5433,26 +5537,30 @@ def q_sa1(spark, sf_dir):
 # the symbol list (the construction the queue note doubted existed).
 #
 # Round-10 rotation (executed): window = the 50 rows of CORRECTNESS_r08
-# minus 4 RETIRED rows (q_f1_string/q_sm2_hash_sample/q_p2_snr/
-# q_ss1_substring_dedup — each archived in electrician_spark.retired
-# with a subsumption note, runnable via tools/check.py --archived)
-# plus the 4 NEW promotion rows (q_ug1/q_cb1/q_ev1/q_sa1) placed
-# first. These close the r9 verdict's items 1 (unigram Viterbi
-# oracle), 2 (C5 breaker divert), 5 (stateful timeout eviction) and
-# 7 (suffix-array substring dedup).
+# minus 5 RETIRED rows (q_f1_string/q_sm2_hash_sample/q_p2_snr/
+# q_ss1_substring_dedup/q_t6_tagger — each archived in
+# electrician_spark.retired with a subsumption note, runnable via
+# tools/check.py --archived) plus the 5 NEW promotion rows
+# (q_ug1/q_cb1/q_ev1/q_sa1 and the mid-round q_rt1) placed first.
+# These close the r9 verdict's items 1 (unigram Viterbi oracle),
+# 2 (C5 breaker divert), 5 (stateful timeout eviction — BOTH stateful
+# operators: resequence flush via q_ev1 and the rate-limit bucket
+# drop via q_rt1) and 7 (suffix-array substring dedup).
 _DRIVER_PRIORITY = [
     # Round-10 window = the 50 queries attested in r8 (the complement
     # of the r9 window — the invariant test enforces the 2-round exact
-    # cover), minus the 4 rows RETIRED r10 (q_f1_string /
-    # q_sm2_hash_sample / q_p2_snr / q_ss1_substring_dedup, each
-    # archived in electrician_spark.retired with its oracle), plus the
-    # 4 NEW r10 promotion rows placed first so they are driver-attested
-    # immediately: the unigram/SentencePiece Viterbi encode (q_ug1),
-    # the C5 breaker-backup divert (q_cb1), the stateful processing-
-    # time timeout/eviction flush (q_ev1), and the suffix-doubling
-    # exact substring dedup on planted runs (q_sa1). The r9 window's
-    # 50 rows follow in declaration order (not listed here), keeping
-    # the 100-row/2-window arithmetic.
+    # cover), minus the 5 rows RETIRED r10 (q_f1_string /
+    # q_sm2_hash_sample / q_p2_snr / q_ss1_substring_dedup /
+    # q_t6_tagger, each archived in electrician_spark.retired with its
+    # oracle), plus the 5 NEW r10 promotion rows placed first so they
+    # are driver-attested immediately: the unigram/SentencePiece
+    # Viterbi encode (q_ug1), the C5 breaker-backup divert (q_cb1),
+    # the stateful processing-time timeout/eviction flush on BOTH
+    # stateful operators (q_ev1 resequence, q_rt1 rate-limit bucket
+    # drop), and the suffix-doubling exact substring dedup on planted
+    # runs (q_sa1). The r9 window's 50 rows follow in declaration
+    # order (not listed here), keeping the 100-row/2-window arithmetic.
+    "q_rt1_rate_limit_timeout",
     "q_ug1_unigram_viterbi_encode",
     "q_cb1_breaker_divert",
     "q_ev1_eviction_flush",
@@ -5497,7 +5605,6 @@ _DRIVER_PRIORITY = [
     "q_sd1_semantic_dedup",
     "q_t3_keyword_filter",
     "q_t5_classifier",
-    "q_t6_tagger",
     "q_w1_tumbling_hour",
     "q_w3_session_counts",
     "q_wf1_rank",

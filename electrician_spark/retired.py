@@ -1283,3 +1283,24 @@ def q_ss1(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.strip_repeated_ngrams(docs, min_len=8).orderBy("doc_id")
+
+
+@retired_query(
+    "q_t6_tagger",
+    "SELECT event_id, array_to_string([event_type] "
+    "|| (CASE WHEN value > 100 THEN ['high_value'] ELSE CAST([] AS VARCHAR[]) END) "
+    "|| (CASE WHEN user_id % 2 = 0 THEN ['even_user'] ELSE CAST([] AS VARCHAR[]) END), "
+    "',') AS tags FROM events",
+    tags=("transform",),
+)
+def q_t6(spark, sf_dir):
+    # Retired r10 (made room for the mid-round q_rt1 rate-limit
+    # timeout row): the conditional array-append tag shape runs live
+    # inside q_t5's classify CASE chain and the q_x7 composed
+    # pipeline; sf.tag_when keeps its test_pipeline pins. Reference
+    # sentiment-tagger shape (chain/main.go:49-59).
+    ev = _t(spark, sf_dir, "events")
+    tags = F.array(F.col("event_type"))
+    tags = sf.tag_when(tags, F.col("value") > 100, "high_value")
+    tags = sf.tag_when(tags, F.col("user_id") % 2 == 0, "even_user")
+    return ev.select("event_id", F.array_join(tags, ",").alias("tags"))

@@ -1,0 +1,148 @@
+"""Corpus-axis scale check on the REAL heavy rows (r9 verdict item 6).
+
+The r9 probe exponents for the heavy extras family (bloom 0.20,
+incremental-index 0.33, …) were measured on dedicated harnesses; this
+probe re-measures the exponents on the actual REGISTRY rows by running
+them unchanged on synthetic documents/embeddings tables generated at
+1x (matching sf0.1 row counts: 5 000 docs / 2 000 vectors) and 4x by
+the SAME closed-form md5 generator, so the only thing that changes
+between the two points is corpus size. exponent = log4(t_4x / t_1x).
+
+q_id1 is measured through the incremental operators directly (the
+registry row pins doc_id <= 900 for oracle-size reasons, which would
+hide the corpus axis).
+
+Usage: python tools/r10_corpus_scale_probe.py  (results -> stdout;
+recorded in SCALE.md bench-series notes)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from electrician_spark.queries import REGISTRY  # noqa: E402
+from electrician_spark.session import get_session  # noqa: E402
+
+BASE_DOCS = 5_000
+BASE_VECS = 2_000
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark "
+    "window order data column join small line customer query group big "
+    "vector stream filter sort the a"
+).split()
+
+
+def synth_dir(spark, root: str, mult: int) -> str:
+    out = os.path.join(root, f"sx{mult}")
+    if os.path.isdir(os.path.join(out, "documents.parquet")):
+        return out
+    n_docs, n_vecs = BASE_DOCS * mult, BASE_VECS * mult
+    d = F.col("id")
+    h = lambda s: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(d.cast("string"), F.lit(s))), 1, 8), 16, 10
+    ).cast("long")
+    n_tok = (F.lit(20) + h("len") % 60).cast("int")
+
+    def word(j):
+        hh = F.conv(
+            F.substring(
+                F.md5(F.concat(d.cast("string"), F.lit("_"), j.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.element_at(
+            F.array(*[F.lit(w) for w in VOCAB]), (hh % len(VOCAB) + 1).cast("int")
+        )
+
+    text = F.array_join(F.transform(F.sequence(F.lit(0), n_tok - 1), word), " ")
+    docs = spark.range(n_docs).select(
+        d.alias("doc_id"),
+        text.alias("text"),
+        F.when(h("lang") % 5 == 0, "de").when(h("lang") % 5 == 1, "fr").otherwise("en").alias("lang"),
+        F.concat(F.lit("src"), (h("src") % 4).cast("string")).alias("source"),
+    )
+    docs = docs.withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    def dim(j):
+        hh = F.conv(
+            F.substring(
+                F.md5(F.concat(d.cast("string"), F.lit("~"), j.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return ((hh % 2001).cast("float") / 1000.0 - 1.0).cast("float")
+
+    emb = spark.range(n_vecs).select(
+        d.alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(63)), dim).alias("embedding"),
+        (h("lb") % 8).cast("int").alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def timed(thunk, runs: int = 3) -> float:
+    t = []
+    for i in range(runs + 1):  # first = warm-up
+        t0 = time.perf_counter()
+        thunk()
+        if i:
+            t.append(time.perf_counter() - t0)
+    return round(statistics.median(t), 4)
+
+
+def q_id1_uncapped(spark, sf_dir):
+    from electrician_spark.io import read_table
+    from electrician_spark.operators import incremental
+
+    docs = read_table(spark, sf_dir, "documents")
+    index = incremental.build_dedup_index(docs.filter(F.col("doc_id") % 3 != 0))
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return incremental.incremental_dedup(batch, index)
+
+
+def main() -> None:
+    import tempfile
+
+    spark = get_session(
+        "r10-corpus-scale", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+
+    def _warm(pdf):
+        import numpy  # noqa: F401
+
+        return pdf
+
+    spark.range(128).repartition(32).groupBy("id").applyInPandas(_warm, "id long").count()
+
+    root = tempfile.mkdtemp(prefix="r10scale_")
+    dirs = {m: synth_dir(spark, root, m) for m in (1, 4)}
+
+    rows = {
+        "q_bl1_bloom_decontaminate": REGISTRY["q_bl1_bloom_decontaminate"].spark,
+        "q_id1_incremental_dedup(uncapped)": q_id1_uncapped,
+        "q_bq1_binary_hamming_tier": REGISTRY["q_bq1_binary_hamming_tier"].spark,
+        "q_ir1_dsir_select": REGISTRY["q_ir1_dsir_select"].spark,
+        "q_lm2_bigram_buckets": REGISTRY["q_lm2_bigram_buckets"].spark,
+    }
+    for name, fn in rows.items():
+        ts = {m: timed(lambda m=m: fn(spark, dirs[m]).count()) for m in (1, 4)}
+        exp = math.log(ts[4] / ts[1]) / math.log(4) if ts[1] > 0 else float("nan")
+        print(
+            f"{name}: 1x={ts[1]}s 4x={ts[4]}s exponent={exp:.2f}", flush=True
+        )
+
+
+if __name__ == "__main__":
+    main()
