@@ -16,6 +16,16 @@ import pytest
 
 from electrician_spark.queries import REGISTRY
 
+
+def _q(name: str):
+    """Live-or-archived lookup: plan pins outlive a row's retirement —
+    the operator still ships, so its plan contract still holds."""
+    if name in REGISTRY:
+        return REGISTRY[name]
+    from electrician_spark.retired import RETIRED_REGISTRY
+
+    return RETIRED_REGISTRY[name]
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -32,7 +42,7 @@ def plans(spark):
 
     def get(name: str) -> str:
         if name not in cache:
-            cache[name] = plan_of(REGISTRY[name].spark(spark, SF_DIR))
+            cache[name] = plan_of(_q(name).spark(spark, SF_DIR))
         return cache[name]
 
     return get
@@ -198,7 +208,7 @@ def test_single_scan_materialization_postures(spark):
         "q_d9_lsh_near_dup": 2,
     }
     for name, min_replays in expect.items():
-        df = REGISTRY[name].spark(spark, SF_DIR)
+        df = _q(name).spark(spark, SF_DIR)
         df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
         final = p.split("== Initial Plan ==")[0]
@@ -252,13 +262,15 @@ def test_chunk_documents_query_no_shuffle(plans):
 
 
 def test_substring_dedup_fingerprint_agg_is_partial(plans):
-    """q_ss1: the corpus-wide window-fingerprint groupBy must keep
-    map-side partial aggregation — a boilerplate window present in
-    millions of documents has to collapse per partition before the
-    exchange, or the shuffle carries the whole site stream."""
-    p = plans("q_ss1_substring_dedup")
-    assert "partial_count" in p or "partial" in p, p
-    assert "CartesianProduct" not in p
+    """q_ss1 (archived) and its suffix-doubling successor q_sa1: the
+    corpus-wide window-fingerprint groupBy must keep map-side partial
+    aggregation — a boilerplate window present in millions of
+    documents has to collapse per partition before the exchange, or
+    the shuffle carries the whole site stream."""
+    for name in ("q_ss1_substring_dedup", "q_sa1_suffix_spans"):
+        p = plans(name)
+        assert "partial_count" in p or "partial" in p, (name, p)
+        assert "CartesianProduct" not in p, name
 
 
 def test_gopher_repetition_battery_is_row_local(spark):
