@@ -233,12 +233,15 @@ def main() -> None:
     sc = spark.sparkContext
     diag = {"persistent_rdds": sc._jsc.sc().getPersistentRDDs().size()}
     sha_last = measure_sha()  # second position: end of the full series
-    # ContextCleaner drains its weak-ref queue ASYNCHRONOUSLY: one
-    # System.gc + fixed sleep can leave the last row's localCheckpoint
-    # RDDs still registered (r9 recorded persistent_rdds: 1 this way;
-    # the r10 probe showed a second GC cycle empties it every time).
-    # GC in rounds until the count stabilizes at 0 or 3 tries pass, so
-    # the recorded number reflects steady state, not cleaner latency.
+    # Two distinct mechanisms behind a nonzero count here (r10 probes):
+    # ContextCleaner drains its weak-ref queue ASYNCHRONOUSLY (a second
+    # GC cycle clears those), and long busy py4j sessions can LOSE
+    # detach commands, stranding a handful of checkpoint RDDs behind
+    # the JVM gateway map no amount of GC reclaims. Record the post-GC
+    # steady state, then sweep the strandees (the series is over —
+    # nothing replays those plans) and record what the sweep released.
+    from electrician_spark.session import release_stranded_checkpoints
+
     for _ in range(3):
         _gc.collect()
         sc._jvm.System.gc()
@@ -246,6 +249,7 @@ def main() -> None:
         if sc._jsc.sc().getPersistentRDDs().size() == 0:
             break
     diag["persistent_rdds_post_gc"] = sc._jsc.sc().getPersistentRDDs().size()
+    diag["stranded_released"] = release_stranded_checkpoints(spark)
     diag["sha_last_post_gc"] = measure_sha()
 
     total = round(sum(results.values()), 4)
