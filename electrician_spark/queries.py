@@ -1018,17 +1018,11 @@ def q_u2(spark, sf_dir):
 # q_fm1 (map construction).)
 
 
-@query(
-    "q_f5_json_extract",
-    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
-    "FROM events ORDER BY event_id LIMIT 20",
-    tags=("scalar", "events"),
-)
-def q_f5(spark, sf_dir):
-    df = _t(spark, sf_dir, "events").select(
-        "event_id", sf.json_get(F.col("props"), "$.k").cast("int").alias("k")
-    )
-    return rel.top_k(df, [F.col("event_id")], 20)
+# (q_f5_json_extract: RETIRED r10 -> electrician_spark.retired, making
+# room for the mid-round q_sx1 suffix-array order row. JSON machinery
+# stays live via q_k2's NDJSON sink round-trip and q_z1's codec
+# battery (json encode/decode attested value-by-value); sf.json_get
+# keeps its test pins.)
 
 
 # ---------------------------------------------------------------------------
@@ -5472,6 +5466,42 @@ def q_rt1(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@query(
+    "q_sx1_suffix_array_order",
+    # The order-preserving distributed suffix array itself (q_sa1
+    # attests the equality/fingerprint tier): rank of every token
+    # suffix across the whole corpus, dense over distinct suffix
+    # contents. DuckDB replays it directly — lists compare
+    # lexicographically, so the rank is one dense_rank over the
+    # suffix slices. Any drift in the doubling rounds, the sentinel
+    # handling for short tails, or the range-partitioned dense rank
+    # (offset arithmetic across partitions) breaks thousands of rank
+    # values at once.
+    "WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), "
+    "'\\s+'), x -> x <> '') AS t FROM documents), "
+    "pos AS (SELECT doc_id, t, unnest(range(len(t))) AS p FROM tk), "
+    "sfx AS (SELECT doc_id, p, list_slice(t, p + 1, len(t)) AS suffix FROM pos) "
+    "SELECT doc_id, p AS pos, "
+    "CAST(dense_rank() OVER (ORDER BY suffix) - 1 AS BIGINT) AS rank "
+    "FROM sfx ORDER BY doc_id, pos",
+    tags=("dedup", "suffixarray"),
+)
+def q_sx1(spark, sf_dir):
+    # operators/suffixarray.suffix_array: Manber-Myers prefix doubling,
+    # ceil(log2(max doc length)) rounds of one per-doc lead + one
+    # range-partitioned global dense rank (bounded per-partition offset
+    # collect — never a single-reducer window). Equal suffixes across
+    # documents share a rank on both engines (dense over contents).
+    from electrician_spark.operators import suffixarray as sa_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        sa_ops.suffix_array(docs)
+        .select("doc_id", "pos", F.col("rank").cast("long"))
+        .orderBy("doc_id", "pos")
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -5537,11 +5567,12 @@ def q_rt1(spark, sf_dir):
 # the symbol list (the construction the queue note doubted existed).
 #
 # Round-10 rotation (executed): window = the 50 rows of CORRECTNESS_r08
-# minus 5 RETIRED rows (q_f1_string/q_sm2_hash_sample/q_p2_snr/
-# q_ss1_substring_dedup/q_t6_tagger — each archived in
-# electrician_spark.retired with a subsumption note, runnable via
-# tools/check.py --archived) plus the 5 NEW promotion rows
-# (q_ug1/q_cb1/q_ev1/q_sa1 and the mid-round q_rt1) placed first.
+# minus 6 RETIRED rows (q_f1_string/q_sm2_hash_sample/q_p2_snr/
+# q_ss1_substring_dedup/q_t6_tagger/q_f5_json_extract — each archived
+# in electrician_spark.retired with a subsumption note, runnable via
+# tools/check.py --archived) plus the 6 NEW promotion rows
+# (q_ug1/q_cb1/q_ev1/q_sa1 and the mid-round q_rt1/q_sx1) placed
+# first.
 # These close the r9 verdict's items 1 (unigram Viterbi oracle),
 # 2 (C5 breaker divert), 5 (stateful timeout eviction — BOTH stateful
 # operators: resequence flush via q_ev1 and the rate-limit bucket
@@ -5549,10 +5580,11 @@ def q_rt1(spark, sf_dir):
 _DRIVER_PRIORITY = [
     # Round-10 window = the 50 queries attested in r8 (the complement
     # of the r9 window — the invariant test enforces the 2-round exact
-    # cover), minus the 5 rows RETIRED r10 (q_f1_string /
+    # cover), minus the 6 rows RETIRED r10 (q_f1_string /
     # q_sm2_hash_sample / q_p2_snr / q_ss1_substring_dedup /
-    # q_t6_tagger, each archived in electrician_spark.retired with its
-    # oracle), plus the 5 NEW r10 promotion rows placed first so they
+    # q_t6_tagger / q_f5_json_extract, each archived in
+    # electrician_spark.retired with its oracle), plus the 6 NEW r10
+    # promotion rows placed first so they
     # are driver-attested immediately: the unigram/SentencePiece
     # Viterbi encode (q_ug1), the C5 breaker-backup divert (q_cb1),
     # the stateful processing-time timeout/eviction flush on BOTH
@@ -5560,6 +5592,7 @@ _DRIVER_PRIORITY = [
     # drop), and the suffix-doubling exact substring dedup on planted
     # runs (q_sa1). The r9 window's 50 rows follow in declaration
     # order (not listed here), keeping the 100-row/2-window arithmetic.
+    "q_sx1_suffix_array_order",
     "q_rt1_rate_limit_timeout",
     "q_ug1_unigram_viterbi_encode",
     "q_cb1_breaker_divert",
@@ -5585,7 +5618,6 @@ _DRIVER_PRIORITY = [
     "q_d6_dup_clusters",
     "q_d8_decontaminate",
     "q_dm1_domain_mixture",
-    "q_f5_json_extract",
     "q_j1_broadcast_inner",
     "q_j2_shipping_priority",
     "q_j6_range_join",

@@ -1304,3 +1304,20 @@ def q_t6(spark, sf_dir):
     tags = sf.tag_when(tags, F.col("value") > 100, "high_value")
     tags = sf.tag_when(tags, F.col("user_id") % 2 == 0, "even_user")
     return ev.select("event_id", F.array_join(tags, ",").alias("tags"))
+
+
+@retired_query(
+    "q_f5_json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+    "FROM events ORDER BY event_id LIMIT 20",
+    tags=("scalar", "events"),
+)
+def q_f5(spark, sf_dir):
+    # Retired r10 (made room for the mid-round q_sx1 suffix-array
+    # order row): JSON extraction stays live via q_k2's NDJSON sink
+    # round-trip and q_z1's codec battery; sf.json_get keeps its
+    # test pins.
+    df = _t(spark, sf_dir, "events").select(
+        "event_id", sf.json_get(F.col("props"), "$.k").cast("int").alias("k")
+    )
+    return rel.top_k(df, [F.col("event_id")], 20)
