@@ -88,6 +88,7 @@ EXTRA_QUERIES = [
     # are left out of the timed series like q_rl1/q_fo1 before them)
     "q_ug1_unigram_viterbi_encode",
     "q_sa1_suffix_spans",
+    "q_sx1_suffix_array_order",
 ]
 
 

@@ -214,7 +214,9 @@ def longest_repeated_run(
     return lo
 
 
-def _global_dense_rank(df: DataFrame, key_cols: list[str], out_col: str) -> DataFrame:
+def _global_dense_rank(
+    df: DataFrame, key_cols: list[str], out_col: str
+) -> tuple[DataFrame, int]:
     """Order-preserving dense rank over arbitrary volume WITHOUT a
     single-reducer global window: range-repartition on the key (equal
     keys co-locate, partition index order == key order), dense_rank
@@ -224,7 +226,9 @@ def _global_dense_rank(df: DataFrame, key_cols: list[str], out_col: str) -> Data
     eagerly localCheckpoint-ed first so the offset collect and the
     downstream consumers see the SAME range boundaries (range
     partitioning samples; recomputation could re-draw boundaries and
-    silently skew every rank)."""
+    silently skew every rank). Returns (ranked df, distinct-key
+    count) — the count falls out of the offset arithmetic for free and
+    drives the caller's fixed-point early exit."""
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = df.repartitionByRange(n_part, *[F.col(c) for c in key_cols])
@@ -244,9 +248,10 @@ def _global_dense_rank(df: DataFrame, key_cols: list[str], out_col: str) -> Data
         acc += sizes[pid]
     omap = F.create_map(*pairs) if pairs else None
     off = omap[F.col("_sa_pid")] if omap is not None else F.lit(0)
-    return local.withColumn(
+    out = local.withColumn(
         out_col, (F.col("_sa_lr") + F.coalesce(off, F.lit(0))).cast("long")
     ).drop("_sa_pid", "_sa_lr")
+    return out, acc
 
 
 def suffix_array(
@@ -266,8 +271,14 @@ def suffix_array(
     key becomes (rank_k[p], rank_k[p+2^k]), -1 when past the end — the
     end-of-document sentinel sorts before every real rank, giving true
     suffix order for short tails) and one :func:`_global_dense_rank`.
-    ceil(log2(max doc length)) rounds, so cost is O(N log maxdoc)
-    shuffle volume with no per-doc-length driver state."""
+    At most ceil(log2(max doc length)) rounds — O(N log maxdoc)
+    shuffle volume with no per-doc-length driver state — but the loop
+    exits at the REFINEMENT FIXED POINT: if a round splits no class
+    (distinct-rank count unchanged, read off the dense rank's offset
+    arithmetic for free), no later round can (classes closed under
+    shift by 2^k are closed under every longer shift — the standard
+    Manber-Myers early exit). Natural text separates most suffixes
+    within a few rounds, so this typically halves the round count."""
     tk = _tokens_table(docs, id_col, text_col)
     # Rank the RAW token at level 0 (not its md5 — hashing would
     # scramble the lexicographic order the suffix array promises).
@@ -276,16 +287,19 @@ def suffix_array(
         F.size("_tk").alias("_len"),
         F.posexplode("_tk").alias("_pos", "_key"),
     )
-    ranked = _global_dense_rank(pos, ["_key"], "_r").drop("_key")
+    ranked, n_classes = _global_dense_rank(pos, ["_key"], "_r")
+    ranked = ranked.drop("_key")
     maxlen = int(ranked.agg(F.max("_len")).first()[0] or 0)
     w = _doc_window()
     half = 1
     while half < maxlen:
         nxt = F.coalesce(F.lead("_r", half).over(w), F.lit(-1).cast("long"))
         keyed = ranked.select("_id", "_pos", "_len", "_r", nxt.alias("_r2"))
-        ranked = _global_dense_rank(keyed, ["_r", "_r2"], "_rn").select(
-            "_id", "_pos", "_len", F.col("_rn").alias("_r")
-        )
+        ranked, n_new = _global_dense_rank(keyed, ["_r", "_r2"], "_rn")
+        ranked = ranked.select("_id", "_pos", "_len", F.col("_rn").alias("_r"))
+        if n_new == n_classes:  # fixed point: no class split this round
+            break
+        n_classes = n_new
         half *= 2
     return ranked.select(
         F.col("_id").alias(id_col),
