@@ -126,8 +126,11 @@ def main() -> None:
 
     spark.range(128).repartition(32).groupBy("id").applyInPandas(_warm, "id long").count()
 
+    mults = tuple(
+        int(x) for x in os.environ.get("SCALE_MULTS", "1,4").split(",")
+    )
     root = tempfile.mkdtemp(prefix="r10scale_")
-    dirs = {m: synth_dir(spark, root, m) for m in (1, 4)}
+    dirs = {m: synth_dir(spark, root, m) for m in mults}
 
     rows = {
         "q_bl1_bloom_decontaminate": REGISTRY["q_bl1_bloom_decontaminate"].spark,
@@ -136,12 +139,16 @@ def main() -> None:
         "q_ir1_dsir_select": REGISTRY["q_ir1_dsir_select"].spark,
         "q_lm2_bigram_buckets": REGISTRY["q_lm2_bigram_buckets"].spark,
     }
+    lo, hi = mults[0], mults[-1]
     for name, fn in rows.items():
-        ts = {m: timed(lambda m=m: fn(spark, dirs[m]).count()) for m in (1, 4)}
-        exp = math.log(ts[4] / ts[1]) / math.log(4) if ts[1] > 0 else float("nan")
-        print(
-            f"{name}: 1x={ts[1]}s 4x={ts[4]}s exponent={exp:.2f}", flush=True
+        ts = {m: timed(lambda m=m: fn(spark, dirs[m]).count()) for m in mults}
+        exp = (
+            math.log(ts[hi] / ts[lo]) / math.log(hi / lo)
+            if ts[lo] > 0 and hi > lo
+            else float("nan")
         )
+        pts = " ".join(f"{m}x={ts[m]}s" for m in mults)
+        print(f"{name}: {pts} exponent={exp:.2f}", flush=True)
 
 
 if __name__ == "__main__":
