@@ -1299,16 +1299,12 @@ def q_x8(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_d1_exact_dedup",
-    f"SELECT count(*) AS n_rows, count(DISTINCT md5(lower(array_to_string({_SQL_TOKENS}, ' ')))) "
-    "AS n_distinct FROM documents",
-    tags=("dedup",),
-)
-def q_d1(spark, sf_dir):
-    from electrician_spark.operators import dedup
-
-    return dedup.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+# (q_d1_exact_dedup: RETIRED r10 -> electrician_spark.retired, making
+# room for the mid-round q_wm1 watermark row. The exact-dedup
+# fingerprint groupBy is the FIRST STAGE of every live dedup row
+# (q_d3 signatures, q_id1 exact probe, the q_x8 line-dedup agg), and
+# the corpus-stats shape lives in q_pr1's profile; exact_dedup keeps
+# its test_dedup pins.)
 
 
 _SQL_JACCARD_CTES = (
@@ -5502,6 +5498,130 @@ def q_sx1(spark, sf_dir):
     )
 
 
+@query(
+    "q_wm1_watermark_late_drop",
+    # REAL event-time watermark semantics on a REAL four-micro-batch
+    # stream, append mode: (a) LATE-DATA DROP — the id-11 row arrives
+    # two batches after its 10-minute window closed (watermark is past
+    # the window end under either one- or two-batch watermark commit
+    # lag, both of which Spark exhibits under availableNow), so it
+    # must not appear in any emitted count; (b) FINALIZATION — a
+    # window emits exactly once, when the watermark passes its end
+    # (the far-future fence in batch 4 finalizes every data window);
+    # (c) RETENTION — the fence's own window is never finalized and
+    # must be ABSENT from the output. The oracle is the closed-form
+    # window census of the non-late, non-fence rows.
+    "WITH m AS (SELECT event_id, event_type, "
+    "CASE WHEN event_id <= 8 THEN 60 * event_id "
+    "WHEN event_id = 9 THEN 700 WHEN event_id = 10 THEN 1250 "
+    "WHEN event_id = 12 THEN 1300 WHEN event_id = 13 THEN 1320 "
+    "WHEN event_id = 14 THEN 1340 END AS off "
+    "FROM events WHERE event_id BETWEEN 1 AND 14 AND event_id <> 11) "
+    "SELECT CAST(1699999800 + (off // 600) * 600 AS BIGINT) AS w_start, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "min(event_id) AS min_id, max(event_id) AS max_id, "
+    "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_click "
+    "FROM m GROUP BY 1 ORDER BY 1",
+    tags=("streaming", "window"),
+)
+def q_wm1(spark, sf_dir):
+    # streaming: withWatermark('ts', '10 minutes') -> 10-minute
+    # tumbling window -> append-mode memory sink over four mtime-
+    # ordered NDJSON micro-batches. Window starts surface as epoch
+    # seconds (timestamp->long cast), so the comparison is timezone-
+    # independent under any driver session; T0 is 600-aligned so the
+    # closed-form bucket arithmetic matches Spark's epoch-aligned
+    # windows. Event payloads (event_type) come from the events table.
+    import json
+    import os
+    import tempfile
+    import time
+
+    t0_epoch = 1_699_999_800  # 600-aligned
+    ev = {
+        r["event_id"]: r["event_type"]
+        for r in _t(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= 1) & (F.col("event_id") <= 15))
+        .select("event_id", "event_type")
+        .collect()
+    }
+    off = {i: 60 * i for i in range(1, 9)}
+    off.update({9: 700, 10: 1250, 11: 300, 12: 1300, 13: 1320, 14: 1340, 15: 99990})
+    waves = [
+        [i for i in range(1, 11)],  # windows 0-2 incl. the max pusher
+        [12, 13, 14],               # window 2 continues
+        [11],                       # LATE: window 0 closed two batches ago
+        [15],                       # fence: finalizes all data windows
+    ]
+    tmp = tempfile.mkdtemp(prefix="q_wm1_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    now = time.time()
+    for b, ids in enumerate(waves):
+        path = os.path.join(src, f"b{b}.json")
+        with open(path, "w") as f:
+            for i in ids:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": i,
+                            "event_type": ev[i],
+                            "ts": t0_epoch + off[i],
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(path, (now + b, now + b))
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_click"),
+        )
+    )
+    name = "q_wm1_sink_" + os.path.basename(tmp).replace("q_wm1_", "")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .select(
+            F.col("window.start").cast("long").alias("w_start"),
+            "n",
+            "min_id",
+            "max_id",
+            "n_click",
+        )
+        .orderBy("w_start")
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -5567,12 +5687,12 @@ def q_sx1(spark, sf_dir):
 # the symbol list (the construction the queue note doubted existed).
 #
 # Round-10 rotation (executed): window = the 50 rows of CORRECTNESS_r08
-# minus 6 RETIRED rows (q_f1_string/q_sm2_hash_sample/q_p2_snr/
-# q_ss1_substring_dedup/q_t6_tagger/q_f5_json_extract — each archived
-# in electrician_spark.retired with a subsumption note, runnable via
-# tools/check.py --archived) plus the 6 NEW promotion rows
-# (q_ug1/q_cb1/q_ev1/q_sa1 and the mid-round q_rt1/q_sx1) placed
-# first.
+# minus 7 RETIRED rows (q_f1_string/q_sm2_hash_sample/q_p2_snr/
+# q_ss1_substring_dedup/q_t6_tagger/q_f5_json_extract/q_d1_exact_dedup
+# — each archived in electrician_spark.retired with a subsumption
+# note, runnable via tools/check.py --archived) plus the 7 NEW
+# promotion rows (q_ug1/q_cb1/q_ev1/q_sa1 and the mid-round
+# q_rt1/q_sx1/q_wm1) placed first.
 # These close the r9 verdict's items 1 (unigram Viterbi oracle),
 # 2 (C5 breaker divert), 5 (stateful timeout eviction — BOTH stateful
 # operators: resequence flush via q_ev1 and the rate-limit bucket
@@ -5580,11 +5700,11 @@ def q_sx1(spark, sf_dir):
 _DRIVER_PRIORITY = [
     # Round-10 window = the 50 queries attested in r8 (the complement
     # of the r9 window — the invariant test enforces the 2-round exact
-    # cover), minus the 6 rows RETIRED r10 (q_f1_string /
+    # cover), minus the 7 rows RETIRED r10 (q_f1_string /
     # q_sm2_hash_sample / q_p2_snr / q_ss1_substring_dedup /
-    # q_t6_tagger / q_f5_json_extract, each archived in
-    # electrician_spark.retired with its oracle), plus the 6 NEW r10
-    # promotion rows placed first so they
+    # q_t6_tagger / q_f5_json_extract / q_d1_exact_dedup, each
+    # archived in electrician_spark.retired with its oracle), plus
+    # the 7 NEW r10 promotion rows placed first so they
     # are driver-attested immediately: the unigram/SentencePiece
     # Viterbi encode (q_ug1), the C5 breaker-backup divert (q_cb1),
     # the stateful processing-time timeout/eviction flush on BOTH
@@ -5592,6 +5712,7 @@ _DRIVER_PRIORITY = [
     # drop), and the suffix-doubling exact substring dedup on planted
     # runs (q_sa1). The r9 window's 50 rows follow in declaration
     # order (not listed here), keeping the 100-row/2-window arithmetic.
+    "q_wm1_watermark_late_drop",
     "q_sx1_suffix_array_order",
     "q_rt1_rate_limit_timeout",
     "q_ug1_unigram_viterbi_encode",
@@ -5611,7 +5732,6 @@ _DRIVER_PRIORITY = [
     "q_a1_pricing_summary",
     "q_a2_rate_per_hour",
     "q_ch1_chunk_documents",
-    "q_d1_exact_dedup",
     "q_d3_minhash_lsh",
     "q_d4_simhash",
     "q_d5_embedding_near_dup",

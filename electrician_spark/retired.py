@@ -1321,3 +1321,21 @@ def q_f5(spark, sf_dir):
         "event_id", sf.json_get(F.col("props"), "$.k").cast("int").alias("k")
     )
     return rel.top_k(df, [F.col("event_id")], 20)
+
+
+@retired_query(
+    "q_d1_exact_dedup",
+    "SELECT count(*) AS n_rows, count(DISTINCT md5(lower(array_to_string("
+    "string_split_regex(trim(text), '\\s+'), ' ')))) "
+    "AS n_distinct FROM documents",
+    tags=("dedup",),
+)
+def q_d1(spark, sf_dir):
+    # Retired r10 (made room for the mid-round q_wm1 watermark row):
+    # the exact-dedup fingerprint groupBy is the first stage of every
+    # live dedup row (q_d3 signatures, q_id1 exact probe, the q_x8
+    # line-dedup agg), and the corpus-stats shape lives in q_pr1's
+    # profile; dedup.exact_dedup keeps its test_dedup pins.
+    from electrician_spark.operators import dedup
+
+    return dedup.exact_dedup_stats(_t(spark, sf_dir, "documents"))
