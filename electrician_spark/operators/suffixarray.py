@@ -183,19 +183,37 @@ def longest_repeated_run(
     (0 if none of length >= min_len): binary search on the run length,
     each probe one window-fingerprint duplicate-existence check — the
     suffix-array "max adjacent LCP" read, re-expressed as O(log maxlen)
-    bounded aggregates instead of a corpus-wide LCP array."""
-    maxlen_row = (
-        _positions(docs, id_col, text_col).agg(F.max("_len").alias("m")).first()
-    )
-    hi = int(maxlen_row["m"] or 0)
+    bounded aggregates instead of a corpus-wide LCP array. The doubling
+    ladder is built ONCE at the max level the search can touch and
+    materialized (lazy localCheckpoint); every probe then derives its
+    window fingerprint from two stored levels — without the shared
+    ladder each probe would rebuild (and re-scan) the whole corpus."""
+    pos0 = _positions(docs, id_col, text_col)
+    hi = int(pos0.agg(F.max("_len").alias("m")).first()["m"] or 0)
     lo = min_len
     if hi < lo:
         return 0
+    max_level = int(math.floor(math.log2(hi))) if hi > 1 else 0
+    pos = _with_doubling_fps(pos0, max_level)
+    try:
+        pos = pos.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
+    w = _doc_window()
 
     def has_dup(length: int) -> bool:
-        fps = window_fingerprints(docs, length, id_col, text_col)
+        k = int(math.floor(math.log2(length)))
+        shift = length - (1 << k)
+        fpk = F.col(f"_fp{k}")
+        fp = fpk if shift == 0 else F.md5(
+            F.concat_ws(_SEP, fpk, F.lead(f"_fp{k}", shift).over(w))
+        )
+        fps = (
+            pos.withColumn("_wfp", fp)
+            .filter(F.col("_pos") + length <= F.col("_len"))
+        )
         return (
-            fps.groupBy("fp")
+            fps.groupBy("_wfp")
             .agg(F.count("*").alias("n"))
             .filter(F.col("n") >= 2)
             .limit(1)

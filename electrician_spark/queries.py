@@ -1397,40 +1397,12 @@ def q_d6(spark, sf_dir):
 # q_j5_anti_join, the containment probe by q_d8/q_bl1.)
 
 
-@query(
-    "q_d8_decontaminate",
-    # Benchmark decontamination: docs with id % 20 = 0 play the held-out
-    # test set; corpus docs whose 3-gram shingle containment in the test
-    # set is >= 0.5 are flagged (and dropped by dedup.decontaminate).
-    f"WITH {_SQL_SHINGLES_CTE}, "
-    "tsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0), "
-    "csh AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0), "
-    "sz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id), "
-    "hits AS (SELECT doc_id, count(*) AS h FROM csh JOIN tsh USING (s) "
-    "GROUP BY doc_id) "
-    "SELECT sz.doc_id, sz.n AS n_shingles, h AS n_hits, "
-    "round(h * 1.0 / sz.n, 6) AS containment "
-    "FROM sz JOIN hits ON hits.doc_id = sz.doc_id "
-    "WHERE h * 1.0 / sz.n >= 0.5 ORDER BY sz.doc_id",
-    tags=("dedup",),
-)
-def q_d8(spark, sf_dir):
-    from electrician_spark.operators import dedup
-
-    docs = _t(spark, sf_dir, "documents")
-    testset = docs.filter(F.col("doc_id") % 20 == 0)
-    corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    scores = dedup.contamination_scores(corpus, testset)
-    return (
-        scores.filter(F.col("containment") >= 0.5)
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_hits",
-            F.round("containment", 6).alias("containment"),
-        )
-        .orderBy("doc_id")
-    )
+# (q_d8_decontaminate: RETIRED r10 -> electrician_spark.retired,
+# making room for the mid-round q_lr1 longest-repeated-run row.
+# Decontamination stays live via q_bl1 (the bloom-prefiltered form:
+# same shingle containment, exact verify on candidates, PLUS the
+# zero-corpus-shuffle filter) and q_id1's incremental exact probe;
+# dedup.contamination_scores/decontaminate keep their test_dedup pins.)
 
 
 # Deterministic md5-derived sample key, identical in Spark
@@ -5622,6 +5594,57 @@ def q_wm1(spark, sf_dir):
     )
 
 
+@query(
+    "q_lr1_longest_repeated_run",
+    # Longest duplicated token run, cross-checked by two UNRELATED
+    # algorithms: Spark binary-searches the run length over doubling
+    # window fingerprints (O(log maxlen) bounded probes over one
+    # materialized ladder); DuckDB computes the classic suffix-array
+    # identity — the max LCP over ADJACENT lexicographically-sorted
+    # suffixes. n_sites (positions whose longest-length window occurs
+    # >= 2 times) pins the multiplicity as well as the length.
+    "WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), "
+    "'\\s+'), x -> x <> '') AS t FROM documents), "
+    "pos AS (SELECT doc_id, t, unnest(range(len(t))) AS p FROM tk), "
+    "sfx AS (SELECT list_slice(t, p + 1, len(t)) AS suffix FROM pos), "
+    "srt AS (SELECT suffix, lag(suffix) OVER (ORDER BY suffix) AS prv FROM sfx), "
+    "lcp AS (SELECT CASE WHEN prv IS NULL THEN 0 ELSE "
+    "coalesce((SELECT min(i) - 1 FROM (SELECT unnest(range(1, "
+    "least(len(suffix), len(prv)) + 2)) AS i) "
+    "WHERE i <= least(len(suffix), len(prv)) AND suffix[i] <> prv[i]), "
+    "least(len(suffix), len(prv))) END AS l FROM srt), "
+    "big AS (SELECT CAST(max(l) AS BIGINT) AS longest FROM lcp), "
+    "wins AS (SELECT md5(array_to_string(list_slice(t, p + 1, p + longest), "
+    "chr(31))) AS fp FROM pos, big WHERE longest > 0 AND p + longest <= len(t)), "
+    "g AS (SELECT fp, count(*) AS n FROM wins GROUP BY fp HAVING count(*) >= 2) "
+    "SELECT big.longest, CAST(coalesce((SELECT sum(n) FROM g), 0) AS BIGINT) "
+    "AS n_sites FROM big",
+    tags=("dedup", "suffixarray"),
+)
+def q_lr1(spark, sf_dir):
+    # operators/suffixarray.longest_repeated_run (binary-search LCP
+    # over the shared doubling ladder) + a window-fingerprint census
+    # at the found length. Different algorithm families on each side —
+    # agreement is only possible if both the ladder fingerprints and
+    # the search logic are exactly right.
+    from electrician_spark.operators import suffixarray as sa_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    longest = sa_ops.longest_repeated_run(docs)
+    if longest <= 0:
+        return spark.createDataFrame([(0, 0)], "longest long, n_sites long")
+    fps = sa_ops.window_fingerprints(docs, longest)
+    return (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(
+            F.lit(longest).cast("long").alias("longest"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_sites"),
+        )
+    )
+
+
 # The external correctness gate checks only the first 50 REGISTRY entries in
 # declaration order (observed: CORRECTNESS_r01 == list(REGISTRY)[:50], which
 # left 17 declared operators with no driver row). Reorder so every operator
@@ -5687,12 +5710,12 @@ def q_wm1(spark, sf_dir):
 # the symbol list (the construction the queue note doubted existed).
 #
 # Round-10 rotation (executed): window = the 50 rows of CORRECTNESS_r08
-# minus 7 RETIRED rows (q_f1_string/q_sm2_hash_sample/q_p2_snr/
-# q_ss1_substring_dedup/q_t6_tagger/q_f5_json_extract/q_d1_exact_dedup
-# — each archived in electrician_spark.retired with a subsumption
-# note, runnable via tools/check.py --archived) plus the 7 NEW
-# promotion rows (q_ug1/q_cb1/q_ev1/q_sa1 and the mid-round
-# q_rt1/q_sx1/q_wm1) placed first.
+# minus 8 RETIRED rows (q_f1_string/q_sm2_hash_sample/q_p2_snr/
+# q_ss1_substring_dedup/q_t6_tagger/q_f5_json_extract/q_d1_exact_dedup/
+# q_d8_decontaminate — each archived in electrician_spark.retired with
+# a subsumption note, runnable via tools/check.py --archived) plus the
+# 8 NEW promotion rows (q_ug1/q_cb1/q_ev1/q_sa1 and the mid-round
+# q_rt1/q_sx1/q_wm1/q_lr1) placed first.
 # These close the r9 verdict's items 1 (unigram Viterbi oracle),
 # 2 (C5 breaker divert), 5 (stateful timeout eviction — BOTH stateful
 # operators: resequence flush via q_ev1 and the rate-limit bucket
@@ -5700,11 +5723,12 @@ def q_wm1(spark, sf_dir):
 _DRIVER_PRIORITY = [
     # Round-10 window = the 50 queries attested in r8 (the complement
     # of the r9 window — the invariant test enforces the 2-round exact
-    # cover), minus the 7 rows RETIRED r10 (q_f1_string /
+    # cover), minus the 8 rows RETIRED r10 (q_f1_string /
     # q_sm2_hash_sample / q_p2_snr / q_ss1_substring_dedup /
-    # q_t6_tagger / q_f5_json_extract / q_d1_exact_dedup, each
-    # archived in electrician_spark.retired with its oracle), plus
-    # the 7 NEW r10 promotion rows placed first so they
+    # q_t6_tagger / q_f5_json_extract / q_d1_exact_dedup /
+    # q_d8_decontaminate, each archived in electrician_spark.retired
+    # with its oracle), plus the 8 NEW r10 promotion rows placed
+    # first so they
     # are driver-attested immediately: the unigram/SentencePiece
     # Viterbi encode (q_ug1), the C5 breaker-backup divert (q_cb1),
     # the stateful processing-time timeout/eviction flush on BOTH
@@ -5712,6 +5736,7 @@ _DRIVER_PRIORITY = [
     # drop), and the suffix-doubling exact substring dedup on planted
     # runs (q_sa1). The r9 window's 50 rows follow in declaration
     # order (not listed here), keeping the 100-row/2-window arithmetic.
+    "q_lr1_longest_repeated_run",
     "q_wm1_watermark_late_drop",
     "q_sx1_suffix_array_order",
     "q_rt1_rate_limit_timeout",
@@ -5736,7 +5761,6 @@ _DRIVER_PRIORITY = [
     "q_d4_simhash",
     "q_d5_embedding_near_dup",
     "q_d6_dup_clusters",
-    "q_d8_decontaminate",
     "q_dm1_domain_mixture",
     "q_j1_broadcast_inner",
     "q_j2_shipping_priority",

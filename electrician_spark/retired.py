@@ -31,6 +31,7 @@ from electrician_spark.queries import (
     _SQL_JACCARD_CTES,
     _SQL_NORM_CTE,
     _SQL_SAMPLE_KEY,
+    _SQL_SHINGLES_CTE,
     _as_doubles,
     _t,
 )
@@ -1339,3 +1340,43 @@ def q_d1(spark, sf_dir):
     from electrician_spark.operators import dedup
 
     return dedup.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@retired_query(
+    "q_d8_decontaminate",
+    # Benchmark decontamination: docs with id % 20 = 0 play the held-out
+    # test set; corpus docs whose 3-gram shingle containment in the test
+    # set is >= 0.5 are flagged (and dropped by dedup.decontaminate).
+    f"WITH {_SQL_SHINGLES_CTE}, "
+    "tsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0), "
+    "csh AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id), "
+    "hits AS (SELECT doc_id, count(*) AS h FROM csh JOIN tsh USING (s) "
+    "GROUP BY doc_id) "
+    "SELECT sz.doc_id, sz.n AS n_shingles, h AS n_hits, "
+    "round(h * 1.0 / sz.n, 6) AS containment "
+    "FROM sz JOIN hits ON hits.doc_id = sz.doc_id "
+    "WHERE h * 1.0 / sz.n >= 0.5 ORDER BY sz.doc_id",
+    tags=("dedup",),
+)
+def q_d8(spark, sf_dir):
+    # Retired r10 (made room for the mid-round q_lr1 longest-repeated-
+    # run row): decontamination stays live via q_bl1 (bloom-prefiltered
+    # shingle containment, exact verify on candidates, zero corpus
+    # shuffle) and q_id1's incremental exact probe.
+    from electrician_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    testset = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    scores = dedup.contamination_scores(corpus, testset)
+    return (
+        scores.filter(F.col("containment") >= 0.5)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy("doc_id")
+    )
