@@ -39,6 +39,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from electrician_spark.operators.dedup import _tokens_table
 
@@ -49,15 +50,25 @@ def _doc_window(id_col: str = "_id", pos_col: str = "_pos"):
     return Window.partitionBy(id_col).orderBy(pos_col)
 
 
+def _nonempty_tokens() -> Column:
+    """Whitespace tokenization yields a single '' token for empty /
+    all-whitespace text (split-of-empty-string semantics); the suffix
+    family must see ZERO positions there — both to match the oracle
+    convention (DuckDB list_filter(x <> '')) and because a phantom
+    empty-token suffix is meaningless for dedup."""
+    return F.filter(F.col("_tk"), lambda x: F.length(x) > 0)
+
+
 def _positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, _pos, _len, _fp0) positional token table; _fp0 = md5 of
     the single token (fixed-width level-0 fingerprint, so later-level
     concat fingerprints never ambiguity-collide on token boundaries)."""
     tk = _tokens_table(docs, id_col, text_col)
+    toks = _nonempty_tokens()
     return tk.select(
         "_id",
-        F.size("_tk").alias("_len"),
-        F.posexplode("_tk").alias("_pos", "_tok"),
+        F.size(toks).alias("_len"),
+        F.posexplode(toks).alias("_pos", "_tok"),
     ).select("_id", "_pos", "_len", F.md5("_tok").alias("_fp0"))
 
 
@@ -232,28 +243,107 @@ def longest_repeated_run(
     return lo
 
 
+def _shuffle_partitions(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, falling back to the
+    context default parallelism when the conf is non-numeric (e.g.
+    'auto' under AQE auto-partition-tuning on some platforms)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return int(spark.sparkContext.defaultParallelism) or 1
+
+
+def _checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """RDD id of the localCheckpoint block backing ``df`` (whose
+    analyzed plan must bottom out in a single LogicalRDD leaf), or
+    None when the plan shape / py4j surface doesn't cooperate. Used
+    for PRECISE release of intermediate doubling rounds — never a
+    registry-wide sweep, so concurrently-running queries' persisted
+    RDDs are untouchable by construction."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        if leaves.size() != 1:
+            return None
+        return int(leaves.apply(0).rdd().id())
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect: no _jdf
+        return None
+
+
+def _release_rdd(spark, rdd_id: int | None) -> None:
+    if rdd_id is None:
+        return
+    try:
+        spark.sparkContext._jsc.sc().unpersistRDD(int(rdd_id), False)
+    except Exception:  # noqa: BLE001 — best-effort cleanup only
+        pass
+
+
 def _global_dense_rank(
     df: DataFrame, key_cols: list[str], out_col: str
 ) -> tuple[DataFrame, int]:
     """Order-preserving dense rank over arbitrary volume WITHOUT a
     single-reducer global window: range-repartition on the key (equal
-    keys co-locate, partition index order == key order), dense_rank
-    inside each partition (parallel), then shift each partition by the
-    exclusive prefix sum of per-partition distinct-key counts — a
-    driver-side table bounded at one row per partition. The input is
-    eagerly localCheckpoint-ed first so the offset collect and the
-    downstream consumers see the SAME range boundaries (range
-    partitioning samples; recomputation could re-draw boundaries and
-    silently skew every rank). Returns (ranked df, distinct-key
-    count) — the count falls out of the offset arithmetic for free and
-    drives the caller's fixed-point early exit."""
+    keys co-locate, partition index order == key order), sort within
+    partitions, dense-rank each partition with ONE Arrow-vectorized
+    pass (``mapInArrow`` — a map over the existing partitioning, so
+    no second exchange; the window formulation used to force an extra
+    hashpartitioning(_sa_pid) shuffle per round), then shift each
+    partition by the exclusive prefix sum of per-partition
+    distinct-key counts — a driver-side table bounded at one row per
+    partition. The ranked table is eagerly localCheckpoint-ed before
+    the offset collect so the collect and the downstream consumers see
+    the SAME range boundaries (range partitioning samples;
+    recomputation could re-draw boundaries and silently skew every
+    rank). Returns (ranked df, distinct-key count) — the count falls
+    out of the offset arithmetic for free and drives the caller's
+    fixed-point early exit. Key columns must be non-null (callers use
+    explicit sentinels, never NULL)."""
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = df.repartitionByRange(n_part, *[F.col(c) for c in key_cols])
-    local = part.withColumn("_sa_pid", F.spark_partition_id()).withColumn(
-        "_sa_lr",
-        F.dense_rank().over(Window.partitionBy("_sa_pid").orderBy(*key_cols)),
+    n_part = _shuffle_partitions(spark)
+    part = df.repartitionByRange(
+        n_part, *[F.col(c) for c in key_cols]
+    ).sortWithinPartitions(*key_cols)
+    key_idx = [part.schema.fieldNames().index(c) for c in key_cols]
+    out_schema = StructType(
+        list(part.schema.fields)
+        + [StructField("_sa_pid", IntegerType()), StructField("_sa_lr", LongType())]
     )
+    names = [f.name for f in out_schema.fields]
+
+    def _rank_partition(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = 0
+        prev: tuple | None = None
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            cols = [b.column(i) for i in key_idx]
+            if n > 1:
+                neq = None
+                for c in cols:
+                    d = pc.not_equal(c.slice(1, n - 1), c.slice(0, n - 1))
+                    neq = d if neq is None else pc.or_(neq, d)
+                flags = neq.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                flags = np.empty(0, dtype=np.int64)
+            head = tuple(c[0].as_py() for c in cols)
+            first_new = np.int64(1 if prev is None or head != prev else 0)
+            ranks = np.concatenate([[first_new], flags]).cumsum() + acc
+            acc = int(ranks[-1])
+            prev = tuple(c[n - 1].as_py() for c in cols)
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns)
+                + [pa.array(np.full(n, pid, dtype=np.int32)), pa.array(ranks)],
+                names=names,
+            )
+
+    local = part.mapInArrow(_rank_partition, out_schema)
     local = local.localCheckpoint(eager=True)
     sizes = {
         r["_sa_pid"]: r["_n"]
@@ -272,10 +362,32 @@ def _global_dense_rank(
     return out, acc
 
 
+# Rank-table size bound for the broadcast regime: ~8M packed-long rows
+# is ~64 MB serialized — the same order as the session's
+# autoBroadcastJoinThreshold. Below it the per-round dense rank is a
+# DIMENSION-table rank (distinct keys -> row_number -> broadcast join
+# back); above it the distributed range-partitioned path takes over.
+_BROADCAST_RANK_MAX_ROWS = 8_000_000
+
+
+def _rank_table(keyed: DataFrame, key_cols: list[str], out_col: str) -> DataFrame:
+    """(key..., rank) dimension table: distinct keys, row_number'd in
+    key order. The global window is single-partition by design — valid
+    ONLY in the broadcast regime, where the caller has proven the
+    distinct-key count is dimension-table sized (the distinct agg's
+    map-side partial aggregation keeps the exchange at most that
+    size too)."""
+    dk = keyed.select(*key_cols).distinct()
+    return dk.withColumn(
+        out_col, F.row_number().over(Window.orderBy(*key_cols)).cast("long")
+    )
+
+
 def suffix_array(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_rank_max_rows: int = _BROADCAST_RANK_MAX_ROWS,
 ) -> DataFrame:
     """(id, pos, rank): the lexicographic rank of every token suffix
     docs[id][pos:] across the whole corpus — the distributed suffix
@@ -285,40 +397,179 @@ def suffix_array(
     documents) share a rank, which is exactly what duplicate analysis
     wants; add (id, pos) tiebreak downstream for a strict permutation.
 
-    Each doubling level: one per-document ``lead`` (suffix[p]'s order
-    key becomes (rank_k[p], rank_k[p+2^k]), -1 when past the end — the
-    end-of-document sentinel sorts before every real rank, giving true
-    suffix order for short tails) and one :func:`_global_dense_rank`.
-    At most ceil(log2(max doc length)) rounds — O(N log maxdoc)
-    shuffle volume with no per-doc-length driver state — but the loop
-    exits at the REFINEMENT FIXED POINT: if a round splits no class
-    (distinct-rank count unchanged, read off the dense rank's offset
-    arithmetic for free), no later round can (classes closed under
-    shift by 2^k are closed under every longer shift — the standard
-    Manber-Myers early exit). Natural text separates most suffixes
-    within a few rounds, so this typically halves the round count."""
+    Each round: per-document ``lead``s (suffix[p]'s order key becomes
+    the tuple (rank[p], rank[p+h], ..., rank[p+(t-1)h]), 0-sentinel
+    when past the end — end-of-document sorts before every real rank,
+    giving true suffix order for short tails) and one
+    :func:`_global_dense_rank`. The radix ``t`` ADAPTS to the class
+    count: while (n_classes+2)^t fits in a signed 64-bit value the t
+    digits pack into ONE long (positional number system — order-
+    preserving, single-column range sort), and each round multiplies
+    the identified prefix length by t instead of 2 — radix-4 halves
+    the round count of classic Manber-Myers, and every round saved is
+    a saved exchange + materialization barrier. At most
+    ceil(log_t(max doc length)) rounds — O(N log maxdoc) total shuffle
+    volume with no per-doc-length driver state. Two early exits: (a)
+    all suffixes separated (n_classes == row count — equal ranks can
+    only be equal suffixes from then on), (b) the REFINEMENT FIXED
+    POINT: if a round splits no class, no later round can (classes
+    closed under shift by h are closed under every longer shift — the
+    standard Manber-Myers exit; duplicated tails keep n_classes below
+    the row count forever, so (b) is the exit that fires on corpora
+    with true duplicate suffixes). Intermediate rounds' checkpoint
+    blocks are released precisely (by RDD id) once the next round is
+    materialized — never a registry sweep.
+
+    TWO physical regimes, routed by corpus position count:
+
+    - **Broadcast regime** (positions <= ``broadcast_rank_max_rows``):
+      every round's rank table is a bounded DIMENSION table (distinct
+      keys <= positions), so the dense rank is distinct -> row_number
+      -> broadcast-join back. The whole array is then ONE lazy plan
+      with ONE corpus exchange: every round's ``lead`` runs over the
+      same partitionBy(doc) window (ReuseExchange collapses them), the
+      broadcast join preserves the streamed side's partitioning AND
+      ordering, so no round re-sorts the corpus; no Python, no
+      materialization barrier, no driver collect anywhere.
+    - **Distributed regime** (above the bound): per-round
+      range-partition + Arrow per-partition rank + bounded offset
+      collect (:func:`_global_dense_rank`), with the fixed-point and
+      all-distinct early exits. This is the 100-TB shape — the
+      broadcast regime's single-partition rank-table window would die
+      there, exactly like any dimension join flips to shuffle when the
+      dimension outgrows broadcast.
+
+    Collation: level 0 ranks tokens by their UTF-8 byte encoding
+    (``encode(token, 'UTF-8')`` — binary sort), matching DuckDB's
+    default binary collation and code-POINT order; Spark's native
+    string sort is UTF-16 code-UNIT order, which diverges for
+    supplementary-plane characters."""
+    spark = docs.sparkSession
     tk = _tokens_table(docs, id_col, text_col)
-    # Rank the RAW token at level 0 (not its md5 — hashing would
+    # Rank the RAW token bytes at level 0 (not a hash — hashing would
     # scramble the lexicographic order the suffix array promises).
+    toks = _nonempty_tokens()
     pos = tk.select(
         "_id",
-        F.size("_tk").alias("_len"),
-        F.posexplode("_tk").alias("_pos", "_key"),
-    )
+        F.size(toks).alias("_len"),
+        F.posexplode(toks).alias("_pos", "_tok"),
+    ).select("_id", "_len", "_pos", F.encode("_tok", "UTF-8").alias("_key"))
+    stats = pos.agg(
+        F.max("_len").alias("m"),
+        F.count("*").alias("n"),
+        F.count_distinct("_key").alias("v"),
+    ).first()
+    maxlen = int(stats["m"] or 0)
+    n_total = int(stats["n"] or 0)
+    vocab = int(stats["v"] or 0)
+    w = _doc_window()
+
+    def _cut(df: DataFrame) -> DataFrame:
+        # Each round is consumed TWICE (its own rank-table subtree and
+        # the next round's streamed side): without a lineage cut the
+        # logical plan doubles per round (2^rounds subtree copies — a
+        # 1100-line physical plan at 5 rounds, measured). A LAZY local
+        # checkpoint flattens the plan to a leaf that PRESERVES the
+        # child's partitioning and ordering (LogicalRDD carries both),
+        # so the stacked windows still reuse the one corpus exchange
+        # and never re-sort; blocks materialize inside the final
+        # action, not as a per-round driver barrier.
+        try:
+            return df.localCheckpoint(eager=False)
+        except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+            return df
+
+    if n_total <= broadcast_rank_max_rows:
+        # Radix per round = how many base-`b` digits fit across TWO
+        # packed longs, where b bounds digit values: round 1 digits
+        # are level-0 token ranks (bounded by the VOCABULARY — a
+        # 30-token vocab packs 10 ranks per long, so round 1 alone
+        # identifies 20-token prefixes); later rounds' digits are
+        # bounded by the position count (<= the broadcast bound, so
+        # per-long capacity is always >= 2). (base-1).bit_length() is
+        # exact ceil(log2) — no float edge at powers of two;
+        # per_long*bits <= 63 keeps each packed long < 2^63, and the
+        # two-long key compares lexicographically exactly like the
+        # digit tuple (every row has the same digit layout). The
+        # 24-digit cap bounds the stacked window width.
+        n_longs, max_digits = 2, 24
+        ranked = pos.join(
+            F.broadcast(_rank_table(pos, ["_key"], "_r")), "_key"
+        ).drop("_key")
+        joins = 1
+        base = vocab + 2
+        half = 1
+        while half < maxlen:
+            bits = (base - 1).bit_length()
+            per_long = max(1, 63 // bits)
+            t = max(2, min(max_digits, per_long * n_longs))
+            digits = [F.col("_r")] + [
+                F.coalesce(F.lead("_r", half * j).over(w) + 1, F.lit(0).cast("long"))
+                for j in range(1, t)
+            ]
+            packs: list[Column] = []
+            for ci in range(0, t, per_long):
+                chunk = digits[ci : ci + per_long]
+                v = chunk[0]
+                for d in chunk[1:]:
+                    v = v * base + d
+                packs.append(v.alias(f"_v{len(packs)}"))
+            vcols = [f"_v{i}" for i in range(len(packs))]
+            keyed = ranked.select("_id", "_pos", "_len", *packs)
+            ranked = keyed.join(
+                F.broadcast(_rank_table(keyed, vcols, "_r")), vcols
+            ).drop(*vcols)
+            # Cut lineage every OTHER join: one uncut join doubles the
+            # plan (bounded); cutting each one would cost a
+            # materialization job per round instead of per two.
+            joins += 1
+            if joins % 2 == 0:
+                ranked = _cut(ranked)
+            half *= t
+            base = n_total + 2  # digits are ranks <= position count
+        return ranked.select(
+            F.col("_id").alias(id_col),
+            F.col("_pos").alias("pos"),
+            (F.col("_r") - 1).alias("rank"),
+        )
+
     ranked, n_classes = _global_dense_rank(pos, ["_key"], "_r")
     ranked = ranked.drop("_key")
-    maxlen = int(ranked.agg(F.max("_len")).first()[0] or 0)
-    w = _doc_window()
+    prev_ckpt = _checkpoint_rdd_id(ranked)
     half = 1
-    while half < maxlen:
-        nxt = F.coalesce(F.lead("_r", half).over(w), F.lit(-1).cast("long"))
-        keyed = ranked.select("_id", "_pos", "_len", "_r", nxt.alias("_r2"))
-        ranked, n_new = _global_dense_rank(keyed, ["_r", "_r2"], "_rn")
+    while half < maxlen and n_classes < n_total:
+        base = n_classes + 2  # digits are ranks+1 in [0, n_classes+1]
+        if base < (1 << 15):
+            t = 4
+        elif base < (1 << 20):
+            t = 3
+        else:
+            t = 2
+        sent = F.lit(0).cast("long")
+        digits = [
+            F.coalesce(F.lead("_r", half * j).over(w) + 1, sent)
+            for j in range(1, t)
+        ]
+        if base < (1 << 31):  # pack the t-digit key into one long
+            v = F.col("_r").cast("long")
+            for d in digits:
+                v = v * base + d
+            keyed = ranked.select("_id", "_pos", "_len", v.alias("_v"))
+            key_cols = ["_v"]
+        else:  # ranks too wide to pack — fall back to a 2-column key
+            keyed = ranked.select(
+                "_id", "_pos", "_len", "_r", digits[0].alias("_v")
+            )
+            key_cols = ["_r", "_v"]
+        ranked, n_new = _global_dense_rank(keyed, key_cols, "_rn")
         ranked = ranked.select("_id", "_pos", "_len", F.col("_rn").alias("_r"))
+        new_ckpt = _checkpoint_rdd_id(ranked)
+        _release_rdd(spark, prev_ckpt)
+        prev_ckpt = new_ckpt
         if n_new == n_classes:  # fixed point: no class split this round
             break
         n_classes = n_new
-        half *= 2
+        half *= t
     return ranked.select(
         F.col("_id").alias(id_col),
         F.col("_pos").alias("pos"),

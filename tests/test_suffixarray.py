@@ -108,6 +108,28 @@ def test_suffix_array_dense_rank_spans_partitions(spark):
     assert got == {k: rank_of[s] for k, s in suffixes.items()}
 
 
+def test_suffix_array_distributed_regime_matches(spark):
+    """Forcing the distributed range-partition regime (broadcast bound
+    = 0) must produce byte-identical ranks to the broadcast regime and
+    the plain-Python reference — the 100-TB path stays verified now
+    that small corpora default to the broadcast-dimension plan."""
+    corpus = _rand_corpus(17, n_docs=24)
+    df = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id long, text string"
+    ).repartition(8)
+    got = {
+        (r.doc_id, r.pos): r.rank
+        for r in sa.suffix_array(df, broadcast_rank_max_rows=0).collect()
+    }
+    suffixes = {
+        (i, p): tuple(text.split()[p:])
+        for i, text in corpus.items()
+        for p in range(len(text.split()))
+    }
+    rank_of = {s: r for r, s in enumerate(sorted(set(suffixes.values())))}
+    assert got == {k: rank_of[s] for k, s in suffixes.items()}
+
+
 def test_longest_repeated_run_matches_bruteforce(spark):
     corpus = _rand_corpus(31, n_docs=8)
     df = spark.createDataFrame(sorted(corpus.items()), "doc_id long, text string")
