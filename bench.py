@@ -117,6 +117,44 @@ def main() -> None:
         _warm, "id long"
     ).count()
 
+    # Ambient-drift calibration, INTERLEAVED (r10 verdict item 2): a
+    # single ~0.1 s probe cannot anchor cross-run comparison — the
+    # driver-captured and builder-captured series disagreed 2x
+    # normalized on identical code because one tiny probe sample
+    # flipped the denominator. Sample the fixed probes at >=5 points
+    # spread across the whole series and publish median + IQR, so the
+    # normalized headline is anchored on the series-wide ambient state
+    # and the spread makes drift visible instead of silently dividing
+    # through.
+    from pyspark.sql import functions as CF
+
+    cpu_samples: list[float] = []
+    shuffle_samples: list[float] = []
+
+    def sample_probes() -> None:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).select(
+            CF.max(CF.xxhash64("id")).alias("s")  # max: no ANSI long overflow
+        ).collect()
+        cpu_samples.append(round(time.perf_counter() - t0, 4))
+        t0 = time.perf_counter()
+        spark.range(10_000_000).groupBy((CF.col("id") % 1_000_000).alias("k")).agg(
+            CF.count("*").alias("c")
+        ).select(CF.max("c")).collect()
+        shuffle_samples.append(round(time.perf_counter() - t0, 4))
+
+    def _spread(xs: list[float]) -> tuple[float, float]:
+        med = statistics.median(xs)
+        if len(xs) >= 4:
+            q = statistics.quantiles(xs, n=4)
+            return round(med, 4), round(q[2] - q[0], 4)
+        return round(med, 4), round(max(xs) - min(xs), 4)
+
+    sample_probes()  # codegen warm-up for the probe plans…
+    cpu_samples.clear()
+    shuffle_samples.clear()
+    sample_probes()  # …so the first RECORDED sample is steady-state
+
     def run_set(query_names: list[str]) -> dict[str, float]:
         results: dict[str, float] = {}
         for name in query_names:
@@ -169,17 +207,17 @@ def main() -> None:
         return int(n_items / statistics.median(timings))
 
     sha_first = measure_sha()
+    sample_probes()
 
     results = run_set(names)
-    extras = run_set([n for n in EXTRA_QUERIES if n in REGISTRY])
+    sample_probes()
 
-    # Ambient-drift calibration (r4 verdict item 8): rounds r2/r4 showed
-    # ±50% machine noise on sub-second queries, masking real wins and
-    # regressions. Measure two FIXED probes whose definitions never
-    # change with engine code — a pure-JVM CPU probe and a parquet scan
-    # probe — and publish the headline total normalized by the CPU probe
-    # so round-over-round comparisons can be made ambient-adjusted.
-    from pyspark.sql import functions as CF
+    extra_names = [n for n in EXTRA_QUERIES if n in REGISTRY]
+    mid = len(extra_names) // 2
+    extras = run_set(extra_names[:mid])
+    sample_probes()
+    extras.update(run_set(extra_names[mid:]))
+    sample_probes()
 
     def _timed(thunk) -> float:
         timings = []
@@ -190,23 +228,9 @@ def main() -> None:
                 timings.append(time.perf_counter() - t0)
         return round(statistics.median(timings), 4)
 
-    cpu_probe = _timed(
-        lambda: spark.range(50_000_000)
-        .select(CF.max(CF.xxhash64("id")).alias("s"))  # max: no ANSI long overflow
-        .collect()
-    )
     scan_probe = _timed(
         lambda: spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
         .select(CF.sum("l_extendedprice").alias("s"))
-        .collect()
-    )
-    # the two components the cpu probe can NOT see, and where run-to-run
-    # drift actually lives (GC + shuffle fetch; python worker round-trip)
-    shuffle_probe = _timed(
-        lambda: spark.range(10_000_000)
-        .groupBy((CF.col("id") % 1_000_000).alias("k"))
-        .agg(CF.count("*").alias("c"))
-        .select(CF.max("c"))
         .collect()
     )
 
@@ -252,12 +276,18 @@ def main() -> None:
     diag["persistent_rdds_post_gc"] = sc._jsc.sc().getPersistentRDDs().size()
     diag["stranded_released"] = release_stranded_checkpoints(spark)
     diag["sha_last_post_gc"] = measure_sha()
+    sample_probes()  # final interleave point (>=6 samples total)
 
     total = round(sum(results.values()), 4)
+    cpu_probe, cpu_iqr = _spread(cpu_samples)
+    shuffle_probe, shuffle_iqr = _spread(shuffle_samples)
     calibration = {
         "cpu_probe_sec": cpu_probe,
+        "cpu_probe_iqr": cpu_iqr,
+        "cpu_probe_n": len(cpu_samples),
         "scan_probe_sec": scan_probe,
         "shuffle_probe_sec": shuffle_probe,
+        "shuffle_probe_iqr": shuffle_iqr,
         "pandas_probe_sec": pandas_probe,
         "headline_per_cpu_probe": round(total / cpu_probe, 3),
         "extras_per_cpu_probe": round(sum(extras.values()) / cpu_probe, 3),
@@ -269,6 +299,8 @@ def main() -> None:
     detail = {
         "extra_queries": extras,
         "sha_diag": diag,
+        "cpu_probe_samples": cpu_samples,
+        "shuffle_probe_samples": shuffle_samples,
         "queries_normalized": {
             n: round(v / shuffle_probe, 3) for n, v in {**results, **extras}.items()
         },
@@ -295,6 +327,7 @@ def main() -> None:
                 "calibration": calibration,
                 "sha256_pipeline_items_per_sec": sha_first,
                 "sha256_pipeline_items_per_sec_last": sha_last,
+                "sha256_items_per_sec_last_post_gc": diag["sha_last_post_gc"],
                 "sf": _sf_label(SF_DIR),
                 "cpus": cpu_budget(),
                 "runs": RUNS,
