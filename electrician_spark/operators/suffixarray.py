@@ -362,12 +362,19 @@ def _global_dense_rank(
     return out, acc
 
 
-# Rank-table size bound for the broadcast regime: ~8M packed-long rows
-# is ~64 MB serialized — the same order as the session's
+# Rank-table size bound for the broadcast regime: 1M two-long rows is
+# ~16 MB serialized — comfortably inside the session's 64 MB
 # autoBroadcastJoinThreshold. Below it the per-round dense rank is a
 # DIMENSION-table rank (distinct keys -> row_number -> broadcast join
 # back); above it the distributed range-partitioned path takes over.
-_BROADCAST_RANK_MAX_ROWS = 8_000_000
+# The bound is deliberately conservative because the broadcast regime
+# is DRIVER-heavy (each round collects the rank table to build the
+# broadcast relation): measured on a 1.1M-position corpus, the
+# broadcast path matches the distributed path on a fresh driver but
+# degrades several-fold under driver heap pressure from earlier
+# queries in the same session, while the distributed path's only
+# driver traffic is one bounded offset row per partition.
+_BROADCAST_RANK_MAX_ROWS = 1_000_000
 
 
 def _rank_table(keyed: DataFrame, key_cols: list[str], out_col: str) -> DataFrame:

@@ -842,23 +842,12 @@ def q_w1(spark, sf_dir):
     ).orderBy("window_start")
 
 
-@query(
-    "q_w2_sliding_30m_15m",
-    "SELECT window_start, count(*) AS n FROM ("
-    "SELECT make_timestamp(CAST(floor(epoch_us(ts) / 900000000.0) * 900000000 AS BIGINT)) "
-    "AS window_start FROM events "
-    "UNION ALL "
-    "SELECT make_timestamp(CAST(floor(epoch_us(ts) / 900000000.0) * 900000000 AS BIGINT)) "
-    "- INTERVAL 15 MINUTE AS window_start FROM events) t "
-    "GROUP BY 1 ORDER BY 1",
-    tags=("window", "events"),
-)
-def q_w2(spark, sf_dir):
-    # 30-minute windows sliding every 15 minutes: each event belongs to
-    # exactly two windows; the oracle materializes both memberships.
-    return win.sliding(
-        _t(spark, sf_dir, "events"), "ts", "30 minutes", "15 minutes", F.count("*").alias("n")
-    ).orderBy("window_start")
+# (q_w2_sliding_30m_15m: RETIRED r11 -> electrician_spark.retired,
+# making room for q_dw1's streaming dedupe-within-watermark row. The
+# window family keeps four live attestations — tumbling q_w1, session
+# q_w3, real watermark semantics q_wm1, streaming dedupe q_dw1 —
+# and sliding is the same `window()` operator as q_w1 with a slide
+# parameter.)
 
 
 @query(
@@ -5595,6 +5584,119 @@ def q_wm1(spark, sf_dir):
 
 
 @query(
+    "q_dw1_dedupe_within_watermark",
+    # W8's TRUE STREAMING form (q_w8's batch dropDuplicates is
+    # archived): dropDuplicatesWithinWatermark on a REAL five-micro-
+    # batch stream attests all three state behaviors at once:
+    # (a) DROP — a duplicate key arriving while the key's state is
+    # retained (id 3, and id 8 after the eviction wave) never reaches
+    # the sink; (b) EVICTION — once the watermark passes first-arrival
+    # ts + delay the key's state is gone, so the id-7 re-arrival of
+    # 'a' IS re-admitted (without eviction it would be dropped: its
+    # payload differs from id 1's, so a leak is visible in the value
+    # hash); (c) BOUNDED state — the fence keys advance the watermark
+    # far past every data key's expiry under either the one- or
+    # two-batch watermark-commit lag Spark exhibits with availableNow
+    # (two fence batches, so the lag cannot change the outcome).
+    # Oracle = the closed-form census of the admitted arrivals.
+    "SELECT CASE WHEN event_id IN (1, 7) THEN 'a' WHEN event_id = 2 THEN 'b' "
+    "WHEN event_id = 4 THEN 'c' WHEN event_id = 5 THEN 'f' ELSE 'g' END AS key, "
+    "event_id, event_type AS payload, "
+    "CAST(1700000000 + CASE event_id WHEN 1 THEN 0 WHEN 2 THEN 60 WHEN 4 THEN 180 "
+    "WHEN 5 THEN 4200 WHEN 6 THEN 4300 ELSE 4100 END AS BIGINT) AS ts_epoch "
+    "FROM events WHERE event_id IN (1, 2, 4, 5, 6, 7) ORDER BY event_id",
+    tags=("streaming", "window", "dedup"),
+)
+def q_dw1(spark, sf_dir):
+    # streaming/windows.dedupe_within_watermark (withWatermark ->
+    # dropDuplicatesWithinWatermark) over five mtime-ordered NDJSON
+    # micro-batches. Schedule (delay = 10 min, epoch-offset seconds):
+    # b0: a@0 (id1), b@60 (id2) -> both admitted
+    # b1: a@120 (id3, dup while state alive) -> DROPPED; c@180 (id4)
+    # b2: f@4200 (id5, fence 1) -> admitted, watermark pusher
+    # b3: g@4300 (id6, fence 2) -> admitted; forces the watermark
+    #     commit past a/b/c's expiry even under two-batch lag
+    # b4: a@4100 (id7) -> state evicted (wm >= 3600 > 0+600), ADMITTED
+    #     AGAIN; f@4210 (id8, dup of the live fence key, expiry 4800 >
+    #     wm) -> DROPPED
+    import os
+    import tempfile
+
+    from electrician_spark.streaming import windows as swin
+
+    t0_epoch = 1_700_000_000
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") >= 1) & (F.col("event_id") <= 8)
+    )
+    key = (
+        F.when(F.col("event_id").isin(1, 3, 7), "a")
+        .when(F.col("event_id") == 2, "b")
+        .when(F.col("event_id") == 4, "c")
+        .when(F.col("event_id").isin(5, 8), "f")
+        .otherwise("g")
+    )
+    off = {1: 0, 2: 60, 3: 120, 4: 180, 5: 4200, 6: 4300, 7: 4100, 8: 4210}
+    ts = F.lit(t0_epoch).cast("long")
+    for i, o in off.items():
+        ts = ts + F.when(F.col("event_id") == i, o).otherwise(0)
+    rows = ev.select(
+        key.alias("key"),
+        ts.cast("double").alias("ts_epoch"),
+        F.col("event_id"),
+        F.col("event_type").alias("payload"),
+    )
+    tmp = tempfile.mkdtemp(prefix="q_dw1_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    waves = [(1, 2), (3, 4), (5,), (6,), (7, 8)]
+    for b, ids in enumerate(waves):
+        path = os.path.join(src, f"b{b}.json")
+        rows.filter(F.col("event_id").isin(*ids)).toPandas().to_json(
+            path, orient="records", lines=True
+        )
+    base = os.path.getmtime(path)
+    for b in range(len(waves)):
+        os.utime(os.path.join(src, f"b{b}.json"), (base - 100 + b, base - 100 + b))
+
+    stream = (
+        spark.readStream.schema(
+            "key string, ts_epoch double, event_id long, payload string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.col("ts_epoch").cast("timestamp"))
+    )
+    out = swin.dedupe_within_watermark(stream, ["key"], "ts", "10 minutes")
+    name = "q_dw1_sink_" + os.path.basename(tmp).replace("q_dw1_", "")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .select(
+            "key",
+            "event_id",
+            "payload",
+            F.col("ts").cast("long").alias("ts_epoch"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "q_lr1_longest_repeated_run",
     # Longest duplicated token run, cross-checked by two UNRELATED
     # algorithms: Spark binary-searches the run length over doubling
@@ -5721,71 +5823,67 @@ def q_lr1(spark, sf_dir):
 # operators: resequence flush via q_ev1 and the rate-limit bucket
 # drop via q_rt1) and 7 (suffix-array substring dedup).
 _DRIVER_PRIORITY = [
-    # Round-10 window = the 50 queries attested in r8 (the complement
-    # of the r9 window — the invariant test enforces the 2-round exact
-    # cover), minus the 8 rows RETIRED r10 (q_f1_string /
-    # q_sm2_hash_sample / q_p2_snr / q_ss1_substring_dedup /
-    # q_t6_tagger / q_f5_json_extract / q_d1_exact_dedup /
-    # q_d8_decontaminate, each archived in electrician_spark.retired
-    # with its oracle), plus the 8 NEW r10 promotion rows placed
-    # first so they
-    # are driver-attested immediately: the unigram/SentencePiece
-    # Viterbi encode (q_ug1), the C5 breaker-backup divert (q_cb1),
-    # the stateful processing-time timeout/eviction flush on BOTH
-    # stateful operators (q_ev1 resequence, q_rt1 rate-limit bucket
-    # drop), and the suffix-doubling exact substring dedup on planted
-    # runs (q_sa1). The r9 window's 50 rows follow in declaration
-    # order (not listed here), keeping the 100-row/2-window arithmetic.
-    "q_lr1_longest_repeated_run",
-    "q_wm1_watermark_late_drop",
-    "q_sx1_suffix_array_order",
-    "q_rt1_rate_limit_timeout",
-    "q_ug1_unigram_viterbi_encode",
-    "q_cb1_breaker_divert",
-    "q_ev1_eviction_flush",
-    "q_sa1_suffix_spans",
-    "q_rb1_robots_gate",
-    "q_pg1_pagerank",
-    "q_id1_incremental_dedup",
-    "q_bl1_bloom_decontaminate",
-    "q_sc1_span_corrupt",
-    "q_fim1_fim_transform",
-    "q_ex1_exif_census",
-    "q_wd1_webdataset_shards",
-    "q_sv1_split_corpus",
-    "q_rs1_resequence_stateful",
-    "q_a1_pricing_summary",
-    "q_a2_rate_per_hour",
-    "q_ch1_chunk_documents",
-    "q_d3_minhash_lsh",
-    "q_d4_simhash",
-    "q_d5_embedding_near_dup",
-    "q_d6_dup_clusters",
-    "q_dm1_domain_mixture",
-    "q_j1_broadcast_inner",
-    "q_j2_shipping_priority",
-    "q_j6_range_join",
-    "q_k1_parquet_roundtrip",
-    "q_k2_ndjson_roundtrip",
-    "q_k4_upsert_idempotent",
-    "q_lm1_perplexity_buckets",
-    "q_n1_ann_bruteforce",
-    "q_n4_ann_ivf_probes",
-    "q_o2_grouped_topk",
-    "q_o3_priority_drain",
-    "q_p3_wave_roundtrip",
-    "q_r1_resequenced_replay",
-    "q_s1_full_scan",
-    "q_s2_projection_pushdown",
-    "q_s3_predicate_pushdown",
-    "q_sd1_semantic_dedup",
-    "q_t3_keyword_filter",
-    "q_t5_classifier",
-    "q_w1_tumbling_hour",
-    "q_w3_session_counts",
-    "q_wf1_rank",
-    "q_x3_language_id",
-    "q_x7_quality_filter_pipeline",
+    # Round-11 window = the 50 queries attested in r9 (the complement
+    # of the r10 window — the invariant test enforces the 2-round
+    # exact cover), minus the rows RETIRED r11 (q_w2_sliding —
+    # archived in electrician_spark.retired with its oracle; sliding
+    # is the live tumbling operator with a slide parameter), plus the
+    # NEW r11 promotion rows placed first so they are driver-attested
+    # immediately: the streaming dedupe-within-watermark row (q_dw1 —
+    # W8's true streaming form: duplicate drop, state eviction on
+    # watermark passage, post-eviction re-admit on a real five-micro-
+    # batch stream).
+    "q_dw1_dedupe_within_watermark",
+    # the r9 window (complement of CORRECTNESS_r10), minus retirements
+    "q_a7_rollup_subtotals",
+    "q_af1_audio_fingerprint",
+    "q_ah1_image_hash_family",
+    "q_aj1_asof_join",
+    "q_aq1_audio_quality",
+    "q_bp1_bpe_encode",
+    "q_bq1_binary_hamming_tier",
+    "q_c4_1_c4_cleaning",
+    "q_cm1_count_min",
+    "q_cml1_chatml_render",
+    "q_d2_ngram_jaccard",
+    "q_d9_lsh_near_dup",
+    "q_ds1_distinct_sketch",
+    "q_fc1_frozen_linear_scores",
+    "q_fo1_fanout_dlq",
+    "q_gq1_gopher_battery",
+    "q_hh1_heavy_hitters",
+    "q_ht1_hypertable_rollup",
+    "q_hx1_html_main_text",
+    "q_ir1_dsir_select",
+    "q_j3_left_join_counts",
+    "q_j5_anti_join",
+    "q_j7_regional_revenue",
+    "q_k3_kafka_frame_roundtrip",
+    "q_lb1_length_batches",
+    "q_lm2_bigram_buckets",
+    "q_n3_ann_ivf_kmeans",
+    "q_or1_orc_roundtrip",
+    "q_ph1_image_phash",
+    "q_pp1_preference_pairs",
+    "q_pq1_pq_adc_topk",
+    "q_pq2_ivfpq_topk",
+    "q_pr1_table_profile",
+    "q_px1_image_pixel_stats",
+    "q_q1_grouped_quantiles",
+    "q_r2_retry_backoff",
+    "q_rj1_range_join",
+    "q_rl1_rate_limit_stateful",
+    "q_rz1_resize_media",
+    "q_sk1_salted_agg",
+    "q_sp1_sequence_packing",
+    "q_u2_union_distinct",
+    "q_w7_ttl_expiry",
+    "q_wc1_warc_census",
+    "q_wf2_lag_gap",
+    "q_wp1_wordpiece_encode",
+    "q_x6_pii_redaction",
+    "q_x8_curation_pipeline",
+    "q_z1_compression_roundtrip",
 ]
 
 

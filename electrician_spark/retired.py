@@ -1380,3 +1380,27 @@ def q_d8(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@retired_query(
+    "q_w2_sliding_30m_15m",
+    "SELECT window_start, count(*) AS n FROM ("
+    "SELECT make_timestamp(CAST(floor(epoch_us(ts) / 900000000.0) * 900000000 AS BIGINT)) "
+    "AS window_start FROM events "
+    "UNION ALL "
+    "SELECT make_timestamp(CAST(floor(epoch_us(ts) / 900000000.0) * 900000000 AS BIGINT)) "
+    "- INTERVAL 15 MINUTE AS window_start FROM events) t "
+    "GROUP BY 1 ORDER BY 1",
+    tags=("window", "events"),
+)
+def q_w2(spark, sf_dir):
+    # Retired r11 (made room for q_dw1 streaming dedupe-within-
+    # watermark): sliding is the same `window()` operator as the live
+    # tumbling row q_w1 with a slide parameter; the window family
+    # keeps four live attestations (q_w1 tumbling, q_w3 session,
+    # q_wm1 watermark semantics, q_dw1 streaming dedupe).
+    # 30-minute windows sliding every 15 minutes: each event belongs to
+    # exactly two windows; the oracle materializes both memberships.
+    return win.sliding(
+        _t(spark, sf_dir, "events"), "ts", "30 minutes", "15 minutes", F.count("*").alias("n")
+    ).orderBy("window_start")

@@ -51,11 +51,27 @@ def session_counts(df: DataFrame, ts_col: str, user_col: str, gap: str) -> DataF
     )
 
 
+def dedupe_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str
+) -> DataFrame:
+    """STREAMING dedupe-by-key with BOUNDED state (the reference's
+    relay dedupe key, proto/electrician_relay.proto:33 +
+    receivingrelay dedupe window — W8's true streaming form): a
+    duplicate key arriving while the key's state is retained (within
+    ``delay`` of the first arrival's event time) is dropped; once the
+    watermark passes first-arrival-ts + delay the state is evicted and
+    a re-arrival is admitted again. State is bounded by the delay
+    horizon — what makes exact dedup feasible on an unbounded stream;
+    an infinite-retention dedupe (plain ``dropDuplicates`` on a
+    stream) grows state forever and is the classic streaming OOM."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def dedupe(df: DataFrame, keys: list[str]) -> DataFrame:
     """Key-based dedup (reference W8 dedupe_key,
     proto/electrician_relay.proto:33). Batch form: dropDuplicates; the
     streaming form with bounded state is
-    ``dropDuplicatesWithinWatermark`` (see streaming/sources.py tests)."""
+    :func:`dedupe_within_watermark`."""
     return df.dropDuplicates(keys)
 
 

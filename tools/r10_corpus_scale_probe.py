@@ -138,7 +138,18 @@ def main() -> None:
         "q_bq1_binary_hamming_tier": REGISTRY["q_bq1_binary_hamming_tier"].spark,
         "q_ir1_dsir_select": REGISTRY["q_ir1_dsir_select"].spark,
         "q_lm2_bigram_buckets": REGISTRY["q_lm2_bigram_buckets"].spark,
+        # r11 (r10 verdict item 3): the four r10-new heavy rows, run
+        # UNCHANGED on the same synthetic corpora so their bench cost
+        # can be attributed fixed-overhead vs corpus-tracking.
+        "q_ug1_unigram_viterbi_encode": REGISTRY["q_ug1_unigram_viterbi_encode"].spark,
+        "q_sx1_suffix_array_order": REGISTRY["q_sx1_suffix_array_order"].spark,
+        "q_lr1_longest_repeated_run": REGISTRY["q_lr1_longest_repeated_run"].spark,
+        "q_sa1_suffix_spans": REGISTRY["q_sa1_suffix_spans"].spark,
     }
+    only = os.environ.get("SCALE_ROWS")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        rows = {k: v for k, v in rows.items() if any(s in k for s in keep)}
     lo, hi = mults[0], mults[-1]
     for name, fn in rows.items():
         ts = {m: timed(lambda m=m: fn(spark, dirs[m]).count()) for m in mults}
