@@ -2682,45 +2682,12 @@ def q_pq1(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
-@query(
-    "q_pq2_ivfpq_topk",
-    # IVF-PQ: cell routing (nearest label-centroid by raw L2, ties to
-    # lowest cell) prunes the scan; ADC scores only the probed cell.
-    f"WITH {_SQL_PQ_CODES}, "
-    "ex AS (SELECT label AS cl, d.dim AS dim, avg(CAST(embedding[d.dim+1] AS DOUBLE)) AS m "
-    "FROM embeddings, (SELECT unnest(range(64)) AS dim) d GROUP BY label, d.dim), "
-    "cents AS (SELECT cl, list(m ORDER BY dim) AS centroid FROM ex GROUP BY cl), "
-    "qv AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe "
-    "FROM embeddings WHERE vec_id < 10), "
-    "probe AS (SELECT query_id, cl FROM (SELECT q.query_id, c.cl, row_number() OVER "
-    "(PARTITION BY q.query_id ORDER BY list_sum(list_transform(range(64), i -> "
-    "(q.qe[i+1]-c.centroid[i+1])*(q.qe[i+1]-c.centroid[i+1]))), c.cl) AS rn "
-    "FROM qv q, cents c) WHERE rn = 1), "
-    "q AS (SELECT vec_id AS query_id, sub, sv AS qsv FROM subs WHERE vec_id < 10), "
-    "pd AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
-    + _SQL_PQ_SUBDIST.format(a="q.qsv", b="b.cv")
-    + " AS dsub FROM q JOIN probe p ON p.query_id = q.query_id "
-    "JOIN codes c ON c.sub = q.sub AND c.label = p.cl AND c.vec_id <> q.query_id "
-    "JOIN book1 b ON b.sub = q.sub AND b.cl = c.cl), "
-    f"{_SQL_PQ_RANKED}",
-    tags=("quantize", "similarity"),
-)
-def q_pq2(spark, sf_dir):
-    # The two ANN levers composed: IVF routing (the SAME Spark
-    # label_centroids table the expression-form IVF uses) prunes WHICH
-    # rows are scored, PQ codes shrink WHAT a row costs (m LUT gathers).
-    # Approximate by design — recall < 1 when a true neighbor lives in
-    # an unprobed cell; the oracle replays the same nprobe=1 decision.
-    from electrician_spark.operators import quantize as qz
-
-    emb = _t(spark, sf_dir, "embeddings")
-    books = qz.pq_train(emb, vec_col="embedding", m=4, k=4, iters=1, id_col="vec_id")
-    codes = qz.pq_encode(emb, books, vec_col="embedding")
-    out = qz.ivfpq_topk(
-        codes, emb.filter(F.col("vec_id") < 10), books, k=5, nprobe=1,
-        id_col="vec_id", vec_col="embedding", label_col="label",
-    )
-    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+# (q_pq2_ivfpq_topk: RETIRED r11 -> electrician_spark.retired, making
+# room for q_ab1's threshold-abort row. IVF-PQ is the COMPOSITION of
+# two independently-live attestations — PQ/ADC scoring via q_pq1 and
+# IVF cell routing via q_n3/q_n4 — and the composed kernel keeps its
+# full oracle in the archive plus its recall/subset contracts in
+# test_quantize.)
 
 
 # (q_pk2_best_fit_packing: RETIRED r9 -> electrician_spark.retired. the
@@ -5132,6 +5099,119 @@ def q_cb1(spark, sf_dir):
 
 
 @query(
+    "q_ab1_threshold_abort",
+    # A4 threshold abort (reference meter/monitor.go:37-52): the LAST
+    # reliability behavior with no oracle form — "abort raises" is
+    # sidestepped by attesting the abort through its OBSERVABLE
+    # effects on a real two-micro-batch foreachBatch stream:
+    # (a) batch 1 (10/100 = 10% errors, under the 50% threshold) lands
+    # normally — good rows in the primary parquet, errors in the DLQ;
+    # (b) batch 2 (10/13 = 77% errors) breaches: its errors reach the
+    # DLQ (the split runs before the meter check, matching the
+    # reference where the monitor reads the meter AFTER counting), its
+    # 3 good rows NEVER reach the primary (their absence is the abort
+    # — and an erroneous post-abort write surfaces as extra rows);
+    # (c) the RECORDED abort reason — regex-extracted from the failed
+    # query's StreamingQueryException, not reconstructed — is pinned
+    # as a literal row, error counts and threshold included.
+    "WITH p AS (SELECT 'primary' AS channel, event_type, "
+    "CAST(count(*) AS BIGINT) AS n FROM events "
+    "WHERE event_id BETWEEN 1 AND 100 AND event_id % 10 <> 0 "
+    "GROUP BY event_type), "
+    "d AS (SELECT 'dlq' AS channel, event_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM events WHERE event_id BETWEEN 1 AND 200 AND event_id % 10 = 0 "
+    "GROUP BY event_type), "
+    "a AS (SELECT 'abort' AS channel, "
+    "'error ratio 10/13 >= 0.5 " + "—" + " aborting' AS event_type, "
+    "CAST(1 AS BIGINT) AS n) "
+    "SELECT * FROM p UNION ALL SELECT * FROM d UNION ALL SELECT * FROM a "
+    "ORDER BY channel, event_type",
+    tags=("streaming", "reliability", "metrics"),
+)
+def q_ab1(spark, sf_dir):
+    # streaming/sinks.ForEachBatchRouter(error_ratio_abort=0.5) on a
+    # real availableNow stream; metrics-meter semantics per reference
+    # monitor.go. Batch 2 mixes 3 good rows (ids 101/103/105) with the
+    # 10 multiples of ten in 110..200 so the abort demonstrably
+    # WITHHOLDS deliverable rows rather than aborting an all-error
+    # batch that had nothing to deliver anyway.
+    import os
+    import re
+    import tempfile
+
+    from electrician_spark.streaming.sinks import ForEachBatchRouter, parquet_sink
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= 1) & (F.col("event_id") <= 200))
+        .select("event_id", "event_type")
+    )
+    tmp = tempfile.mkdtemp(prefix="q_ab1_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    b2_ids = [101, 103, 105] + list(range(110, 201, 10))
+    ev.filter(F.col("event_id") <= 100).toPandas().to_json(
+        os.path.join(src, "a_calm.json"), orient="records", lines=True
+    )
+    ev.filter(F.col("event_id").isin(*b2_ids)).toPandas().to_json(
+        os.path.join(src, "b_breach.json"), orient="records", lines=True
+    )
+    base = os.path.getmtime(os.path.join(src, "b_breach.json"))
+    os.utime(os.path.join(src, "a_calm.json"), (base - 100, base - 100))
+
+    paths = {c: os.path.join(tmp, f"sink_{c}") for c in ("primary", "dlq")}
+    aborted: list[bool] = []
+    router = ForEachBatchRouter(
+        sinks=[parquet_sink(paths["primary"])],
+        dlq_sink=parquet_sink(paths["dlq"]),
+        error_condition=F.col("event_id") % 10 == 0,
+        error_ratio_abort=0.5,
+        on_abort=lambda: aborted.append(True),
+    )
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(router)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)  # raises when the query ABORTS — expected
+    except Exception as e:  # noqa: BLE001 — the abort IS the attested event
+        exc = e
+    else:
+        exc = q.exception()
+    m = (
+        re.search(r"error ratio \d+/\d+ >= [0-9.]+ — aborting", str(exc))
+        if exc is not None
+        else None
+    )
+    reason = m.group(0) if (m and aborted) else "NO-ABORT-RECORDED"
+    parts = [
+        spark.read.parquet(paths["primary"]).select(
+            F.lit("primary").alias("channel"), "event_type"
+        ),
+        spark.read.parquet(paths["dlq"]).select(
+            F.lit("dlq").alias("channel"), "event_type"
+        ),
+    ]
+    union = parts[0]
+    for part in parts[1:]:
+        union = union.unionByName(part)
+    census = union.groupBy("channel", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    abort_row = spark.createDataFrame(
+        [("abort", reason, 1)], "channel string, event_type string, n long"
+    )
+    return census.unionByName(abort_row).orderBy("channel", "event_type")
+
+
+@query(
     "q_ev1_eviction_flush",
     # Stateful processing-time timeout/eviction, batch-equivalent: key
     # 'a' arrives ONLY in micro-batch 1 with a hole at seq 3, so its
@@ -5832,7 +5912,12 @@ _DRIVER_PRIORITY = [
     # immediately: the streaming dedupe-within-watermark row (q_dw1 —
     # W8's true streaming form: duplicate drop, state eviction on
     # watermark passage, post-eviction re-admit on a real five-micro-
-    # batch stream).
+    # batch stream), and the A4 threshold-abort census (q_ab1 — batch
+    # under the error-ratio threshold delivers, the breaching batch's
+    # good rows are withheld, the recorded abort reason is pinned
+    # literally; retired in exchange: q_pq2, the composition of the
+    # independently-live q_pq1 PQ/ADC and q_n3/q_n4 IVF attestations).
+    "q_ab1_threshold_abort",
     "q_dw1_dedupe_within_watermark",
     # the r9 window (complement of CORRECTNESS_r10), minus retirements
     "q_a7_rollup_subtotals",
@@ -5866,7 +5951,6 @@ _DRIVER_PRIORITY = [
     "q_ph1_image_phash",
     "q_pp1_preference_pairs",
     "q_pq1_pq_adc_topk",
-    "q_pq2_ivfpq_topk",
     "q_pr1_table_profile",
     "q_px1_image_pixel_stats",
     "q_q1_grouped_quantiles",

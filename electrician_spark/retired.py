@@ -30,6 +30,9 @@ from electrician_spark.queries import (
     _SQL_EPOCH_KEY,
     _SQL_JACCARD_CTES,
     _SQL_NORM_CTE,
+    _SQL_PQ_CODES,
+    _SQL_PQ_RANKED,
+    _SQL_PQ_SUBDIST,
     _SQL_SAMPLE_KEY,
     _SQL_SHINGLES_CTE,
     _as_doubles,
@@ -1404,3 +1407,48 @@ def q_w2(spark, sf_dir):
     return win.sliding(
         _t(spark, sf_dir, "events"), "ts", "30 minutes", "15 minutes", F.count("*").alias("n")
     ).orderBy("window_start")
+
+
+@retired_query(
+    "q_pq2_ivfpq_topk",
+    # IVF-PQ: cell routing (nearest label-centroid by raw L2, ties to
+    # lowest cell) prunes the scan; ADC scores only the probed cell.
+    f"WITH {_SQL_PQ_CODES}, "
+    "ex AS (SELECT label AS cl, d.dim AS dim, avg(CAST(embedding[d.dim+1] AS DOUBLE)) AS m "
+    "FROM embeddings, (SELECT unnest(range(64)) AS dim) d GROUP BY label, d.dim), "
+    "cents AS (SELECT cl, list(m ORDER BY dim) AS centroid FROM ex GROUP BY cl), "
+    "qv AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe "
+    "FROM embeddings WHERE vec_id < 10), "
+    "probe AS (SELECT query_id, cl FROM (SELECT q.query_id, c.cl, row_number() OVER "
+    "(PARTITION BY q.query_id ORDER BY list_sum(list_transform(range(64), i -> "
+    "(q.qe[i+1]-c.centroid[i+1])*(q.qe[i+1]-c.centroid[i+1]))), c.cl) AS rn "
+    "FROM qv q, cents c) WHERE rn = 1), "
+    "q AS (SELECT vec_id AS query_id, sub, sv AS qsv FROM subs WHERE vec_id < 10), "
+    "pd AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+    + _SQL_PQ_SUBDIST.format(a="q.qsv", b="b.cv")
+    + " AS dsub FROM q JOIN probe p ON p.query_id = q.query_id "
+    "JOIN codes c ON c.sub = q.sub AND c.label = p.cl AND c.vec_id <> q.query_id "
+    "JOIN book1 b ON b.sub = q.sub AND b.cl = c.cl), "
+    f"{_SQL_PQ_RANKED}",
+    tags=("quantize", "similarity"),
+)
+def q_pq2(spark, sf_dir):
+    # Retired r11 (made room for q_ab1 threshold-abort): IVF-PQ is the
+    # COMPOSITION of two independently-live attestations — PQ/ADC
+    # scoring (q_pq1) and IVF cell routing (q_n3/q_n4); the composed
+    # kernel keeps its recall/subset contracts in test_quantize.
+    # The two ANN levers composed: IVF routing (the SAME Spark
+    # label_centroids table the expression-form IVF uses) prunes WHICH
+    # rows are scored, PQ codes shrink WHAT a row costs (m LUT gathers).
+    # Approximate by design — recall < 1 when a true neighbor lives in
+    # an unprobed cell; the oracle replays the same nprobe=1 decision.
+    from electrician_spark.operators import quantize as qz
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = qz.pq_train(emb, vec_col="embedding", m=4, k=4, iters=1, id_col="vec_id")
+    codes = qz.pq_encode(emb, books, vec_col="embedding")
+    out = qz.ivfpq_topk(
+        codes, emb.filter(F.col("vec_id") < 10), books, k=5, nprobe=1,
+        id_col="vec_id", vec_col="embedding", label_col="label",
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
