@@ -74,7 +74,10 @@ EXTRA_QUERIES = [
     "q_lb1_length_batches",
     "q_cm1_count_min",
     "q_bq1_binary_hamming_tier",
-    "q_ah1_image_hash_family",
+    # q_ah1 retired r11 -> archive, succeeded in the series by the new
+    # model-based language-ID row (perceptual hashing stays tracked
+    # via q_ph1)
+    "q_li1_langid_model",
     "q_cml1_chatml_render",
     "q_pp1_preference_pairs",
     "q_af1_audio_fingerprint",

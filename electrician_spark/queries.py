@@ -1076,6 +1076,89 @@ def q_x3(spark, sf_dir):
 
 
 
+@query(
+    "q_li1_langid_model",
+    # MODEL-BASED language ID (operators/langid.py — the trained tier
+    # above q_x3's heuristic): multinomial Naive Bayes over char
+    # bigrams, trained LIVE on the labeled split (doc_id % 5 <> 0),
+    # frozen to a dyadic 2^-20 integer weight table (the q_ug1
+    # quantization recipe: floor(ln(p)*2^20 + 0.5) — identical
+    # floor+0.5 semantics in both engines), round-tripped through the
+    # JSON artifact, then scored on the DISJOINT test split. Scores
+    # are EXACT integer sums (units of 2^-20), so argmax, margin, and
+    # every score value replay bit-for-bit — the oracle re-runs the
+    # ENTIRE train->freeze->score pipeline in SQL: gram counts,
+    # top-300 vocabulary cut (count desc, gram asc), add-0.5
+    # smoothing over the kept-gram event space, doc-count priors,
+    # per-(doc, lang) scoring with OOV-gram skip, and the
+    # (score desc, lang asc) argmax with runner-up margin.
+    "WITH tr AS (SELECT lang, lower(text) AS s FROM documents "
+    "WHERE doc_id % 5 <> 0), "
+    "g AS (SELECT lang, substr(s, i, 2) AS gram FROM "
+    "(SELECT lang, s, unnest(range(1, length(s))) AS i FROM tr)), "
+    "counts AS (SELECT gram, lang, count(*) AS c FROM g GROUP BY 1, 2), "
+    "top AS (SELECT gram FROM (SELECT gram, sum(c) AS ct FROM counts "
+    "GROUP BY 1 ORDER BY ct DESC, gram LIMIT 300)), "
+    "kk AS (SELECT count(*) AS k FROM top), "
+    "langs AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1), "
+    "tot AS (SELECT sum(nd) AS t FROM langs), "
+    "grid AS (SELECT t.gram, l.lang, coalesce(c.c, 0) AS c0 "
+    "FROM top t CROSS JOIN (SELECT lang FROM langs) l "
+    "LEFT JOIN counts c ON c.gram = t.gram AND c.lang = l.lang), "
+    "nl AS (SELECT lang, sum(c0) AS n_l FROM grid GROUP BY 1), "
+    "model AS (SELECT gram, grid.lang, "
+    "CAST(floor(ln((c0 + 0.5) / (n_l + 0.5 * k)) * 1048576.0 + 0.5) AS BIGINT) "
+    "AS lp FROM grid JOIN nl ON nl.lang = grid.lang CROSS JOIN kk), "
+    "priors AS (SELECT lang, "
+    "CAST(floor(ln(nd * 1.0 / t) * 1048576.0 + 0.5) AS BIGINT) AS pp "
+    "FROM langs CROSS JOIN tot), "
+    "te AS (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id % 5 = 0), "
+    "tg AS (SELECT doc_id, substr(s, i, 2) AS gram FROM "
+    "(SELECT doc_id, s, unnest(range(1, length(s))) AS i FROM te)), "
+    "hits AS (SELECT doc_id, lang, sum(lp) AS hs FROM tg "
+    "JOIN model USING (gram) GROUP BY 1, 2), "
+    "sc AS (SELECT d.doc_id, p.lang, p.pp + coalesce(h.hs, 0) AS score "
+    "FROM te d CROSS JOIN priors p "
+    "LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = p.lang), "
+    "rk AS (SELECT doc_id, lang, score, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY score DESC, lang) AS rn, "
+    "lead(score) OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS s2 "
+    "FROM sc) "
+    "SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS score_u20, "
+    "CAST(score - s2 AS BIGINT) AS margin_u20 FROM rk WHERE rn = 1 "
+    "ORDER BY doc_id",
+    tags=("text", "classifier"),
+)
+def q_li1(spark, sf_dir):
+    # operators/langid.train_langid -> save/load JSON artifact ->
+    # langid_scores: distributed count aggregation, bounded model
+    # collect (<= 300 x n_langs rows by construction), broadcast-join
+    # scoring with one partial-aggregated shuffle and a bounded
+    # (n_langs rows/doc) argmax window.
+    import os
+    import tempfile
+
+    from electrician_spark.operators import langid
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model = langid.train_langid(train, n=2, alpha=0.5, max_grams=300)
+    path = os.path.join(tempfile.mkdtemp(prefix="q_li1_"), "model.json")
+    langid.save_langid(model, path)
+    model = langid.load_langid(path)  # score from the ARTIFACT
+    return (
+        langid.langid_scores(test, model)
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.col("score_u").cast("long").alias("score_u20"),
+            F.col("margin_u").cast("long").alias("margin_u20"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # (q_x5 repetition stats: RETIRED r7 — strictly subsumed by q_gq1's
 # full 13-signal Gopher repetition battery.)
 
@@ -3921,93 +4004,12 @@ def q_bq1(spark, sf_dir):
     )
 
 
-@query(
-    "q_ah1_image_hash_family",
-    # aHash/dHash one-decode-pass family over crafted two-level PNGs,
-    # closed form (all grid cells land exactly because the 72-px width
-    # is a multiple of both the 8-col aHash grid (9 px cells, split on
-    # the col-3/4 boundary) and the 9-col dHash grid (8 px cells, the
-    # straddling cell averaging to exactly (a+b)/2)):
-    #   solid        -> ahash = 0 (strict > mean), dhash = 0;
-    #   left-light   -> ahash bits {8r+c : c<4} = 15*(2^64-1)/255
-    #                   = 1085102592571150095; dhash bits {8r+3, 8r+4}
-    #                   = 24*(2^64-1)/255 = 1736164148113840152;
-    #   top-light    -> ahash bits {8r+c : r<4} = 255*16843009
-    #                   = 4294967295; dhash = 0 (rows are constant).
-    # dHash near-dup merges solid with top-light (both 0) — the
-    # documented coarseness of gradient-sign hashing, visible in the
-    # attested n_near values rather than asserted in prose.
-    "WITH f AS (SELECT doc_id, doc_id % 3 AS fam FROM documents "
-    "WHERE doc_id BETWEEN 1 AND 36), "
-    "h AS (SELECT doc_id, "
-    "CASE fam WHEN 0 THEN 0 WHEN 1 THEN 1085102592571150095 "
-    "ELSE 4294967295 END AS ahash, "
-    "CASE fam WHEN 1 THEN 1736164148113840152 ELSE 0 END AS dhash FROM f), "
-    "p AS (SELECT a.doc_id AS ida, count(*) AS n_near FROM h a JOIN h b "
-    "ON a.doc_id <> b.doc_id AND bit_count(xor(a.dhash, b.dhash)) <= 3 "
-    "GROUP BY a.doc_id) "
-    "SELECT h.doc_id AS media_id, h.ahash, h.dhash, "
-    "CAST(coalesce(p.n_near, 0) AS BIGINT) AS n_near "
-    "FROM h LEFT JOIN p ON p.ida = h.doc_id ORDER BY media_id",
-    tags=("multimodal", "dedup"),
-)
-def q_ah1(spark, sf_dir):
-    # REAL pipeline: executor-synthesized PNGs -> one decode pass
-    # computing BOTH hashes (multimodal.image_perceptual_hashes — the
-    # decode-dominates argument for computing the family together) ->
-    # dedup.hamming_pairs banded near-dup on the dhash band.
-    from electrician_spark import multimodal as mm
-    from electrician_spark.operators import dedup
-
-    ids = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 36))
-    )
-
-    def synth(batches):
-        import pandas as pd
-
-        from electrician_spark import multimodal as m
-
-        for batch in batches:
-            mids, payloads = [], []
-            for did in batch["doc_id"]:
-                did = int(did)
-                fam = did % 3
-                h = 32 * (1 + did % 2)
-                a = 160 + (did * 7) % 64
-                b = a - 100
-                if fam == 0:
-                    payloads.append(m.synth_png_gray(48, h, a))
-                elif fam == 1:
-                    # left-light: vertical EDGE = horizontal split
-                    payloads.append(m.synth_png_gray_split(72, h, a, b, False))
-                else:
-                    # top-light: horizontal EDGE = vertical split
-                    payloads.append(m.synth_png_gray_split(72, h, a, b, True))
-                mids.append(did)
-            yield pd.DataFrame({"media_id": mids, "payload": payloads})
-
-    media = ids.mapInPandas(synth, "media_id long, payload binary")
-    sig = mm.image_perceptual_hashes(media).select("media_id", "ahash", "dhash")
-    pairs = dedup.hamming_pairs(sig, "media_id", "dhash", max_hamming=3)
-    near = (
-        pairs.select(F.col("id_a").alias("media_id"))
-        .unionAll(pairs.select(F.col("id_b").alias("media_id")))
-        .groupBy("media_id")
-        .agg(F.count("*").alias("n_near"))
-    )
-    return (
-        sig.join(near, "media_id", "left")
-        .select(
-            "media_id",
-            "ahash",
-            "dhash",
-            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
-        )
-        .orderBy("media_id")
-    )
+# (q_ah1_image_hash_family: RETIRED r11 -> electrician_spark.retired,
+# making room for q_li1's model-based language-ID row. Perceptual
+# image hashing stays live via q_ph1 (DCT pHash — the hardest family
+# member); the aHash/dHash one-decode-pass family keeps its full
+# closed-form oracle in the archive and its kernels in
+# test_multimodal.)
 
 
 @query(
@@ -5916,13 +5918,18 @@ _DRIVER_PRIORITY = [
     # under the error-ratio threshold delivers, the breaching batch's
     # good rows are withheld, the recorded abort reason is pinned
     # literally; retired in exchange: q_pq2, the composition of the
-    # independently-live q_pq1 PQ/ADC and q_n3/q_n4 IVF attestations).
+    # independently-live q_pq1 PQ/ADC and q_n3/q_n4 IVF attestations),
+    # and the model-based language-ID row (q_li1 — live NB train over
+    # char bigrams, dyadic 2^-20 freeze, JSON artifact round-trip,
+    # exact-integer scoring, full train->freeze->score SQL replay;
+    # retired in exchange: q_ah1, whose perceptual-hash capability
+    # stays live via q_ph1's DCT pHash).
+    "q_li1_langid_model",
     "q_ab1_threshold_abort",
     "q_dw1_dedupe_within_watermark",
     # the r9 window (complement of CORRECTNESS_r10), minus retirements
     "q_a7_rollup_subtotals",
     "q_af1_audio_fingerprint",
-    "q_ah1_image_hash_family",
     "q_aj1_asof_join",
     "q_aq1_audio_quality",
     "q_bp1_bpe_encode",

@@ -1452,3 +1452,95 @@ def q_pq2(spark, sf_dir):
         id_col="vec_id", vec_col="embedding", label_col="label",
     )
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+@retired_query(
+    "q_ah1_image_hash_family",
+    # aHash/dHash one-decode-pass family over crafted two-level PNGs,
+    # closed form (all grid cells land exactly because the 72-px width
+    # is a multiple of both the 8-col aHash grid (9 px cells, split on
+    # the col-3/4 boundary) and the 9-col dHash grid (8 px cells, the
+    # straddling cell averaging to exactly (a+b)/2)):
+    #   solid        -> ahash = 0 (strict > mean), dhash = 0;
+    #   left-light   -> ahash bits {8r+c : c<4} = 15*(2^64-1)/255
+    #                   = 1085102592571150095; dhash bits {8r+3, 8r+4}
+    #                   = 24*(2^64-1)/255 = 1736164148113840152;
+    #   top-light    -> ahash bits {8r+c : r<4} = 255*16843009
+    #                   = 4294967295; dhash = 0 (rows are constant).
+    # dHash near-dup merges solid with top-light (both 0) — the
+    # documented coarseness of gradient-sign hashing, visible in the
+    # attested n_near values rather than asserted in prose.
+    "WITH f AS (SELECT doc_id, doc_id % 3 AS fam FROM documents "
+    "WHERE doc_id BETWEEN 1 AND 36), "
+    "h AS (SELECT doc_id, "
+    "CASE fam WHEN 0 THEN 0 WHEN 1 THEN 1085102592571150095 "
+    "ELSE 4294967295 END AS ahash, "
+    "CASE fam WHEN 1 THEN 1736164148113840152 ELSE 0 END AS dhash FROM f), "
+    "p AS (SELECT a.doc_id AS ida, count(*) AS n_near FROM h a JOIN h b "
+    "ON a.doc_id <> b.doc_id AND bit_count(xor(a.dhash, b.dhash)) <= 3 "
+    "GROUP BY a.doc_id) "
+    "SELECT h.doc_id AS media_id, h.ahash, h.dhash, "
+    "CAST(coalesce(p.n_near, 0) AS BIGINT) AS n_near "
+    "FROM h LEFT JOIN p ON p.ida = h.doc_id ORDER BY media_id",
+    tags=("multimodal", "dedup"),
+)
+def q_ah1(spark, sf_dir):
+    # Retired r11 (made room for q_li1 model-based language ID):
+    # perceptual hashing lives via q_ph1 (DCT pHash); this family row
+    # keeps its closed-form oracle runnable here.
+    # REAL pipeline: executor-synthesized PNGs -> one decode pass
+    # computing BOTH hashes (multimodal.image_perceptual_hashes — the
+    # decode-dominates argument for computing the family together) ->
+    # dedup.hamming_pairs banded near-dup on the dhash band.
+    from electrician_spark import multimodal as mm
+    from electrician_spark.operators import dedup
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 36))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from electrician_spark import multimodal as m
+
+        for batch in batches:
+            mids, payloads = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                fam = did % 3
+                h = 32 * (1 + did % 2)
+                a = 160 + (did * 7) % 64
+                b = a - 100
+                if fam == 0:
+                    payloads.append(m.synth_png_gray(48, h, a))
+                elif fam == 1:
+                    # left-light: vertical EDGE = horizontal split
+                    payloads.append(m.synth_png_gray_split(72, h, a, b, False))
+                else:
+                    # top-light: horizontal EDGE = vertical split
+                    payloads.append(m.synth_png_gray_split(72, h, a, b, True))
+                mids.append(did)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    sig = mm.image_perceptual_hashes(media).select("media_id", "ahash", "dhash")
+    pairs = dedup.hamming_pairs(sig, "media_id", "dhash", max_hamming=3)
+    near = (
+        pairs.select(F.col("id_a").alias("media_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        sig.join(near, "media_id", "left")
+        .select(
+            "media_id",
+            "ahash",
+            "dhash",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+        .orderBy("media_id")
+    )

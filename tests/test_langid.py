@@ -1,0 +1,107 @@
+"""Model-based language ID (operators/langid.py): the frozen-NB tier
+must actually identify languages on a language-correlated corpus, its
+dyadic scores must be exact integers that survive artifact round-trip
+bit-for-bit, and the hashed-logistic tier must reach the same holdout
+accuracy bar."""
+
+from __future__ import annotations
+
+import os
+import random
+import tempfile
+
+from pyspark.sql import functions as F
+
+from electrician_spark.operators import langid
+
+
+_VOCAB = {
+    "de": "und der das ist haus wasser nicht eine mit sich auch nach zeit".split(),
+    "en": "the and with house water not from this have been what about time".split(),
+    "fr": "le et avec maison eau pas une pour dans les vous nous tres temps".split(),
+}
+
+
+def _corpus(seed: int = 7, per_lang: int = 60):
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    for lang, vocab in sorted(_VOCAB.items()):
+        for _ in range(per_lang):
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(15, 35)))
+            rows.append((i, lang, text))
+            i += 1
+    return rows
+
+
+def _splits(spark):
+    df = spark.createDataFrame(_corpus(), "doc_id long, lang string, text string")
+    return df.filter(F.col("doc_id") % 5 != 0), df.filter(F.col("doc_id") % 5 == 0)
+
+
+def _accuracy(pred_df, truth_df) -> float:
+    j = pred_df.select("doc_id", "lang_pred").join(
+        truth_df.select("doc_id", "lang"), "doc_id"
+    )
+    n = j.count()
+    ok = j.filter(F.col("lang_pred") == F.col("lang")).count()
+    return ok / n
+
+
+def test_nb_langid_holdout_accuracy(spark):
+    train, test = _splits(spark)
+    model = langid.train_langid(train, max_grams=200)
+    pred = langid.langid_scores(test, model)
+    assert _accuracy(pred, test) >= 0.95
+
+
+def test_nb_scores_are_exact_integers_with_positive_margin(spark):
+    train, test = _splits(spark)
+    model = langid.train_langid(train, max_grams=200)
+    rows = langid.langid_scores(test, model).collect()
+    assert rows, "no scored rows"
+    for r in rows:
+        assert isinstance(r["score_u"], int)
+        assert isinstance(r["margin_u"], int)
+        assert r["margin_u"] >= 0
+
+
+def test_nb_artifact_roundtrip_is_bit_identical(spark):
+    train, test = _splits(spark)
+    model = langid.train_langid(train, max_grams=150)
+    path = os.path.join(tempfile.mkdtemp(prefix="langid_"), "model.json")
+    langid.save_langid(model, path)
+    loaded = langid.load_langid(path)
+    assert loaded == model
+    a = sorted(map(tuple, langid.langid_scores(test, model).collect()))
+    b = sorted(map(tuple, langid.langid_scores(test, loaded).collect()))
+    assert a == b
+
+
+def test_nb_model_is_bounded(spark):
+    train, _ = _splits(spark)
+    model = langid.train_langid(train, max_grams=50)
+    assert model.k <= 50
+    assert len(model.grams) == model.k * len(model.priors)
+
+
+def test_char_ngrams_edges(spark):
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, "a"), (2, ""), (3, None)], "i long, t string"
+    )
+    out = {
+        r["i"]: r["g"]
+        for r in df.select("i", langid.char_ngrams(F.col("t"), 2).alias("g")).collect()
+    }
+    assert out[0] == ["ab"]
+    assert out[1] == []
+    assert out[2] == []
+    assert out[3] is None or out[3] == []
+
+
+def test_ml_langid_holdout_accuracy(spark):
+    train, test = _splits(spark)
+    model = langid.train_langid_ml(train, n=3, hash_bits=14, max_iter=30)
+    pred = langid.langid_ml_scores(test, model)
+    assert _accuracy(pred, test) >= 0.95
+    assert set(model.labels) == set(_VOCAB)
