@@ -33,7 +33,10 @@ EXTRA_QUERIES = [
     "q_aj1_asof_join",
     "q_rj1_range_join",
     "q_ht1_hypertable_rollup",
-    "q_j7_regional_revenue",
+    # q_j7 retired r11 -> archive, succeeded in the series by the new
+    # unigram hard-EM training-round row (the multi-way-join shape
+    # stays tracked via the q_j2 headline row)
+    "q_em1_unigram_hard_em",
     "q_x7_quality_filter_pipeline",
     "q_n4_ann_ivf_probes",
     "q_d9_lsh_near_dup",

@@ -559,6 +559,105 @@ def unigram_encode(
     return df.withColumn(out_col, _enc(F.col(text_col)))
 
 
+def unigram_hard_em_round(
+    docs: DataFrame,
+    model: list[tuple[str, float]],
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    alpha: float = 0.5,
+    quant_bits: int = 20,
+) -> tuple[list[tuple[str, float]], dict[str, int]]:
+    """One HARD-EM (Viterbi-EM) training round over a corpus, the
+    oracle-replayable sibling of :func:`train_unigram_tokenizer`'s
+    soft EM (Kudo 2018 §3.2 trains with full forward-backward; the
+    hard variant assigns each word its single Viterbi segmentation —
+    a standard EM family member, and the one whose every intermediate
+    quantity is EXACT under dyadic weights, which is what lets a SQL
+    oracle replay a training step end-to-end):
+
+    - **E-step**: Viterbi-segment every distinct corpus word under the
+      (quantized-dyadic) input model — the DISTRIBUTED
+      :func:`unigram_encode` pass over the word-frequency table, so
+      cost scales with distinct words, not corpus tokens.
+    - **M-step**: piece counts from the chosen segmentations
+      (INTEGERS — no posterior floats anywhere), add-``alpha``
+      smoothed over the model's own support (out-of-support fallback
+      chars are outside the event space and excluded), re-normalized
+      and snapped to the 2^-quant_bits grid with floor(x*2^b + 0.5)
+      (identical floor semantics in every engine).
+
+    Returns ``(new_model, stats)`` where ``new_model`` is
+    [(piece, logprob)] in the trainer's (logprob desc, piece) order
+    and ``stats`` carries EXACT integers (units of 2^-quant_bits):
+    ``old_obj_u`` / ``new_obj_u`` — the freq-weighted total Viterbi
+    score of the corpus under the input / output model (fallback
+    words score by their in-vocab single chars, the
+    :func:`unigram_encode` convention) — plus ``total_freq`` and
+    ``k``. Hard EM's monotone-improvement property is visible as
+    ``new_obj_u >= old_obj_u`` whenever the input model is not
+    already at a fixed point (smoothing + quantization can perturb it
+    by at most ~k/2 units; tests pin the real inequality)."""
+    spark = docs.sparkSession
+    q = 1 << quant_bits
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+    )
+    wf = (
+        docs.select(F.explode(words).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+    )
+    try:
+        wf = wf.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
+
+    def _obj_and_pieces(m: list[tuple[str, float]]):
+        mdf = spark.createDataFrame(
+            [(p, int(round(lp * q))) for p, lp in m], "piece string, lp_u long"
+        )
+        enc = unigram_encode(
+            wf.withColumn("text", F.col("token")), m, max_piece_len=max_piece_len
+        )
+        pe = enc.select("token", "count", F.explode("pieces").alias("piece")).join(
+            F.broadcast(mdf), "piece", "left"
+        )
+        obj = pe.agg(
+            F.sum(F.coalesce(F.col("lp_u"), F.lit(0)) * F.col("count")).alias("o"),
+        ).first()["o"]
+        return int(obj or 0), pe, mdf
+
+    old_obj, pe, mdf = _obj_and_pieces(model)
+    counts = (
+        pe.filter(F.col("lp_u").isNotNull())
+        .groupBy("piece")
+        .agg(F.sum("count").alias("c"))
+    )
+    grid = mdf.select("piece").join(counts, "piece", "left").fillna(0, subset=["c"])
+    k = len(model)
+    total = int(grid.agg(F.sum("c")).first()[0] or 0)
+    new_lp = F.floor(
+        F.log((F.col("c") + F.lit(alpha)) / F.lit(float(total) + alpha * k))
+        * q
+        + F.lit(0.5)
+    ).cast("long")
+    rows = grid.select("piece", F.col("c").alias("cnt"), new_lp.alias("lp_u")).collect()
+    new_model = sorted(
+        ((r["piece"], r["lp_u"] / q) for r in rows), key=lambda kv: (-kv[1], kv[0])
+    )
+    new_obj, _, _ = _obj_and_pieces(new_model)
+    stats = {
+        "old_obj_u": old_obj,
+        "new_obj_u": new_obj,
+        "total_freq": int(
+            wf.agg(F.sum("count")).first()[0] or 0
+        ),
+        "k": k,
+        "counts": {r["piece"]: int(r["cnt"]) for r in rows},
+    }
+    return new_model, stats
+
+
 # ---------------------------------------------------------------------------
 # WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) — the third
 # tokenizer family next to BPE (merge-by-frequency) and Unigram

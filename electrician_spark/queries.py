@@ -716,74 +716,11 @@ def q_j6(spark, sf_dir):
     return li.join(orders, cond, "inner").agg(F.count("*").alias("n"))
 
 
-@query(
-    "q_j7_regional_revenue",
-    # TPC-H Q5 shape: two big-big shuffle joins (orders⋈customer,
-    # lineitem⋈orders⋈supplier) closed out by broadcast dims.
-    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
-    "FROM customer "
-    "JOIN orders ON c_custkey = o_custkey "
-    "JOIN lineitem ON l_orderkey = o_orderkey "
-    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
-    "JOIN nation ON s_nationkey = n_nationkey "
-    "JOIN region ON n_regionkey = r_regionkey "
-    "WHERE r_name IN ('ASIA', 'EUROPE') "
-    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
-    "AND o_orderdate < TIMESTAMP '1997-01-01' "
-    "GROUP BY n_name ORDER BY revenue DESC, n_name",
-    tags=("join",),
-    bench=False,
-)
-def q_j7(spark, sf_dir):
-    # 6-table local-supplier revenue: nation/region are broadcast
-    # (human-scale dims at any SF); supplier/customer/orders/lineitem
-    # shuffle on their join keys and Catalyst/AQE pick sides — at
-    # 100 TB these are the genuine big-big joins, so no forced
-    # broadcast there. The date filter is pushed to the orders scan
-    # (pinned in test_plans), pruning before the first shuffle.
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= TS("1996-01-01"))
-        & (F.col("o_orderdate") < TS("1997-01-01"))
-    ).select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(
-        F.col("r_name").isin("ASIA", "EUROPE")
-    )
-    joined = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(
-            supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    )
-    return (
-        joined.groupBy("n_name")
-        .agg(
-            rel.round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            )
-        )
-        .orderBy(F.col("revenue").desc(), "n_name")
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.6 Ordering / top-k + priority queue (resister O1/O2)
-# ---------------------------------------------------------------------------
-
-
-# (q_o1_global_topk: RETIRED r8 -> electrician_spark.retired.
-# TakeOrderedAndProject stays plan-pinned and driver-attested via
-# q_o2_grouped_topk and q_s3_predicate_pushdown.)
+# (q_j7_regional_revenue: RETIRED r11 -> electrician_spark.retired,
+# making room for q_em1's unigram hard-EM training-round row. The
+# multi-way-join capability stays live via q_j2 (TPC-H Q3 three-table)
+# plus the broadcast/left/anti/range join rows; the 6-table Q5 variant
+# keeps its full oracle in the archive.)
 
 
 @query(
@@ -5005,6 +4942,122 @@ def q_ug1(spark, sf_dir):
 
 
 @query(
+    "q_em1_unigram_hard_em",
+    # A unigram-LM TRAINING ROUND replayed end-to-end in SQL (the r10
+    # verdict's last tokenizer-evidence gap): one HARD-EM (Viterbi-EM)
+    # sweep over the documents corpus starting from the frozen q_ug1
+    # model. Everything is exact: the E-step is the q_ug1 recursive-
+    # CTE Viterbi DP extended to carry the ARGMAX PATH's piece list
+    # (integer u20 scores — ties cannot drift), the M-step is integer
+    # piece counts + add-0.5 smoothing over the model support +
+    # floor(ln(p)*2^20 + 0.5) re-quantization (the q_li1 arithmetic),
+    # and both the OLD- and NEW-model corpus objectives (freq-weighted
+    # total Viterbi score, fallback words scored by their in-vocab
+    # single chars) are exact integer sums, so hard EM's monotone
+    # improvement is visible IN THE ATTESTED VALUES ('__obj_new__' >=
+    # '__obj_old__'). Output = the entire new model (piece, count,
+    # new weight) + the two objective sentinel rows.
+    "WITH RECURSIVE "
+    f"vp(piece, k) AS (VALUES {_UG_MODEL_SQL}), "
+    "v AS (SELECT piece, length(piece) AS l, k FROM vp), "
+    "dw AS (SELECT w AS word, count(*) AS freq FROM (SELECT "
+    "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+    "WHERE length(w) > 0 GROUP BY w), "
+    "seg AS ("
+    "SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS best, "
+    "[CAST([] AS VARCHAR[])] AS pl FROM dw "
+    "UNION ALL "
+    "SELECT word, i + 1, list_append(best, w['sc']), list_append(pl, w['ps']) "
+    "FROM ("
+    "SELECT s.word, s.i, s.best, s.pl, "
+    # list_concat(x, [y]) instead of list_append(x, y): DuckDB 1.0's
+    # binder rejects list_append on a CORRELATED list inside a struct
+    # literal with a spurious STRUCT_PACK error; concat binds fine.
+    "(SELECT {'sc': list_extract(s.best, s.i + 2 - v.l) + v.k, "
+    "'ps': list_concat(list_extract(s.pl, s.i + 2 - v.l), [v.piece])} "
+    "FROM v WHERE v.l <= s.i + 1 "
+    "AND v.piece = substr(s.word, s.i + 2 - v.l, v.l) "
+    "AND list_extract(s.best, s.i + 2 - v.l) IS NOT NULL "
+    "ORDER BY list_extract(s.best, s.i + 2 - v.l) + v.k DESC, v.l DESC "
+    "LIMIT 1) AS w "
+    "FROM seg s WHERE s.i < length(s.word)) q), "
+    "fin AS (SELECT word, list_extract(best, length(word) + 1) AS bs, "
+    "list_extract(pl, length(word) + 1) AS ps FROM seg WHERE i = length(word)), "
+    "est AS (SELECT f.word, "
+    "CASE WHEN f.bs IS NULL THEN coalesce((SELECT sum(v.k * "
+    "(length(f.word) - length(replace(f.word, v.piece, '')))) "
+    "FROM v WHERE v.l = 1), 0) ELSE f.bs END AS sw, "
+    "CASE WHEN f.bs IS NULL THEN list_transform(range(length(f.word)), "
+    "j -> substr(f.word, CAST(j + 1 AS INT), 1)) ELSE f.ps END AS ps "
+    "FROM fin f), "
+    "tf AS (SELECT sum(freq) AS tfreq FROM dw), "
+    "oldo AS (SELECT sum(d.freq * e.sw) AS o FROM dw d JOIN est e "
+    "ON e.word = d.word), "
+    "px AS (SELECT x.piece, sum(x.freq) AS c FROM (SELECT d.freq AS freq, "
+    "unnest(e.ps) AS piece FROM est e JOIN dw d ON d.word = e.word) x "
+    "JOIN vp p ON p.piece = x.piece GROUP BY x.piece), "
+    "kk AS (SELECT count(*) AS kc FROM vp), "
+    "grid AS (SELECT p.piece, coalesce(px.c, 0) AS c0 FROM vp p "
+    "LEFT JOIN px ON px.piece = p.piece), "
+    "tot AS (SELECT sum(c0) AS t FROM grid), "
+    "nm AS (SELECT piece, c0, "
+    "CAST(floor(ln((c0 + 0.5) / (t + 0.5 * kc)) * 1048576.0 + 0.5) AS BIGINT) "
+    "AS k2 FROM grid CROSS JOIN tot CROSS JOIN kk), "
+    "v2 AS (SELECT piece, length(piece) AS l, k2 AS k FROM nm), "
+    "seg2 AS ("
+    "SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM dw "
+    "UNION ALL "
+    "SELECT word, i + 1, list_append(best, "
+    "(SELECT list_extract(s.best, s.i + 2 - v2.l) + v2.k FROM v2 "
+    "WHERE v2.l <= s.i + 1 "
+    "AND v2.piece = substr(s.word, s.i + 2 - v2.l, v2.l) "
+    "AND list_extract(s.best, s.i + 2 - v2.l) IS NOT NULL "
+    "ORDER BY list_extract(s.best, s.i + 2 - v2.l) + v2.k DESC, v2.l DESC "
+    "LIMIT 1)) "
+    "FROM seg2 s WHERE s.i < length(s.word)), "
+    "fin2 AS (SELECT word, list_extract(best, length(word) + 1) AS bs "
+    "FROM seg2 WHERE i = length(word)), "
+    "est2 AS (SELECT f.word, CASE WHEN f.bs IS NULL THEN coalesce("
+    "(SELECT sum(v2.k * (length(f.word) - length(replace(f.word, v2.piece, "
+    "'')))) FROM v2 WHERE v2.l = 1), 0) ELSE f.bs END AS sw FROM fin2 f), "
+    "newo AS (SELECT sum(d.freq * e.sw) AS o FROM dw d JOIN est2 e "
+    "ON e.word = d.word) "
+    "SELECT piece, CAST(c0 AS BIGINT) AS cnt, k2 AS val_u20 FROM nm "
+    "UNION ALL SELECT '__obj_new__', CAST(tfreq AS BIGINT), CAST(o AS BIGINT) "
+    "FROM tf, newo "
+    "UNION ALL SELECT '__obj_old__', CAST(tfreq AS BIGINT), CAST(o AS BIGINT) "
+    "FROM tf, oldo "
+    "ORDER BY piece",
+    tags=("tokenizer",),
+)
+def q_em1(spark, sf_dir):
+    # functions/tokenizer.unigram_hard_em_round on the documents
+    # corpus from the frozen q_ug1 model: distributed word-frequency
+    # E-step (cost tracks DISTINCT words), Arrow Viterbi encode,
+    # integer M-step re-quantized on the dyadic grid, objectives under
+    # both models. Soft-EM (forward-backward posteriors) remains the
+    # production trainer, property-pinned in test_tokenizer; this row
+    # attests a full TRAINING step of the exact-arithmetic EM family
+    # member, which is the one a SQL oracle can replay.
+    from electrician_spark.functions import tokenizer as tk
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    model = [(p, k / 1048576.0) for p, k in _UG_FROZEN_MODEL]
+    new_model, stats = tk.unigram_hard_em_round(
+        docs, model, max_piece_len=6, alpha=0.5, quant_bits=20
+    )
+    rows = [
+        (p, stats["counts"][p], int(round(lp * 1048576.0)))
+        for p, lp in new_model
+    ]
+    rows.append(("__obj_new__", stats["total_freq"], stats["new_obj_u"]))
+    rows.append(("__obj_old__", stats["total_freq"], stats["old_obj_u"]))
+    return spark.createDataFrame(
+        rows, "piece string, cnt long, val_u20 long"
+    ).orderBy("piece")
+
+
+@query(
     "q_cb1_breaker_divert",
     # C5 neutral-wire divert (reference wire/submit.go:54-80 +
     # surgeprotector/submit.go:17-32): while the breaker is open every
@@ -5923,7 +5976,13 @@ _DRIVER_PRIORITY = [
     # char bigrams, dyadic 2^-20 freeze, JSON artifact round-trip,
     # exact-integer scoring, full train->freeze->score SQL replay;
     # retired in exchange: q_ah1, whose perceptual-hash capability
-    # stays live via q_ph1's DCT pHash).
+    # stays live via q_ph1's DCT pHash), and the unigram hard-EM
+    # training-round row (q_em1 — one Viterbi-EM sweep replayed
+    # end-to-end in SQL: path-carrying E-step, integer M-step,
+    # monotone objective improvement in the attested values; retired
+    # in exchange: q_j7, the TPC-H Q5 6-table variant of the live q_j2
+    # multi-way join).
+    "q_em1_unigram_hard_em",
     "q_li1_langid_model",
     "q_ab1_threshold_abort",
     "q_dw1_dedupe_within_watermark",
@@ -5949,7 +6008,6 @@ _DRIVER_PRIORITY = [
     "q_ir1_dsir_select",
     "q_j3_left_join_counts",
     "q_j5_anti_join",
-    "q_j7_regional_revenue",
     "q_k3_kafka_frame_roundtrip",
     "q_lb1_length_batches",
     "q_lm2_bigram_buckets",

@@ -1544,3 +1544,75 @@ def q_ah1(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@retired_query(
+    "q_j7_regional_revenue",
+    # TPC-H Q5 shape: two big-big shuffle joins (orders⋈customer,
+    # lineitem⋈orders⋈supplier) closed out by broadcast dims.
+    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name IN ('ASIA', 'EUROPE') "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n_name ORDER BY revenue DESC, n_name",
+    tags=("join",),
+)
+def q_j7(spark, sf_dir):
+    # Retired r11 (made room for q_em1 unigram hard-EM round): the
+    # multi-way-join shape stays live via q_j2 TPC-H Q3 and the
+    # broadcast/left/anti/range join rows.
+    # 6-table local-supplier revenue: nation/region are broadcast
+    # (human-scale dims at any SF); supplier/customer/orders/lineitem
+    # shuffle on their join keys and Catalyst/AQE pick sides — at
+    # 100 TB these are the genuine big-big joins, so no forced
+    # broadcast there. The date filter is pushed to the orders scan
+    # (pinned in test_plans), pruning before the first shuffle.
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= TS("1996-01-01"))
+        & (F.col("o_orderdate") < TS("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            rel.round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Ordering / top-k + priority queue (resister O1/O2)
+# ---------------------------------------------------------------------------
+
+
+# (q_o1_global_topk: RETIRED r8 -> electrician_spark.retired.
+# TakeOrderedAndProject stays plan-pinned and driver-attested via
+# q_o2_grouped_topk and q_s3_predicate_pushdown.)

@@ -461,3 +461,67 @@ def test_unigram_frozen_model_reproduces(spark):
     qm = bpe.quantize_logprobs(model, bits=20)
     got = [(p, int(lp * (1 << 20))) for p, lp in qm]
     assert got == list(_UG_FROZEN_MODEL)
+
+
+def test_unigram_hard_em_round_matches_python_reference(spark):
+    """One Viterbi-EM round == the plain-Python replay: identical
+    E-step piece counts, identical exact-integer objectives, and a
+    new model equal up to the documented 1-ulp ln boundary."""
+    import math
+    from collections import Counter
+
+    corpus = [
+        "data data fast fast the merge merge",
+        "the merge fast data stream stream",
+        "slow slow merge data the fast",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    trained = bpe.train_unigram_tokenizer(
+        df, vocab_size=20, max_piece_len=4, em_iters=1
+    )
+    qm = bpe.quantize_logprobs(trained, bits=20)
+    new_model, stats = bpe.unigram_hard_em_round(df, qm, max_piece_len=4)
+
+    q = 1 << 20
+    logp = dict(qm)
+    lp_u = {p: round(lp * q) for p, lp in qm}
+    wf = Counter(w for t in corpus for w in t.split())
+    counts: Counter = Counter()
+    old = 0
+    for w, f in wf.items():
+        for p in bpe._unigram_viterbi(w, logp, 4):
+            if p in lp_u:
+                counts[p] += f
+                old += lp_u[p] * f
+    assert stats["old_obj_u"] == old
+    assert stats["counts"] == {p: counts.get(p, 0) for p, _ in qm}
+    assert stats["total_freq"] == sum(wf.values())
+    total = sum(counts.get(p, 0) for p, _ in qm)
+    k = len(qm)
+    exp = {
+        p: math.floor(math.log((counts.get(p, 0) + 0.5) / (total + 0.5 * k)) * q + 0.5)
+        for p, _ in qm
+    }
+    got = {p: round(lp * q) for p, lp in new_model}
+    assert set(got) == set(exp)
+    for p in exp:
+        assert abs(got[p] - exp[p]) <= 1, p  # ln 1-ulp boundary tolerance
+
+
+def test_unigram_hard_em_improves_objective_from_rough_init(spark):
+    """Hard EM's monotone-improvement guarantee, pinned on a rough
+    (uniform) initial model where a real gap exists: one round must
+    strictly increase the exact freq-weighted Viterbi objective."""
+    import math
+
+    corpus = [
+        "merge merge merge stream stream data",
+        "stream merge data data merge stream",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    chars = sorted({c for t in corpus for c in t if c != " "})
+    pieces = chars + ["merge", "stream", "data", "me", "st"]
+    u = math.log(1.0 / len(pieces))
+    init = bpe.quantize_logprobs([(p, u) for p in pieces], bits=20)
+    _, stats = bpe.unigram_hard_em_round(df, init, max_piece_len=6)
+    assert stats["new_obj_u"] > stats["old_obj_u"]
