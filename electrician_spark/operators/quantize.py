@@ -864,8 +864,21 @@ def hamming_topk_auto(
     schema check keeps the default ``label_col="label"`` from raising
     inside hamming_topk_ivf on unlabeled corpora. The |Q| count is one
     cheap aggregate on the (small relative to corpus) query side,
-    never on the corpus."""
+    never on the corpus.
+
+    A missing DEFAULT ``label_col="label"`` silently routes to brute
+    (unlabeled corpora are the common case); a missing EXPLICIT
+    label_col raises — a typo there would otherwise silently disable
+    the IVF tier on a labeled corpus and run the full
+    O(|corpus|x|queries|) brute plan with no signal."""
     if label_col is not None and label_col not in corpus.columns:
+        if label_col != "label":
+            raise ValueError(
+                f"label_col {label_col!r} not in corpus columns "
+                f"{corpus.columns} — refusing to silently fall back to the "
+                f"brute O(|corpus|x|queries|) plan; pass label_col=None to "
+                f"request brute explicitly"
+            )
         label_col = None
     n_q = queries.count()
     if label_col is None or n_q <= max_brute_queries:

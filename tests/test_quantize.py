@@ -498,6 +498,20 @@ def test_hamming_topk_auto_unlabeled_corpus_falls_back_to_brute(spark):
     assert a == b
 
 
+def test_hamming_topk_auto_explicit_missing_label_col_raises(spark):
+    """A typo'd EXPLICIT label_col must raise, not silently disable the
+    IVF tier and run the O(|corpus|x|queries|) brute plan (r10 advice);
+    only the DEFAULT 'label' falls back silently."""
+    import pytest
+
+    emb = _toy_labeled_emb(spark)
+    big_q = emb.filter(F.col("vec_id") <= 10)
+    with pytest.raises(ValueError, match="labell"):
+        quantize.hamming_topk_auto(
+            emb, big_q, d=16, k=4, label_col="labell", max_brute_queries=5
+        )
+
+
 def test_hamming_topk_ivf_plan_no_sort_merge_no_python(spark):
     emb = _toy_labeled_emb(spark)
     q = emb.filter(F.col("vec_id") <= 3)
