@@ -383,7 +383,10 @@ def _rank_table(keyed: DataFrame, key_cols: list[str], out_col: str) -> DataFram
     ONLY in the broadcast regime, where the caller has proven the
     distinct-key count is dimension-table sized (the distinct agg's
     map-side partial aggregation keeps the exchange at most that
-    size too)."""
+    size too). WindowExec logs its no-partition warning here — by
+    design, not by accident: the single partition is the bounded
+    dimension-rank contract (a literal partitionBy key would be
+    constant-folded away and warn identically)."""
     dk = keyed.select(*key_cols).distinct()
     return dk.withColumn(
         out_col, F.row_number().over(Window.orderBy(*key_cols)).cast("long")
