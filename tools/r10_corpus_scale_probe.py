@@ -142,6 +142,10 @@ def main() -> None:
         # UNCHANGED on the same synthetic corpora so their bench cost
         # can be attributed fixed-overhead vs corpus-tracking.
         "q_ug1_unigram_viterbi_encode": REGISTRY["q_ug1_unigram_viterbi_encode"].spark,
+        # r11-new heavy rows, probed the round they land (the r10-new
+        # rows went one round without a probe point and got flagged)
+        "q_li1_langid_model": REGISTRY["q_li1_langid_model"].spark,
+        "q_em1_unigram_hard_em": REGISTRY["q_em1_unigram_hard_em"].spark,
         "q_sx1_suffix_array_order": REGISTRY["q_sx1_suffix_array_order"].spark,
         "q_lr1_longest_repeated_run": REGISTRY["q_lr1_longest_repeated_run"].spark,
         "q_sa1_suffix_spans": REGISTRY["q_sa1_suffix_spans"].spark,
