@@ -65,6 +65,23 @@ def char_ngrams(text: Column, n: int = 2) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _exploded_grams(df: DataFrame, keep_cols: list[str], text_col: str, n: int):
+    """(keep_cols..., gram) — one row per char n-gram position. Same
+    grams as exploding :func:`char_ngrams`, but as explode(sequence)
+    + a CODEGEN substring instead of an interpreted HOF array build:
+    the corpus-scale hot path stays inside whole-stage codegen (the
+    array form remains the Column-expression API for feature
+    pipelines). NULL/short text yields no rows on both forms."""
+    s = F.lower(F.col(text_col))
+    cnt = F.length(s) - (n - 1)
+    # guard: sequence(1, 0) would DESCEND ([1, 0]); null when out of
+    # range and explode drops the row (also covers NULL text)
+    idx = F.explode(F.when(cnt > 0, F.sequence(F.lit(1), cnt)))
+    return df.select(*keep_cols, s.alias("_s"), idx.alias("_i")).select(
+        *keep_cols, F.substring(F.col("_s"), F.col("_i"), F.lit(n)).alias("gram")
+    )
+
+
 @dataclass(frozen=True)
 class LangIdModel:
     """Frozen multinomial-NB language model: explicit dyadic weight
@@ -99,15 +116,25 @@ def train_langid(
     0.25, ...) so the ln argument is an exactly-representable
     rational on every engine.
 
-    All heavy work is distributed aggregation with map-side combine;
-    the only driver materialization is the model itself — bounded at
-    K*n_langs + n_langs rows by construction."""
+    All heavy work is ONE distributed explode + aggregation pass with
+    map-side combine (the bounded (gram, lang) count table is lazily
+    checkpointed so the top-K cut and the grid completion replay it
+    instead of re-scanning the corpus); the only driver
+    materializations are the bounded count/census tables, with the
+    ln/floor weight arithmetic done driver-side in C libm — the same
+    library every SQL engine's ln uses, minimizing 1-ulp
+    floor-boundary divergence risk in cross-engine replays."""
+    import math
+
     q = float(1 << quant_bits)
-    grams = docs.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    grams = _exploded_grams(
+        docs.select(F.col(lang_col).alias("lang"), text_col), ["lang"], text_col, n
     )
     counts = grams.groupBy("gram", "lang").agg(F.count("*").alias("c"))
+    try:
+        counts = counts.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
     top = (
         counts.groupBy("gram")
         .agg(F.sum("c").alias("ct"))
@@ -115,35 +142,42 @@ def train_langid(
         .limit(max_grams)
         .select("gram")
     )
-    langs = docs.groupBy(F.col(lang_col).alias("lang")).agg(
-        F.count("*").alias("nd")
+    # Bounded collects: the kept-gram count grid (<= max_grams x
+    # n_langs rows) and the per-language document census.
+    kept = {
+        (r["gram"], r["lang"]): r["c"]
+        for r in counts.join(F.broadcast(top), "gram").collect()
+    }
+    lang_rows = (
+        docs.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count("*").alias("nd"))
+        .collect()
     )
-    # Bounded cross join: <= max_grams x n_langs rows — completes the
-    # grid so a gram unseen in some language still gets its alpha
-    # floor (that asymmetry IS the signal).
-    grid = top.crossJoin(F.broadcast(langs.select("lang")))
-    full = (
-        grid.join(counts, ["gram", "lang"], "left")
-        .fillna(0, subset=["c"])
-        .localCheckpoint(eager=False)
-    )
-    k = full.select("gram").distinct().count()
-    n_l = full.groupBy("lang").agg(F.sum("c").alias("n_l"))
-    lp = F.floor(
-        F.log((F.col("c") + F.lit(alpha)) / (F.col("n_l") + F.lit(alpha) * k))
-        * q
-        + F.lit(0.5)
-    ).cast("long")
+    langs = sorted(r["lang"] for r in lang_rows)
+    top_grams = sorted({g for g, _ in kept})
+    k = len(top_grams)
+    n_l = {
+        lang: sum(kept.get((g, lang), 0) for g in top_grams) for lang in langs
+    }
     gram_rows = [
-        (r["gram"], r["lang"], r["lp"])
-        for r in full.join(n_l, "lang").select("gram", "lang", lp.alias("lp")).collect()
+        (
+            g,
+            lang,
+            math.floor(
+                math.log(
+                    (kept.get((g, lang), 0) + alpha) / (n_l[lang] + alpha * k)
+                )
+                * q
+                + 0.5
+            ),
+        )
+        for g in top_grams
+        for lang in langs
     ]
-    total = docs.count()
-    pp = F.floor(F.log(F.col("nd") / F.lit(float(total))) * q + F.lit(0.5)).cast(
-        "long"
-    )
+    total = sum(r["nd"] for r in lang_rows)
     prior_rows = [
-        (r["lang"], r["pp"]) for r in langs.select("lang", pp.alias("pp")).collect()
+        (r["lang"], math.floor(math.log(r["nd"] / total) * q + 0.5))
+        for r in lang_rows
     ]
     return LangIdModel(
         n=n,
@@ -178,8 +212,8 @@ def langid_scores(
         list(model.grams), "gram string, lang string, lp long"
     )
     pdf = spark.createDataFrame(list(model.priors), "lang string, pp long")
-    g = docs.select(
-        F.col(id_col), F.explode(char_ngrams(F.col(text_col), model.n)).alias("gram")
+    g = _exploded_grams(
+        docs.select(id_col, text_col), [id_col], text_col, model.n
     )
     hits = (
         g.join(F.broadcast(mdf), "gram")
