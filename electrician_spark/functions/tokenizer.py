@@ -628,22 +628,30 @@ def unigram_hard_em_round(
         return int(obj or 0), pe, mdf
 
     old_obj, pe, mdf = _obj_and_pieces(model)
-    counts = (
-        pe.filter(F.col("lp_u").isNotNull())
+    counts = {
+        r["piece"]: int(r["c"])
+        for r in pe.filter(F.col("lp_u").isNotNull())
         .groupBy("piece")
         .agg(F.sum("count").alias("c"))
-    )
-    grid = mdf.select("piece").join(counts, "piece", "left").fillna(0, subset=["c"])
+        .collect()  # bounded: <= model support
+    }
     k = len(model)
-    total = int(grid.agg(F.sum("c")).first()[0] or 0)
-    new_lp = F.floor(
-        F.log((F.col("c") + F.lit(alpha)) / F.lit(float(total) + alpha * k))
-        * q
-        + F.lit(0.5)
-    ).cast("long")
-    rows = grid.select("piece", F.col("c").alias("cnt"), new_lp.alias("lp_u")).collect()
+    total = sum(counts.values())
+    # M-step ln/floor runs DRIVER-side in C libm — the library SQL
+    # engines' ln links against — not Spark's JVM StrictMath, whose
+    # 1-ulp differences at floor boundaries could flake an
+    # exact-integer oracle replay (the train_langid convention).
+    import math
+
+    c_of = {p: counts.get(p, 0) for p, _ in model}
+    new_lp_u = {
+        p: math.floor(
+            math.log((c + alpha) / (total + alpha * k)) * q + 0.5
+        )
+        for p, c in c_of.items()
+    }
     new_model = sorted(
-        ((r["piece"], r["lp_u"] / q) for r in rows), key=lambda kv: (-kv[1], kv[0])
+        ((p, lu / q) for p, lu in new_lp_u.items()), key=lambda kv: (-kv[1], kv[0])
     )
     new_obj, _, _ = _obj_and_pieces(new_model)
     stats = {
@@ -653,7 +661,7 @@ def unigram_hard_em_round(
             wf.agg(F.sum("count")).first()[0] or 0
         ),
         "k": k,
-        "counts": {r["piece"]: int(r["cnt"]) for r in rows},
+        "counts": c_of,
     }
     return new_model, stats
 

@@ -153,6 +153,17 @@ def train_langid(
         .agg(F.count("*").alias("nd"))
         .collect()
     )
+    if any(r["lang"] is None for r in lang_rows):
+        raise ValueError(
+            f"{lang_col!r} contains NULL labels — filter or impute the "
+            f"training corpus before train_langid"
+        )
+    if len(lang_rows) < 2:
+        raise ValueError(
+            f"need >= 2 distinct languages to train, got "
+            f"{[r['lang'] for r in lang_rows]} — a one-class model has no "
+            f"decision to make (and no runner-up margin)"
+        )
     langs = sorted(r["lang"] for r in lang_rows)
     top_grams = sorted({g for g, _ in kept})
     k = len(top_grams)

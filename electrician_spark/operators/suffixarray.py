@@ -464,14 +464,13 @@ def suffix_array(
         F.size(toks).alias("_len"),
         F.posexplode(toks).alias("_pos", "_tok"),
     ).select("_id", "_len", "_pos", F.encode("_tok", "UTF-8").alias("_key"))
-    stats = pos.agg(
-        F.max("_len").alias("m"),
-        F.count("*").alias("n"),
-        F.count_distinct("_key").alias("v"),
-    ).first()
+    # Routing stats are the CHEAP partial aggregates only; the exact
+    # vocabulary count (a corpus-wide distinct exchange) is deferred
+    # into the broadcast branch — the distributed (huge-corpus) regime
+    # never consumes it and must not pay for it.
+    stats = pos.agg(F.max("_len").alias("m"), F.count("*").alias("n")).first()
     maxlen = int(stats["m"] or 0)
     n_total = int(stats["n"] or 0)
-    vocab = int(stats["v"] or 0)
     w = _doc_window()
 
     def _cut(df: DataFrame) -> DataFrame:
@@ -490,6 +489,15 @@ def suffix_array(
             return df
 
     if n_total <= broadcast_rank_max_rows:
+        vocab = int(pos.agg(F.count_distinct("_key").alias("v")).first()["v"] or 0)
+        # Round-cut checkpoint lifecycle: the lazy cuts materialize
+        # inside the caller's action and stay registered until the
+        # returned DataFrame becomes unreachable, at which point the
+        # normal py4j-detach -> ContextCleaner path unpersists them
+        # (bounded: <= ceil(rounds/2) cuts of <= broadcast_rank_max_rows
+        # rows x 4 cols per call). Precise eager release is impossible
+        # here by design — every cut is still a live input of the final
+        # plan until the consumer finishes executing it.
         # Radix per round = how many base-`b` digits fit across TWO
         # packed longs, where b bounds digit values: round 1 digits
         # are level-0 token ranks (bounded by the VOCABULARY — a

@@ -105,3 +105,21 @@ def test_ml_langid_holdout_accuracy(spark):
     pred = langid.langid_ml_scores(test, model)
     assert _accuracy(pred, test) >= 0.95
     assert set(model.labels) == set(_VOCAB)
+
+
+def test_train_rejects_null_labels_and_single_language(spark):
+    import pytest
+
+    base = spark.createDataFrame(
+        [(0, "en", "the and with"), (1, "en", "house water the")],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ValueError, match="2 distinct languages"):
+        langid.train_langid(base)
+    with_null = base.union(
+        spark.createDataFrame(
+            [(2, None, "und der das")], "doc_id long, lang string, text string"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL labels"):
+        langid.train_langid(with_null)

@@ -503,9 +503,7 @@ def test_unigram_hard_em_round_matches_python_reference(spark):
         for p, _ in qm
     }
     got = {p: round(lp * q) for p, lp in new_model}
-    assert set(got) == set(exp)
-    for p in exp:
-        assert abs(got[p] - exp[p]) <= 1, p  # ln 1-ulp boundary tolerance
+    assert got == exp  # exact: both sides use C-libm math.log + floor
 
 
 def test_unigram_hard_em_improves_objective_from_rough_init(spark):
