@@ -47,7 +47,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -65,18 +65,28 @@ def char_ngrams(text: Column, n: int = 2) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _exploded_grams(df: DataFrame, keep_cols: list[str], text_col: str, n: int):
+def _exploded_grams(
+    df: DataFrame,
+    keep_cols: list[str],
+    text_col: str,
+    n: int,
+    keep_empty: bool = False,
+):
     """(keep_cols..., gram) — one row per char n-gram position. Same
     grams as exploding :func:`char_ngrams`, but as explode(sequence)
     + a CODEGEN substring instead of an interpreted HOF array build:
     the corpus-scale hot path stays inside whole-stage codegen (the
     array form remains the Column-expression API for feature
-    pipelines). NULL/short text yields no rows on both forms."""
+    pipelines). NULL/short text yields no rows by default;
+    ``keep_empty`` keeps ONE null-gram row per such document
+    (explode_outer) so per-document aggregations downstream never
+    lose documents."""
     s = F.lower(F.col(text_col))
     cnt = F.length(s) - (n - 1)
     # guard: sequence(1, 0) would DESCEND ([1, 0]); null when out of
     # range and explode drops the row (also covers NULL text)
-    idx = F.explode(F.when(cnt > 0, F.sequence(F.lit(1), cnt)))
+    gen = F.explode_outer if keep_empty else F.explode
+    idx = gen(F.when(cnt > 0, F.sequence(F.lit(1), cnt)))
     return df.select(*keep_cols, s.alias("_s"), idx.alias("_i")).select(
         *keep_cols, F.substring(F.col("_s"), F.col("_i"), F.lit(n)).alias("gram")
     )
@@ -215,41 +225,57 @@ def langid_scores(
     the lexicographically-first language — and because scores are
     exact integers, ties are identical on every engine.
 
-    One corpus scan: explode -> broadcast join on the model table ->
-    partial-aggregated groupBy(doc, lang) -> per-doc argmax window
-    (bounded at n_langs rows per document)."""
+    ONE corpus scan, ONE shuffle, no windows: the model pivots to a
+    per-gram ARRAY of per-language weights (broadcast, no row
+    amplification on the exploded stream), per-language scores are L
+    conditional sums in a single map-side-combinable groupBy(doc), and
+    argmax/margin are pure column expressions over the L score
+    columns (priors fold in as literals). ``explode_outer`` keeps one
+    null-gram row per gram-less document, so every document scores
+    (prior-only) without the corpus x L completion join the window
+    formulation needed."""
     spark = docs.sparkSession
+    langs = [lang for lang, _ in model.priors]  # sorted by construction
+    pos = {lang: i for i, lang in enumerate(langs)}
+    lp_by_gram: dict[str, list[int]] = {}
+    for gram, lang, lp in model.grams:
+        lp_by_gram.setdefault(gram, [0] * len(langs))[pos[lang]] = lp
     mdf = spark.createDataFrame(
-        list(model.grams), "gram string, lang string, lp long"
+        [(g, v) for g, v in sorted(lp_by_gram.items())],
+        "gram string, lps array<long>",
     )
-    pdf = spark.createDataFrame(list(model.priors), "lang string, pp long")
     g = _exploded_grams(
-        docs.select(id_col, text_col), [id_col], text_col, model.n
+        docs.select(id_col, text_col), [id_col], text_col, model.n, keep_empty=True
     )
-    hits = (
-        g.join(F.broadcast(mdf), "gram")
-        .groupBy(id_col, "lang")
-        .agg(F.sum("lp").alias("s"))
+    sums = (
+        g.join(F.broadcast(mdf), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.coalesce(F.col("lps")[i], F.lit(0))).alias(f"_s{i}")
+                for i in range(len(langs))
+            ]
+        )
     )
-    base = docs.select(id_col).crossJoin(F.broadcast(pdf))
-    sc = (
-        base.join(hits, [id_col, "lang"], "left")
-        .fillna(0, subset=["s"])
-        .withColumn("score", F.col("pp") + F.col("s"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "lang")
-    ranked = sc.select(
+    priors = dict(model.priors)
+    scores = [
+        (F.col(f"_s{i}") + F.lit(priors[lang])).alias(f"_sc{i}")
+        for i, lang in enumerate(langs)
+    ]
+    scored = sums.select(id_col, *scores)
+    arr = F.array(*[F.col(f"_sc{i}") for i in range(len(langs))])
+    best = F.array_max(arr)
+    # argmax with the (score desc, lang asc) tie-break: langs iterate
+    # in ascending order, first hit of the max wins
+    pred = F.when(F.col("_sc0") == best, langs[0])
+    for i in range(1, len(langs)):
+        pred = pred.when(F.col(f"_sc{i}") == best, langs[i])
+    runner_up = F.element_at(F.array_sort(arr), -2)
+    return scored.select(
         F.col(id_col),
-        F.col("lang").alias("lang_pred"),
-        "score",
-        F.row_number().over(w).alias("_rn"),
-        F.lead("score").over(w).alias("_s2"),
-    )
-    return ranked.filter(F.col("_rn") == 1).select(
-        id_col,
-        "lang_pred",
-        F.col("score").alias("score_u"),
-        (F.col("score") - F.col("_s2")).alias("margin_u"),
+        pred.alias("lang_pred"),
+        best.alias("score_u"),
+        (best - runner_up).alias("margin_u"),
     )
 
 

@@ -123,3 +123,18 @@ def test_train_rejects_null_labels_and_single_language(spark):
     )
     with pytest.raises(ValueError, match="NULL labels"):
         langid.train_langid(with_null)
+
+
+def test_langid_scoring_plan_is_broadcast_only(spark):
+    """The corpus-scale scoring pass must never shuffle the corpus
+    through a SortMergeJoin (model + priors are broadcast dimensions)
+    and must stay off the row-Python path."""
+    train, test = _splits(spark)
+    model = langid.train_langid(train, max_grams=100)
+    plan = (
+        langid.langid_scores(test, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -164,12 +164,6 @@ _BNLJ_ALLOWED = {
     # broadcast bounds-join shape (q_sh1 carried it until its r9
     # retirement).
     "q_wd1_webdataset_shards",
-    # langid's prior completion: the n_langs-row prior table broadcast
-    # against the doc-id scan so gram-less documents still score
-    # (bounded at a handful of languages — the same bounded-broadcast
-    # class as the single-row bounds joins above; the corpus never
-    # shuffles through it).
-    "q_li1_langid_model",
 }
 
 
