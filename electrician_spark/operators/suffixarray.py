@@ -464,11 +464,15 @@ def suffix_array(
         F.size(toks).alias("_len"),
         F.posexplode(toks).alias("_pos", "_tok"),
     ).select("_id", "_len", "_pos", F.encode("_tok", "UTF-8").alias("_key"))
-    # Routing stats are the CHEAP partial aggregates only; the exact
-    # vocabulary count (a corpus-wide distinct exchange) is deferred
-    # into the broadcast branch — the distributed (huge-corpus) regime
-    # never consumes it and must not pay for it.
-    stats = pos.agg(F.max("_len").alias("m"), F.count("*").alias("n")).first()
+    # Routing stats come from the TOKEN-ARRAY table (one row per doc,
+    # max/sum of array sizes) — never from the exploded position table,
+    # which is corpus-positions-sized; and the exact vocabulary count
+    # (a corpus-wide distinct exchange) is deferred into the broadcast
+    # branch — the distributed (huge-corpus) regime never consumes it
+    # and must not pay for it.
+    stats = tk.agg(
+        F.max(F.size(toks)).alias("m"), F.sum(F.size(toks)).alias("n")
+    ).first()
     maxlen = int(stats["m"] or 0)
     n_total = int(stats["n"] or 0)
     w = _doc_window()
