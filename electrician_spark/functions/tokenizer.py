@@ -530,12 +530,21 @@ def unigram_encode(
     text_col: str = "text",
     out_col: str = "pieces",
     max_piece_len: int = 8,
+    split_words: bool = True,
 ) -> DataFrame:
     """Append ``out_col``: the Viterbi piece sequence of each document
     under a :func:`train_unigram_tokenizer` model. Arrow-batched pandas
     UDF with the piece table in the closure and a per-batch word cache
     (Zipfian hit rate), the same shape/contract as :func:`bpe_encode`.
-    Concatenating a word's pieces reproduces the word exactly."""
+    Concatenating a word's pieces reproduces the word exactly.
+
+    ``split_words=False`` treats each input value as ONE word (no
+    re-split). Callers that already tokenized upstream — e.g. the
+    hard-EM E-step, whose word table came from the distributed Java
+    ``\\s+`` split — must use this: Python ``str.split()`` splits on
+    UNICODE whitespace (U+00A0, U+2028, ...) that Java/RE2 ``\\s``
+    (ASCII-only) does not, so re-splitting here would fragment such
+    tokens and diverge piece lists from a SQL replay."""
     logp = dict(model)
 
     @F.pandas_udf(ArrayType(StringType()))
@@ -546,7 +555,9 @@ def unigram_encode(
             if text is None:
                 return None
             out: list[str] = []
-            for w in text.split():
+            for w in text.split() if split_words else (text,):
+                if not w:
+                    continue
                 hit = cache.get(w)
                 if hit is None:
                     hit = _unigram_viterbi(w, logp, max_piece_len)
@@ -616,8 +627,15 @@ def unigram_hard_em_round(
         mdf = spark.createDataFrame(
             [(p, int(round(lp * q))) for p, lp in m], "piece string, lp_u long"
         )
+        # split_words=False: each table entry IS one word (the
+        # distributed Java \s+ split already tokenized); a Python
+        # re-split would fragment tokens containing non-ASCII Unicode
+        # whitespace (U+00A0 ...) and diverge from the SQL oracle.
         enc = unigram_encode(
-            wf.withColumn("text", F.col("token")), m, max_piece_len=max_piece_len
+            wf.withColumn("text", F.col("token")),
+            m,
+            max_piece_len=max_piece_len,
+            split_words=False,
         )
         pe = enc.select("token", "count", F.explode("pieces").alias("piece")).join(
             F.broadcast(mdf), "piece", "left"

@@ -145,10 +145,16 @@ def train_langid(
         counts = counts.localCheckpoint(eager=False)
     except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
         pass
+    # Tie-break the top-K cut on the UTF-8 BYTE encoding, not Spark's
+    # native string sort (UTF-16 code-unit order): DuckDB's ORDER BY is
+    # binary UTF-8 (code-point) order, and a count tie at the max_grams
+    # boundary involving supplementary-plane grams would otherwise
+    # select a different vocabulary and diverge the whole q_li1 replay
+    # (the suffix_array level-0 collation rule, applied here too).
     top = (
         counts.groupBy("gram")
         .agg(F.sum("c").alias("ct"))
-        .orderBy(F.col("ct").desc(), "gram")
+        .orderBy(F.col("ct").desc(), F.encode("gram", "UTF-8"))
         .limit(max_grams)
         .select("gram")
     )
@@ -237,6 +243,7 @@ def langid_scores(
     spark = docs.sparkSession
     langs = [lang for lang, _ in model.priors]  # sorted by construction
     pos = {lang: i for i, lang in enumerate(langs)}
+    _validate_grid(model)
     lp_by_gram: dict[str, list[int]] = {}
     for gram, lang, lp in model.grams:
         lp_by_gram.setdefault(gram, [0] * len(langs))[pos[lang]] = lp
@@ -279,6 +286,31 @@ def langid_scores(
     )
 
 
+def _validate_grid(model: LangIdModel) -> None:
+    """Reject a model whose (gram, lang) table is not the COMPLETE
+    k x n_langs grid. The scoring pivot defaults a missing entry to
+    weight 0 — log-prob 0, probability 1 — which is safe only because
+    :func:`train_langid` always emits the full grid; a truncated or
+    hand-edited JSON artifact would otherwise silently INFLATE scores
+    for the languages whose entries were dropped instead of erroring."""
+    langs = {lang for lang, _ in model.priors}
+    grams = {g for g, _, _ in model.grams}
+    if len(model.grams) != len(grams) * len(langs) or {
+        (g, lang) for g, lang, _ in model.grams
+    } != {(g, lang) for g in grams for lang in langs}:
+        raise ValueError(
+            f"LangIdModel grid is incomplete: {len(model.grams)} (gram, lang) "
+            f"entries for {len(grams)} grams x {len(langs)} languages — "
+            f"expected the full {len(grams) * len(langs)}-entry grid (a "
+            f"missing entry would silently score as log-prob 0)"
+        )
+    if model.k != len(grams):
+        raise ValueError(
+            f"LangIdModel.k = {model.k} disagrees with the gram table "
+            f"({len(grams)} distinct grams)"
+        )
+
+
 def save_langid(model: LangIdModel, path: str) -> None:
     """Persist the frozen model as a JSON artifact — the auditable,
     engine-portable shipping form (the point of the explicit table)."""
@@ -297,9 +329,13 @@ def save_langid(model: LangIdModel, path: str) -> None:
 
 
 def load_langid(path: str) -> LangIdModel:
+    """Load a :func:`save_langid` artifact, validating grid
+    completeness (see :func:`_validate_grid`) so a truncated or
+    hand-edited file errors at load time, not as silently-wrong
+    scores."""
     with open(path) as fh:
         d = json.load(fh)
-    return LangIdModel(
+    model = LangIdModel(
         n=d["n"],
         alpha=d["alpha"],
         quant_bits=d["quant_bits"],
@@ -307,6 +343,8 @@ def load_langid(path: str) -> LangIdModel:
         grams=tuple((g[0], g[1], int(g[2])) for g in d["grams"]),
         priors=tuple((p[0], int(p[1])) for p in d["priors"]),
     )
+    _validate_grid(model)
+    return model
 
 
 def train_langid_ml(

@@ -470,9 +470,14 @@ def suffix_array(
     # (a corpus-wide distinct exchange) is deferred into the broadcast
     # branch — the distributed (huge-corpus) regime never consumes it
     # and must not pay for it.
-    stats = tk.agg(
-        F.max(F.size(toks)).alias("m"), F.sum(F.size(toks)).alias("n")
-    ).first()
+    # NULL-robust sizes: under legacy sizeOfNull (ANSI off — Spark <4
+    # defaults) size(NULL) is -1, which would UNDERCOUNT n_total for
+    # NULL-text docs — mis-routing the regime and, at the exact
+    # boundary, under-sizing base (= n_total + 2) in the packed
+    # broadcast rounds, where a digit reaching base corrupts the
+    # order-preserving packing. Clamp to 0 regardless of ANSI setting.
+    sz = F.greatest(F.coalesce(F.size(toks), F.lit(0)), F.lit(0))
+    stats = tk.agg(F.max(sz).alias("m"), F.sum(sz).alias("n")).first()
     maxlen = int(stats["m"] or 0)
     n_total = int(stats["n"] or 0)
     w = _doc_window()
