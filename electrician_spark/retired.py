@@ -37,6 +37,7 @@ from electrician_spark.queries import (
     _SQL_SHINGLES_CTE,
     _as_doubles,
     _t,
+    _zeros_like,
 )
 from electrician_spark.streaming import windows as win
 
@@ -1616,3 +1617,51 @@ def q_j7(spark, sf_dir):
 # (q_o1_global_topk: RETIRED r8 -> electrician_spark.retired.
 # TakeOrderedAndProject stays plan-pinned and driver-attested via
 # q_o2_grouped_topk and q_s3_predicate_pushdown.)
+
+
+# --- r12 retirements --------------------------------------------------------
+
+
+@retired_query(
+    "q_j6_range_join",
+    "SELECT count(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY",
+    tags=("join",),
+)
+def q_j6(spark, sf_dir):
+    # Retired r12 (made room for q_se1 stream-static enrichment): the
+    # range/theta join predicate stays live via q_rj1's bucketed range
+    # join and q_sj1's stream-stream interval join (the same range
+    # predicate, evaluated inside the streaming state store).
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return li.join(orders, cond, "inner").agg(F.count("*").alias("n"))
+
+
+@retired_query(
+    "q_p3_wave_roundtrip",
+    "SELECT vec_id, round(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy "
+    "FROM embeddings ORDER BY vec_id LIMIT 50",
+    tags=("dsp", "codec"),
+)
+def q_p3(spark, sf_dir):
+    # Retired r12 (made room for q_pb1 protobuf envelope codec): the
+    # WAV binary codec stays live via q_af1/q_aq1, which parse real
+    # WAV fixtures every driver pass; the encode->decode->energy
+    # identity keeps this archive oracle + test_codecs/test_dsp pins.
+    from electrician_spark.functions import codecs, dsp
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", _as_doubles("embedding").alias("re"))
+    packed = emb.select(
+        "vec_id", codecs.wave_encode(F.col("re"), _zeros_like(F.col("re"))).alias("blob")
+    )
+    decoded = packed.select("vec_id", codecs.wave_decode(F.col("blob")).alias("w"))
+    out = decoded.select(
+        "vec_id",
+        F.round(dsp.energy(F.col("w.re"), F.col("w.im")), 6).alias("energy"),
+    )
+    return rel.top_k(out, [F.col("vec_id")], 50)
