@@ -43,7 +43,10 @@ EXTRA_QUERIES = [
     "q_x8_curation_pipeline",
     # r6 rows (new operators promoted to the driver window this round;
     # q_ss1 retired r10 -> archive, succeeded in the series by q_sa1)
-    "q_lm1_perplexity_buckets",
+    # q_lm1 retired r12 -> archive, succeeded in the series by the new
+    # protobuf envelope wire-codec row (the LM-bucket shape stays
+    # tracked via the live q_lm2 row below)
+    "q_pb1_proto_envelope",
     "q_ch1_chunk_documents",
     # r7 promotion rows (tracked from their first driver-attested
     # round; q_pk2 retired r9 -> archive, dropped from the series)

@@ -147,6 +147,69 @@ def unwrap(
     return out
 
 
+def to_wire(df: DataFrame, codec: str = "proto", out_col: str = "wire") -> DataFrame:
+    """Envelope columns → ONE binary wire column, for shipping over a
+    byte transport (Kafka value, staging blob). ``codec='proto'`` emits
+    the reference's actual wire format — protobuf WrappedPayload
+    (electrician_relay.proto:16-43, functions/protowire.py);
+    ``codec='json'`` emits the envelope as a JSON object (payload
+    hex-encoded — JSON has no bytes type), the debug-friendly form."""
+    if codec == "proto":
+        from electrician_spark.functions import protowire
+
+        return protowire.wire_encode(df, out_col=out_col)
+    if codec == "json":
+        obj = F.struct(
+            F.col("id"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.hex(F.col("payload")).alias("payload_hex"),
+            F.col("seq"),
+            F.col("encoding"),
+            F.col("compression"),
+            F.col("encryption"),
+            F.col("ordering_key"),
+            F.col("dedupe_key"),
+            F.unix_micros(F.col("expires_at")).alias("expires_us"),
+        )
+        return df.withColumn(out_col, F.encode(F.to_json(obj), "utf-8"))
+    raise ValueError(f"unknown wire codec {codec!r} (proto|json)")
+
+
+def from_wire(
+    df: DataFrame,
+    codec: str = "proto",
+    col: str = "wire",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Inverse of :func:`to_wire`: reconstruct the envelope columns
+    from the wire bytes alone (receiving-relay entry point).
+    ``keep`` carries named extra input columns through (proto codec)."""
+    if codec == "proto":
+        from electrician_spark.functions import protowire
+
+        return protowire.wire_decode(df, col=col, keep=keep)
+    if codec == "json":
+        schema = (
+            "id string, ts_us long, payload_hex string, seq long, "
+            "encoding string, compression string, encryption string, "
+            "ordering_key string, dedupe_key string, expires_us long"
+        )
+        d = F.from_json(F.decode(F.col(col), "utf-8"), schema)
+        return df.select(
+            d["id"].alias("id"),
+            F.timestamp_micros(d["ts_us"]).alias("ts"),
+            F.unhex(d["payload_hex"]).alias("payload"),
+            d["seq"].alias("seq"),
+            d["encoding"].alias("encoding"),
+            d["compression"].alias("compression"),
+            d["encryption"].alias("encryption"),
+            d["ordering_key"].alias("ordering_key"),
+            d["dedupe_key"].alias("dedupe_key"),
+            F.timestamp_micros(d["expires_us"]).alias("expires_at"),
+        )
+    raise ValueError(f"unknown wire codec {codec!r} (proto|json)")
+
+
 def ordered_delivery(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """DELIVERY_RELIABLE_ORDERED (proto:168-173): co-locate each
     ordering_key in one partition and sort by seq within it. Spark's

@@ -2409,63 +2409,13 @@ def q_ch1(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
-@query(
-    "q_lm1_perplexity_buckets",
-    # Replays the add-α unigram LM closed-form (CCNet posture,
-    # operators/lmquality): docs with doc_id % 10 = 0 play the trusted
-    # reference corpus; vocab = top-50 by (count desc, token); OOV mass
-    # α/(N + α(V+1)); per-doc mean token log-prob → perplexity → exact
-    # NTILE(3) buckets over (ppl 6dp, doc_id). Aggregates are
-    # order-insensitive (count/sum of ints, min/max of rounded
-    # doubles), so the hash comparison is summation-order-proof.
-    "WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 = 0), "
-    "tr AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
-    "x -> x <> '')) AS token FROM ref), "
-    "counts AS (SELECT token, count(*) AS c FROM tr GROUP BY token "
-    "ORDER BY c DESC, token LIMIT 50), "
-    "tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts), "
-    "model AS (SELECT token, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS logprob "
-    "FROM counts CROSS JOIN tot), "
-    "oov AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS oov_lp FROM tot), "
-    "dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
-    "x -> x <> '')) AS token FROM documents), "
-    "scored AS (SELECT doc_id, count(*) AS n_tokens, "
-    "avg(coalesce(m.logprob, o.oov_lp)) AS mean_lp "
-    "FROM dt LEFT JOIN model m USING (token) CROSS JOIN oov o GROUP BY doc_id), "
-    "bk AS (SELECT doc_id, n_tokens, round(exp(-mean_lp), 6) AS ppl FROM scored), "
-    "nt AS (SELECT *, CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS BIGINT) AS bucket FROM bk) "
-    "SELECT bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
-    "min(ppl) AS min_ppl, max(ppl) AS max_ppl FROM nt GROUP BY bucket ORDER BY bucket",
-    tags=("lmquality", "text"),
-)
-def q_lm1(spark, sf_dir):
-    # unigram_lm trains on one bounded pass (model materialized to a
-    # local table — vocab_size rows); lm_score is explode → broadcast
-    # model join → one groupBy (plan pinned in test_lmquality). The
-    # bucket stage here is the exact-NTILE form over (ppl 6dp, doc_id)
-    # so a SQL engine replays assignment bit-for-bit; the production
-    # path (perplexity_buckets) uses approxQuantile thresholds — no
-    # global sort — and stays the scale default.
-    from pyspark.sql import Window
-
-    from electrician_spark.operators import lmquality as lmq
-
-    docs = _t(spark, sf_dir, "documents")
-    ref = docs.filter(F.col("doc_id") % 10 == 0)
-    lm = lmq.unigram_lm(ref, vocab_size=50, alpha=0.5)
-    scored = lmq.lm_score(docs, lm).withColumn("ppl", F.round("perplexity", 6))
-    w = Window.orderBy("ppl", "doc_id")
-    nt = scored.withColumn("bucket", F.ntile(3).over(w).cast("long"))
-    return (
-        nt.groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.min("ppl").alias("min_ppl"),
-            F.max("ppl").alias("max_ppl"),
-        )
-        .orderBy("bucket")
-    )
+# (q_lm1_perplexity_buckets: RETIRED r12 -> electrician_spark.retired,
+# making room for q_x9's trained-gate curation pipeline row. The
+# LM-quality bucketing capability stays live via q_lm2 (bigram
+# Stupid-Backoff + the PRODUCTION approxQuantile bucket path, attested
+# r11); the unigram-LM scoring machinery itself stays live inside
+# q_lm2's pipeline and the exact-NTILE replay keeps its full oracle in
+# the archive plus the test_lmquality pins.)
 
 
 @query(
@@ -5858,6 +5808,73 @@ def q_lr1(spark, sf_dir):
 
 
 @query(
+    "q_pb1_proto_envelope",
+    # PROTOBUF RELAY-ENVELOPE WIRE CODEC (functions/protowire.py —
+    # the reference's actual wire format, WrappedPayload,
+    # proto/electrician_relay.proto:16-43): wrap 500 deterministic
+    # orders into envelopes, serialize each to proto3 bytes
+    # (varint + length-delimited, pure Python — no jar/codegen),
+    # reconstruct the envelope FROM THE BYTES ALONE, and unwrap. The
+    # oracle replays every surviving value: the record key decoded
+    # from the payload bytes (round-trip proof), the per-ordering-key
+    # seq (varint field 6), the content-derived sha256 id (field 1),
+    # the TTL timestamp (field 23 Timestamp sub-message → epoch), and
+    # the EXACT wire byte length — 96 fixed bytes (66 id + 8 ts + 2
+    # payload framing + 2 seq + 6 payload_type + 3 ordering_key
+    # framing + 9 expires_at) + payload-json + custkey lengths, which
+    # pins the tag/varint layout arithmetic byte-for-byte. (Bounds
+    # making every length prefix 1 byte hold by construction: json
+    # < 128 chars, seq <= 3 in this subset, epoch seconds in the
+    # 5-byte varint band.)
+    "WITH s AS (SELECT o_orderkey, o_custkey FROM orders "
+    "ORDER BY o_orderkey LIMIT 500), "
+    "e AS (SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS ck, "
+    "'{\"o_orderkey\":' || o_orderkey || '}' AS js FROM s), "
+    "q AS (SELECT *, CAST(row_number() OVER (PARTITION BY ck ORDER BY js) "
+    "AS BIGINT) AS seq FROM e) "
+    "SELECT o_orderkey, seq, sha256(js || seq) AS id, "
+    "CAST(96 + length(js) + length(ck) AS BIGINT) AS wire_len, "
+    "CAST(1705323600 AS BIGINT) AS exp_epoch "
+    "FROM q ORDER BY o_orderkey",
+    tags=("codec", "envelope"),
+)
+def q_pb1(spark, sf_dir):
+    # envelope.wrap → to_wire('proto') → from_wire (bytes only) →
+    # unwrap. ts fixed at 2024-01-15 12:00:00 UTC (epoch 1705320000,
+    # a 5-byte varint), ttl 3600 s; dedupe_key NULL (absent on the
+    # wire — proto3 default omission), compression/encryption none
+    # (metadata absent).
+    from electrician_spark import envelope
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+    env = envelope.wrap(
+        base,
+        ["o_orderkey"],
+        ordering_key=F.col("o_custkey").cast("string"),
+        ts=TS("2024-01-15 12:00:00"),
+        ttl_seconds=3600,
+    )
+    w = envelope.to_wire(env, "proto").select("wire")
+    dec = envelope.from_wire(
+        w.withColumn("wire_len", F.length("wire").cast("long")),
+        keep=("wire_len",),
+    )
+    out = envelope.unwrap(dec, "o_orderkey long")
+    return out.select(
+        F.col("_decoded")["o_orderkey"].alias("o_orderkey"),
+        "seq",
+        "id",
+        "wire_len",
+        F.col("expires_at").cast("long").alias("exp_epoch"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "q_se1_stream_static_enrich",
     # STREAM-STATIC BROADCAST ENRICHMENT — the reference's core
     # correlation pattern (SURVEY §2.5 composition S6+C3: enrich a
@@ -6193,9 +6210,14 @@ _DRIVER_PRIORITY = [
     # stream-stream interval join row (q_sj1 — same-batch match,
     # cross-batch match through retained state, interval-bound
     # rejection, and the post-eviction/late non-match on two real
-    # four-micro-batch streams).
+    # four-micro-batch streams), and the protobuf relay-envelope wire
+    # codec row (q_pb1 — WrappedPayload proto3 bytes round trip with
+    # the exact per-row wire length replayed arithmetically; retired
+    # in exchange: q_lm1, whose LM-bucketing capability stays live via
+    # q_lm2's production path).
     "q_se1_stream_static_enrich",
     "q_sj1_stream_stream_interval",
+    "q_pb1_proto_envelope",
     "q_a1_pricing_summary",
     "q_a2_rate_per_hour",
     "q_bl1_bloom_decontaminate",
@@ -6215,7 +6237,6 @@ _DRIVER_PRIORITY = [
     "q_k1_parquet_roundtrip",
     "q_k2_ndjson_roundtrip",
     "q_k4_upsert_idempotent",
-    "q_lm1_perplexity_buckets",
     "q_lr1_longest_repeated_run",
     "q_n1_ann_bruteforce",
     "q_n4_ann_ivf_probes",

@@ -1665,3 +1665,66 @@ def q_p3(spark, sf_dir):
         F.round(dsp.energy(F.col("w.re"), F.col("w.im")), 6).alias("energy"),
     )
     return rel.top_k(out, [F.col("vec_id")], 50)
+
+
+@retired_query(
+    "q_lm1_perplexity_buckets",
+    # Replays the add-α unigram LM closed-form (CCNet posture,
+    # operators/lmquality): docs with doc_id % 10 = 0 play the trusted
+    # reference corpus; vocab = top-50 by (count desc, token); OOV mass
+    # α/(N + α(V+1)); per-doc mean token log-prob → perplexity → exact
+    # NTILE(3) buckets over (ppl 6dp, doc_id). Aggregates are
+    # order-insensitive (count/sum of ints, min/max of rounded
+    # doubles), so the hash comparison is summation-order-proof.
+    "WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 = 0), "
+    "tr AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x <> '')) AS token FROM ref), "
+    "counts AS (SELECT token, count(*) AS c FROM tr GROUP BY token "
+    "ORDER BY c DESC, token LIMIT 50), "
+    "tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts), "
+    "model AS (SELECT token, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS logprob "
+    "FROM counts CROSS JOIN tot), "
+    "oov AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS oov_lp FROM tot), "
+    "dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x <> '')) AS token FROM documents), "
+    "scored AS (SELECT doc_id, count(*) AS n_tokens, "
+    "avg(coalesce(m.logprob, o.oov_lp)) AS mean_lp "
+    "FROM dt LEFT JOIN model m USING (token) CROSS JOIN oov o GROUP BY doc_id), "
+    "bk AS (SELECT doc_id, n_tokens, round(exp(-mean_lp), 6) AS ppl FROM scored), "
+    "nt AS (SELECT *, CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS BIGINT) AS bucket FROM bk) "
+    "SELECT bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+    "min(ppl) AS min_ppl, max(ppl) AS max_ppl FROM nt GROUP BY bucket ORDER BY bucket",
+    tags=("lmquality", "text"),
+)
+def q_lm1(spark, sf_dir):
+    # Retired r12 (made room for q_x9 trained-gate curation row):
+    # LM-quality bucketing stays live via q_lm2 (bigram Stupid-Backoff
+    # + production approxQuantile buckets); this exact-NTILE unigram
+    # replay keeps its full oracle here + test_lmquality pins.
+    # unigram_lm trains on one bounded pass (model materialized to a
+    # local table — vocab_size rows); lm_score is explode → broadcast
+    # model join → one groupBy (plan pinned in test_lmquality). The
+    # bucket stage here is the exact-NTILE form over (ppl 6dp, doc_id)
+    # so a SQL engine replays assignment bit-for-bit; the production
+    # path (perplexity_buckets) uses approxQuantile thresholds — no
+    # global sort — and stays the scale default.
+    from pyspark.sql import Window
+
+    from electrician_spark.operators import lmquality as lmq
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    lm = lmq.unigram_lm(ref, vocab_size=50, alpha=0.5)
+    scored = lmq.lm_score(docs, lm).withColumn("ppl", F.round("perplexity", 6))
+    w = Window.orderBy("ppl", "doc_id")
+    nt = scored.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+    return (
+        nt.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+        .orderBy("bucket")
+    )
