@@ -38,6 +38,9 @@ EXTRA_QUERIES = [
     # stays tracked via the q_j2 headline row)
     "q_em1_unigram_hard_em",
     "q_x7_quality_filter_pipeline",
+    # r12 promotion: the trained-gate curation pipeline (q_x7's chain
+    # with the NB-langid confidence gate swapped in)
+    "q_x9_trained_gate_pipeline",
     "q_n4_ann_ivf_probes",
     "q_d9_lsh_near_dup",
     "q_x8_curation_pipeline",

@@ -221,6 +221,7 @@ def langid_scores(
     model: LangIdModel,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """(id, lang_pred, score_u, margin_u): argmax language per
     document under the frozen model, with EXACT integer scores
@@ -239,7 +240,14 @@ def langid_scores(
     columns (priors fold in as literals). ``explode_outer`` keeps one
     null-gram row per gram-less document, so every document scores
     (prior-only) without the corpus x L completion join the window
-    formulation needed."""
+    formulation needed.
+
+    ``carry`` names extra per-document columns of ``docs`` to pass
+    through into the output (aggregated with ``min`` inside the SAME
+    groupBy — constant per document, so min is the identity). This is
+    what lets a curation pipeline gate on the trained scores without
+    re-joining the corpus to the score table: quality signals computed
+    column-wise upstream ride the one scoring shuffle for free."""
     spark = docs.sparkSession
     langs = [lang for lang, _ in model.priors]  # sorted by construction
     pos = {lang: i for i, lang in enumerate(langs)}
@@ -251,8 +259,13 @@ def langid_scores(
         [(g, v) for g, v in sorted(lp_by_gram.items())],
         "gram string, lps array<long>",
     )
+    carry = list(carry or [])
     g = _exploded_grams(
-        docs.select(id_col, text_col), [id_col], text_col, model.n, keep_empty=True
+        docs.select(id_col, *carry, text_col),
+        [id_col, *carry],
+        text_col,
+        model.n,
+        keep_empty=True,
     )
     sums = (
         g.join(F.broadcast(mdf), "gram", "left")
@@ -261,7 +274,8 @@ def langid_scores(
             *[
                 F.sum(F.coalesce(F.col("lps")[i], F.lit(0))).alias(f"_s{i}")
                 for i in range(len(langs))
-            ]
+            ],
+            *[F.min(c).alias(c) for c in carry],
         )
     )
     priors = dict(model.priors)
@@ -269,7 +283,7 @@ def langid_scores(
         (F.col(f"_s{i}") + F.lit(priors[lang])).alias(f"_sc{i}")
         for i, lang in enumerate(langs)
     ]
-    scored = sums.select(id_col, *scores)
+    scored = sums.select(id_col, *carry, *scores)
     arr = F.array(*[F.col(f"_sc{i}") for i in range(len(langs))])
     best = F.array_max(arr)
     # argmax with the (score desc, lang asc) tie-break: langs iterate
@@ -280,10 +294,36 @@ def langid_scores(
     runner_up = F.element_at(F.array_sort(arr), -2)
     return scored.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         pred.alias("lang_pred"),
         best.alias("score_u"),
         (best - runner_up).alias("margin_u"),
     )
+
+
+def langid_gate(
+    docs: DataFrame,
+    model: LangIdModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_margin_u: int = 0,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """The TRAINED confidence gate for a curation pipeline: score
+    every document under the frozen model and keep only those whose
+    top-vs-runner-up margin is at least ``min_margin_u`` (units of
+    2^-quant_bits — exact integers, so the gate is bit-identical on
+    every engine). Returns (id, carry..., lang_pred, score_u,
+    margin_u) for the surviving documents.
+
+    This is the swap-in replacement for the heuristic
+    ``functions/text.language_id`` gate (which remains the
+    zero-dependency default): compute quality signals column-wise
+    upstream, name them in ``carry``, and the whole gated pipeline
+    costs ONE broadcast model join + ONE map-side-combinable shuffle —
+    no corpus-to-scores re-join, no second corpus scan."""
+    scored = langid_scores(docs, model, text_col, id_col, carry=carry)
+    return scored.filter(F.col("margin_u") >= int(min_margin_u))
 
 
 def _validate_grid(model: LangIdModel) -> None:

@@ -966,63 +966,25 @@ _SQL_SHINGLES_CTE = (
 # 7-rule + 13-signal batteries and the q_x7 pipeline gates.)
 
 
-def _langid_oracle() -> str:
-    from electrician_spark.functions.text import LANG_PROFILES
-
-    score_cols = []
-    for lang in sorted(LANG_PROFILES):
-        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
-        score_cols.append(
-            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
-            f"x -> x IN ({words}))) AS s_{lang}"
-        )
-    langs = sorted(LANG_PROFILES)
-    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
-    case = f"CASE WHEN {g} = 0 THEN 'en' "
-    for lang in langs:
-        case += f"WHEN s_{lang} = {g} THEN '{lang}' "
-    case += "END"
-    return (
-        "SELECT predicted_lang, count(*) AS n FROM ("
-        f"SELECT {case} AS predicted_lang FROM ("
-        f"SELECT {', '.join(score_cols)} FROM documents) sc) p "
-        "GROUP BY predicted_lang ORDER BY predicted_lang"
-    )
+# (q_x3_language_id: RETIRED r12 -> electrician_spark.retired, making
+# room for q_x9's trained-gate curation pipeline row. The heuristic
+# stopword-profile gate is NOT gone from live attestation: it remains
+# the in-pipeline language gate of q_x7 (same language_id operator,
+# same profiles, re-attested every window pass) and the
+# zero-dependency default of the curation chain; the trained tier is
+# q_li1 + the composed q_x9. The standalone census row keeps its full
+# generated oracle in the archive.)
 
 
-@query("q_x3_language_id", _langid_oracle(), tags=("text",))
-def q_x3(spark, sf_dir):
-    from electrician_spark.functions import text as tx
+_X7_STOPS = "'the','a','of','and','to','in','is','it'"
 
-    return (
-        _t(spark, sf_dir, "documents")
-        .select(tx.language_id(F.col("text")).alias("predicted_lang"))
-        .groupBy("predicted_lang")
-        .agg(F.count("*").alias("n"))
-        .orderBy("predicted_lang")
-    )
-
-
-
-
-
-@query(
-    "q_li1_langid_model",
-    # MODEL-BASED language ID (operators/langid.py — the trained tier
-    # above q_x3's heuristic): multinomial Naive Bayes over char
-    # bigrams, trained LIVE on the labeled split (doc_id % 5 <> 0),
-    # frozen to a dyadic 2^-20 integer weight table (the q_ug1
-    # quantization recipe: floor(ln(p)*2^20 + 0.5) — identical
-    # floor+0.5 semantics in both engines), round-tripped through the
-    # JSON artifact, then scored on the DISJOINT test split. Scores
-    # are EXACT integer sums (units of 2^-20), so argmax, margin, and
-    # every score value replay bit-for-bit — the oracle re-runs the
-    # ENTIRE train->freeze->score pipeline in SQL: gram counts,
-    # top-300 vocabulary cut (count desc, gram asc), add-0.5
-    # smoothing over the kept-gram event space, doc-count priors,
-    # per-(doc, lang) scoring with OOV-gram skip, and the
-    # (score desc, lang asc) argmax with runner-up margin.
-    "WITH tr AS (SELECT lang, lower(text) AS s FROM documents "
+# Shared oracle CTEs for the NB-langid family (q_li1 + q_x9): the
+# train->freeze replay (gram counts, top-300 cut, add-0.5 smoothing
+# over the kept-gram event space, dyadic 2^-20 freeze with
+# floor(x*2^20 + 0.5), doc-count priors) and the exact integer
+# scoring of whatever `te(doc_id, s)` CTE the caller supplies.
+_SQL_LI_TRAIN = (
+    "tr AS (SELECT lang, lower(text) AS s FROM documents "
     "WHERE doc_id % 5 <> 0), "
     "g AS (SELECT lang, substr(s, i, 2) AS gram FROM "
     "(SELECT lang, s, unnest(range(1, length(s))) AS i FROM tr)), "
@@ -1041,8 +1003,9 @@ def q_x3(spark, sf_dir):
     "AS lp FROM grid JOIN nl ON nl.lang = grid.lang CROSS JOIN kk), "
     "priors AS (SELECT lang, "
     "CAST(floor(ln(nd * 1.0 / t) * 1048576.0 + 0.5) AS BIGINT) AS pp "
-    "FROM langs CROSS JOIN tot), "
-    "te AS (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id % 5 = 0), "
+    "FROM langs CROSS JOIN tot)"
+)
+_SQL_LI_SCORE = (
     "tg AS (SELECT doc_id, substr(s, i, 2) AS gram FROM "
     "(SELECT doc_id, s, unnest(range(1, length(s))) AS i FROM te)), "
     "hits AS (SELECT doc_id, lang, sum(lp) AS hs FROM tg "
@@ -1053,7 +1016,29 @@ def q_x3(spark, sf_dir):
     "rk AS (SELECT doc_id, lang, score, row_number() OVER "
     "(PARTITION BY doc_id ORDER BY score DESC, lang) AS rn, "
     "lead(score) OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS s2 "
-    "FROM sc) "
+    "FROM sc)"
+)
+
+
+@query(
+    "q_li1_langid_model",
+    # MODEL-BASED language ID (operators/langid.py — the trained tier
+    # above q_x3's heuristic): multinomial Naive Bayes over char
+    # bigrams, trained LIVE on the labeled split (doc_id % 5 <> 0),
+    # frozen to a dyadic 2^-20 integer weight table (the q_ug1
+    # quantization recipe: floor(ln(p)*2^20 + 0.5) — identical
+    # floor+0.5 semantics in both engines), round-tripped through the
+    # JSON artifact, then scored on the DISJOINT test split. Scores
+    # are EXACT integer sums (units of 2^-20), so argmax, margin, and
+    # every score value replay bit-for-bit — the oracle re-runs the
+    # ENTIRE train->freeze->score pipeline in SQL: gram counts,
+    # top-300 vocabulary cut (count desc, gram asc), add-0.5
+    # smoothing over the kept-gram event space, doc-count priors,
+    # per-(doc, lang) scoring with OOV-gram skip, and the
+    # (score desc, lang asc) argmax with runner-up margin.
+    "WITH " + _SQL_LI_TRAIN + ", "
+    "te AS (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id % 5 = 0), "
+    + _SQL_LI_SCORE + " "
     "SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS score_u20, "
     "CAST(score - s2 AS BIGINT) AS margin_u20 FROM rk WHERE rn = 1 "
     "ORDER BY doc_id",
@@ -1086,6 +1071,94 @@ def q_li1(spark, sf_dir):
             F.col("margin_u").cast("long").alias("margin_u20"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_x9_trained_gate_pipeline",
+    # The CURATION CHAIN with the TRAINED language gate (q_x7's
+    # heuristic-gated pipeline upgraded to the q_li1 model tier —
+    # SURVEY's curation composition with operators/langid.langid_gate
+    # swapped in): train NB-langid live on the labeled split, freeze
+    # to the dyadic artifact, score EVERY document, and keep only
+    # docs passing BOTH the trained-confidence gate (top-vs-runner-up
+    # margin >= 500000 u20 ≈ 0.48 nats — exact integers, so the gate
+    # is bit-identical cross-engine) and q_x7's quality gates
+    # (n_tokens >= 10, avg token length in [2, 15]); then the
+    # per-language corpus census. The oracle replays train, freeze,
+    # score, BOTH gates, and the census. Quality signals ride the one
+    # scoring shuffle via langid_scores(carry=...) — the composed
+    # pipeline costs ONE broadcast model join + ONE map-side-combined
+    # shuffle + the census, with no corpus-to-scores re-join
+    # (plan-pinned in test_langid).
+    "WITH " + _SQL_LI_TRAIN + ", "
+    "te AS (SELECT doc_id, lower(text) AS s FROM documents), "
+    + _SQL_LI_SCORE + ", "
+    f"qual AS (SELECT doc_id, len(toks) AS n_tokens, "
+    f"len(list_filter(toks, x -> x IN ({_X7_STOPS}))) AS n_stop, "
+    "list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) "
+    "AS avg_len FROM (SELECT doc_id, " + _SQL_TOKENS + " AS toks "
+    "FROM documents) tq), "
+    "gated AS (SELECT r.doc_id, r.lang, CAST(r.score - r.s2 AS BIGINT) AS margin, "
+    "q.n_tokens, q.n_stop FROM rk r JOIN qual q USING (doc_id) "
+    "WHERE r.rn = 1 AND r.score - r.s2 >= 500000 AND q.n_tokens >= 10 "
+    "AND q.avg_len >= 2.0 AND q.avg_len <= 15.0) "
+    "SELECT lang AS lang_pred, count(*) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(sum(n_stop) AS BIGINT) AS total_stop, "
+    "CAST(sum(margin) AS BIGINT) AS sum_margin_u20 "
+    "FROM gated GROUP BY 1 ORDER BY 1",
+    tags=("text", "classifier"),
+)
+def q_x9(spark, sf_dir):
+    # train_langid -> JSON artifact round trip -> langid_gate with the
+    # quality signals carried through the scoring shuffle. The
+    # heuristic tier (functions/text.language_id) remains the
+    # zero-dependency default gate; this row attests the trained
+    # swap-in end-to-end.
+    import os
+    import tempfile
+
+    from electrician_spark.functions import text as tx
+    from electrician_spark.operators import langid
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = langid.train_langid(
+        docs.filter(F.col("doc_id") % 5 != 0), n=2, alpha=0.5, max_grams=300
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="q_x9_"), "model.json")
+    langid.save_langid(model, path)
+    model = langid.load_langid(path)  # gate from the ARTIFACT
+
+    toks = tx.tokens(F.col("text"))
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*tx.DEFAULT_STOPWORDS))).alias(
+            "n_stop"
+        ),
+        tx.avg_token_len(F.col("text")).alias("avg_len"),
+    )
+    gated = langid.langid_gate(
+        enriched,
+        model,
+        min_margin_u=500_000,
+        carry=["n_tokens", "n_stop", "avg_len"],
+    ).filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("avg_len") >= 2.0)
+        & (F.col("avg_len") <= 15.0)
+    )
+    return (
+        gated.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_stop").cast("long").alias("total_stop"),
+            F.sum("margin_u").cast("long").alias("sum_margin_u20"),
+        )
+        .orderBy("lang_pred")
     )
 
 
@@ -1155,9 +1228,6 @@ def q_x6(spark, sf_dir):
         .cast("long")
         .alias("long_numbers_left"),
     )
-
-
-_X7_STOPS = "'the','a','of','and','to','in','is','it'"
 
 
 @query(
@@ -6218,6 +6288,7 @@ _DRIVER_PRIORITY = [
     "q_se1_stream_static_enrich",
     "q_sj1_stream_stream_interval",
     "q_pb1_proto_envelope",
+    "q_x9_trained_gate_pipeline",
     "q_a1_pricing_summary",
     "q_a2_rate_per_hour",
     "q_bl1_bloom_decontaminate",
@@ -6263,7 +6334,6 @@ _DRIVER_PRIORITY = [
     "q_wd1_webdataset_shards",
     "q_wf1_rank",
     "q_wm1_watermark_late_drop",
-    "q_x3_language_id",
     "q_x7_quality_filter_pipeline",
 ]
 

@@ -1728,3 +1728,45 @@ def q_lm1(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+def _langid_oracle() -> str:
+    from electrician_spark.functions.text import LANG_PROFILES
+
+    score_cols = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score_cols.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"x -> x IN ({words}))) AS s_{lang}"
+        )
+    langs = sorted(LANG_PROFILES)
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'en' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {g} THEN '{lang}' "
+    case += "END"
+    return (
+        "SELECT predicted_lang, count(*) AS n FROM ("
+        f"SELECT {case} AS predicted_lang FROM ("
+        f"SELECT {', '.join(score_cols)} FROM documents) sc) p "
+        "GROUP BY predicted_lang ORDER BY predicted_lang"
+    )
+
+
+@retired_query("q_x3_language_id", _langid_oracle(), tags=("text",))
+def q_x3(spark, sf_dir):
+    # Retired r12 (made room for q_x9 trained-gate curation row): the
+    # heuristic stopword-profile gate stays LIVE inside q_x7 (same
+    # language_id operator and profiles, attested every window pass)
+    # and remains the zero-dependency pipeline default; the trained
+    # tier is q_li1 + composed q_x9.
+    from electrician_spark.functions import text as tx
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(tx.language_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("predicted_lang")
+    )

@@ -138,3 +138,49 @@ def test_langid_scoring_plan_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_langid_gate_carries_quality_signals_without_rejoin(spark):
+    """The composed curation gate (q_x9 shape): quality signals named
+    in ``carry`` ride the ONE scoring shuffle — the plan must show the
+    broadcast model join and NO corpus-to-scores re-join (no
+    SortMergeJoin anywhere, exactly the scoring aggregation's
+    exchanges), and gate semantics must equal the manual filter."""
+    train, test = _splits(spark)
+    model = langid.train_langid(train, max_grams=100)
+    enriched = test.withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")))
+    gated = langid.langid_gate(
+        enriched, model, min_margin_u=1, carry=["n_tokens"]
+    )
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # semantics: same rows as scoring-then-filter, signals intact
+    manual = (
+        langid.langid_scores(test, model)
+        .filter(F.col("margin_u") >= 1)
+        .join(enriched.select("doc_id", "n_tokens"), "doc_id")
+    )
+    got = {(r["doc_id"], r["n_tokens"], r["lang_pred"]) for r in gated.collect()}
+    want = {(r["doc_id"], r["n_tokens"], r["lang_pred"]) for r in manual.collect()}
+    assert got == want and got
+
+
+def test_load_langid_rejects_truncated_artifact(spark, tmp_path):
+    """A hand-edited/truncated JSON artifact (missing grid entries)
+    must error at load, not silently score missing entries as
+    log-prob 0."""
+    import json
+
+    import pytest
+
+    train, _ = _splits(spark)
+    model = langid.train_langid(train, max_grams=50)
+    p = str(tmp_path / "m.json")
+    langid.save_langid(model, p)
+    d = json.load(open(p))
+    d["grams"] = d["grams"][:-1]  # drop one (gram, lang) entry
+    json.dump(d, open(p, "w"))
+    with pytest.raises(ValueError, match="grid is incomplete"):
+        langid.load_langid(p)
