@@ -418,6 +418,37 @@ def seed_piece_table(
     return chars.unionByName(multi).select("piece", "weight")
 
 
+def _soft_em_sweeps(
+    words: list[tuple[str, int]],
+    logp: dict[str, float],
+    iters: int,
+    max_piece_len: int,
+) -> dict[str, float]:
+    """``iters`` full soft-EM sweeps over the frozen word-frequency
+    table: forward-backward expected counts (:func:`_unigram_estep`)
+    → renormalize, with a mass floor so single chars never leave the
+    model (segmentation totality). This IS the production trainer's
+    update rule, factored out so the monotone-likelihood property can
+    be pinned directly on it (test_tokenizer) — the q_em1 waiver's
+    strengthened property pin: the float posteriors here have no
+    exact cross-engine form (see unigram_hard_em_round for the
+    oracle-replayable EM family member)."""
+    import math
+
+    for _ in range(iters):
+        counts: dict[str, float] = {}
+        for word, freq in words:
+            wc, _ll = _unigram_estep(word, freq, logp, max_piece_len)
+            for p, c in wc.items():
+                counts[p] = counts.get(p, 0.0) + c
+        tot = sum(counts.values())
+        floor = (tot / max(len(logp), 1)) * 1e-9
+        logp = {
+            p: math.log(max(counts.get(p, 0.0), floor) / tot) for p in logp
+        }
+    return logp
+
+
 def train_unigram_tokenizer(
     df: DataFrame,
     text_col: str = "text",
@@ -470,20 +501,7 @@ def train_unigram_tokenizer(
     logp = {p: math.log(wt / total_w) for p, wt in weights.items()}
 
     def em_sweeps(logp: dict[str, float], iters: int) -> dict[str, float]:
-        for _ in range(iters):
-            counts: dict[str, float] = {}
-            for word, freq in words:
-                wc, _ll = _unigram_estep(word, freq, logp, max_piece_len)
-                for p, c in wc.items():
-                    counts[p] = counts.get(p, 0.0) + c
-            # pieces with no expected mass keep a floor so single chars
-            # never leave the model (segmentation totality)
-            tot = sum(counts.values())
-            floor = (tot / max(len(logp), 1)) * 1e-9
-            logp = {
-                p: math.log(max(counts.get(p, 0.0), floor) / tot) for p in logp
-            }
-        return logp
+        return _soft_em_sweeps(words, logp, iters, max_piece_len)
 
     while True:
         logp = em_sweeps(logp, em_iters)

@@ -362,42 +362,30 @@ def _global_dense_rank(
     return out, acc
 
 
-# Rank-table size bound for the broadcast regime: 1M two-long rows is
-# ~16 MB serialized — comfortably inside the session's 64 MB
-# autoBroadcastJoinThreshold. Below it the per-round dense rank is a
-# DIMENSION-table rank (distinct keys -> row_number -> broadcast join
-# back); above it the distributed range-partitioned path takes over.
-# The bound is deliberately conservative because the broadcast regime
-# is DRIVER-heavy (each round collects the rank table to build the
-# broadcast relation): measured on a 1.1M-position corpus, the
-# broadcast path matches the distributed path on a fresh driver but
-# degrades several-fold under driver heap pressure from earlier
-# queries in the same session, while the distributed path's only
-# driver traffic is one bounded offset row per partition.
-_BROADCAST_RANK_MAX_ROWS = 1_000_000
-
-
-def _rank_table(keyed: DataFrame, key_cols: list[str], out_col: str) -> DataFrame:
-    """(key..., rank) dimension table: distinct keys, row_number'd in
-    key order. The global window is single-partition by design — valid
-    ONLY in the broadcast regime, where the caller has proven the
-    distinct-key count is dimension-table sized (the distinct agg's
-    map-side partial aggregation keeps the exchange at most that
-    size too). WindowExec logs its no-partition warning here — by
-    design, not by accident: the single partition is the bounded
-    dimension-rank contract (a literal partitionBy key would be
-    constant-folded away and warn identically)."""
-    dk = keyed.select(*key_cols).distinct()
-    return dk.withColumn(
-        out_col, F.row_number().over(Window.orderBy(*key_cols)).cast("long")
-    )
+# Position-count bound for the COMPACT regime: below it every round's
+# dense rank runs as ONE single-partition window over the corpus —
+# a bounded task (1M rows x ~5 longs ~ 40 MB sort) with ZERO driver
+# traffic, zero broadcasts, and zero materialization barriers: the
+# whole array is one lazy pipelined plan. (The r11 design ranked a
+# distinct-key DIMENSION table per round and broadcast-joined it back;
+# measured at 270k positions that paid a distinct exchange + a
+# single-partition window + a driver-side broadcast build + a join
+# PER ROUND, plus per-2-round checkpoint barriers — 5.3 s where the
+# pipelined form runs 0.9 s, and the leaked checkpoint blocks were the
+# documented driver-heap degradation in long sessions. The dimension
+# tables were 93% of corpus size on real text — corpora keep suffix
+# classes nearly distinct after one round — so the broadcast bought
+# nothing.) Above the bound the distributed range-partitioned path
+# takes over, exactly like any bounded-task plan flips distributed
+# when the data outgrows one task.
+_COMPACT_RANK_MAX_ROWS = 1_000_000
 
 
 def suffix_array(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_rank_max_rows: int = _BROADCAST_RANK_MAX_ROWS,
+    compact_rank_max_rows: int = _COMPACT_RANK_MAX_ROWS,
 ) -> DataFrame:
     """(id, pos, rank): the lexicographic rank of every token suffix
     docs[id][pos:] across the whole corpus — the distributed suffix
@@ -432,22 +420,25 @@ def suffix_array(
 
     TWO physical regimes, routed by corpus position count:
 
-    - **Broadcast regime** (positions <= ``broadcast_rank_max_rows``):
-      every round's rank table is a bounded DIMENSION table (distinct
-      keys <= positions), so the dense rank is distinct -> row_number
-      -> broadcast-join back. The whole array is then ONE lazy plan
-      with ONE corpus exchange: every round's ``lead`` runs over the
-      same partitionBy(doc) window (ReuseExchange collapses them), the
-      broadcast join preserves the streamed side's partitioning AND
-      ordering, so no round re-sorts the corpus; no Python, no
-      materialization barrier, no driver collect anywhere.
+    - **Compact regime** (positions <= ``compact_rank_max_rows``):
+      every round's dense rank is ONE single-partition window over
+      the corpus (``dense_rank() OVER (ORDER BY packed key)``) — a
+      bounded task under the regime gate (1M rows x ~5 longs ~ 40 MB
+      sort; WindowExec's no-partition warning here is the bounded
+      contract, not an accident). The whole array is then ONE lazy
+      pipelined plan: no distinct tables, no broadcasts, no driver
+      collects, no materialization barriers (lineage is cut only
+      every 4th round to bound plan depth on deep corpora — typical
+      corpora finish in 2-3 rounds and never cut). Rank values are
+      dense over distinct keys, order-preserving, and <= positions —
+      exactly what the next round's digit packing needs.
     - **Distributed regime** (above the bound): per-round
       range-partition + Arrow per-partition rank + bounded offset
       collect (:func:`_global_dense_rank`), with the fixed-point and
       all-distinct early exits. This is the 100-TB shape — the
-      broadcast regime's single-partition rank-table window would die
-      there, exactly like any dimension join flips to shuffle when the
-      dimension outgrows broadcast.
+      compact regime's single-partition window would die there,
+      exactly like any bounded-task plan flips distributed when the
+      data outgrows one task.
 
     Collation: level 0 ranks tokens by their UTF-8 byte encoding
     (``encode(token, 'UTF-8')`` — binary sort), matching DuckDB's
@@ -459,11 +450,12 @@ def suffix_array(
     # Rank the RAW token bytes at level 0 (not a hash — hashing would
     # scramble the lexicographic order the suffix array promises).
     toks = _nonempty_tokens()
+    # (no _len column: unlike the fingerprint family, suffix ranking
+    # never window-bounds against document length — carrying it
+    # through every round's sort was pure dead weight)
     pos = tk.select(
-        "_id",
-        F.size(toks).alias("_len"),
-        F.posexplode(toks).alias("_pos", "_tok"),
-    ).select("_id", "_len", "_pos", F.encode("_tok", "UTF-8").alias("_key"))
+        "_id", F.posexplode(toks).alias("_pos", "_tok")
+    ).select("_id", "_pos", F.encode("_tok", "UTF-8").alias("_key"))
     # Routing stats come from the TOKEN-ARRAY table (one row per doc,
     # max/sum of array sizes) — never from the exploded position table,
     # which is corpus-positions-sized; and the exact vocabulary count
@@ -497,39 +489,31 @@ def suffix_array(
         except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
             return df
 
-    if n_total <= broadcast_rank_max_rows:
-        vocab = int(pos.agg(F.count_distinct("_key").alias("v")).first()["v"] or 0)
-        # Round-cut checkpoint lifecycle: the lazy cuts materialize
-        # inside the caller's action and stay registered until the
-        # returned DataFrame becomes unreachable, at which point the
-        # normal py4j-detach -> ContextCleaner path unpersists them
-        # (bounded: <= ceil(rounds/2) cuts of <= broadcast_rank_max_rows
-        # rows x 4 cols per call). Precise eager release is impossible
-        # here by design — every cut is still a live input of the final
-        # plan until the consumer finishes executing it.
-        # Radix per round = how many base-`b` digits fit across TWO
-        # packed longs, where b bounds digit values: round 1 digits
-        # are level-0 token ranks (bounded by the VOCABULARY — a
-        # 30-token vocab packs 10 ranks per long, so round 1 alone
-        # identifies 20-token prefixes); later rounds' digits are
-        # bounded by the position count (<= the broadcast bound, so
-        # per-long capacity is always >= 2). (base-1).bit_length() is
-        # exact ceil(log2) — no float edge at powers of two;
-        # per_long*bits <= 63 keeps each packed long < 2^63, and the
-        # two-long key compares lexicographically exactly like the
-        # digit tuple (every row has the same digit layout). The
-        # 24-digit cap bounds the stacked window width.
-        n_longs, max_digits = 2, 24
-        ranked = pos.join(
-            F.broadcast(_rank_table(pos, ["_key"], "_r")), "_key"
+    if n_total <= compact_rank_max_rows:
+        # Level 0: dense rank over the raw token bytes — the same
+        # single-partition window every later round uses. No distinct
+        # table, no vocabulary job: rank values land dense and
+        # order-preserving directly on the corpus rows.
+        ranked = pos.withColumn(
+            "_r", F.dense_rank().over(Window.orderBy("_key")).cast("long")
         ).drop("_key")
-        joins = 1
-        base = vocab + 2
+        # Radix per round: digits are ranks+1 <= n_total+1 < base, so
+        # per-long capacity is fixed for the whole call (>= 3 at the
+        # 1M bound; (base-1).bit_length() is exact ceil(log2) — no
+        # float edge at powers of two; per_long*bits <= 63 keeps each
+        # packed long < 2^63, and the multi-long key compares
+        # lexicographically exactly like the digit tuple). Five longs
+        # / 16-digit cap: t ~ 15-16 digits per round multiplies the
+        # identified prefix length 15x per round (vs 2x for classic
+        # Manber-Myers), and the lead stack + pack + window all fuse
+        # into the one pipelined plan.
+        base = n_total + 2
+        bits = (base - 1).bit_length()
+        per_long = max(1, 63 // bits)
+        t = max(2, min(16, per_long * 5))
         half = 1
+        rounds = 0
         while half < maxlen:
-            bits = (base - 1).bit_length()
-            per_long = max(1, 63 // bits)
-            t = max(2, min(max_digits, per_long * n_longs))
             digits = [F.col("_r")] + [
                 F.coalesce(F.lead("_r", half * j).over(w) + 1, F.lit(0).cast("long"))
                 for j in range(1, t)
@@ -542,18 +526,22 @@ def suffix_array(
                     v = v * base + d
                 packs.append(v.alias(f"_v{len(packs)}"))
             vcols = [f"_v{i}" for i in range(len(packs))]
-            keyed = ranked.select("_id", "_pos", "_len", *packs)
-            ranked = keyed.join(
-                F.broadcast(_rank_table(keyed, vcols, "_r")), vcols
+            keyed = ranked.select("_id", "_pos", *packs)
+            ranked = keyed.withColumn(
+                "_r", F.dense_rank().over(Window.orderBy(*vcols)).cast("long")
             ).drop(*vcols)
-            # Cut lineage every OTHER join: one uncut join doubles the
-            # plan (bounded); cutting each one would cost a
-            # materialization job per round instead of per two.
-            joins += 1
-            if joins % 2 == 0:
+            # Each round is consumed ONCE (the next round's select) —
+            # no plan doubling, so no per-round cut. A lazy cut every
+            # 4th round only bounds optimizer time on very deep
+            # corpora (t ~ 15: 4 rounds already identify 50k-token
+            # prefixes; typical corpora finish in 2-3 rounds with the
+            # whole array as one pipelined plan and zero checkpoint
+            # blocks — the r11 per-2-round cuts measured ~2 s of pure
+            # barrier cost here).
+            rounds += 1
+            if rounds % 4 == 0:
                 ranked = _cut(ranked)
             half *= t
-            base = n_total + 2  # digits are ranks <= position count
         return ranked.select(
             F.col("_id").alias(id_col),
             F.col("_pos").alias("pos"),
@@ -581,15 +569,15 @@ def suffix_array(
             v = F.col("_r").cast("long")
             for d in digits:
                 v = v * base + d
-            keyed = ranked.select("_id", "_pos", "_len", v.alias("_v"))
+            keyed = ranked.select("_id", "_pos", v.alias("_v"))
             key_cols = ["_v"]
         else:  # ranks too wide to pack — fall back to a 2-column key
             keyed = ranked.select(
-                "_id", "_pos", "_len", "_r", digits[0].alias("_v")
+                "_id", "_pos", "_r", digits[0].alias("_v")
             )
             key_cols = ["_r", "_v"]
         ranked, n_new = _global_dense_rank(keyed, key_cols, "_rn")
-        ranked = ranked.select("_id", "_pos", "_len", F.col("_rn").alias("_r"))
+        ranked = ranked.select("_id", "_pos", F.col("_rn").alias("_r"))
         new_ckpt = _checkpoint_rdd_id(ranked)
         _release_rdd(spark, prev_ckpt)
         prev_ckpt = new_ckpt

@@ -110,7 +110,7 @@ def test_suffix_array_dense_rank_spans_partitions(spark):
 
 def test_suffix_array_distributed_regime_matches(spark):
     """Forcing the distributed range-partition regime (broadcast bound
-    = 0) must produce byte-identical ranks to the broadcast regime and
+    = 0) must produce byte-identical ranks to the compact regime and
     the plain-Python reference — the 100-TB path stays verified now
     that small corpora default to the broadcast-dimension plan."""
     corpus = _rand_corpus(17, n_docs=24)
@@ -119,7 +119,7 @@ def test_suffix_array_distributed_regime_matches(spark):
     ).repartition(8)
     got = {
         (r.doc_id, r.pos): r.rank
-        for r in sa.suffix_array(df, broadcast_rank_max_rows=0).collect()
+        for r in sa.suffix_array(df, compact_rank_max_rows=0).collect()
     }
     suffixes = {
         (i, p): tuple(text.split()[p:])

@@ -523,3 +523,38 @@ def test_unigram_hard_em_improves_objective_from_rough_init(spark):
     init = bpe.quantize_logprobs([(p, u) for p in pieces], bits=20)
     _, stats = bpe.unigram_hard_em_round(df, init, max_piece_len=6)
     assert stats["new_obj_u"] > stats["old_obj_u"]
+
+
+def test_unigram_soft_em_likelihood_monotone_three_sweeps():
+    """The production soft-EM trainer's trajectory, property-pinned on
+    the REAL update rule (_soft_em_sweeps — the exact function
+    train_unigram_tokenizer runs): three consecutive sweeps on a
+    frozen word table must each not decrease the freq-weighted corpus
+    log-likelihood, and the trajectory must strictly improve from the
+    uniform init. This is the strengthened pin standing in for a SQL
+    oracle: soft EM's forward-backward posteriors are float sums over
+    the segmentation lattice with no exact cross-engine form (the
+    documented q_em1 waiver — hard EM is the family member whose every
+    intermediate quantity is exact, and IS oracle-replayed)."""
+    import math
+
+    from electrician_spark.functions.tokenizer import (
+        _soft_em_sweeps,
+        _unigram_estep,
+    )
+
+    words = [("ababab", 3), ("abba", 2), ("baba", 4), ("aabb", 1), ("bb", 5)]
+    pieces = ["a", "b", "ab", "ba", "bb", "aa", "abab"]
+    logp = {p: math.log(1.0 / len(pieces)) for p in pieces}
+
+    def ll(model):
+        return sum(_unigram_estep(w, f, model, 4)[1] for w, f in words)
+
+    prev = ll(logp)
+    first = prev
+    for sweep in range(3):
+        logp = _soft_em_sweeps(words, logp, 1, 4)
+        cur = ll(logp)
+        assert cur >= prev - 1e-9, (sweep, prev, cur)
+        prev = cur
+    assert prev > first + 1e-6  # real improvement from uniform init
