@@ -184,6 +184,17 @@ def main() -> None:
                 if i:
                     timings.append(dt)
             results[name] = round(statistics.median(timings), 4)
+            # Between queries, OUTSIDE all timed regions: drop the
+            # finished query's abandoned plan references so the
+            # ContextCleaner can free lazily-checkpointed blocks.
+            # Without this the series accumulates dead cache blocks
+            # (measured pre-r12: +3 persistent RDDs per suffix-array
+            # call, 3->19 over 8 calls) and later queries measure a
+            # heap-pressured driver instead of their own cost — the
+            # same hygiene any long-running production driver runs.
+            import gc
+
+            gc.collect()
         return results
 
     # Reference benchmark-harness workload shape (BASELINE.md: 10M items

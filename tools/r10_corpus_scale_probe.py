@@ -149,6 +149,11 @@ def main() -> None:
         "q_sx1_suffix_array_order": REGISTRY["q_sx1_suffix_array_order"].spark,
         "q_lr1_longest_repeated_run": REGISTRY["q_lr1_longest_repeated_run"].spark,
         "q_sa1_suffix_spans": REGISTRY["q_sa1_suffix_spans"].spark,
+        # r12-new corpus-heavy row, probed the round it lands (standing
+        # protocol). The other three r12 rows are fixture-bounded
+        # (q_se1 600 orders / q_sj1 12 events / q_pb1 500 envelopes) —
+        # no corpus axis to probe.
+        "q_x9_trained_gate_pipeline": REGISTRY["q_x9_trained_gate_pipeline"].spark,
     }
     only = os.environ.get("SCALE_ROWS")
     if only:
