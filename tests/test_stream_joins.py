@@ -208,3 +208,58 @@ def test_interval_join_left_outer_emits_null_after_watermark(spark, tmp_path):
         ).collect()
     }
     assert got == {("m", 1, 7), ("u", 2, None)}
+
+
+def test_stream_enriched_with_jdbc_dim(spark, tmp_path):
+    """The reference's LITERAL correlation pattern (SURVEY §2.5 S6+C3:
+    'enrich a live event stream with customer metadata read from
+    Postgres'): the dimension side is a real JDBC read (embedded
+    Derby — Spark's bundled stand-in for Postgres, same reader path),
+    broadcast into a stream-static join over a two-micro-batch event
+    stream. Every event must come back wearing its customer name, the
+    plan must broadcast (never shuffle the stream), and the dim is
+    re-read from the database each micro-batch (the slowly-changing-
+    dim contract — stream-static re-evaluates the batch side)."""
+    from electrician_spark import io as eio
+
+    spark._jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    spark.createDataFrame(
+        [(1, "acme"), (2, "globex"), (3, "initech")], "cust_id long, name string"
+    ).write.format("jdbc").option("url", url).option("dbtable", "cust").option(
+        "driver", props["driver"]
+    ).mode("overwrite").save()
+
+    src = str(tmp_path / "events")
+    _write_waves(
+        src,
+        [
+            [{"cust_id": 1, "amt": 10.0}, {"cust_id": 2, "amt": 20.0}],
+            [{"cust_id": 3, "amt": 30.0}, {"cust_id": 1, "amt": 40.0}],
+        ],
+    )
+    stream = (
+        spark.readStream.schema("cust_id long, amt double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    dim = eio.jdbc_read(spark, url, table="cust", properties=props)
+    out = sjoins.enrich_stream_static(stream, dim, ["cust_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_jdbc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.exception() is not None:
+        raise q.exception()
+    got = {(r["cust_id"], r["amt"], r["name"]) for r in spark.table("ssj_jdbc").collect()}
+    assert got == {
+        (1, 10.0, "acme"), (2, 20.0, "globex"), (3, 30.0, "initech"), (1, 40.0, "acme")
+    }
+    plan = q._jsq.explainInternal(False)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
