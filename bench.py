@@ -9,6 +9,7 @@ single SparkSession, fixed shuffle partitions.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -192,8 +193,6 @@ def main() -> None:
             # call, 3->19 over 8 calls) and later queries measure a
             # heap-pressured driver instead of their own cost — the
             # same hygiene any long-running production driver runs.
-            import gc
-
             gc.collect()
         return results
 
@@ -276,7 +275,6 @@ def main() -> None:
     # GC: if post-GC recovers, the mechanism is GC-reclaimable state
     # (broadcast/RDD blocks pinned by Python refs); if not, it's heap
     # fragmentation or ambient.
-    import gc as _gc
 
     sc = spark.sparkContext
     diag = {"persistent_rdds": sc._jsc.sc().getPersistentRDDs().size()}
@@ -291,7 +289,7 @@ def main() -> None:
     from electrician_spark.session import release_stranded_checkpoints
 
     for _ in range(3):
-        _gc.collect()
+        gc.collect()
         sc._jvm.System.gc()
         time.sleep(2)
         if sc._jsc.sc().getPersistentRDDs().size() == 0:
@@ -327,6 +325,11 @@ def main() -> None:
         "queries_normalized": {
             n: round(v / shuffle_probe, 3) for n, v in {**results, **extras}.items()
         },
+        # provenance: BENCH_DETAIL is overwritten by EVERY bench.py run
+        # including sf0.01 smokes — stamp the SF so a committed detail
+        # file can never be mistaken for the sf0.1 closing series
+        "sf": _sf_label(SF_DIR),
+        "sf_dir": SF_DIR,
     }
     # The driver captures a bounded tail of stdout: the r7 output line
     # outgrew it and BENCH_r07 recorded `parsed: null`. Ship the bulky

@@ -95,6 +95,11 @@ def _varint(n: int) -> bytes:
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     shift = n = 0
     while True:
+        if i >= len(buf):
+            raise ValueError(
+                f"truncated WrappedPayload: varint runs past the buffer "
+                f"end at byte {i}"
+            )
         b = buf[i]
         i += 1
         n |= (b & 0x7F) << shift
@@ -103,6 +108,18 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
         shift += 7
         if shift > 63:
             raise ValueError("varint longer than 10 bytes")
+
+
+def _take(buf: bytes, i: int, n: int) -> tuple[bytes, int]:
+    """Slice n bytes with an explicit truncation check: a cut-off
+    buffer (e.g. a partial Kafka value) must raise a codec error, not
+    silently yield a short payload for downstream delivery."""
+    if n < 0 or i + n > len(buf):
+        raise ValueError(
+            f"truncated WrappedPayload: field declares {n} bytes at "
+            f"offset {i} but only {len(buf) - i} remain"
+        )
+    return buf[i : i + n], i + n
 
 
 def _tag(field: int, wire: int) -> bytes:
@@ -191,12 +208,12 @@ def _skip(buf: bytes, i: int, wire: int) -> int:
     if wire == _WIRE_VARINT:
         _, i = _read_varint(buf, i)
     elif wire == _WIRE_I64:
-        i += 8
+        _, i = _take(buf, i, 8)
     elif wire == _WIRE_LEN:
         n, i = _read_varint(buf, i)
-        i += n
+        _, i = _take(buf, i, n)
     elif wire == _WIRE_I32:
-        i += 4
+        _, i = _take(buf, i, 4)
     else:
         raise ValueError(f"unsupported wire type {wire}")
     return i
@@ -213,7 +230,7 @@ def _parse_headers(buf: bytes) -> dict[str, str]:
         field, wire = key >> 3, key & 7
         if field == _F_MD_HEADERS and wire == _WIRE_LEN:
             n, i = _read_varint(buf, i)
-            entry, i = buf[i : i + n], i + n
+            entry, i = _take(buf, i, n)
             j = 0
             k = v = ""
             while j < len(entry):
@@ -255,7 +272,7 @@ def decode_wrapped(buf: bytes) -> dict:
         field, wire = key >> 3, key & 7
         if wire == _WIRE_LEN:
             n, i = _read_varint(buf, i)
-            data, i = buf[i : i + n], i + n
+            data, i = _take(buf, i, n)
             if field == _F_ID:
                 d["id"] = data.decode("utf-8")
             elif field == _F_TIMESTAMP:
@@ -278,6 +295,15 @@ def decode_wrapped(buf: bytes) -> dict:
         elif wire == _WIRE_VARINT:
             val, i = _read_varint(buf, i)
             if field == _F_SEQ:
+                if val >= 1 << 63:
+                    # proto allows uint64 but the engine's seq column is
+                    # int64 (Arrow LongType): raise a codec-level error
+                    # here instead of letting the pandas-UDF Arrow
+                    # conversion kill the whole query opaquely.
+                    raise ValueError(
+                        f"WrappedPayload.seq {val} exceeds the engine's "
+                        f"int64 seq domain (2^63-1)"
+                    )
                 d["seq"] = val
             # else: unknown varint field — already consumed
         else:

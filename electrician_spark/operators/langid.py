@@ -260,6 +260,23 @@ def langid_scores(
         "gram string, lps array<long>",
     )
     carry = list(carry or [])
+    # reserved: the exploded gram + internal aliases (_s/_i from
+    # _exploded_grams, lps from the broadcast model, _s{i}/_sc{i} sum
+    # and score aliases) + the output columns — a carried name hitting
+    # any of these would surface as an opaque AMBIGUOUS_REFERENCE deep
+    # in the plan instead of this actionable error.
+    reserved = {"gram", "lps", "lang_pred", "score_u", "margin_u", id_col, text_col}
+    clash = sorted(
+        c
+        for c in set(carry)
+        if c in reserved or c.startswith(("_s", "_i"))
+    )
+    if clash:
+        raise ValueError(
+            f"carry columns collide with scoring columns: {clash} — rename "
+            f"them upstream (reserved: gram/lps, the output columns, and "
+            f"'_s'/'_i'-prefixed internals)"
+        )
     g = _exploded_grams(
         docs.select(id_col, *carry, text_col),
         [id_col, *carry],

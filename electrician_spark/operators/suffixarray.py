@@ -458,15 +458,15 @@ def suffix_array(
     ).select("_id", "_pos", F.encode("_tok", "UTF-8").alias("_key"))
     # Routing stats come from the TOKEN-ARRAY table (one row per doc,
     # max/sum of array sizes) — never from the exploded position table,
-    # which is corpus-positions-sized; and the exact vocabulary count
-    # (a corpus-wide distinct exchange) is deferred into the broadcast
-    # branch — the distributed (huge-corpus) regime never consumes it
-    # and must not pay for it.
+    # which is corpus-positions-sized. (No vocabulary count anywhere:
+    # the r12 compact rebuild packs every round's digits against
+    # base = n_total + 2, so neither regime pays a corpus-wide
+    # distinct for routing.)
     # NULL-robust sizes: under legacy sizeOfNull (ANSI off — Spark <4
     # defaults) size(NULL) is -1, which would UNDERCOUNT n_total for
     # NULL-text docs — mis-routing the regime and, at the exact
     # boundary, under-sizing base (= n_total + 2) in the packed
-    # broadcast rounds, where a digit reaching base corrupts the
+    # rounds, where a digit reaching base corrupts the
     # order-preserving packing. Clamp to 0 regardless of ANSI setting.
     sz = F.greatest(F.coalesce(F.size(toks), F.lit(0)), F.lit(0))
     stats = tk.agg(F.max(sz).alias("m"), F.sum(sz).alias("n")).first()
@@ -475,15 +475,15 @@ def suffix_array(
     w = _doc_window()
 
     def _cut(df: DataFrame) -> DataFrame:
-        # Each round is consumed TWICE (its own rank-table subtree and
-        # the next round's streamed side): without a lineage cut the
-        # logical plan doubles per round (2^rounds subtree copies — a
-        # 1100-line physical plan at 5 rounds, measured). A LAZY local
-        # checkpoint flattens the plan to a leaf that PRESERVES the
-        # child's partitioning and ordering (LogicalRDD carries both),
-        # so the stacked windows still reuse the one corpus exchange
-        # and never re-sort; blocks materialize inside the final
-        # action, not as a per-round driver barrier.
+        # LAZY lineage cut: flattens the plan to a leaf that PRESERVES
+        # the child's partitioning and ordering (LogicalRDD carries
+        # both); blocks materialize inside the final action, not as a
+        # per-round driver barrier. In the compact regime each round
+        # is consumed ONCE, so this only bounds optimizer time on very
+        # deep corpora (every 4th round — see the loop comment); the
+        # r11 design consumed each round twice and needed per-2-round
+        # cuts, which measured ~2 s of pure barrier cost and were
+        # removed with the rebuild.
         try:
             return df.localCheckpoint(eager=False)
         except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute

@@ -184,3 +184,14 @@ def test_load_langid_rejects_truncated_artifact(spark, tmp_path):
     json.dump(d, open(p, "w"))
     with pytest.raises(ValueError, match="grid is incomplete"):
         langid.load_langid(p)
+
+
+def test_langid_scores_rejects_colliding_carry(spark):
+    train, test = _splits(spark)
+    model = langid.train_langid(train, max_grams=50)
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        langid.langid_scores(
+            test.withColumn("gram", F.lit(1)), model, carry=["gram"]
+        )

@@ -155,9 +155,8 @@ _BNLJ_ALLOWED = {
     # domain_mixture's share join: one total-count row broadcast over
     # the bounded domain census (same sanctioned single-row shape).
     "q_dm1_domain_mixture",
-    # lm_score's OOV join: one oov_logprob row broadcast to every task.
-    "q_lm1_perplexity_buckets",
-    # lm_score_bigram has the same single-row OOV bounds join.
+    # lm_score's single-row OOV bounds join rode here via q_lm1 until
+    # its r12 retirement; lm_score_bigram carries the same shape live.
     "q_lm2_bigram_buckets",
     # q_wd1 folds the one-row verify aggregate (bool_and over the
     # manifest rows) onto the shard census — the sanctioned single-row

@@ -183,3 +183,36 @@ def test_unknown_wire_codec_raises(spark):
         envelope.to_wire(env, "avro")
     with pytest.raises(ValueError, match="wire codec"):
         envelope.from_wire(env, "avro")
+
+
+def test_truncated_buffers_raise_codec_errors():
+    """A cut-off buffer (partial Kafka value) must raise a ValueError,
+    never return a silently truncated envelope for delivery."""
+    full = encode_wrapped(
+        id="abcdef", ts_us=1_000_000, payload=b"payload-bytes", seq=7,
+        ordering_key="k",
+    )
+    # cutting at EVERY prefix length must either raise ValueError or
+    # (at field boundaries) decode to a consistent prefix — never
+    # return a SHORTENED payload/id/key
+    for cut in range(len(full)):
+        try:
+            d = decode_wrapped(full[:cut])
+        except ValueError:
+            continue
+        for k in ("id", "payload", "ordering_key"):
+            v = d[k]
+            ref = {"id": "abcdef", "payload": b"payload-bytes",
+                   "ordering_key": "k"}[k]
+            assert v in (None, "", b"", ref), (cut, k, v)
+
+
+def test_uint64_seq_above_int63_raises_codec_error():
+    """proto allows uint64 seq; the engine's seq column is int64 —
+    the decoder must fail with a codec-level error, not let the Arrow
+    conversion kill the query opaquely."""
+    from electrician_spark.functions.protowire import _tag, _varint
+
+    buf = _tag(6, 0) + _varint((1 << 63) + 5)
+    with pytest.raises(ValueError, match="int64 seq domain"):
+        decode_wrapped(buf)
