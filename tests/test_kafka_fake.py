@@ -409,3 +409,97 @@ def test_kafka_stream_window_roundtrip(spark, tmp_path):
         "2026-01-01 02:00:00": 2,
         "2026-01-01 03:00:00": 4,
     }
+
+
+def test_kafka_stream_enrich_roundtrip(spark, tmp_path):
+    """The reference's FULL correlation pipeline, end to end through
+    the fake broker (SURVEY §2.5 S4→S6+C3→K3): streaming-consume JSON
+    order events from a topic, ENRICH each micro-batch against a
+    customer dimension via the stream-static broadcast join
+    (streaming/joins.enrich_stream_static), key the enriched records
+    with the '{field}' template (templates.go:9-60), produce them onto
+    a second topic, then batch-read the output topic and verify every
+    event came back wearing its customer metadata under its templated
+    key."""
+    import json as _json
+
+    from pyspark.sql import functions as SF
+
+    from electrician_spark.streaming.joins import enrich_stream_static
+
+    kafka_fake.register(spark)
+    broker = str(tmp_path / "broker")
+
+    events = [(1, 101, 10.0), (2, 102, 20.0), (3, 103, 30.0), (4, 101, 40.0)]
+    src = spark.createDataFrame(events, "order_id long, cust_id long, amt double")
+    frame = kafka_frame(
+        src, value_cols=["order_id", "cust_id", "amt"], key_template="{order_id}",
+        topic="orders",
+    )
+    frame.write.format("kafka_fake").options(
+        brokerDir=broker, topic="orders", numPartitions="2"
+    ).mode("append").save()
+
+    dim = spark.createDataFrame(
+        [(101, "acme", "BUILDING"), (102, "globex", "MACHINERY"),
+         (103, "initech", "AUTOMOBILE")],
+        "cust_id long, name string, segment string",
+    )
+    done = []
+
+    def _sink(df, batch_id):
+        parsed = df.select(
+            SF.get_json_object(SF.col("value").cast("string"), "$.order_id")
+            .cast("long").alias("order_id"),
+            SF.get_json_object(SF.col("value").cast("string"), "$.cust_id")
+            .cast("long").alias("cust_id"),
+            SF.get_json_object(SF.col("value").cast("string"), "$.amt")
+            .cast("double").alias("amt"),
+        )
+        enriched = enrich_stream_static(parsed, dim, ["cust_id"])
+        plan = enriched._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+        out = kafka_frame(
+            enriched,
+            value_cols=["order_id", "cust_id", "amt", "name"],
+            key_template="{segment}",
+            topic="enriched",
+        )
+        out.write.format("kafka_fake").options(
+            brokerDir=broker, topic="enriched"
+        ).mode("append").save()
+        done.append(parsed.count())
+
+    q = (
+        spark.readStream.format("kafka_fake")
+        .options(brokerDir=broker, subscribe="orders")
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and sum(done) < 4:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    assert sum(done) == 4
+
+    back = (
+        spark.read.format("kafka_fake")
+        .options(brokerDir=broker, subscribe="enriched", startingOffsets="earliest")
+        .load()
+        .collect()
+    )
+    got = set()
+    for r in back:
+        rec = _json.loads(bytes(r.value).decode())
+        got.add((bytes(r.key).decode(), rec["order_id"], rec["name"], rec["amt"]))
+    assert got == {
+        ("BUILDING", 1, "acme", 10.0),
+        ("MACHINERY", 2, "globex", 20.0),
+        ("AUTOMOBILE", 3, "initech", 30.0),
+        ("BUILDING", 4, "acme", 40.0),
+    }
