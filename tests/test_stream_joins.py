@@ -263,3 +263,57 @@ def test_stream_enriched_with_jdbc_dim(spark, tmp_path):
     }
     plan = q._jsq.explainInternal(False)
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_interval_join_state_survives_checkpoint_restart(spark, tmp_path):
+    """R5 exactly-once-ish for stream-stream join state: an impression
+    consumed in run 1 must be matchable by a click that arrives only
+    AFTER a stop/restart on the same checkpoint — the buffered left
+    state rides the state store across restarts, and the pair emits
+    exactly once (run 2 must not re-deliver anything from run 1)."""
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t0 = 1_700_000_000
+    _write_waves(lsrc, [[{"key": "a", "ts_e": t0 + 0, "l_id": 1}]])
+    os.makedirs(rsrc)
+
+    def _run():
+        left = (
+            spark.readStream.schema("key string, ts_e double, l_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(lsrc)
+            .select("key", "l_id", F.col("ts_e").cast("timestamp").alias("l_ts"))
+        )
+        right = (
+            spark.readStream.schema("key string, ts_e double, r_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(rsrc)
+            .select("key", "r_id", F.col("ts_e").cast("timestamp").alias("r_ts"))
+        )
+        joined = sjoins.interval_join(
+            left, right, keys=["key"], left_ts="l_ts", right_ts="r_ts",
+            lower="0 seconds", upper="5 minutes",
+        ).select("key", "l_id", "r_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+    _run()  # run 1: impression buffered into state, no click yet
+    assert spark.read.schema("key string, l_id long, r_id long").parquet(
+        out_dir
+    ).count() == 0
+    # the matching click arrives between runs
+    _write_waves(rsrc, [[{"key": "a", "ts_e": t0 + 60, "r_id": 9}]])
+    _run()  # run 2: restored left state matches the new right row
+    got = [
+        (r["key"], r["l_id"], r["r_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert got == [("a", 1, 9)]  # exactly once — no duplicate delivery
