@@ -99,7 +99,32 @@ def interval_join(
 
     ``how``: inner (default) or left/right/full outer — outer sides
     emit their null-padded rows only once the watermark proves no
-    match can arrive, the same eviction clock."""
+    match can arrive, the same eviction clock.
+
+    ``lower`` may be negative (``'-2 minutes'``) for a bidirectional
+    window — a click slightly BEFORE its impression still matches;
+    state eviction bounds adjust symmetrically. An empty window
+    (lower > upper) raises here rather than silently joining
+    nothing."""
+    import re as _re
+
+    def _interval_seconds(s: str) -> float:
+        m = _re.fullmatch(
+            r"\s*(-?\d+(?:\.\d+)?)\s*(second|minute|hour|day)s?\s*", s
+        )
+        if not m:
+            raise ValueError(
+                f"unsupported interval {s!r} — use '<n> seconds|minutes|"
+                f"hours|days' (optionally negative for lower)"
+            )
+        mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+        return float(m.group(1)) * mult[m.group(2)]
+
+    if _interval_seconds(lower) > _interval_seconds(upper):
+        raise ValueError(
+            f"empty interval: lower {lower!r} > upper {upper!r} — no pair "
+            f"could ever match"
+        )
     lw = left.withWatermark(left_ts, left_delay)
     rw = right.withWatermark(right_ts, right_delay)
     overlap = (set(lw.columns) & set(rw.columns)) - set(keys)

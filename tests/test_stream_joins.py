@@ -317,3 +317,35 @@ def test_interval_join_state_survives_checkpoint_restart(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     ]
     assert got == [("a", 1, 9)]  # exactly once — no duplicate delivery
+
+
+def test_interval_join_negative_lower_bound(spark):
+    """A negative lower bound makes the window bidirectional: a click
+    up to 2 minutes BEFORE its impression matches too."""
+    left = spark.createDataFrame(
+        [("a", 300.0)], "key string, l_e double"
+    ).select("key", F.col("l_e").cast("timestamp").alias("l_ts"))
+    right = spark.createDataFrame(
+        [("a", 200.0), ("a", 400.0), ("a", 100.0)], "key string, r_e double"
+    ).select("key", F.col("r_e").cast("timestamp").alias("r_ts"))
+    out = sjoins.interval_join(
+        left, right, keys=["key"], left_ts="l_ts", right_ts="r_ts",
+        lower="-2 minutes", upper="5 minutes",
+    )
+    got = {int(r["r_ts"].timestamp()) for r in out.collect()}
+    # 200 (dt -100 >= -120) and 400 (dt 100) match; 100 (dt -200) does not
+    assert got == {200, 400}
+
+
+def test_interval_join_rejects_empty_window(spark):
+    left = spark.readStream.format("rate").load().select(
+        "value", F.col("timestamp").alias("l_ts")
+    )
+    right = spark.readStream.format("rate").load().select(
+        "value", F.col("timestamp").alias("r_ts")
+    )
+    with pytest.raises(ValueError, match="empty interval"):
+        sjoins.interval_join(
+            left, right, keys=["value"], left_ts="l_ts", right_ts="r_ts",
+            lower="10 minutes", upper="5 minutes",
+        )
