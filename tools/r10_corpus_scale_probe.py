@@ -159,9 +159,25 @@ def main() -> None:
     if only:
         keep = {s.strip() for s in only.split(",")}
         rows = {k: v for k, v in rows.items() if any(s in k for s in keep)}
+    # count() is the wrong action for plans whose FINAL operators are
+    # cardinality-preserving windows: Catalyst prunes the unused window
+    # columns and the probe times a plan with NO Window operator at all
+    # (caught r12 — q_sx1's compact regime measured 0.9 s phantom vs
+    # 2.8 s real). A noop-format write materializes every column with
+    # zero driver transfer. Aggregation-ending rows keep count() so
+    # their recorded cross-round exponent bases stay comparable
+    # (count cannot prune through a groupBy — it changes cardinality).
+    _NOOP_ROWS = {"q_sx1_suffix_array_order"}
+
+    def _action(name, df):
+        if name in _NOOP_ROWS:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+
     lo, hi = mults[0], mults[-1]
     for name, fn in rows.items():
-        ts = {m: timed(lambda m=m: fn(spark, dirs[m]).count()) for m in mults}
+        ts = {m: timed(lambda m=m: _action(name, fn(spark, dirs[m]))) for m in mults}
         exp = (
             math.log(ts[hi] / ts[lo]) / math.log(hi / lo)
             if ts[lo] > 0 and hi > lo
