@@ -214,20 +214,19 @@ def ngram_jaccard_pairs(
     if prefix_order not in ("lex", "df"):
         raise ValueError(f"prefix_order must be 'lex' or 'df', got {prefix_order!r}")
     sh = _shingle_table(df, id_col, text_col, n, max_df, n_docs=n_docs)
-    if prefix_order == "df":
-        # The df order consumes the shingle table TWICE (the dfreq
-        # aggregate and the keyed join side), and ReuseExchange cannot
-        # merge them — their column pruning differs, so the corpus was
-        # scanned + tokenized + shingled twice (visible as two parquet
-        # scans in the executed plan). Materialize once, both branches
-        # replay — the same one-scan posture minhash_lsh_pairs pins.
-        # (lex order has a single consumer: skip the extra job.) LAZY
-        # (eager=False): no build-time job barrier — the first action
-        # materializes it in-flow, later stages replay the cached RDD.
-        try:
-            sh = sh.localCheckpoint(eager=False)
-        except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
-            pass
+    # The df order consumes the shingle table TWICE (the dfreq aggregate
+    # and the keyed join side) and ReuseExchange cannot merge them (their
+    # column pruning differs) — the corpus is scanned + tokenized +
+    # shingled twice. That recompute is CHEAPER than materializing:
+    # r12 kept a lazy localCheckpoint here and the r13 A/B (idle session,
+    # interleaved, collect-action medians) reads 2.80 s with it vs 2.61 s
+    # without at sf0.1 — the checkpoint's block-write + replay barrier
+    # costs more than a second codegen'd scan→split→explode pass. The
+    # same sign holds at scale: the checkpointed artifact is the EXPLODED
+    # shingle stream (plaintext n-grams, several times the size of the
+    # compressed, column-pruned parquet text column), so one write + two
+    # reads of it moves more bytes than two pruned scans. Recompute wins
+    # on both axes; no checkpoint.
     # One doc-arrays table serves BOTH the prefix extraction (slice of
     # the globally-ordered array) and the exact verify (array_intersect
     # is order-agnostic) — its groupBy exchange is computed once and
@@ -303,35 +302,35 @@ def minhash_lsh_pairs(
     so no LSH false positives leak through. Returns
     (id_a, id_b, jaccard), id_a < id_b.
 
-    Single corpus pass, map-side-combined, candidate-only verify: the
-    shingle table is MATERIALIZED once (eager localCheckpoint — the
-    same one-scan guarantee the r5 shared-exchange plan bought, without
-    its cost), then
-    - the signature branch aggregates it with full map-side combine:
-      the shuffle carries k min-hash columns per (partition, doc), not
-      the raw token stream (the r5 plan's repartition exchange shipped
-      every (id, shingle) row — measured +21% at sf0.1);
+    Map-side-combined signatures, candidate-only verify:
+    - the signature branch aggregates the shingle stream with full
+      map-side combine: the shuffle carries k min-hash columns per
+      (partition, doc), not the raw token stream (the r5 plan's
+      repartition exchange shipped every (id, shingle) row — measured
+      +21% at sf0.1);
     - the verify branch first SEMI-JOINs the shingles down to documents
       that actually appear in a candidate pair, so the collect_list
       aggregation shuffles only the candidate docs' shingles —
       O(candidates), not O(corpus). The r5 plan built sorted arrays for
       every document, candidate or not.
-    At 100 TB: one scan+tokenize, checkpoint storage ≈ the token stream
-    (exactly what the r5 plan pushed through its shared exchange, now
-    written locally with no network), and two cheap replays. Production
-    note: swap localCheckpoint for reliable `checkpoint()` when
-    executor loss matters (same pattern as connected_components).
-    Rejected forms, measured: two-pass (separate signature/verify
-    tokenize — a full extra corpus scan), shared raw-row exchange (r5:
-    map-side combine lost), array_min∘transform signatures from the
-    collected arrays (interpreted HOFs — 1.9× q_d2).
+    The two branches each recompute the shingle pipeline rather than
+    share a materialized copy: r5–r12 kept an eager localCheckpoint of
+    the shingle table here, and the r13 A/B (idle session, interleaved,
+    collect medians) reads 2.24 s with it vs 2.04 s without at sf0.1 —
+    the block write + job barrier costs more than a second codegen'd
+    scan→split→explode. At 100 TB the sign is the same: the checkpoint
+    artifact is the exploded plaintext shingle stream, several times
+    the compressed column-pruned text column, so one write + two reads
+    of it moves more bytes than two pruned scans. The small `cand`
+    table IS still checkpointed (below) — recomputing it would run the
+    whole signature+bucket-join pipeline twice, the genuinely expensive
+    subtree. Rejected forms, measured: shared raw-row exchange (r5:
+    map-side combine lost), array_min∘transform signatures from
+    collected arrays (interpreted HOFs — 1.9× q_d2), eager shingle
+    checkpoint (above).
     """
     rows_per_band = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n, None)
-    try:
-        sh = sh.localCheckpoint()
-    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute instead
-        pass
     sigs = sh.groupBy("_id").agg(*_minhash_aggs(num_hashes))
     band_cols = []
     for b in range(bands):
