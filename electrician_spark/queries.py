@@ -664,22 +664,15 @@ def q_j2(spark, sf_dir):
     )
 
 
-@query(
-    "q_j3_left_join_counts",
-    "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer "
-    "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey "
-    "ORDER BY n_orders DESC, c_custkey LIMIT 20",
-    tags=("join",),
-)
-def q_j3(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    agg = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-    return rel.top_k(agg, [F.col("n_orders").desc(), F.col("c_custkey")], 20)
+# (q_j3_left_join: RETIRED r13 -> electrician_spark.retired, making
+# room for q_sj2's left-outer stream-stream interval join row. The
+# left-outer shape is NOT gone from live attestation: the null-padded
+# non-match semantics are now attested in the strictly harder
+# streaming form (q_sj2 — null emission gated on the watermark
+# eviction clock), and the batch LeftOuter plan runs live inside
+# q_ph1/q_af1's near-dup tagging joins, q_cm1's estimate-vs-truth
+# join, and q_ug1's piece-model join, each re-attested every window
+# pass.)
 
 
 # (q_j4_semi_join: RETIRED r9 -> electrician_spark.retired. the LeftSemi
@@ -6048,45 +6041,25 @@ def q_se1(spark, sf_dir):
     return spark.table(name).orderBy("o_orderkey")
 
 
-@query(
-    "q_sj1_stream_stream_interval",
-    # STREAM-STREAM INTERVAL JOIN with watermark state eviction —
-    # impression→click attribution on TWO real file streams (four
-    # mtime-ordered micro-batches each side), inner join on key with
-    # click_ts in [imp_ts, imp_ts + 5 min], 10-minute watermarks both
-    # sides. Attested at once: (a) SAME-BATCH match (key a: imp and
-    # click in batch 0, dt=100s); (b) CROSS-BATCH match through
-    # retained state (key b: imp in batch 0, click in batch 1,
-    # dt=240s); (c) INTERVAL bound — key e's click at dt=900s > 300s
-    # never matches though both rows are fresh and the key is equal;
-    # (d) EVICTION/LATENESS — key c's click arrives in the last batch
-    # with event time far behind the watermark (fence rows on both
-    # sides pushed it past every data row under either one- or
-    # two-batch commit lag), so the pair a batch join WOULD produce is
-    # absent; (e) fences (disjoint keys per side) never emit. Oracle =
-    # the closed-form census of exactly the two delivered pairs, with
-    # payloads tied to the events table.
-    "SELECT CASE WHEN l.event_id = 1 THEN 'a' ELSE 'b' END AS key, "
-    "l.event_id AS l_id, r.event_id AS r_id, "
-    "l.event_type AS imp_type, r.event_type AS click_type, "
-    "CAST(CASE WHEN l.event_id = 1 THEN 100 ELSE 240 END AS BIGINT) AS dt_sec "
-    "FROM events l JOIN events r ON (l.event_id = 1 AND r.event_id = 5) "
-    "OR (l.event_id = 2 AND r.event_id = 6) ORDER BY key",
-    tags=("streaming", "join"),
-)
-def q_sj1(spark, sf_dir):
-    # streaming/joins.interval_join over two NDJSON file streams.
-    # Schedule (epoch offsets, delay = 10 min, interval [0s, 300s]):
-    #   L b0: a@0(id1) b@60(id2) c@120(id3) e@100(id4); b1: zl@4000(id9)
-    #   L b2: zl2@4100(id10)
-    #   R b0: a@100(id5, same-batch match) e@1000(id7, dt 900 — out of
-    #         interval); b1: b@300(id6, cross-batch match) zr@4000(id11)
-    #   R b2: zr2@4100(id12); b3: c@200(id8 — LATE: watermark 3500 by
-    #         now, and c's left state evicted once wm > 120+300)
+def _sj_interval_streams(spark, sf_dir, prefix):
+    """The shared q_sj1/q_sj2 two-file-stream interval-join fixture.
+
+    Schedule (epoch offsets, delay = 10 min, interval [0s, 300s]):
+      L b0: a@0(id1) b@60(id2) c@120(id3) e@100(id4); b1: zl@4000(id9)
+      L b2: zl2@4100(id10)
+      R b0: a@100(id5, same-batch match) e@1000(id7, dt 900 — out of
+            interval); b1: b@300(id6, cross-batch match) zr@4000(id11)
+      R b2: zr2@4100(id12); b3: c@200(id8 — LATE: watermark 3500 by
+            now, and c's left state evicted once wm > 120+300)
+    Fences ride TWO batches per side (zl/zl2, zr/zr2) so one- vs
+    two-batch watermark-commit lag cannot change any outcome (the
+    q_dw1 double-fence recipe); either lag leaves the final committed
+    watermark ≥ 3400, far past every data row's eviction bound and far
+    short of the fences' own (4300/4400).
+
+    Returns (left_stream, right_stream, tmpdir)."""
     import os
     import tempfile
-
-    from electrician_spark.streaming import joins as sjoins
 
     t0_epoch = 1_700_000_000
     ev = _t(spark, sf_dir, "events").filter(
@@ -6116,7 +6089,7 @@ def q_sj1(spark, sf_dir):
         F.col("event_id"),
         F.col("event_type").alias("etype"),
     )
-    tmp = tempfile.mkdtemp(prefix="q_sj1_")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     lsrc = os.path.join(tmp, "imp")
     rsrc = os.path.join(tmp, "clk")
     os.makedirs(lsrc)
@@ -6153,6 +6126,43 @@ def q_sj1(spark, sf_dir):
 
     left = _stream(lsrc, "l_id", "imp_type", "l_ts")
     right = _stream(rsrc, "r_id", "click_type", "r_ts")
+    return left, right, tmp
+
+
+@query(
+    "q_sj1_stream_stream_interval",
+    # STREAM-STREAM INTERVAL JOIN with watermark state eviction —
+    # impression→click attribution on TWO real file streams (four
+    # mtime-ordered micro-batches each side), inner join on key with
+    # click_ts in [imp_ts, imp_ts + 5 min], 10-minute watermarks both
+    # sides. Attested at once: (a) SAME-BATCH match (key a: imp and
+    # click in batch 0, dt=100s); (b) CROSS-BATCH match through
+    # retained state (key b: imp in batch 0, click in batch 1,
+    # dt=240s); (c) INTERVAL bound — key e's click at dt=900s > 300s
+    # never matches though both rows are fresh and the key is equal;
+    # (d) EVICTION/LATENESS — key c's click arrives in the last batch
+    # with event time far behind the watermark (fence rows on both
+    # sides pushed it past every data row under either one- or
+    # two-batch commit lag), so the pair a batch join WOULD produce is
+    # absent; (e) fences (disjoint keys per side) never emit. Oracle =
+    # the closed-form census of exactly the two delivered pairs, with
+    # payloads tied to the events table.
+    "SELECT CASE WHEN l.event_id = 1 THEN 'a' ELSE 'b' END AS key, "
+    "l.event_id AS l_id, r.event_id AS r_id, "
+    "l.event_type AS imp_type, r.event_type AS click_type, "
+    "CAST(CASE WHEN l.event_id = 1 THEN 100 ELSE 240 END AS BIGINT) AS dt_sec "
+    "FROM events l JOIN events r ON (l.event_id = 1 AND r.event_id = 5) "
+    "OR (l.event_id = 2 AND r.event_id = 6) ORDER BY key",
+    tags=("streaming", "join"),
+)
+def q_sj1(spark, sf_dir):
+    # streaming/joins.interval_join (inner) over the shared two-stream
+    # fixture — see _sj_interval_streams for the schedule.
+    import os
+
+    from electrician_spark.streaming import joins as sjoins
+
+    left, right, tmp = _sj_interval_streams(spark, sf_dir, "q_sj1_")
     joined = sjoins.interval_join(
         left,
         right,
@@ -6172,6 +6182,82 @@ def q_sj1(spark, sf_dir):
         (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("dt_sec"),
     )
     name = "q_sj1_sink_" + os.path.basename(tmp).replace("q_sj1_", "")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).orderBy("key")
+
+
+@query(
+    "q_sj2_interval_join_outer",
+    # LEFT-OUTER stream-stream interval join — the same two-stream
+    # fixture and interval as q_sj1, how="left". What only the outer
+    # form can attest: NULL-PADDED EMISSION IS GATED ON THE EVICTION
+    # CLOCK, not on end-of-stream. (a/b) the two matched pairs emit as
+    # in q_sj1; (c) key c's impression (@120) never matches (its click
+    # arrives late and is watermark-dropped) and emits a null-padded
+    # row once the watermark passes 120+300s; (d) key e's impression
+    # (@100) has a fresh but out-of-interval click (dt=900s) and emits
+    # its null row once wm > 400s; (e) the LEFT fences zl@4000/zl2@4100
+    # are equally unmatched but their eviction bounds (4300/4400) sit
+    # BEYOND the final committed watermark (≥3400, ≤3500 under any
+    # commit lag), so they are still in state at stream end and emit
+    # NOTHING — null rows come from watermark-proven non-matches only,
+    # never from draining leftover state. Oracle = the closed-form
+    # left-join census over the events table: matched payloads for
+    # a/b, NULL right columns for c/e, fence rows excluded.
+    "SELECT CASE l.event_id WHEN 1 THEN 'a' WHEN 2 THEN 'b' "
+    "WHEN 3 THEN 'c' ELSE 'e' END AS key, "
+    "l.event_id AS l_id, r.event_id AS r_id, "
+    "l.event_type AS imp_type, r.event_type AS click_type, "
+    "CAST(CASE WHEN l.event_id = 1 THEN 100 WHEN l.event_id = 2 "
+    "THEN 240 END AS BIGINT) AS dt_sec "
+    "FROM events l LEFT JOIN events r ON (l.event_id = 1 AND r.event_id = 5) "
+    "OR (l.event_id = 2 AND r.event_id = 6) "
+    "WHERE l.event_id IN (1, 2, 3, 4) ORDER BY key",
+    tags=("streaming", "join"),
+)
+def q_sj2(spark, sf_dir):
+    # streaming/joins.interval_join (left outer) over the shared
+    # two-stream fixture — see _sj_interval_streams for the schedule.
+    import os
+
+    from electrician_spark.streaming import joins as sjoins
+
+    left, right, tmp = _sj_interval_streams(spark, sf_dir, "q_sj2_")
+    joined = sjoins.interval_join(
+        left,
+        right,
+        keys=["key"],
+        left_ts="l_ts",
+        right_ts="r_ts",
+        lower="0 seconds",
+        upper="5 minutes",
+        left_delay="10 minutes",
+        right_delay="10 minutes",
+        how="left",
+    ).select(
+        "key",
+        "l_id",
+        "r_id",
+        "imp_type",
+        "click_type",
+        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("dt_sec"),
+    )
+    name = "q_sj2_sink_" + os.path.basename(tmp).replace("q_sj2_", "")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -6266,75 +6352,72 @@ def q_sj1(spark, sf_dir):
 # 2 (C5 breaker divert), 5 (stateful timeout eviction — BOTH stateful
 # operators: resequence flush via q_ev1 and the rate-limit bucket
 # drop via q_rt1) and 7 (suffix-array substring dedup).
+# (Round-12 rotation, executed and recorded: window = the 50 rows of
+# CORRECTNESS_r12.json — 4 new rows q_se1/q_sj1/q_pb1/q_x9 placed
+# first, retiring q_j6/q_p3/q_lm1/q_x3 to the archive. That list was
+# replaced by the r13 list below; it is recorded verbatim in
+# CORRECTNESS_r12.json and in git history.)
+#
+# Round-13 rotation: window = the 50 rows of CORRECTNESS_r11 (the
+# complement of the r12 window — the invariant test enforces the
+# 2-round exact cover), minus the row RETIRED r13
+# (q_j3_left_join_counts — archived in electrician_spark.retired;
+# rationale at the retirement site), plus the NEW r13 promotion row
+# placed first so it is driver-attested immediately: the LEFT-OUTER
+# stream-stream interval join (q_sj2 — null-padded emission gated on
+# the watermark eviction clock, not end-of-stream; closes the r12
+# verdict's item 6, the last unattested streaming-join semantics).
 _DRIVER_PRIORITY = [
-    # Round-12 window = the 50 queries attested in r10 (the complement
-    # of the r11 window — the invariant test enforces the 2-round
-    # exact cover), minus the rows RETIRED r12 (q_j6_range_join and
-    # q_p3_wave_roundtrip — archived in electrician_spark.retired
-    # with their oracles; rationale at each retirement site), plus
-    # the NEW r12 promotion rows placed first so they are
-    # driver-attested immediately: the stream-static broadcast
-    # enrichment row (q_se1 — the reference's S6+C3 correlation
-    # composition on a real three-micro-batch stream, per-micro-batch
-    # BroadcastHashJoin plan-pinned in test_stream_joins) and the
-    # stream-stream interval join row (q_sj1 — same-batch match,
-    # cross-batch match through retained state, interval-bound
-    # rejection, and the post-eviction/late non-match on two real
-    # four-micro-batch streams), and the protobuf relay-envelope wire
-    # codec row (q_pb1 — WrappedPayload proto3 bytes round trip with
-    # the exact per-row wire length replayed arithmetically; retired
-    # in exchange: q_lm1, whose LM-bucketing capability stays live via
-    # q_lm2's production path).
-    "q_se1_stream_static_enrich",
-    "q_sj1_stream_stream_interval",
-    "q_pb1_proto_envelope",
-    "q_x9_trained_gate_pipeline",
-    "q_a1_pricing_summary",
-    "q_a2_rate_per_hour",
-    "q_bl1_bloom_decontaminate",
-    "q_cb1_breaker_divert",
-    "q_ch1_chunk_documents",
-    "q_d3_minhash_lsh",
-    "q_d4_simhash",
-    "q_d5_embedding_near_dup",
-    "q_d6_dup_clusters",
-    "q_dm1_domain_mixture",
-    "q_ev1_eviction_flush",
-    "q_ex1_exif_census",
-    "q_fim1_fim_transform",
-    "q_id1_incremental_dedup",
-    "q_j1_broadcast_inner",
-    "q_j2_shipping_priority",
-    "q_k1_parquet_roundtrip",
-    "q_k2_ndjson_roundtrip",
-    "q_k4_upsert_idempotent",
-    "q_lr1_longest_repeated_run",
-    "q_n1_ann_bruteforce",
-    "q_n4_ann_ivf_probes",
-    "q_o2_grouped_topk",
-    "q_o3_priority_drain",
-    "q_pg1_pagerank",
-    "q_r1_resequenced_replay",
-    "q_rb1_robots_gate",
-    "q_rs1_resequence_stateful",
-    "q_rt1_rate_limit_timeout",
-    "q_s1_full_scan",
-    "q_s2_projection_pushdown",
-    "q_s3_predicate_pushdown",
-    "q_sa1_suffix_spans",
-    "q_sc1_span_corrupt",
-    "q_sd1_semantic_dedup",
-    "q_sv1_split_corpus",
-    "q_sx1_suffix_array_order",
-    "q_t3_keyword_filter",
-    "q_t5_classifier",
-    "q_ug1_unigram_viterbi_encode",
-    "q_w1_tumbling_hour",
-    "q_w3_session_counts",
-    "q_wd1_webdataset_shards",
-    "q_wf1_rank",
-    "q_wm1_watermark_late_drop",
-    "q_x7_quality_filter_pipeline",
+    "q_sj2_interval_join_outer",
+    "q_a7_rollup_subtotals",
+    "q_ab1_threshold_abort",
+    "q_af1_audio_fingerprint",
+    "q_aj1_asof_join",
+    "q_aq1_audio_quality",
+    "q_bp1_bpe_encode",
+    "q_bq1_binary_hamming_tier",
+    "q_c4_1_c4_cleaning",
+    "q_cm1_count_min",
+    "q_cml1_chatml_render",
+    "q_d2_ngram_jaccard",
+    "q_d9_lsh_near_dup",
+    "q_ds1_distinct_sketch",
+    "q_dw1_dedupe_within_watermark",
+    "q_em1_unigram_hard_em",
+    "q_fc1_frozen_linear_scores",
+    "q_fo1_fanout_dlq",
+    "q_gq1_gopher_battery",
+    "q_hh1_heavy_hitters",
+    "q_ht1_hypertable_rollup",
+    "q_hx1_html_main_text",
+    "q_ir1_dsir_select",
+    "q_j5_anti_join",
+    "q_k3_kafka_frame_roundtrip",
+    "q_lb1_length_batches",
+    "q_li1_langid_model",
+    "q_lm2_bigram_buckets",
+    "q_n3_ann_ivf_kmeans",
+    "q_or1_orc_roundtrip",
+    "q_ph1_image_phash",
+    "q_pp1_preference_pairs",
+    "q_pq1_pq_adc_topk",
+    "q_pr1_table_profile",
+    "q_px1_image_pixel_stats",
+    "q_q1_grouped_quantiles",
+    "q_r2_retry_backoff",
+    "q_rj1_range_join",
+    "q_rl1_rate_limit_stateful",
+    "q_rz1_resize_media",
+    "q_sk1_salted_agg",
+    "q_sp1_sequence_packing",
+    "q_u2_union_distinct",
+    "q_w7_ttl_expiry",
+    "q_wc1_warc_census",
+    "q_wf2_lag_gap",
+    "q_wp1_wordpiece_encode",
+    "q_x6_pii_redaction",
+    "q_x8_curation_pipeline",
+    "q_z1_compression_roundtrip",
 ]
 
 # (Round-11 rotation, executed and recorded: window = the 50 rows of

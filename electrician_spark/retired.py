@@ -1642,6 +1642,30 @@ def q_j6(spark, sf_dir):
 
 
 @retired_query(
+    "q_j3_left_join_counts",
+    "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey "
+    "ORDER BY n_orders DESC, c_custkey LIMIT 20",
+    tags=("join",),
+)
+def q_j3(spark, sf_dir):
+    # Retired r13 (made room for q_sj2's left-outer interval join):
+    # the null-padded non-match semantics are now attested in the
+    # strictly harder streaming form (q_sj2 — emission gated on the
+    # watermark eviction clock), and the batch LeftOuter plan shape
+    # runs live inside q_ph1/q_af1 (near-dup tag joins), q_cm1
+    # (estimate-vs-truth), and q_ug1 (piece-model join).
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    agg = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return rel.top_k(agg, [F.col("n_orders").desc(), F.col("c_custkey")], 20)
+
+
+@retired_query(
     "q_p3_wave_roundtrip",
     "SELECT vec_id, round(list_sum(list_transform(embedding, "
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy "
