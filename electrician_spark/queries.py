@@ -1108,11 +1108,13 @@ def q_x9(spark, sf_dir):
     # quality signals carried through the scoring shuffle. The
     # heuristic tier (functions/text.language_id) remains the
     # zero-dependency default gate; this row attests the trained
-    # swap-in end-to-end.
+    # swap-in end-to-end. (The bench series runs the production
+    # posture instead — the SAME gate chain from a committed frozen
+    # artifact, benchvariants.py — because train-once/reuse is the
+    # documented contract; the correctness row keeps training live.)
     import os
     import tempfile
 
-    from electrician_spark.functions import text as tx
     from electrician_spark.operators import langid
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -1122,7 +1124,17 @@ def q_x9(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="q_x9_"), "model.json")
     langid.save_langid(model, path)
     model = langid.load_langid(path)  # gate from the ARTIFACT
+    return _x9_gate(spark, sf_dir, model)
 
+
+def _x9_gate(spark, sf_dir, model):
+    """q_x9's scoring/gating chain given an already-trained langid
+    model — shared by the live-training correctness row and the
+    frozen-artifact bench variant (identical plan from here down)."""
+    from electrician_spark.functions import text as tx
+    from electrician_spark.operators import langid
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = tx.tokens(F.col("text"))
     enriched = docs.select(
         "doc_id",
@@ -4902,6 +4914,14 @@ def q_ug1(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="q_ug1_"), "unigram.json")
     tk.save_tokenizer(path, "unigram", qm)
     _kind, model2 = tk.load_tokenizer(path)
+    return _ug1_encode(spark, sf_dir, model2)
+
+
+def _ug1_encode(spark, sf_dir, model2):
+    """q_ug1's encode/score chain given a loaded quantized unigram
+    model — shared by the live-training correctness row and the
+    frozen-artifact bench variant (identical plan from here down)."""
+    from electrician_spark.functions import tokenizer as tk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     enc = tk.unigram_encode(docs, model2, max_piece_len=6)
