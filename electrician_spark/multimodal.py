@@ -1958,10 +1958,19 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     pixel decode)."""
     n_frames = (F.length(F.col("payload")) / 100).cast("int") + 1
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
-    return df.select(
+    # frame_key is hashed in its OWN projection below the explode: a
+    # computed sibling of a generator lands ABOVE the Generate and
+    # re-evaluates per output row — here a sha256 over the whole video
+    # payload once per sampled FRAME instead of once per video (the
+    # r13 generator-projection hazard; payloads are the widest rows in
+    # the engine, so this one mattered most at scale).
+    keyed = df.select(
         "media_id",
-        F.explode(idx).alias("frame_idx"),
         F.sha2(F.concat(F.col("payload"), F.lit(":frame:")), 256).alias("frame_key"),
+        idx.alias("_idx"),
+    )
+    return keyed.select(
+        "media_id", F.explode("_idx").alias("frame_idx"), "frame_key"
     ).repartition("media_id")
 
 
