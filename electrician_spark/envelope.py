@@ -183,7 +183,9 @@ def from_wire(
 ) -> DataFrame:
     """Inverse of :func:`to_wire`: reconstruct the envelope columns
     from the wire bytes alone (receiving-relay entry point).
-    ``keep`` carries named extra input columns through (proto codec)."""
+    ``keep`` carries named extra input columns through (both codecs;
+    names colliding with ENVELOPE_COLS raise rather than silently
+    duplicating an output column)."""
     if codec == "proto":
         from electrician_spark.functions import protowire
 
@@ -195,7 +197,15 @@ def from_wire(
             "ordering_key string, dedupe_key string, expires_us long"
         )
         d = F.from_json(F.decode(F.col(col), "utf-8"), schema)
+        bad = [k for k in keep if k in ENVELOPE_COLS]
+        if bad:
+            raise ValueError(
+                f"keep columns collide with envelope output columns: {bad} "
+                f"— rename them upstream (output schema is ENVELOPE_COLS "
+                f"+ keep)"
+            )
         return df.select(
+            *[F.col(k) for k in keep],
             d["id"].alias("id"),
             F.timestamp_micros(d["ts_us"]).alias("ts"),
             F.unhex(d["payload_hex"]).alias("payload"),

@@ -240,7 +240,12 @@ def _parse_headers(buf: bytes) -> dict[str, str]:
                     j = _skip(entry, j, ew)
                     continue
                 ln, j = _read_varint(entry, j)
-                s, j = entry[j : j + ln].decode("utf-8"), j + ln
+                # _take, not a bare slice: a corrupt inner length would
+                # silently yield a truncated header value (compression
+                # 'gzi') that surfaces later as an opaque decompress
+                # failure — raise at decode time like every other path
+                sb, j = _take(entry, j, ln)
+                s = sb.decode("utf-8")
                 if ef == _F_MAP_KEY:
                     k = s
                 elif ef == _F_MAP_VALUE:
@@ -380,8 +385,21 @@ def wire_decode(
     (envelope.ENVELOPE_COLS order), replacing whatever else was in
     ``df`` — a receiving relay reconstructs the envelope from bytes
     alone. ``keep`` names extra input columns to carry through
-    (e.g. a transport offset or a precomputed wire length)."""
+    (e.g. a transport offset or a precomputed wire length); a keep
+    name that collides with an envelope output column (or the internal
+    ``_d`` alias) would silently duplicate a column name in the output
+    schema, so it raises instead (the same guard langid_scores applies
+    to its carry columns)."""
     import pandas as pd
+
+    from electrician_spark.envelope import ENVELOPE_COLS
+
+    bad = [k for k in keep if k in ENVELOPE_COLS or k == "_d"]
+    if bad:
+        raise ValueError(
+            f"keep columns collide with envelope output columns: {bad} — "
+            f"rename them upstream (output schema is ENVELOPE_COLS + keep)"
+        )
 
     @F.pandas_udf(_DECODED_SCHEMA)
     def _dec(s):

@@ -216,3 +216,42 @@ def test_uint64_seq_above_int63_raises_codec_error():
     buf = _tag(6, 0) + _varint((1 << 63) + 5)
     with pytest.raises(ValueError, match="int64 seq domain"):
         decode_wrapped(buf)
+
+
+def test_corrupt_header_map_entry_length_raises():
+    """A map-entry inner length pointing past the entry must raise at
+    decode time (r12 advice: the header path used a bare slice and
+    silently yielded truncated values like compression 'gzi')."""
+    from electrician_spark.functions.protowire import _tag, _varint
+
+    # metadata(4) -> headers(1) map entry whose VALUE length overruns
+    entry = (
+        _tag(1, 2) + _varint(11) + b"compression"
+        + _tag(2, 2) + _varint(99) + b"gzip"  # claims 99, has 4
+    )
+    md = _tag(1, 2) + _varint(len(entry)) + entry
+    buf = (
+        _tag(1, 2) + _varint(2) + b"ab"
+        + _tag(4, 2) + _varint(len(md)) + md
+    )
+    with pytest.raises(ValueError):
+        decode_wrapped(buf)
+
+
+def test_wire_keep_collision_raises(spark):
+    env = _sample_envelopes(spark)
+    for codec in ("proto", "json"):
+        w = envelope.to_wire(env, codec)  # keeps env cols incl. "id"
+        with pytest.raises(ValueError, match="collide"):
+            envelope.from_wire(w, codec, keep=("id",))
+
+
+def test_json_from_wire_honors_keep(spark):
+    """r12 advice: the json branch accepted keep but silently dropped
+    the columns — it must carry them like the proto branch."""
+    env = _sample_envelopes(spark)
+    w = envelope.to_wire(env, "json").withColumn("offset", F.col("seq") * 10)
+    back = envelope.from_wire(w.select("wire", "offset"), "json", keep=("offset",))
+    assert "offset" in back.columns
+    rows = back.select("seq", "offset").collect()
+    assert all(r.offset == r.seq * 10 for r in rows)
