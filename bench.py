@@ -158,8 +158,11 @@ def main() -> None:
             CF.max(CF.xxhash64("id")).alias("s")  # max: no ANSI long overflow
         ).collect()
         cpu_samples.append(round(time.perf_counter() - t0, 4))
+        # the shuffle probe gets the same ~3x lengthening: it is the
+        # queries_normalized denominator, and its old ~0.8 s form
+        # carried IQR ~50% of median under ambient load
         t0 = time.perf_counter()
-        spark.range(10_000_000).groupBy((CF.col("id") % 1_000_000).alias("k")).agg(
+        spark.range(30_000_000).groupBy((CF.col("id") % 3_000_000).alias("k")).agg(
             CF.count("*").alias("c")
         ).select(CF.max("c")).collect()
         shuffle_samples.append(round(time.perf_counter() - t0, 4))
