@@ -153,19 +153,39 @@ def main() -> None:
         # numbers from r13 on use this denominator and are NOT
         # comparable to r12-and-earlier normalized records (raw series
         # remain comparable; SCALE.md bench-series note).
-        t0 = time.perf_counter()
-        spark.range(1_200_000_000).select(
-            CF.max(CF.xxhash64("id")).alias("s")  # max: no ANSI long overflow
-        ).collect()
-        cpu_samples.append(round(time.perf_counter() - t0, 4))
+        # min-of-2 per sample point: the r13 four-run series showed the
+        # remaining probe spread is NOT scheduling jitter but transient
+        # JVM state at the sample point (samples taken right after the
+        # heavy mid-series rows read ~2x the idle ones — GC debt from
+        # the preceding query, which the min of two back-to-back runs
+        # sheds; the lengthened probe already amortized the jitter).
+        def _min2(thunk) -> float:
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                thunk()
+                ts.append(time.perf_counter() - t0)
+            return round(min(ts), 4)
+
+        cpu_samples.append(
+            _min2(
+                lambda: spark.range(1_200_000_000)
+                .select(CF.max(CF.xxhash64("id")).alias("s"))  # max: no ANSI overflow
+                .collect()
+            )
+        )
         # the shuffle probe gets the same ~3x lengthening: it is the
         # queries_normalized denominator, and its old ~0.8 s form
         # carried IQR ~50% of median under ambient load
-        t0 = time.perf_counter()
-        spark.range(30_000_000).groupBy((CF.col("id") % 3_000_000).alias("k")).agg(
-            CF.count("*").alias("c")
-        ).select(CF.max("c")).collect()
-        shuffle_samples.append(round(time.perf_counter() - t0, 4))
+        shuffle_samples.append(
+            _min2(
+                lambda: spark.range(30_000_000)
+                .groupBy((CF.col("id") % 3_000_000).alias("k"))
+                .agg(CF.count("*").alias("c"))
+                .select(CF.max("c"))
+                .collect()
+            )
+        )
 
     def _spread(xs: list[float]) -> tuple[float, float]:
         med = statistics.median(xs)
