@@ -1050,11 +1050,23 @@ def q_li1(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     train = docs.filter(F.col("doc_id") % 5 != 0)
-    test = docs.filter(F.col("doc_id") % 5 == 0)
     model = langid.train_langid(train, n=2, alpha=0.5, max_grams=300)
     path = os.path.join(tempfile.mkdtemp(prefix="q_li1_"), "model.json")
     langid.save_langid(model, path)
     model = langid.load_langid(path)  # score from the ARTIFACT
+    return _li1_score(spark, sf_dir, model)
+
+
+def _li1_score(spark, sf_dir, model):
+    """q_li1's disjoint-split scoring given an already-trained langid
+    model — shared by the live-training correctness row and the
+    frozen-artifact bench variant (identical plan from the model
+    down; the training parameters and split match q_x9's, so both
+    rows share one committed artifact per SF)."""
+    from electrician_spark.operators import langid
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    test = docs.filter(F.col("doc_id") % 5 == 0)
     return (
         langid.langid_scores(test, model)
         .select(
