@@ -145,11 +145,13 @@ def main() -> None:
     shuffle_samples: list[float] = []
 
     def sample_probes() -> None:
-        # ~1 s cpu probe (r12 verdict item 5): the old 50M-row probe
-        # ran ~0.2 s with IQR ~0.15 s — the probe's own noise made
+        # Lengthened cpu probe (r12 verdict item 5): the old 50M-row
+        # probe ran ~0.2 s with IQR ~0.15 s — the probe's own noise made
         # normalized headlines swing ±30% while the raw series held
-        # 2.6%. 5x the work puts scheduling jitter (~0.1 s) at ~10% of
-        # the median instead of ~75%. NORMALIZATION REBASE: /cpu
+        # 2.6%. 24x the rows (50M -> 1.2B; xxhash64+max is cheap per
+        # row, so the observed r13 committed samples read ~0.19-0.37 s
+        # with min-of-2, not a literal 24x) puts scheduling jitter at a
+        # small fraction of the median. NORMALIZATION REBASE: /cpu
         # numbers from r13 on use this denominator and are NOT
         # comparable to r12-and-earlier normalized records (raw series
         # remain comparable; SCALE.md bench-series note).
@@ -204,7 +206,7 @@ def main() -> None:
     # committed frozen artifacts — train-once/reuse is the documented
     # model contract; the correctness rows keep training live. Which
     # rows ran a variant is recorded in BENCH_DETAIL.
-    from electrician_spark.benchvariants import BENCH_VARIANTS
+    from electrician_spark.benchvariants import resolve_variant
 
     variants_used: list[str] = []
 
@@ -212,7 +214,11 @@ def main() -> None:
         results: dict[str, float] = {}
         for name in query_names:
             qd = REGISTRY[name]
-            fn = BENCH_VARIANTS.get(name)
+            # resolve_variant returns None when no committed artifact
+            # covers this SF — then the LIVE row runs and must not be
+            # recorded as a frozen variant (provenance would otherwise
+            # mislabel live-trained timings at non-default SFs)
+            fn = resolve_variant(name, SF_DIR)
             if fn is not None:
                 variants_used.append(name)
             else:

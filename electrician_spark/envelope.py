@@ -185,7 +185,8 @@ def from_wire(
     from the wire bytes alone (receiving-relay entry point).
     ``keep`` carries named extra input columns through (both codecs;
     names colliding with ENVELOPE_COLS raise rather than silently
-    duplicating an output column)."""
+    duplicating an output column). Output schema is the keep columns
+    FIRST (in the order given), then ENVELOPE_COLS."""
     if codec == "proto":
         from electrician_spark.functions import protowire
 
@@ -201,8 +202,8 @@ def from_wire(
         if bad:
             raise ValueError(
                 f"keep columns collide with envelope output columns: {bad} "
-                f"— rename them upstream (output schema is ENVELOPE_COLS "
-                f"+ keep)"
+                f"— rename them upstream (output schema is keep + "
+                f"ENVELOPE_COLS)"
             )
         return df.select(
             *[F.col(k) for k in keep],

@@ -381,10 +381,11 @@ def wire_encode(df: DataFrame, out_col: str = "wire") -> DataFrame:
 def wire_decode(
     df: DataFrame, col: str = "wire", keep: tuple[str, ...] = ()
 ) -> DataFrame:
-    """``col`` binary WrappedPayload → the envelope columns
-    (envelope.ENVELOPE_COLS order), replacing whatever else was in
-    ``df`` — a receiving relay reconstructs the envelope from bytes
-    alone. ``keep`` names extra input columns to carry through
+    """``col`` binary WrappedPayload → the keep columns (in the order
+    given) followed by the envelope columns (envelope.ENVELOPE_COLS
+    order), replacing whatever else was in ``df`` — a receiving relay
+    reconstructs the envelope from bytes alone. ``keep`` names extra
+    input columns to carry through
     (e.g. a transport offset or a precomputed wire length); a keep
     name that collides with an envelope output column (or the internal
     ``_d`` alias) would silently duplicate a column name in the output
@@ -398,7 +399,7 @@ def wire_decode(
     if bad:
         raise ValueError(
             f"keep columns collide with envelope output columns: {bad} — "
-            f"rename them upstream (output schema is ENVELOPE_COLS + keep)"
+            f"rename them upstream (output schema is keep + ENVELOPE_COLS)"
         )
 
     @F.pandas_udf(_DECODED_SCHEMA)

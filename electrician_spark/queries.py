@@ -32,6 +32,7 @@ from electrician_spark.operators import relational as rel
 from electrician_spark.operators import temporal
 from electrician_spark.operators import priority as prio
 from electrician_spark.streaming import windows as win
+from electrician_spark.streaming.sinks import await_stream
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -2142,7 +2143,7 @@ def q_r1(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_stream(q, 180)
     return spark.table(name).orderBy("key", "seq")
 
 
@@ -3653,9 +3654,7 @@ def q_rs1(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).select("key", "seq", "payload").orderBy("key", "seq")
@@ -4177,9 +4176,7 @@ def q_rl1(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
@@ -4779,9 +4776,7 @@ def q_fo1(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
+    await_stream(q, 300)
 
     parts = [
         spark.read.parquet(p).select(F.lit(c).alias("channel"), "event_type")
@@ -5155,9 +5150,7 @@ def q_cb1(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
+    await_stream(q, 300)
 
     parts = [
         spark.read.parquet(paths["backup"]).select(
@@ -5262,11 +5255,17 @@ def q_ab1(spark, sf_dir):
         .start()
     )
     try:
-        q.awaitTermination(300)  # raises when the query ABORTS — expected
+        done = q.awaitTermination(300)  # raises when the query ABORTS — expected
     except Exception as e:  # noqa: BLE001 — the abort IS the attested event
         exc = e
     else:
         exc = q.exception()
+        if exc is None and not done:
+            # timeout with the query still RUNNING: stop it so the
+            # session isn't left with a live stream; the census below
+            # then records NO-ABORT-RECORDED and the oracle mismatch
+            # surfaces the failure (same contract as sinks.await_stream)
+            q.stop()
     m = (
         re.search(r"error ratio \d+/\d+ >= [0-9.]+ — aborting", str(exc))
         if exc is not None
@@ -5727,9 +5726,7 @@ def q_wm1(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
@@ -5841,9 +5838,7 @@ def q_dw1(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
@@ -6072,9 +6067,7 @@ def q_se1(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("o_orderkey")
@@ -6232,9 +6225,7 @@ def q_sj1(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("key")
@@ -6308,9 +6299,7 @@ def q_sj2(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("key")

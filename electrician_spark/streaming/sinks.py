@@ -30,6 +30,26 @@ from electrician_spark.reliability import CircuitBreaker, CircuitOpenError
 Sink = Callable[[DataFrame, int], None]
 
 
+def await_stream(query, timeout_sec: int = 300) -> None:
+    """Block until a triggered (availableNow) stream finishes; raise
+    instead of returning with a partial sink. ``awaitTermination``
+    returns False on timeout with the query STILL RUNNING and
+    ``exception()`` None — a caller that ignores the return value then
+    reads a partially-filled memory sink as if it were complete, with
+    no error anywhere. One helper so every sink site gets the same
+    contract: query failure re-raises, timeout stops the query and
+    raises TimeoutError."""
+    done = query.awaitTermination(timeout_sec)
+    if query.exception() is not None:
+        raise query.exception()
+    if not done:
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name or query.id} still running after "
+            f"{timeout_sec}s — sink contents would be partial"
+        )
+
+
 def parquet_sink(path: str) -> Sink:
     def write(df: DataFrame, _epoch: int) -> None:
         df.write.mode("append").parquet(path)

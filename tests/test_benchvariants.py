@@ -70,3 +70,22 @@ def test_variant_falls_back_without_artifact(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(bv, "ARTIFACT_DIR", str(tmp_path))
     out = bv.q_x9_frozen(spark, SF_ORACLE)
     assert out.count() > 0
+
+
+def test_resolve_variant_none_when_artifact_missing(tmp_path, monkeypatch):
+    # bench.py records a frozen variant ONLY when resolve_variant is
+    # non-None; a missing per-SF artifact must resolve to None so
+    # live-trained timings are never attributed to the frozen posture
+    # (r13 ADVICE item 1)
+    import electrician_spark.benchvariants as bv
+
+    # committed artifacts: per-SF langid resolves only at its SF;
+    # the unigram artifact is SF-independent
+    assert bv.resolve_variant("q_x9_trained_gate_pipeline", "/root/testdata/sf0.1")
+    assert bv.resolve_variant("q_li1_langid_model", "/no/such/sf9") is None
+    assert bv.resolve_variant("q_ug1_unigram_viterbi_encode", "/no/such/sf9")
+    assert bv.resolve_variant("q_a1_pricing_summary", "/root/testdata/sf0.1") is None
+    # with no artifacts at all, every variant resolves to None
+    monkeypatch.setattr(bv, "ARTIFACT_DIR", str(tmp_path))
+    for name in bv.BENCH_VARIANTS:
+        assert bv.resolve_variant(name, "/root/testdata/sf0.1") is None
