@@ -102,6 +102,11 @@ EXTRA_QUERIES = [
     "q_ug1_unigram_viterbi_encode",
     "q_sa1_suffix_spans",
     "q_sx1_suffix_array_order",
+    # r14 promotion rows (tracked from their first driver-attested
+    # round; the streaming q_kc1 consume round-trip is left out of the
+    # timed series like q_rs1/q_fo1 before it)
+    "q_sk2_salted_join",
+    "q_ac1_blocklist_scan",
 ]
 
 

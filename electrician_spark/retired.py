@@ -1666,6 +1666,73 @@ def q_j3(spark, sf_dir):
 
 
 @retired_query(
+    "q_t3_keyword_filter",
+    "SELECT count(*) AS n_matched FROM documents "
+    "WHERE text LIKE '%slow%' OR text LIKE '%error%' OR text LIKE '%big%'",
+    tags=("transform",),
+)
+def q_t3(spark, sf_dir):
+    # Retired r14 (made room for q_ac1 blocklist census — the STRICTLY
+    # HARDER form of the same T3 capability: per-term document hits
+    # from a ~1k-term Aho-Corasick pass over the same corpus, vs this
+    # 3-term boolean census). scalar.contains_any stays live inside
+    # q_x7's filter stage and keeps its test_pipeline pins; the
+    # automaton/codegen equivalence is pinned in test_keywordscan.
+    # negativeFilter shape (chain/main.go:21-30) over documents.
+    df = _t(spark, sf_dir, "documents")
+    return df.filter(sf.contains_any(F.col("text"), ["slow", "error", "big"])).agg(
+        F.count("*").alias("n_matched")
+    )
+
+
+@retired_query(
+    "q_t5_classifier",
+    "SELECT CASE WHEN text LIKE '%join%' THEN 'Join' "
+    "WHEN text LIKE '%window%' THEN 'Window' "
+    "WHEN text LIKE '%stream%' THEN 'Stream' ELSE 'General' END AS category, "
+    "count(*) AS n FROM documents GROUP BY 1 ORDER BY 1",
+    tags=("transform",),
+)
+def q_t5(spark, sf_dir):
+    # Retired r14 (made room for the q_kc1 S4 consume round-trip): the
+    # classify CASE chain + default bucket stays live on the attested
+    # path inside q_x7_quality_filter_pipeline (same scalar.classify
+    # operator, same window) and the trained-classifier tier q_fc1;
+    # sf.classify keeps its test_pipeline pins.
+    df = _t(spark, sf_dir, "documents")
+    cat = sf.classify(
+        F.col("text"), [("join", "Join"), ("window", "Window"), ("stream", "Stream")]
+    )
+    return (
+        df.select(cat.alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+        .orderBy("category")
+    )
+
+
+@retired_query(
+    "q_a2_rate_per_hour",
+    "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n FROM events "
+    "GROUP BY 1 ORDER BY 1",
+    tags=("agg", "events"),
+)
+def q_a2(spark, sf_dir):
+    # Retired r14 (made room for the q_sk2 hot-key salted join): the A2
+    # time-bucket rate census stays live via q_w1_tumbling_hour (bench
+    # headline — the SAME hourly bucketing over the same events table,
+    # through the streaming-window operator) and q_ht1's multi-grain
+    # rollup; meter rate math (types/meter.go:16-25) keeps its
+    # test_metrics pins and the archived q_a5 peak-rate sibling.
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@retired_query(
     "q_p3_wave_roundtrip",
     "SELECT vec_id, round(list_sum(list_transform(embedding, "
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy "

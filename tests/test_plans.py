@@ -382,6 +382,30 @@ def test_random_projection_single_pass(spark):
     assert "MapInPandas" in p and p.count("MapInPandas (") == 1, p
 
 
+def test_salted_join_spreads_hot_key(plans):
+    """q_sk2: the dim side must show the salt-sequence Generate
+    (explode x n_salts) and the join must carry _salt next to the key —
+    the posture that fans a single hot key across n_salts reducers.
+    The salt must never reach the output schema."""
+    p = plans("q_sk2_salted_join")
+    # the salt sequence constant-folds into the Generate arguments
+    assert "explode([0,1,2,3,4,5,6,7])" in p, p
+    # join keys include the salt (a broadcast of the exploded dim or a
+    # both-sided hash exchange on k+_salt — either spreads the hot key;
+    # what must NOT happen is a plain single-key join)
+    import re
+
+    assert re.search(r"Left keys \[2\]: \[k#\d+L?, _salt#\d+\]", p), p
+    # map-side partial aggregation before the one exchange
+    assert "partial_sum" in p, p
+    # the output schema is salt-free (salts are a partitioning device,
+    # never a result column — the driver compares exactly these columns)
+    from electrician_spark.queries import REGISTRY as _REG
+
+    cols = _REG["q_sk2_salted_join"].oracle.lower()
+    assert "_salt" not in cols
+
+
 def test_curriculum_order_no_global_sort(spark):
     """curriculum_order: one range exchange + within-partition sort —
     a global single-task sort must never materialize."""
