@@ -154,6 +154,12 @@ def main() -> None:
         # (q_se1 600 orders / q_sj1 12 events / q_pb1 500 envelopes) —
         # no corpus axis to probe.
         "q_x9_trained_gate_pipeline": REGISTRY["q_x9_trained_gate_pipeline"].spark,
+        # r14-new corpus-heavy row, probed the round it lands (standing
+        # protocol). The other two r14 rows are fixture-bounded (q_kc1
+        # produces/consumes a closed-form 800-row events slice; q_sk2
+        # joins the orders fixture and its scale posture is the
+        # plan-pinned salt spread) — no corpus axis to probe.
+        "q_ac1_blocklist_scan": REGISTRY["q_ac1_blocklist_scan"].spark,
     }
     only = os.environ.get("SCALE_ROWS")
     if only:
