@@ -18,9 +18,13 @@ case-insensitively):
   ``numpartitions`` (partition count per topic, default 2; the real
   broker owns this), ``includeheaders`` (header transport on/off)
 - read: ``subscribe`` (comma-separated topics), ``startingoffsets``
-  earliest|latest, ``startingoffsetsbytimestamp`` (JSON, the
-  reference's StartAt=timestamp), ``maxoffsetspertrigger`` (poll
-  window cap per partition), ``includeheaders``
+  earliest|latest|JSON offset map (``{topic: {"<part>": off}}`` with
+  the real connector's sentinels: -2 = earliest, -1 = latest),
+  ``endingoffsets`` latest|JSON offset map (batch read only, -1 =
+  latest; exclusive end, like the real source),
+  ``startingoffsetsbytimestamp`` (JSON, the reference's
+  StartAt=timestamp), ``maxoffsetspertrigger`` (poll window cap per
+  partition), ``includeheaders``
 - ``kafka.*`` client options (bootstrap.servers, acks, compression,
   batch.size, linger.ms) are accepted and ignored — they configure a
   network client this fake replaces; the REAL connector consumes them.
@@ -187,7 +191,25 @@ class KafkaFakeReader(DataSourceReader):
         if not sub:
             raise ValueError("kafka_fake read requires `subscribe` (like the real source)")
         self.topics = [t.strip() for t in sub.split(",") if t.strip()]
-        self.starting = str(o.get("startingoffsets", "earliest")).lower()
+        raw_start = str(o.get("startingoffsets", "earliest"))
+        if raw_start.strip().startswith("{"):
+            # the real connector's per-partition JSON form; sentinels
+            # -2 = earliest, -1 = latest
+            self.start_json = json.loads(raw_start)
+            self.starting = None
+        else:
+            self.start_json = None
+            self.starting = raw_start.lower()
+        raw_end = str(o.get("endingoffsets", "latest"))
+        if raw_end.strip().startswith("{"):
+            self.end_json = json.loads(raw_end)  # -1 = latest; end EXCLUSIVE
+        else:
+            self.end_json = None
+            if raw_end.lower() != "latest":
+                raise ValueError(
+                    "endingOffsets must be 'latest' or a JSON offset map "
+                    "(the real batch source's contract)"
+                )
         by_ts = o.get("startingoffsetsbytimestamp")
         self.start_ts = json.loads(by_ts) if by_ts else None
         cap = o.get("maxoffsetspertrigger")
@@ -204,33 +226,60 @@ class KafkaFakeReader(DataSourceReader):
         # empty log → one empty partition: a valid zero-row relation
         return parts or [_TopicPartition("", "", 0)]
 
-    def read(self, partition):
-        if not partition.part_dir:
-            return
-        if self.starting == "latest":
-            # batch read at `latest` sees nothing new — matches the real
-            # source's batch semantics for a static log
-            return
-        start_ms = None
+    def _offset_range(self, partition) -> tuple[int, int]:
+        """Resolve the [start, end) offsets a batch read covers for one
+        topic-partition, honoring startingOffsets (string / JSON /
+        by-timestamp), endingOffsets, and maxOffsetsPerTrigger — the
+        same precedence the real batch source applies."""
+        end_log = _partition_end(partition.part_dir)
         if self.start_ts is not None:
             tmap = self.start_ts.get(partition.topic, {})
             start_ms = tmap.get("-1", tmap.get(str(partition.partition)))
+            # synthetic clock: record ts (sec) == offset
+            start = 0 if start_ms is None else max(0, -(-int(start_ms) // 1000))
+        elif self.start_json is not None:
+            off = int(
+                self.start_json.get(partition.topic, {}).get(
+                    str(partition.partition), -2
+                )
+            )
+            start = 0 if off == -2 else end_log if off == -1 else off
+        elif self.starting == "latest":
+            # batch read at `latest` sees nothing new — matches the real
+            # source's batch semantics for a static log
+            start = end_log
+        else:
+            start = 0
+        if self.end_json is not None:
+            off = int(
+                self.end_json.get(partition.topic, {}).get(
+                    str(partition.partition), -1
+                )
+            )
+            end = end_log if off == -1 else min(off, end_log)
+        else:
+            end = end_log
+        if self.max_per_partition is not None:
+            end = min(end, start + self.max_per_partition)
+        return start, max(start, end)
+
+    def read(self, partition):
+        if not partition.part_dir:
+            return
+        start, end = self._offset_range(partition)
+        if end <= start:
+            return
         offset = 0
-        emitted = 0
         for seg in sorted(glob.glob(os.path.join(partition.part_dir, "*.jsonl"))):
             with open(seg) as fh:
                 for line in fh:
-                    rec = json.loads(line)
-                    ts_sec = offset  # synthetic logical clock
                     cur = offset
                     offset += 1
-                    if start_ms is not None and ts_sec * 1000 < start_ms:
+                    if cur < start:
                         continue
-                    if (
-                        self.max_per_partition is not None
-                        and emitted >= self.max_per_partition
-                    ):
+                    if cur >= end:
                         return
+                    rec = json.loads(line)
                     headers = None
                     if self.include_headers and rec.get("headers") is not None:
                         headers = [
@@ -243,10 +292,9 @@ class KafkaFakeReader(DataSourceReader):
                         partition.topic,
                         partition.partition,
                         cur,
-                        datetime.fromtimestamp(ts_sec, tz=timezone.utc),
+                        datetime.fromtimestamp(cur, tz=timezone.utc),
                         0,
                     )
-                    emitted += 1
 
 
 class _RangePartition(InputPartition):

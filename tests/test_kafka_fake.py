@@ -114,6 +114,55 @@ def test_kafka_append_offsets_and_poll_window(spark, tmp_path):
     )
 
 
+def test_kafka_batch_offset_maps(spark, tmp_path):
+    """The real batch source's per-partition JSON offset maps, EXECUTED:
+    startingOffsets {"t":{"0":2}} starts partition 0 at offset 2
+    (sentinels -2 = earliest, -1 = latest), endingOffsets {"t":{"0":4}}
+    is an EXCLUSIVE end, and both compose with maxOffsetsPerTrigger."""
+    import json as _json
+
+    kafka_fake.register(spark)
+    broker = str(tmp_path / "broker")
+    # one partition of 8 records (same key -> one partition)
+    df = spark.createDataFrame([(i,) for i in range(8)], "k long")
+    frame = kafka_frame(df, value_cols=["k"], key_template="x", topic="t")
+    frame.write.format("kafka_fake").options(
+        brokerDir=broker, **kafka_sink_options("b:9092", topic="t")
+    ).mode("append").save()
+    part = spark.read.format("kafka_fake").options(
+        brokerDir=broker, subscribe="t"
+    ).load().first().partition
+
+    def offs(**extra):
+        back = (
+            spark.read.format("kafka_fake")
+            .options(brokerDir=broker, subscribe="t", **extra)
+            .load()
+        )
+        return sorted(r.offset for r in back.collect())
+
+    start2 = _json.dumps({"t": {str(part): 2}})
+    assert offs(startingOffsets=start2) == [2, 3, 4, 5, 6, 7]
+    # sentinel -2 = earliest, -1 = latest
+    assert offs(startingOffsets=_json.dumps({"t": {str(part): -2}})) == list(range(8))
+    assert offs(startingOffsets=_json.dumps({"t": {str(part): -1}})) == []
+    # exclusive end; -1 = latest
+    end4 = _json.dumps({"t": {str(part): 4}})
+    assert offs(startingOffsets=start2, endingOffsets=end4) == [2, 3]
+    assert offs(endingOffsets=_json.dumps({"t": {str(part): -1}})) == list(range(8))
+    # end capped to the log, start map composes with the poll window
+    assert offs(
+        startingOffsets=start2,
+        endingOffsets=_json.dumps({"t": {str(part): 99}}),
+        maxOffsetsPerTrigger="3",
+    ) == [2, 3, 4]
+    # unknown-string endingOffsets raises like the real source
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="endingOffsets"):
+        offs(endingOffsets="earliest")
+
+
 def test_kafka_timestamp_start_and_multi_topic(spark, tmp_path):
     """StartAt=timestamp (startingOffsetsByTimestamp) skips records
     before the requested logical time; subscribe fans in topics."""
