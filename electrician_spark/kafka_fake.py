@@ -17,7 +17,9 @@ case-insensitively):
 - write: ``topic`` (fallback when the frame has no topic column),
   ``numpartitions`` (partition count per topic, default 2; the real
   broker owns this), ``includeheaders`` (header transport on/off)
-- read: ``subscribe`` (comma-separated topics), ``startingoffsets``
+- read: exactly one of ``subscribe`` (comma-separated topics) or
+  ``assign`` (JSON ``{topic: [partition, ...]}`` — the real
+  connector's explicit-partition form), ``startingoffsets``
   earliest|latest|JSON offset map (``{topic: {"<part>": off}}`` with
   the real connector's sentinels: -2 = earliest, -1 = latest),
   ``endingoffsets`` latest|JSON offset map (batch read only, -1 =
@@ -104,6 +106,24 @@ def _broker_dir(o: dict) -> str:
     return d
 
 
+def _subscription(o: dict) -> tuple[list[str], dict[str, set[int]] | None]:
+    """Resolve (topics, partition filter) from exactly one of
+    ``subscribe`` / ``assign`` — the real source's contract (it
+    rejects zero or both). ``assign`` pins explicit partitions:
+    JSON ``{topic: [partition, ...]}``."""
+    sub = o.get("subscribe")
+    assign = o.get("assign")
+    if (not sub) == (not assign):
+        raise ValueError(
+            "kafka_fake read requires exactly one of `subscribe` or "
+            "`assign` (like the real source)"
+        )
+    if sub:
+        return [t.strip() for t in sub.split(",") if t.strip()], None
+    amap = json.loads(assign)
+    return sorted(amap), {t: {int(p) for p in ps} for t, ps in amap.items()}
+
+
 class _TopicPartition(InputPartition):
     def __init__(self, topic: str, part_dir: str, partition: int) -> None:
         self.topic = topic
@@ -187,10 +207,7 @@ class KafkaFakeReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         o = _opts(options)
         self.dir = _broker_dir(o)
-        sub = o.get("subscribe")
-        if not sub:
-            raise ValueError("kafka_fake read requires `subscribe` (like the real source)")
-        self.topics = [t.strip() for t in sub.split(",") if t.strip()]
+        self.topics, self.assigned = _subscription(o)
         raw_start = str(o.get("startingoffsets", "earliest"))
         if raw_start.strip().startswith("{"):
             # the real connector's per-partition JSON form; sentinels
@@ -217,12 +234,10 @@ class KafkaFakeReader(DataSourceReader):
         self.include_headers = str(o.get("includeheaders", "false")).lower() == "true"
 
     def partitions(self):
-        parts = []
-        for topic in self.topics:
-            for pdir in sorted(glob.glob(os.path.join(self.dir, topic, "p*"))):
-                parts.append(
-                    _TopicPartition(topic, pdir, int(os.path.basename(pdir)[1:]))
-                )
+        parts = [
+            _TopicPartition(topic, pdir, p)
+            for topic, pdir, p in _log_partitions(self.dir, self.topics, self.assigned)
+        ]
         # empty log → one empty partition: a valid zero-row relation
         return parts or [_TopicPartition("", "", 0)]
 
@@ -306,11 +321,18 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
-def _log_partitions(broker_dir: str, topics: list[str]) -> list[tuple[str, str, int]]:
+def _log_partitions(
+    broker_dir: str,
+    topics: list[str],
+    assigned: dict[str, set[int]] | None = None,
+) -> list[tuple[str, str, int]]:
     out = []
     for topic in topics:
         for pdir in sorted(glob.glob(os.path.join(broker_dir, topic, "p*"))):
-            out.append((topic, pdir, int(os.path.basename(pdir)[1:])))
+            p = int(os.path.basename(pdir)[1:])
+            if assigned is not None and p not in assigned.get(topic, set()):
+                continue
+            out.append((topic, pdir, p))
     return out
 
 
@@ -368,10 +390,7 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         o = _opts(options)
         self.dir = _broker_dir(o)
-        sub = o.get("subscribe")
-        if not sub:
-            raise ValueError("kafka_fake read requires `subscribe` (like the real source)")
-        self.topics = [t.strip() for t in sub.split(",") if t.strip()]
+        self.topics, self.assigned = _subscription(o)
         self.starting = str(o.get("startingoffsets", "earliest")).lower()
         by_ts = o.get("startingoffsetsbytimestamp")
         self.start_ts = json.loads(by_ts) if by_ts else None
@@ -381,6 +400,9 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
         # Spark resumes from its checkpoint via partitions(start, ...),
         # which re-seeds this map (see partitions()).
         self._planned: dict[str, int] = {}
+
+    def _parts(self):
+        return _log_partitions(self.dir, self.topics, self.assigned)
 
     def _start_offset_for(self, topic: str, part_dir: str, partition: int) -> int:
         if self.start_ts is not None:
@@ -396,7 +418,7 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         out: dict[str, dict[str, int]] = {}
-        for topic, pdir, p in _log_partitions(self.dir, self.topics):
+        for topic, pdir, p in self._parts():
             off = self._start_offset_for(topic, pdir, p)
             out.setdefault(topic, {})[str(p)] = off
             self._planned[f"{topic}\x00{p}"] = off
@@ -404,7 +426,7 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         out: dict[str, dict[str, int]] = {}
-        for topic, pdir, p in _log_partitions(self.dir, self.topics):
+        for topic, pdir, p in self._parts():
             end = _partition_end(pdir)
             # Unknown partition ⇒ either created after start (consume
             # from 0, Kafka's new-partition rule) or the first trigger
@@ -422,7 +444,7 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         parts = []
-        for topic, pdir, p in _log_partitions(self.dir, self.topics):
+        for topic, pdir, p in self._parts():
             s = int(start.get(topic, {}).get(str(p), 0))
             e = int(end.get(topic, {}).get(str(p), s))
             # restart re-seed: never plan behind what the checkpoint

@@ -163,6 +163,71 @@ def test_kafka_batch_offset_maps(spark, tmp_path):
         offs(endingOffsets="earliest")
 
 
+def test_kafka_assign_explicit_partitions(spark, tmp_path):
+    """`assign` pins explicit topic-partitions (the real connector's
+    JSON form), is honored by batch AND streaming reads, and is
+    mutually exclusive with `subscribe` — exactly one must be given."""
+    import json as _json
+
+    import pytest as _pytest
+
+    kafka_fake.register(spark)
+    broker = str(tmp_path / "broker")
+    # spread 12 keyed records over 3 partitions
+    df = spark.createDataFrame([(i,) for i in range(12)], "k long")
+    frame = kafka_frame(df, value_cols=["k"], key_template="{k}", topic="t")
+    frame.write.format("kafka_fake").options(
+        brokerDir=broker, topic="t", numPartitions="3"
+    ).mode("append").save()
+    all_rows = (
+        spark.read.format("kafka_fake")
+        .options(brokerDir=broker, subscribe="t")
+        .load()
+        .collect()
+    )
+    parts = sorted({r.partition for r in all_rows})
+    assert len(parts) == 3
+    keep = parts[:2]
+    assign = _json.dumps({"t": keep})
+    got = (
+        spark.read.format("kafka_fake")
+        .options(brokerDir=broker, assign=assign)
+        .load()
+        .collect()
+    )
+    assert sorted({r.partition for r in got}) == keep
+    assert len(got) == sum(1 for r in all_rows if r.partition in keep)
+
+    # streaming honors the same assignment
+    batches: list[list[dict]] = []
+
+    def _sink(bdf, _bid):
+        batches.append([r.asDict() for r in bdf.select("partition", "offset").collect()])
+
+    q = (
+        spark.readStream.format("kafka_fake")
+        .options(brokerDir=broker, assign=assign)
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_rows(batches, len(got)) == len(got)
+    finally:
+        q.stop()
+    assert {r["partition"] for b in batches for r in b} <= set(keep)
+
+    # exactly one of subscribe/assign (the real source's contract)
+    with _pytest.raises(Exception, match="exactly one"):
+        spark.read.format("kafka_fake").options(brokerDir=broker).load().collect()
+    with _pytest.raises(Exception, match="exactly one"):
+        spark.read.format("kafka_fake").options(
+            brokerDir=broker, subscribe="t", assign=assign
+        ).load().collect()
+
+
 def test_kafka_timestamp_start_and_multi_topic(spark, tmp_path):
     """StartAt=timestamp (startingOffsetsByTimestamp) skips records
     before the requested logical time; subscribe fans in topics."""
