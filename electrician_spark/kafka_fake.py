@@ -17,9 +17,10 @@ case-insensitively):
 - write: ``topic`` (fallback when the frame has no topic column),
   ``numpartitions`` (partition count per topic, default 2; the real
   broker owns this), ``includeheaders`` (header transport on/off)
-- read: exactly one of ``subscribe`` (comma-separated topics) or
+- read: exactly one of ``subscribe`` (comma-separated topics),
   ``assign`` (JSON ``{topic: [partition, ...]}`` — the real
-  connector's explicit-partition form), ``startingoffsets``
+  connector's explicit-partition form), or ``subscribepattern``
+  (regex over topic names, re-resolved each plan), ``startingoffsets``
   earliest|latest|JSON offset map (``{topic: {"<part>": off}}`` with
   the real connector's sentinels: -2 = earliest, -1 = latest),
   ``endingoffsets`` latest|JSON offset map (batch read only, -1 =
@@ -106,22 +107,30 @@ def _broker_dir(o: dict) -> str:
     return d
 
 
-def _subscription(o: dict) -> tuple[list[str], dict[str, set[int]] | None]:
-    """Resolve (topics, partition filter) from exactly one of
-    ``subscribe`` / ``assign`` — the real source's contract (it
-    rejects zero or both). ``assign`` pins explicit partitions:
-    JSON ``{topic: [partition, ...]}``."""
+def _subscription(
+    o: dict,
+) -> tuple[list[str] | None, dict[str, set[int]] | None, str | None]:
+    """Resolve (topics, partition filter, topic pattern) from exactly
+    one of ``subscribe`` / ``assign`` / ``subscribePattern`` — the real
+    source's contract (it rejects zero or several). ``assign`` pins
+    explicit partitions (JSON ``{topic: [partition, ...]}``);
+    ``subscribePattern`` is a regex over topic names, re-resolved at
+    every plan so topics created after a stream starts are discovered
+    at the next trigger (the real source's pattern behavior)."""
     sub = o.get("subscribe")
     assign = o.get("assign")
-    if (not sub) == (not assign):
+    pat = o.get("subscribepattern")
+    if sum(bool(x) for x in (sub, assign, pat)) != 1:
         raise ValueError(
-            "kafka_fake read requires exactly one of `subscribe` or "
-            "`assign` (like the real source)"
+            "kafka_fake read requires exactly one of `subscribe`, "
+            "`assign`, or `subscribePattern` (like the real source)"
         )
     if sub:
-        return [t.strip() for t in sub.split(",") if t.strip()], None
-    amap = json.loads(assign)
-    return sorted(amap), {t: {int(p) for p in ps} for t, ps in amap.items()}
+        return [t.strip() for t in sub.split(",") if t.strip()], None, None
+    if assign:
+        amap = json.loads(assign)
+        return sorted(amap), {t: {int(p) for p in ps} for t, ps in amap.items()}, None
+    return None, None, str(pat)
 
 
 class _TopicPartition(InputPartition):
@@ -207,7 +216,7 @@ class KafkaFakeReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         o = _opts(options)
         self.dir = _broker_dir(o)
-        self.topics, self.assigned = _subscription(o)
+        self.topics, self.assigned, self.pattern = _subscription(o)
         raw_start = str(o.get("startingoffsets", "earliest"))
         if raw_start.strip().startswith("{"):
             # the real connector's per-partition JSON form; sentinels
@@ -236,7 +245,7 @@ class KafkaFakeReader(DataSourceReader):
     def partitions(self):
         parts = [
             _TopicPartition(topic, pdir, p)
-            for topic, pdir, p in _log_partitions(self.dir, self.topics, self.assigned)
+            for topic, pdir, p in _log_partitions(self.dir, self.topics, self.assigned, self.pattern)
         ]
         # empty log → one empty partition: a valid zero-row relation
         return parts or [_TopicPartition("", "", 0)]
@@ -323,11 +332,25 @@ class _RangePartition(InputPartition):
 
 def _log_partitions(
     broker_dir: str,
-    topics: list[str],
+    topics: list[str] | None,
     assigned: dict[str, set[int]] | None = None,
+    pattern: str | None = None,
 ) -> list[tuple[str, str, int]]:
+    if pattern is not None:
+        import re
+
+        rx = re.compile(pattern)
+        topics = (
+            sorted(
+                t
+                for t in os.listdir(broker_dir)
+                if rx.fullmatch(t) and os.path.isdir(os.path.join(broker_dir, t))
+            )
+            if os.path.isdir(broker_dir)
+            else []
+        )
     out = []
-    for topic in topics:
+    for topic in topics or []:
         for pdir in sorted(glob.glob(os.path.join(broker_dir, topic, "p*"))):
             p = int(os.path.basename(pdir)[1:])
             if assigned is not None and p not in assigned.get(topic, set()):
@@ -390,7 +413,7 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         o = _opts(options)
         self.dir = _broker_dir(o)
-        self.topics, self.assigned = _subscription(o)
+        self.topics, self.assigned, self.pattern = _subscription(o)
         self.starting = str(o.get("startingoffsets", "earliest")).lower()
         by_ts = o.get("startingoffsetsbytimestamp")
         self.start_ts = json.loads(by_ts) if by_ts else None
@@ -402,7 +425,7 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
         self._planned: dict[str, int] = {}
 
     def _parts(self):
-        return _log_partitions(self.dir, self.topics, self.assigned)
+        return _log_partitions(self.dir, self.topics, self.assigned, self.pattern)
 
     def _start_offset_for(self, topic: str, part_dir: str, partition: int) -> int:
         if self.start_ts is not None:

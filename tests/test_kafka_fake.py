@@ -228,6 +228,48 @@ def test_kafka_assign_explicit_partitions(spark, tmp_path):
         ).load().collect()
 
 
+def test_kafka_subscribe_pattern(spark, tmp_path):
+    """subscribePattern resolves topics by regex at every plan: batch
+    reads match existing topics, and a PATTERN STREAM discovers a topic
+    created after the stream started (the real source's behavior)."""
+    kafka_fake.register(spark)
+    broker = str(tmp_path / "broker")
+    for topic in ("ga", "gb", "other"):
+        _produce(spark, broker, range(3), topic=topic)
+
+    back = (
+        spark.read.format("kafka_fake")
+        .options(brokerDir=broker, subscribePattern="g.*")
+        .load()
+        .collect()
+    )
+    assert sorted({r.topic for r in back}) == ["ga", "gb"]
+    assert len(back) == 6
+
+    batches: list[list[dict]] = []
+
+    def _sink(bdf, _bid):
+        batches.append([r.asDict() for r in bdf.select("topic", "offset").collect()])
+
+    q = (
+        spark.readStream.format("kafka_fake")
+        .options(brokerDir=broker, subscribePattern="g.*")
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_rows(batches, 6) == 6
+        _produce(spark, broker, range(2), topic="gc")  # born after start
+        assert _wait_rows(batches, 8) == 8
+    finally:
+        q.stop()
+    topics_seen = {r["topic"] for b in batches for r in b}
+    assert topics_seen == {"ga", "gb", "gc"}  # pattern re-resolved; 'other' never
+
+
 def test_kafka_timestamp_start_and_multi_topic(spark, tmp_path):
     """StartAt=timestamp (startingOffsetsByTimestamp) skips records
     before the requested logical time; subscribe fans in topics."""
