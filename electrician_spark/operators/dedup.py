@@ -114,16 +114,24 @@ def _doc_shingle_arrays(sh: DataFrame, order: str = "lex") -> DataFrame:
     runs once.
 
     ``order="lex"``: lexicographic. ``order="df"``: document-frequency
-    ascending (rarest first, ties lexicographic) — one extra dfreq
-    aggregate + join, used for ppjoin-style prefixes."""
+    ascending (rarest first, ties lexicographic) — each shingle row
+    picks up its global df from a count window over the shingle key,
+    so the table is consumed ONCE (r14; the previous dfreq
+    aggregate + self-join consumed it twice — two corpus
+    scan→split→explode passes plus a 20M-row string-keyed join at the
+    64× growth point — and the join build/probe plus doubled explode
+    measured 1.78→1.49 s at sf0.1 and 26.7→12.0 s at 64× against this
+    form, interleaved idle medians; the window's exchange+sort by _s
+    replaces the join's exchange of both sides)."""
     if order == "lex":
         return sh.groupBy("_id").agg(
             F.array_sort(F.collect_list("_s")).alias("_arr"), F.count("*").alias("_sz")
         )
     if order != "df":
         raise ValueError(f"order must be 'lex' or 'df', got {order!r}")
-    dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
-    keyed = sh.join(dfreq, "_s")
+    from pyspark.sql import Window
+
+    keyed = sh.withColumn("_df", F.count("*").over(Window.partitionBy("_s")))
     docs = keyed.groupBy("_id").agg(
         F.array_sort(F.collect_list(F.struct("_df", "_s"))).alias("_ka")
     )
@@ -214,19 +222,17 @@ def ngram_jaccard_pairs(
     if prefix_order not in ("lex", "df"):
         raise ValueError(f"prefix_order must be 'lex' or 'df', got {prefix_order!r}")
     sh = _shingle_table(df, id_col, text_col, n, max_df, n_docs=n_docs)
-    # The df order consumes the shingle table TWICE (the dfreq aggregate
-    # and the keyed join side) and ReuseExchange cannot merge them (their
-    # column pruning differs) — the corpus is scanned + tokenized +
-    # shingled twice. That recompute is CHEAPER than materializing:
-    # r12 kept a lazy localCheckpoint here and the r13 A/B (idle session,
-    # interleaved, collect-action medians) reads 2.80 s with it vs 2.61 s
-    # without at sf0.1 — the checkpoint's block-write + replay barrier
-    # costs more than a second codegen'd scan→split→explode pass. The
-    # same sign holds at scale: the checkpointed artifact is the EXPLODED
-    # shingle stream (plaintext n-grams, several times the size of the
-    # compressed, column-pruned parquet text column), so one write + two
-    # reads of it moves more bytes than two pruned scans. Recompute wins
-    # on both axes; no checkpoint.
+    # The df order attaches each shingle's global df via a count window
+    # (r14) — ONE corpus scan→split→explode pass. The two earlier forms
+    # both measured worse: (a) dfreq aggregate + self-join consumed the
+    # shingle table twice (ReuseExchange can't merge the branches —
+    # their pruning differs) and at the 64× growth point the
+    # string-keyed join turned memory-bound (26.7 s vs 12.0 s for the
+    # window, interleaved idle medians; sf0.1 1.78 vs 1.49 s);
+    # (b) materializing the exploded shingle stream with a lazy
+    # localCheckpoint (r12) cost more than recompute at every scale
+    # (r13 A/B: 2.80 s vs 2.61 s at sf0.1) because the artifact is
+    # plaintext n-grams, several times the pruned parquet text column.
     # One doc-arrays table serves BOTH the prefix extraction (slice of
     # the globally-ordered array) and the exact verify (array_intersect
     # is order-agnostic) — its groupBy exchange is computed once and

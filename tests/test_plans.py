@@ -201,11 +201,12 @@ def test_single_scan_materialization_postures(spark):
     and the blocked-GEMM pa/pb grid joins (q_d5, q_d9).
 
     q_d2 LEFT this posture in r13: its shingle-table checkpoint was
-    measured slower than recomputing the codegen'd scan→explode (and
-    the checkpointed exploded shingle stream outweighs two pruned
-    scans at any scale — dedup.py rationale), so its pin is now the
-    OPPOSITE: exactly the two recompute scans, no cached-RDD replay of
-    the corpus."""
+    measured slower than recomputing the codegen'd scan→explode, so
+    its pin became the OPPOSITE — recompute scans, no cached-RDD
+    replay of the corpus. r14 tightened it again: the df-order rank
+    now comes from a count window instead of a dfreq self-join, so the
+    corpus is scanned exactly ONCE (1.78→1.49 s at sf0.1, 26.7→12.0 s
+    at the 64× growth point — dedup.py rationale)."""
     expect = {
         "q_ss1_substring_dedup": 4,
         "q_d5_embedding_near_dup": 2,
@@ -224,8 +225,9 @@ def test_single_scan_materialization_postures(spark):
     final = df._jdf.queryExecution().executedPlan().toString().split(
         "== Initial Plan =="
     )[0]
-    assert final.count("FileScan parquet") == 2, final  # dfreq + keyed recompute
+    assert final.count("FileScan parquet") == 1, final  # one scan: window df-order
     assert final.count("Scan ExistingRDD") == 0, final  # no corpus checkpoint
+    assert "Window" in final, final  # the df rank is the count window
 
 
 def test_minhash_single_tokenize_pass(spark):
