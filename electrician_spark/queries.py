@@ -2199,12 +2199,16 @@ def q_kc1(spark, sf_dir):
     try:
         deadline = time.time() + 240
         while time.time() < deadline and spark.table(name).count() < expected:
+            if q.exception() is not None:
+                break  # dead stream — fail below, don't burn the deadline
             time.sleep(0.3)
         got = spark.table(name).count()
         paced = [p for p in q.recentProgress if p["numInputRows"] > 0]
     finally:
         q.stop()
         q.awaitTermination(60)
+    if q.exception() is not None:
+        raise q.exception()
     assert got == expected, f"consumed {got} of {expected} produced records"
     # pacing proof: 800 records / (4 partitions x 100 per trigger) needs
     # at least 2 non-empty micro-batches
