@@ -22,9 +22,12 @@ case-insensitively):
   connector's explicit-partition form), or ``subscribepattern``
   (regex over topic names, re-resolved each plan), ``startingoffsets``
   earliest|latest|JSON offset map (``{topic: {"<part>": off}}`` with
-  the real connector's sentinels: -2 = earliest, -1 = latest),
-  ``endingoffsets`` latest|JSON offset map (batch read only, -1 =
-  latest; exclusive end, like the real source),
+  the real connector's sentinels: -2 = earliest, -1 = latest; batch
+  queries REJECT latest in either form and streams honor both, like
+  the real source; unlisted partitions start earliest — a leniency vs
+  the real source's must-list-all assertion), ``endingoffsets``
+  latest|JSON offset map (BATCH ONLY — the stream reader rejects it
+  like the real source; -1 = latest, -2 rejected; exclusive end),
   ``startingoffsetsbytimestamp`` (JSON, the reference's
   StartAt=timestamp), ``maxoffsetspertrigger`` (poll window cap per
   partition), ``includeheaders``
@@ -220,15 +223,45 @@ class KafkaFakeReader(DataSourceReader):
         raw_start = str(o.get("startingoffsets", "earliest"))
         if raw_start.strip().startswith("{"):
             # the real connector's per-partition JSON form; sentinels
-            # -2 = earliest, -1 = latest
+            # -2 = earliest, -1 = latest. Batch queries REJECT latest
+            # (implicit or -1) like the real source; partitions absent
+            # from the map start earliest (a documented leniency — the
+            # real source asserts every partition is listed).
             self.start_json = json.loads(raw_start)
             self.starting = None
+            bad = [
+                f"{t}/{p}"
+                for t, ps in self.start_json.items()
+                for p, off in ps.items()
+                if int(off) == -1
+            ]
+            if bad:
+                raise ValueError(
+                    f"startingOffsets can't be latest (-1) for batch "
+                    f"queries (the real source's rule): {bad}"
+                )
         else:
             self.start_json = None
             self.starting = raw_start.lower()
+            if self.starting == "latest":
+                raise ValueError(
+                    "startingOffsets can't be 'latest' for batch queries "
+                    "(the real source's rule)"
+                )
         raw_end = str(o.get("endingoffsets", "latest"))
         if raw_end.strip().startswith("{"):
             self.end_json = json.loads(raw_end)  # -1 = latest; end EXCLUSIVE
+            bad = [
+                f"{t}/{p}"
+                for t, ps in self.end_json.items()
+                for p, off in ps.items()
+                if int(off) == -2
+            ]
+            if bad:
+                raise ValueError(
+                    f"endingOffsets can't be earliest (-2) for batch "
+                    f"queries (the real source's rule): {bad}"
+                )
         else:
             self.end_json = None
             if raw_end.lower() != "latest":
@@ -267,13 +300,9 @@ class KafkaFakeReader(DataSourceReader):
                     str(partition.partition), -2
                 )
             )
-            start = 0 if off == -2 else end_log if off == -1 else off
-        elif self.starting == "latest":
-            # batch read at `latest` sees nothing new — matches the real
-            # source's batch semantics for a static log
-            start = end_log
+            start = 0 if off == -2 else off  # -1 already rejected at plan
         else:
-            start = 0
+            start = 0  # 'latest' already rejected at plan time (batch rule)
         if self.end_json is not None:
             off = int(
                 self.end_json.get(partition.topic, {}).get(
@@ -414,7 +443,22 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
         o = _opts(options)
         self.dir = _broker_dir(o)
         self.topics, self.assigned, self.pattern = _subscription(o)
-        self.starting = str(o.get("startingoffsets", "earliest")).lower()
+        raw_start = str(o.get("startingoffsets", "earliest"))
+        if raw_start.strip().startswith("{"):
+            # per-partition JSON form (stream: -2 = earliest and -1 =
+            # latest are BOTH valid, unlike batch; unlisted partitions
+            # start earliest — documented leniency vs the real source's
+            # must-list-all assertion)
+            self.start_json = json.loads(raw_start)
+            self.starting = None
+        else:
+            self.start_json = None
+            self.starting = raw_start.lower()
+        if o.get("endingoffsets") is not None:
+            raise ValueError(
+                "endingOffsets is a batch-only option — the real "
+                "streaming source rejects it"
+            )
         by_ts = o.get("startingoffsetsbytimestamp")
         self.start_ts = json.loads(by_ts) if by_ts else None
         cap = o.get("maxoffsetspertrigger")
@@ -435,6 +479,13 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
                 return 0
             # synthetic clock: record ts (sec) == offset
             return max(0, -(-int(start_ms) // 1000))
+        if self.start_json is not None:
+            off = int(self.start_json.get(topic, {}).get(str(partition), -2))
+            if off == -2:
+                return 0
+            if off == -1:
+                return _partition_end(part_dir)
+            return max(0, off)
         if self.starting == "latest":
             return _partition_end(part_dir)
         return 0

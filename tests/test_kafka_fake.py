@@ -80,13 +80,14 @@ def test_kafka_roundtrip_full_option_surface(spark, tmp_path):
     for offs in by_part.values():
         assert sorted(offs) == list(range(len(offs)))
 
-    # batch read at `latest` over a static log sees nothing (the real
-    # source's batch semantics)
+    # startingOffsets='latest' is REJECTED for batch queries, exactly
+    # like the real source ("starting offset can't be latest for batch
+    # queries")
+    import pytest as _pytest
+
     latest = kafka_source_options(["events"], "broker:9092", start_at="latest")
-    assert (
+    with _pytest.raises(Exception, match="latest"):
         spark.read.format("kafka_fake").options(brokerDir=broker, **latest).load().count()
-        == 0
-    )
 
 
 def test_kafka_append_offsets_and_poll_window(spark, tmp_path):
@@ -143,13 +144,19 @@ def test_kafka_batch_offset_maps(spark, tmp_path):
 
     start2 = _json.dumps({"t": {str(part): 2}})
     assert offs(startingOffsets=start2) == [2, 3, 4, 5, 6, 7]
-    # sentinel -2 = earliest, -1 = latest
+    # sentinel -2 = earliest; -1 (latest) is REJECTED for batch, like
+    # the real source
     assert offs(startingOffsets=_json.dumps({"t": {str(part): -2}})) == list(range(8))
-    assert offs(startingOffsets=_json.dumps({"t": {str(part): -1}})) == []
-    # exclusive end; -1 = latest
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="latest"):
+        offs(startingOffsets=_json.dumps({"t": {str(part): -1}}))
+    # exclusive end; -1 = latest; -2 (earliest) rejected for an end
     end4 = _json.dumps({"t": {str(part): 4}})
     assert offs(startingOffsets=start2, endingOffsets=end4) == [2, 3]
     assert offs(endingOffsets=_json.dumps({"t": {str(part): -1}})) == list(range(8))
+    with _pytest.raises(Exception, match="earliest"):
+        offs(endingOffsets=_json.dumps({"t": {str(part): -2}}))
     # end capped to the log, start map composes with the poll window
     assert offs(
         startingOffsets=start2,
@@ -157,10 +164,50 @@ def test_kafka_batch_offset_maps(spark, tmp_path):
         maxOffsetsPerTrigger="3",
     ) == [2, 3, 4]
     # unknown-string endingOffsets raises like the real source
-    import pytest as _pytest
-
     with _pytest.raises(Exception, match="endingOffsets"):
         offs(endingOffsets="earliest")
+
+    # STREAM honors the per-partition JSON start (the r14 review's
+    # confirmed-by-execution finding: the stream previously ignored it
+    # and replayed from earliest) and rejects the batch-only
+    # endingOffsets option like the real streaming source.
+    batches: list[list[dict]] = []
+
+    def _sink(bdf, _bid):
+        batches.append([r.asDict() for r in bdf.select("offset").collect()])
+
+    q = (
+        spark.readStream.format("kafka_fake")
+        .options(brokerDir=broker, subscribe="t", startingOffsets=start2)
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_js"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_rows(batches, 6) == 6
+    finally:
+        q.stop()
+    assert sorted(r["offset"] for b in batches for r in b) == [2, 3, 4, 5, 6, 7]
+    # the stream reader is built lazily at query start, so the
+    # rejection surfaces on start/awaitTermination, not .load()
+    with _pytest.raises(Exception, match="batch-only"):
+        q2 = (
+            spark.readStream.format("kafka_fake")
+            .options(brokerDir=broker, subscribe="t", endingOffsets=end4)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_eo"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q2.awaitTermination(60)
+            if q2.exception() is not None:
+                raise q2.exception()
+        finally:
+            q2.stop()
 
 
 def test_kafka_assign_explicit_partitions(spark, tmp_path):

@@ -93,7 +93,18 @@ def main() -> None:
     mults = tuple(int(x) for x in os.environ.get("GROWTH_MULTS", "1,4,16").split(","))
     reps = int(os.environ.get("GROWTH_REPS", "3"))
     budget = float(os.environ.get("GROWTH_BUDGET_SEC", "120"))  # per engine per point
-    engines = os.environ.get("GROWTH_ENGINES", "spark,duck").split(",")
+    engines = [
+        e.strip().lower()
+        for e in os.environ.get("GROWTH_ENGINES", "spark,duck").split(",")
+        if e.strip()
+    ]
+    unknown = set(engines) - {"spark", "duck"}
+    if unknown or "spark" not in engines:
+        raise SystemExit(
+            f"GROWTH_ENGINES must be a subset of spark,duck including spark "
+            f"(got {engines!r}) — a typo here would silently skip the oracle "
+            f"equality check"
+        )
     with_duck = "duck" in engines
 
     spark = get_session("r13-growth", cpus=cpu_budget())
