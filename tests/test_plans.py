@@ -253,6 +253,42 @@ def test_minhash_single_tokenize_pass(spark):
     assert "LeftSemi" in final, final  # verify touches candidate docs only
 
 
+def test_no_unsanctioned_global_windows():
+    """A `Window.orderBy(...)` with no partitionBy is a single-reducer
+    global sort — the one window shape that cannot scale. Exactly two
+    sites are sanctioned: the suffix-array COMPACT regime (bounded to
+    <=1M positions by an enforced regime gate, deliberately one
+    pipelined partition) and the archived q_lm1 exact-NTILE oracle
+    form (retired.py — the production path uses approxQuantile
+    instead). Any new partition-less window must either be bounded the
+    same way and added here with its rationale, or be rewritten."""
+    import os
+    import re
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "electrician_spark",
+    )
+    sanctioned = {"operators/suffixarray.py", "retired.py"}
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel_path = os.path.relpath(path, root)
+            if rel_path in sanctioned:
+                continue
+            src = open(path).read()
+            for m in re.finditer(r"Window\s*\.\s*orderBy\s*\(", src):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{rel_path}:{line}")
+    assert not offenders, (
+        f"partition-less Window.orderBy outside the sanctioned sites "
+        f"(single-reducer global sort): {offenders}"
+    )
+
+
 def test_no_iterrows_in_source():
     # iterrows() inside an Arrow batch body re-materializes every row as
     # a pandas Series — the per-row slow path the Arrow transfer was
