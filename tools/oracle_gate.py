@@ -16,7 +16,16 @@ swings ~2-3x across sessions):
 - gc.collect() between rows (the bench.py hygiene — drops dead plan
   refs so later rows don't measure a heap-pressured driver);
 - gate = sum(spark medians) / sum(duck mins) over all rows, plus
-  per-row ratios for weak-flag triage.
+  per-row ratios for weak-flag triage;
+- the output CARRIES ITS OWN AMBIENT ANCHOR: the bench cpu probe is
+  sampled before and after the series (min-of-2 each) and reported
+  next to its committed-nominal reference. A gate number whose probe
+  reads >=2x nominal was taken under host-level contention (measured
+  r14: a degraded hypervisor turned a 1.12x reading into 1.72x an hour
+  later with zero local load — Spark's 32-thread JVM absorbs host
+  contention much harder than DuckDB's short bursts, so the RATIO
+  moves with host state even interleaved) and is a host-state
+  measurement, not an engine one.
 
 Usage: python tools/oracle_gate.py                     # sf0.1 bench rows
        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/oracle_gate.py
@@ -70,6 +79,19 @@ def main() -> None:
         _warm, "id long"
     ).count()
 
+    from pyspark.sql import functions as CF
+
+    def cpu_probe() -> float:
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(1_200_000_000).select(CF.max(CF.xxhash64("id"))).collect()
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 4)
+
+    cpu_probe()  # codegen warm-up so the first recorded sample is steady
+    probe_before = cpu_probe()
+
     con = duckdb.connect()
     con.execute(f"SET threads={cpu_budget()}")
     for t in TABLES:
@@ -101,6 +123,11 @@ def main() -> None:
         }
         gc.collect()
 
+    probe_after = cpu_probe()
+    # the committed-nominal band for this probe on this machine
+    # (BENCH_DETAIL cpu_probe_samples across r13/r14: 0.19-0.37 s)
+    nominal = 0.25
+    degraded = min(probe_before, probe_after) >= 2 * nominal
     s_total = sum(v["spark_sec"] for v in per_row.values())
     d_total = sum(v["duck_sec"] for v in per_row.values())
     print(
@@ -111,12 +138,23 @@ def main() -> None:
                 "spark_total_sec": round(s_total, 4),
                 "duck_total_sec": round(d_total, 4),
                 "rows": per_row,
+                "cpu_probe_before_sec": probe_before,
+                "cpu_probe_after_sec": probe_after,
+                "cpu_probe_nominal_sec": nominal,
+                "host_degraded": degraded,
                 "sf_dir": SF_DIR,
                 "pairs": PAIRS,
                 "cpus": cpu_budget(),
             }
         )
     )
+    if degraded:
+        print(
+            f"WARNING: cpu probe {probe_before}/{probe_after}s vs nominal "
+            f"~{nominal}s — host-level contention; this gate reading "
+            f"measures host state, not the engine (SCALE.md r14 note)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
