@@ -53,7 +53,10 @@ def salted_agg(
     for out, spec in aggs.items():
         fn, col = spec.rstrip(")").split("(")
         if fn == "count":
-            partial_exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+            # count(*) counts rows; count(col) must skip NULLs — the
+            # partial must match, or the final sum inflates NULL rows.
+            counted = F.lit(1) if col == "*" else F.col(col)
+            partial_exprs.append(F.count(counted).alias(f"_p_{out}"))
             final_exprs.append(F.sum(f"_p_{out}").alias(out))
         elif fn == "sum":
             partial_exprs.append(F.sum(col).alias(f"_p_{out}"))
@@ -80,7 +83,22 @@ def salted_join(
 ) -> DataFrame:
     """Replicated skew join: big side gets a hash salt; small side is
     exploded ×n_salts so every (key, salt) bucket finds its match. Use
-    when one join key dominates and the small side fits ×n_salts."""
+    when one join key dominates and the small side fits ×n_salts.
+
+    Only join types where each *big*-side row carries exactly one salt
+    are salt-safe: inner, left/left_outer, left_semi, left_anti. A
+    right or full join would emit every unmatched small-side row once
+    per salt replica (×n_salts duplicates), so those are rejected."""
+    salt_safe = {"inner", "left", "left_outer", "leftouter",
+                 "left_semi", "leftsemi", "semi",
+                 "left_anti", "leftanti", "anti"}
+    if how.lower() not in salt_safe:
+        raise ValueError(
+            f"salted_join how={how!r} is not salt-safe: the small side is "
+            f"replicated ×{n_salts}, so right/full joins would duplicate "
+            "every unmatched small-side row once per salt. Use inner, "
+            "left, left_semi, or left_anti."
+        )
     big_s = with_salt(big, n_salts)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
