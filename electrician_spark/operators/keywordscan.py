@@ -6,23 +6,60 @@ blocklists (URL categories, safety word lists, PII dictionaries) run
 to 10⁴–10⁵ terms, where the automaton's O(text + matches) single pass
 is the only shape that survives 100 TB.
 
-Implementation: a plain-dict Aho-Corasick automaton (goto / fail /
-output links, built breadth-first) compiled ONCE on the driver and
-shipped to executors in the UDF closure (the broadcast-small-side
-discipline: the automaton is vocabulary-sized, never corpus-sized).
-Matching runs in an Arrow-batched pandas UDF — data-dependent
-per-character state stepping is exactly the sanctioned UDF case
-(see span_corrupt's measured rationale). Equality with the codegen
-``contains_any`` expression is test-pinned on random corpora.
+Representation (r15): the automaton is flattened to numpy arrays and
+shipped via ``SparkContext.broadcast`` — never in the UDF closure.
+The r14 vocab-axis measurement (SCALE.md: 1k terms 4.14 s / 10k
+4.62 s / 100k 12.7 s over 80k docs) named the 100k-term constant as
+closure-ship + dict-of-dicts cache pressure: a million-state automaton
+of nested Python dicts re-pickles into every task ship and thrashes
+cache during stepping. The flat form is:
+
+- a **class-compressed dense DFA**: ``delta[S, A+1]`` int32 where A is
+  the number of distinct code points across the vocabulary (column A =
+  "any other character" → root). Fail links are pre-resolved into the
+  table (BFS row-copy from the fail state), so stepping is one gather
+  per character with NO fail-chasing loop.
+- CSR output lists ``(out_indptr, out_terms)`` + an ``out_any`` bool
+  mask, carrying term indexes reachable at each state via fail links.
+
+Matching is **vectorized across the rows of each Arrow batch**: texts
+are decoded to code-point arrays (UTF-32), classes resolved with one
+``searchsorted`` per text, then all texts step their DFA position
+simultaneously — position ``i`` of every active text advances with a
+single fancy-gather on the flat table. Python-level iteration count is
+max(text length) per batch, not total characters. A scalar tail loop
+finishes the few longest texts once the active set is small, so one
+megabyte-long outlier doesn't pin the vectorized loop at width 1.
+
+When the dense table would exceed ``DENSE_BUDGET_BYTES`` (deep
+multilingual vocabularies: states × alphabet blows up while actual
+trie edges stay linear), the scanner falls back to the dict automaton
+— still broadcast, never closure-shipped.
+
+Equality with the codegen ``contains_any`` expression and with the
+reference dict stepping is test-pinned on random corpora
+(tests/test_keywordscan.py).
 """
 
 from __future__ import annotations
 
 from collections import deque
+from typing import NamedTuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Dense-DFA size cap: states × (alphabet+1) × 4 bytes. 256 MB covers a
+# ~1M-state / 64-char-class vocabulary (100k ASCII-ish terms); beyond
+# it the dict fallback keeps memory linear in trie edges.
+DENSE_BUDGET_BYTES = 256 << 20
+
+# Below this many still-active texts the vectorized stepper's fixed
+# per-position overhead (a few numpy calls on tiny arrays) loses to a
+# plain per-character loop over the same flat table.
+_SCALAR_TAIL_CUTOFF = 24
 
 
 def build_automaton(terms: list[str]) -> tuple[list[dict], list[int], list[list[int]]]:
@@ -60,7 +97,8 @@ def build_automaton(terms: list[str]) -> tuple[list[dict], list[int], list[list[
 
 
 def scan_text(text: str, goto: list[dict], fail: list[int], out: list[list[int]]) -> set[int]:
-    """Term indexes present in ``text`` — one pass, O(len + matches)."""
+    """Term indexes present in ``text`` — one pass, O(len + matches).
+    Reference dict stepping; the flat scanner is pinned equal to it."""
     s = 0
     hits: set[int] = set()
     for ch in text:
@@ -72,6 +110,133 @@ def scan_text(text: str, goto: list[dict], fail: list[int], out: list[list[int]]
     return hits
 
 
+class FlatAutomaton(NamedTuple):
+    """Dense class-compressed DFA + CSR outputs (see module docstring).
+    Pickles as raw numpy buffers — broadcast-cheap at any vocab size."""
+
+    alphabet: np.ndarray  # uint32[A], sorted distinct code points
+    delta: np.ndarray     # int32[S, A+1]; fail links pre-resolved; col A → 0
+    out_any: np.ndarray   # bool[S]
+    out_indptr: np.ndarray  # int64[S+1]
+    out_terms: np.ndarray   # int32[M]
+
+
+def flatten_automaton(
+    goto: list[dict], fail: list[int], out: list[list[int]]
+) -> FlatAutomaton:
+    """Flatten a dict automaton into the dense DFA form. Fail links are
+    resolved into the transition rows (delta[s] starts as a copy of
+    delta[fail[s]], BFS order guarantees the fail row is final first),
+    so the stepper never chases fail pointers."""
+    alphabet = np.array(
+        sorted({ord(ch) for row in goto for ch in row}), dtype=np.uint32
+    )
+    a_n = len(alphabet)
+    cls_of = {int(cp): i for i, cp in enumerate(alphabet)}
+    s_n = len(goto)
+    delta = np.zeros((s_n, a_n + 1), dtype=np.int32)
+    for ch, t in goto[0].items():
+        delta[0, cls_of[ord(ch)]] = t
+    q = deque(goto[0].values())
+    while q:
+        s = q.popleft()
+        delta[s, :a_n] = delta[fail[s], :a_n]
+        for ch, t in goto[s].items():
+            delta[s, cls_of[ord(ch)]] = t
+            q.append(t)
+    lengths = np.fromiter((len(o) for o in out), dtype=np.int64, count=s_n)
+    out_indptr = np.zeros(s_n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=out_indptr[1:])
+    out_terms = np.fromiter(
+        (ti for o in out for ti in o), dtype=np.int32, count=int(out_indptr[-1])
+    )
+    return FlatAutomaton(alphabet, delta, lengths > 0, out_indptr, out_terms)
+
+
+def build_flat_automaton(terms: list[str]) -> FlatAutomaton | None:
+    """Dense flat automaton for ``terms``, or None when the dense table
+    would exceed ``DENSE_BUDGET_BYTES`` (caller falls back to dicts)."""
+    goto, fail, out = build_automaton(terms)
+    alpha = {ch for row in goto for ch in row}
+    if len(goto) * (len(alpha) + 1) * 4 > DENSE_BUDGET_BYTES:
+        return None
+    return flatten_automaton(goto, fail, out)
+
+
+def _classes(codes: np.ndarray, alphabet: np.ndarray) -> np.ndarray:
+    """Map code points to alphabet classes; unknown chars → class A
+    (the always-to-root column). One searchsorted per text."""
+    a_n = len(alphabet)
+    idx = np.searchsorted(alphabet, codes)
+    safe = np.minimum(idx, a_n - 1)
+    known = (idx < a_n) & (alphabet[safe] == codes)
+    return np.where(known, idx, a_n).astype(np.int64)
+
+
+def scan_batch_flat(texts: list, flat: FlatAutomaton) -> list:
+    """Matched-state sets for each text (None in → None out). All texts
+    in the batch step their DFA simultaneously: position i advances
+    every active text with one gather on the flat transition table."""
+    a_n = len(flat.alphabet)
+    width = a_n + 1
+    deltaf = flat.delta.ravel()
+    out_any = flat.out_any
+    results: list = [None] * len(texts)
+    live = [
+        (i, np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32))
+        for i, t in enumerate(texts)
+        if t is not None
+    ]
+    for i, _ in live:
+        results[i] = set()
+    if not live:
+        return results
+    cls_arrays = [_classes(codes, flat.alphabet) for _, codes in live]
+    lens = np.fromiter((len(c) for c in cls_arrays), dtype=np.int64, count=len(live))
+    order = np.argsort(-lens, kind="stable")
+    sorted_lens = lens[order]
+    neg_lens = -sorted_lens
+    flat_cls = np.concatenate([cls_arrays[j] for j in order]) if lens.sum() else np.zeros(0, np.int64)
+    starts = np.zeros(len(order), dtype=np.int64)
+    np.cumsum(sorted_lens[:-1], out=starts[1:])
+    state = np.zeros(len(order), dtype=np.int64)
+    pos = 0
+    max_len = int(sorted_lens[0]) if len(sorted_lens) else 0
+    while pos < max_len:
+        k = int(np.searchsorted(neg_lens, -pos, side="left"))  # texts with len > pos
+        if k == 0:
+            break
+        if k < _SCALAR_TAIL_CUTOFF:
+            # Few long texts left: a tight per-char loop beats the
+            # vectorized stepper's per-position numpy overhead.
+            for j in range(k):
+                s = int(state[j])
+                res = results[live[order[j]][0]]
+                for c in cls_arrays[order[j]][pos:].tolist():
+                    s = int(deltaf[s * width + c])
+                    if out_any[s]:
+                        res.add(s)
+            return results
+        col = flat_cls[starts[:k] + pos]
+        state[:k] = deltaf[state[:k] * width + col]
+        hit = out_any[state[:k]]
+        if hit.any():
+            for j in np.nonzero(hit)[0]:
+                results[live[order[j]][0]].add(int(state[j]))
+        pos += 1
+    return results
+
+
+def states_to_terms(states: set, flat: FlatAutomaton, terms: list[str]) -> list[str]:
+    """Resolve matched states to the sorted distinct matched terms."""
+    if not states:
+        return []
+    idxs = np.concatenate(
+        [flat.out_terms[flat.out_indptr[s] : flat.out_indptr[s + 1]] for s in states]
+    )
+    return sorted({terms[i] for i in np.unique(idxs)})
+
+
 def keyword_hits(
     df: DataFrame,
     terms: list[str],
@@ -80,18 +245,35 @@ def keyword_hits(
 ) -> DataFrame:
     """Append ``out_col``: the sorted distinct list of matched terms
     per row (empty array when clean, NULL text → NULL). One corpus
-    scan regardless of vocabulary size."""
-    auto = build_automaton(terms)
+    scan regardless of vocabulary size; the automaton rides a
+    broadcast, not the UDF closure."""
+    sc = df.sparkSession.sparkContext
+    flat = build_flat_automaton(terms)
     tarr = list(terms)
+    if flat is not None:
+        bc = sc.broadcast((flat, tarr))
 
-    @F.pandas_udf("array<string>")
-    def _scan(texts: pd.Series) -> pd.Series:
-        def one(t):
-            if t is None:
-                return None
-            return sorted({tarr[i] for i in scan_text(t, *auto)})
+        @F.pandas_udf("array<string>")
+        def _scan(texts: pd.Series) -> pd.Series:
+            fa, words = bc.value
+            hits = scan_batch_flat(texts.tolist(), fa)
+            return pd.Series(
+                [None if h is None else states_to_terms(h, fa, words) for h in hits]
+            )
 
-        return texts.map(one)
+    else:  # over-budget dense table: dict stepping, still broadcast
+        bc = sc.broadcast((build_automaton(terms), tarr))
+
+        @F.pandas_udf("array<string>")
+        def _scan(texts: pd.Series) -> pd.Series:
+            auto, words = bc.value
+
+            def one(t):
+                if t is None:
+                    return None
+                return sorted({words[i] for i in scan_text(t, *auto)})
+
+            return texts.map(one)
 
     return df.withColumn(out_col, _scan(F.col(text_col)))
 
@@ -101,23 +283,36 @@ def contains_any_scaled(
 ) -> DataFrame:
     """Boolean form — drop-in for ``scalar.contains_any`` at blocklist
     scale (equality with the codegen expression is test-pinned)."""
-    auto = build_automaton(terms)
+    sc = df.sparkSession.sparkContext
+    flat = build_flat_automaton(terms)
+    if flat is not None:
+        bc = sc.broadcast(flat)
 
-    @F.pandas_udf("boolean")
-    def _any(texts: pd.Series) -> pd.Series:
-        def one(t):
-            if t is None:
-                return None
-            s = 0
-            goto, fail, out = auto
-            for ch in t:
-                while s and ch not in goto[s]:
-                    s = fail[s]
-                s = goto[s].get(ch, 0)
-                if out[s]:
-                    return True
-            return False
+        @F.pandas_udf("boolean")
+        def _any(texts: pd.Series) -> pd.Series:
+            fa = bc.value
+            hits = scan_batch_flat(texts.tolist(), fa)
+            return pd.Series([None if h is None else bool(h) for h in hits])
 
-        return texts.map(one)
+    else:
+        bc = sc.broadcast(build_automaton(terms))
+
+        @F.pandas_udf("boolean")
+        def _any(texts: pd.Series) -> pd.Series:
+            goto, fail, out = bc.value
+
+            def one(t):
+                if t is None:
+                    return None
+                s = 0
+                for ch in t:
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    if out[s]:
+                        return True
+                return False
+
+            return texts.map(one)
 
     return df.withColumn(out_col, _any(F.col(text_col)))

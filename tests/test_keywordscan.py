@@ -44,6 +44,57 @@ def test_equality_with_codegen_contains_any(spark):
         assert hits[i] == {v for v in vocab if v in t}, i
 
 
+def test_flat_scan_matches_dict_scan():
+    # The vectorized flat-DFA stepper must agree with the reference
+    # dict stepping on random corpora, including unicode outside the
+    # vocabulary alphabet, overlapping terms, and the scalar-tail path
+    # (one text much longer than the rest drops the active set below
+    # the vectorization cutoff).
+    rng = random.Random(21)
+    vocab = list(
+        dict.fromkeys(
+            "".join(rng.choice("abcdé") for _ in range(rng.randint(1, 5)))
+            for _ in range(120)
+        )
+    )
+    texts = [
+        "".join(rng.choice("abcdeé ☃") for _ in range(rng.randint(0, 80)))
+        for _ in range(200)
+    ]
+    texts += ["".join(rng.choice("abcdé") for _ in range(5000)), "", None]
+    auto = ks.build_automaton(vocab)
+    flat = ks.build_flat_automaton(vocab)
+    assert flat is not None
+    got = ks.scan_batch_flat(texts, flat)
+    for t, states in zip(texts, got):
+        if t is None:
+            assert states is None
+            continue
+        want = {vocab[i] for i in ks.scan_text(t, *auto)}
+        assert set(ks.states_to_terms(states, flat, vocab)) == want, t[:40]
+
+
+def test_flat_fail_links_resolved():
+    # 'ushers' exercises fail transitions (she→he, hers via fail out
+    # merge); the dense table must have them pre-resolved.
+    vocab = ["he", "she", "his", "hers"]
+    flat = ks.build_flat_automaton(vocab)
+    (states,) = ks.scan_batch_flat(["ushers"], flat)
+    assert set(ks.states_to_terms(states, flat, vocab)) == {"he", "she", "hers"}
+
+
+def test_dense_budget_fallback(spark, monkeypatch):
+    # Over-budget vocabularies fall back to the (broadcast) dict path
+    # with identical outputs.
+    monkeypatch.setattr(ks, "DENSE_BUDGET_BYTES", 1)
+    assert ks.build_flat_automaton(["he", "she"]) is None
+    df = spark.createDataFrame([(1, "ushers"), (2, None)], "id long, text string")
+    out = {r.id: r.keyword_hits for r in ks.keyword_hits(df, ["he", "she"]).collect()}
+    assert out == {1: ["he", "she"], 2: None}
+    flag = {r.id: r.flagged for r in ks.contains_any_scaled(df, ["he", "she"]).collect()}
+    assert flag == {1: True, 2: None}
+
+
 def test_null_and_errors(spark):
     df = spark.createDataFrame([(1, None), (2, "he said")], "id long, text string")
     out = {r.id: r for r in ks.keyword_hits(df, ["he"]).collect()}
