@@ -27,7 +27,10 @@ case-insensitively):
   the real source; unlisted partitions start earliest — a leniency vs
   the real source's must-list-all assertion), ``endingoffsets``
   latest|JSON offset map (BATCH ONLY — the stream reader rejects it
-  like the real source; -1 = latest, -2 rejected; exclusive end),
+  like the real source; -1 = latest, -2 rejected; exclusive end; an
+  end beyond the partition's log end is CLAMPED to the log end — a
+  documented leniency, the real batch source errors out-of-range;
+  pinned in tests/test_kafka_fake.py),
   ``startingoffsetsbytimestamp`` (JSON, the reference's
   StartAt=timestamp), ``maxoffsetspertrigger`` (poll window cap per
   partition), ``includeheaders``
@@ -248,6 +251,13 @@ class KafkaFakeReader(DataSourceReader):
                     "startingOffsets can't be 'latest' for batch queries "
                     "(the real source's rule)"
                 )
+            if self.starting != "earliest":
+                # the real source rejects unknown strings — a typo like
+                # 'earliestt' must not silently read the whole log
+                raise ValueError(
+                    f"startingOffsets must be 'earliest', 'latest' or a "
+                    f"JSON offset map (got {raw_start!r})"
+                )
         raw_end = str(o.get("endingoffsets", "latest"))
         if raw_end.strip().startswith("{"):
             self.end_json = json.loads(raw_end)  # -1 = latest; end EXCLUSIVE
@@ -309,6 +319,8 @@ class KafkaFakeReader(DataSourceReader):
                     str(partition.partition), -1
                 )
             )
+            # out-of-range end clamps to log end (documented leniency —
+            # the real batch source errors; see module docstring)
             end = end_log if off == -1 else min(off, end_log)
         else:
             end = end_log
@@ -454,6 +466,11 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
         else:
             self.start_json = None
             self.starting = raw_start.lower()
+            if self.starting not in ("earliest", "latest"):
+                raise ValueError(
+                    f"startingOffsets must be 'earliest', 'latest' or a "
+                    f"JSON offset map (got {raw_start!r})"
+                )
         if o.get("endingoffsets") is not None:
             raise ValueError(
                 "endingOffsets is a batch-only option — the real "

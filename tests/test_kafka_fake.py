@@ -89,6 +89,27 @@ def test_kafka_roundtrip_full_option_surface(spark, tmp_path):
     with _pytest.raises(Exception, match="latest"):
         spark.read.format("kafka_fake").options(brokerDir=broker, **latest).load().count()
 
+    # an unrecognized offset STRING is rejected, not silently read as
+    # earliest — the real source errors on unknown values (a typo like
+    # 'earliestt' must not succeed with unintended full-log coverage)
+    with _pytest.raises(Exception, match="earliest"):
+        spark.read.format("kafka_fake").options(
+            brokerDir=broker, subscribe="events", startingOffsets="earliestt"
+        ).load().count()
+
+
+def test_stream_reader_rejects_unknown_offset_string(tmp_path):
+    # same typo-guard on the streaming half (earliest/latest both valid
+    # there, anything else rejected at plan time)
+    import pytest as _pytest
+
+    from electrician_spark.kafka_fake import KafkaFakeStreamReader
+
+    with _pytest.raises(ValueError, match="earliest"):
+        KafkaFakeStreamReader(
+            {"brokerdir": str(tmp_path), "subscribe": "t", "startingoffsets": "sooner"}
+        )
+
 
 def test_kafka_append_offsets_and_poll_window(spark, tmp_path):
     """A second produced batch appends with increasing offsets, and
