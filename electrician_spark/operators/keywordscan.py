@@ -43,7 +43,8 @@ reference dict stepping is test-pinned on random corpora
 
 from __future__ import annotations
 
-from collections import deque
+import hashlib
+from collections import OrderedDict, deque
 from typing import NamedTuple
 
 import numpy as np
@@ -174,34 +175,47 @@ def _classes(codes: np.ndarray, alphabet: np.ndarray) -> np.ndarray:
 
 
 def scan_batch_flat(texts: list, flat: FlatAutomaton) -> list:
-    """Matched-state sets for each text (None in → None out). All texts
-    in the batch step their DFA simultaneously: position i advances
-    every active text with one gather on the flat transition table."""
+    """Matched term-index sets for each text (None in → None out) —
+    the batch form of ``scan_text``. All texts in the batch step their
+    DFA simultaneously: position i advances every active text with one
+    gather on the flat transition table; matched (text, state) pairs
+    accumulate as array chunks and resolve to term indexes through the
+    CSR output lists in one vectorized pass at the end — no per-hit
+    Python inside the stepping loop."""
     a_n = len(flat.alphabet)
     width = a_n + 1
     deltaf = flat.delta.ravel()
     out_any = flat.out_any
     results: list = [None] * len(texts)
-    live = [
-        (i, np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32))
-        for i, t in enumerate(texts)
-        if t is not None
-    ]
-    for i, _ in live:
+    live_idx: list[int] = []
+    code_arrays: list[np.ndarray] = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        live_idx.append(i)
+        code_arrays.append(np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32))
         results[i] = set()
-    if not live:
+    if not live_idx:
         return results
-    cls_arrays = [_classes(codes, flat.alphabet) for _, codes in live]
-    lens = np.fromiter((len(c) for c in cls_arrays), dtype=np.int64, count=len(live))
+    lens = np.fromiter((len(c) for c in code_arrays), dtype=np.int64, count=len(live_idx))
     order = np.argsort(-lens, kind="stable")
     sorted_lens = lens[order]
     neg_lens = -sorted_lens
-    flat_cls = np.concatenate([cls_arrays[j] for j in order]) if lens.sum() else np.zeros(0, np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return results
+    # one alphabet lookup for the whole batch, texts laid out in
+    # longest-first order so position i of the active set is one gather
+    flat_cls = _classes(
+        np.concatenate([code_arrays[j] for j in order]), flat.alphabet
+    )
     starts = np.zeros(len(order), dtype=np.int64)
     np.cumsum(sorted_lens[:-1], out=starts[1:])
     state = np.zeros(len(order), dtype=np.int64)
+    hit_j: list[np.ndarray] = []  # chunks of indexes into `order`
+    hit_s: list[np.ndarray] = []  # matching state chunks
     pos = 0
-    max_len = int(sorted_lens[0]) if len(sorted_lens) else 0
+    max_len = int(sorted_lens[0])
     while pos < max_len:
         k = int(np.searchsorted(neg_lens, -pos, side="left"))  # texts with len > pos
         if k == 0:
@@ -211,30 +225,83 @@ def scan_batch_flat(texts: list, flat: FlatAutomaton) -> list:
             # vectorized stepper's per-position numpy overhead.
             for j in range(k):
                 s = int(state[j])
-                res = results[live[order[j]][0]]
-                for c in cls_arrays[order[j]][pos:].tolist():
+                seen: set = set()
+                seg = flat_cls[starts[j] + pos : starts[j] + int(sorted_lens[j])]
+                for c in seg.tolist():
                     s = int(deltaf[s * width + c])
                     if out_any[s]:
-                        res.add(s)
-            return results
+                        seen.add(s)
+                if seen:
+                    hit_j.append(np.full(len(seen), j, dtype=np.int64))
+                    hit_s.append(np.fromiter(seen, dtype=np.int64, count=len(seen)))
+            break
         col = flat_cls[starts[:k] + pos]
         state[:k] = deltaf[state[:k] * width + col]
         hit = out_any[state[:k]]
         if hit.any():
-            for j in np.nonzero(hit)[0]:
-                results[live[order[j]][0]].add(int(state[j]))
+            nz = np.flatnonzero(hit)
+            hit_j.append(nz)
+            hit_s.append(state[nz])
         pos += 1
+    if not hit_j:
+        return results
+    # resolve (text, state) → term indexes, vectorized: dedupe pairs,
+    # expand each state's CSR out-slice with a repeat/arange gather,
+    # dedupe (text, term) pairs, then split per text
+    jj = np.concatenate(hit_j)
+    ss = np.concatenate(hit_s)
+    s_n = flat.delta.shape[0]
+    pair = np.unique(jj * s_n + ss)
+    u_j, u_s = pair // s_n, pair % s_n
+    counts = (flat.out_indptr[u_s + 1] - flat.out_indptr[u_s]).astype(np.int64)
+    n_terms_total = int(counts.sum())
+    if n_terms_total == 0:
+        return results
+    rep_j = np.repeat(u_j, counts)
+    csr_start = np.repeat(flat.out_indptr[u_s], counts)
+    intra = np.arange(n_terms_total) - np.repeat(np.cumsum(counts) - counts, counts)
+    term_idx = flat.out_terms[csr_start + intra].astype(np.int64)
+    n_vocab = int(flat.out_terms.max()) + 1 if len(flat.out_terms) else 1
+    tpair = np.unique(rep_j * n_vocab + term_idx)
+    t_j, t_t = tpair // n_vocab, tpair % n_vocab
+    bounds = np.searchsorted(t_j, np.arange(len(order) + 1))
+    for j in range(len(order)):
+        lo, hi = bounds[j], bounds[j + 1]
+        if lo < hi:
+            results[live_idx[order[j]]] = set(t_t[lo:hi].tolist())
     return results
 
 
-def states_to_terms(states: set, flat: FlatAutomaton, terms: list[str]) -> list[str]:
-    """Resolve matched states to the sorted distinct matched terms."""
-    if not states:
-        return []
-    idxs = np.concatenate(
-        [flat.out_terms[flat.out_indptr[s] : flat.out_indptr[s + 1]] for s in states]
-    )
-    return sorted({terms[i] for i in np.unique(idxs)})
+# One broadcast per (session, vocabulary): a pipeline that calls the
+# scanner repeatedly — a rebuilt DataFrame per run, or a streaming
+# foreachBatch re-planning each micro-batch — must NOT ship a fresh
+# multi-MB broadcast every call (measured: five re-broadcasts of a
+# 75 MB 100k-term automaton degraded scan time 15 s → 61 s as JVM +
+# python-worker caches filled). Evicted entries are unpersisted.
+_BC_CACHE: OrderedDict = OrderedDict()
+_BC_CACHE_MAX = 8
+
+
+def _automaton_broadcast(sc, terms: list[str]):
+    """Broadcast (flat_automaton | None, dict_automaton | None, terms)
+    for the vocabulary, cached per (application, vocabulary digest)."""
+    digest = hashlib.md5("\x00".join(terms).encode()).hexdigest()
+    key = (sc.applicationId, digest, DENSE_BUDGET_BYTES)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        flat = build_flat_automaton(terms)
+        auto = build_automaton(terms) if flat is None else None
+        bc = sc.broadcast((flat, auto, list(terms)))
+        _BC_CACHE[key] = bc
+        while len(_BC_CACHE) > _BC_CACHE_MAX:
+            _, old = _BC_CACHE.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # stopped context: nothing to release
+    else:
+        _BC_CACHE.move_to_end(key)
+    return bc
 
 
 def keyword_hits(
@@ -245,35 +312,25 @@ def keyword_hits(
 ) -> DataFrame:
     """Append ``out_col``: the sorted distinct list of matched terms
     per row (empty array when clean, NULL text → NULL). One corpus
-    scan regardless of vocabulary size; the automaton rides a
+    scan regardless of vocabulary size; the automaton rides a cached
     broadcast, not the UDF closure."""
-    sc = df.sparkSession.sparkContext
-    flat = build_flat_automaton(terms)
-    tarr = list(terms)
-    if flat is not None:
-        bc = sc.broadcast((flat, tarr))
+    bc = _automaton_broadcast(df.sparkSession.sparkContext, terms)
 
-        @F.pandas_udf("array<string>")
-        def _scan(texts: pd.Series) -> pd.Series:
-            fa, words = bc.value
+    @F.pandas_udf("array<string>")
+    def _scan(texts: pd.Series) -> pd.Series:
+        fa, auto, words = bc.value
+        if fa is not None:
             hits = scan_batch_flat(texts.tolist(), fa)
             return pd.Series(
-                [None if h is None else states_to_terms(h, fa, words) for h in hits]
+                [None if h is None else sorted({words[i] for i in h}) for h in hits]
             )
 
-    else:  # over-budget dense table: dict stepping, still broadcast
-        bc = sc.broadcast((build_automaton(terms), tarr))
+        def one(t):  # over-budget dense table: dict stepping
+            if t is None:
+                return None
+            return sorted({words[i] for i in scan_text(t, *auto)})
 
-        @F.pandas_udf("array<string>")
-        def _scan(texts: pd.Series) -> pd.Series:
-            auto, words = bc.value
-
-            def one(t):
-                if t is None:
-                    return None
-                return sorted({words[i] for i in scan_text(t, *auto)})
-
-            return texts.map(one)
+        return texts.map(one)
 
     return df.withColumn(out_col, _scan(F.col(text_col)))
 
@@ -283,36 +340,28 @@ def contains_any_scaled(
 ) -> DataFrame:
     """Boolean form — drop-in for ``scalar.contains_any`` at blocklist
     scale (equality with the codegen expression is test-pinned)."""
-    sc = df.sparkSession.sparkContext
-    flat = build_flat_automaton(terms)
-    if flat is not None:
-        bc = sc.broadcast(flat)
+    bc = _automaton_broadcast(df.sparkSession.sparkContext, terms)
 
-        @F.pandas_udf("boolean")
-        def _any(texts: pd.Series) -> pd.Series:
-            fa = bc.value
+    @F.pandas_udf("boolean")
+    def _any(texts: pd.Series) -> pd.Series:
+        fa, auto, _ = bc.value
+        if fa is not None:
             hits = scan_batch_flat(texts.tolist(), fa)
             return pd.Series([None if h is None else bool(h) for h in hits])
+        goto, fail, out = auto
 
-    else:
-        bc = sc.broadcast(build_automaton(terms))
+        def one(t):
+            if t is None:
+                return None
+            s = 0
+            for ch in t:
+                while s and ch not in goto[s]:
+                    s = fail[s]
+                s = goto[s].get(ch, 0)
+                if out[s]:
+                    return True
+            return False
 
-        @F.pandas_udf("boolean")
-        def _any(texts: pd.Series) -> pd.Series:
-            goto, fail, out = bc.value
-
-            def one(t):
-                if t is None:
-                    return None
-                s = 0
-                for ch in t:
-                    while s and ch not in goto[s]:
-                        s = fail[s]
-                    s = goto[s].get(ch, 0)
-                    if out[s]:
-                        return True
-                return False
-
-            return texts.map(one)
+        return texts.map(one)
 
     return df.withColumn(out_col, _any(F.col(text_col)))

@@ -66,12 +66,12 @@ def test_flat_scan_matches_dict_scan():
     flat = ks.build_flat_automaton(vocab)
     assert flat is not None
     got = ks.scan_batch_flat(texts, flat)
-    for t, states in zip(texts, got):
+    for t, hits in zip(texts, got):
         if t is None:
-            assert states is None
+            assert hits is None
             continue
         want = {vocab[i] for i in ks.scan_text(t, *auto)}
-        assert set(ks.states_to_terms(states, flat, vocab)) == want, t[:40]
+        assert {vocab[i] for i in hits} == want, t[:40]
 
 
 def test_flat_fail_links_resolved():
@@ -79,8 +79,8 @@ def test_flat_fail_links_resolved():
     # merge); the dense table must have them pre-resolved.
     vocab = ["he", "she", "his", "hers"]
     flat = ks.build_flat_automaton(vocab)
-    (states,) = ks.scan_batch_flat(["ushers"], flat)
-    assert set(ks.states_to_terms(states, flat, vocab)) == {"he", "she", "hers"}
+    (hits,) = ks.scan_batch_flat(["ushers"], flat)
+    assert {vocab[i] for i in hits} == {"he", "she", "hers"}
 
 
 def test_dense_budget_fallback(spark, monkeypatch):
@@ -93,6 +93,23 @@ def test_dense_budget_fallback(spark, monkeypatch):
     assert out == {1: ["he", "she"], 2: None}
     flag = {r.id: r.flagged for r in ks.contains_any_scaled(df, ["he", "she"]).collect()}
     assert flag == {1: True, 2: None}
+
+
+def test_broadcast_cached_per_vocabulary(spark):
+    # Repeated scans of the same vocabulary must reuse ONE broadcast
+    # (a per-micro-batch caller would otherwise accumulate multi-MB
+    # broadcasts until the workers thrash); distinct vocabularies get
+    # distinct entries, and eviction keeps the cache bounded.
+    ks._BC_CACHE.clear()
+    df = spark.createDataFrame([(1, "ushers")], "id long, text string")
+    ks.keyword_hits(df, ["he", "she"]).collect()
+    ks.contains_any_scaled(df, ["he", "she"]).collect()
+    assert len(ks._BC_CACHE) == 1
+    ks.keyword_hits(df, ["his"]).collect()
+    assert len(ks._BC_CACHE) == 2
+    for i in range(ks._BC_CACHE_MAX + 2):
+        ks._automaton_broadcast(spark.sparkContext, [f"evict{i}"])
+    assert len(ks._BC_CACHE) == ks._BC_CACHE_MAX
 
 
 def test_null_and_errors(spark):
