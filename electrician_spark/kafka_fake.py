@@ -484,6 +484,17 @@ class KafkaFakeStreamReader(DataSourceStreamReader):
         # Spark resumes from its checkpoint via partitions(start, ...),
         # which re-seeds this map (see partitions()).
         self._planned: dict[str, int] = {}
+        # Seed pacing for the partitions present at start: Spark may
+        # poll latestOffset() before the first batch plans, and a
+        # zero default there would cap the first poll window at
+        # [0, max_per_partition) — silently overriding a non-zero
+        # start (JSON map or by-timestamp; caught by the q_kt1
+        # mid-log replay, which consumed a 100-record prefix below
+        # its timestamp cutoff). Partitions created after start are
+        # deliberately NOT seeded: they consume from 0 (Kafka's
+        # new-partition rule, see latestOffset).
+        for topic, pdir, p in self._parts():
+            self._planned[f"{topic}\x00{p}"] = self._start_offset_for(topic, pdir, p)
 
     def _parts(self):
         return _log_partitions(self.dir, self.topics, self.assigned, self.pattern)

@@ -2065,57 +2065,13 @@ def q_k4(spark, sf_dir):
     )
 
 
-@query(
-    "q_k3_kafka_frame_roundtrip",
-    "SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS key, "
-    "o_orderkey, round(o_totalprice, 2) AS total, "
-    "o_orderpriority AS hdr_priority, 'orders' AS topic "
-    "FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
-    tags=("sink", "kafka"),
-)
-def q_k3(spark, sf_dir):
-    # K3 producer contract (adapter/kafkaclient/writer.go:16-58,
-    # templates.go:9-60): kafka_frame shapes records into the exact
-    # key/value/headers/topic columns Spark's Kafka sink consumes. No
-    # broker in the sandbox, so the framed batch round-trips through a
-    # file stand-in; the oracle recomputes the template key, the JSON
-    # value payload, and the header bytes from the source table — so the
-    # frame itself (not just row counts) is verified.
-    import tempfile
-
-    from electrician_spark.streaming.sinks import kafka_frame, kafka_sink_options
-    from electrician_spark.streaming.sources import kafka_source_options
-
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") < 1000)
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
-    )
-    frame = kafka_frame(
-        orders,
-        value_cols=["o_orderkey", "o_totalprice"],
-        key_template="orders:{o_orderkey}",
-        header_templates={"priority": "{o_orderpriority}"},
-        topic="orders",
-    )
-    # The producer/consumer option maps must agree on the wire contract
-    # (headers shipped, same topic) even though no broker runs here.
-    sink_opts = kafka_sink_options("broker:9092", topic="orders", acks="all")
-    src_opts = kafka_source_options(["orders"], "broker:9092", start_at="earliest")
-    assert sink_opts["includeHeaders"] == "true" and src_opts["subscribe"] == "orders"
-    path = tempfile.mkdtemp(prefix="esk_k3_") + "/topic"
-    frame.write.mode("overwrite").parquet(path)
-    back = spark.read.parquet(path)
-    assert set(back.columns) == {"key", "value", "headers", "topic"}, back.columns
-    return back.select(
-        "key",
-        F.get_json_object("value", "$.o_orderkey").cast("long").alias("o_orderkey"),
-        F.round(F.get_json_object("value", "$.o_totalprice").cast("double"), 2).alias("total"),
-        F.decode(F.element_at(F.col("headers"), 1).getField("value"), "utf-8").alias(
-            "hdr_priority"
-        ),
-        "topic",
-    ).orderBy("o_orderkey")
+# (q_k3_kafka_frame_roundtrip: RETIRED r15 → electrician_spark.retired.
+# The K3 frame contract it attested through a FILE stand-in is now
+# driven through the fake broker's real produce path by TWO live rows:
+# q_kc1 (template keys, crc32 partitioning, paced consume) and q_kt1
+# (sorted produce + timestamp-start replay) — strictly harder
+# attestations of the same kafka_frame machinery; header-template
+# transport stays pinned in test_kafka_fake.)
 
 
 @query(
@@ -2228,6 +2184,118 @@ def q_kc1(spark, sf_dir):
                 "n_key_mismatch"
             ),
         )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_kt1_kafka_timestamp_start",
+    "SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids "
+    "FROM (SELECT event_id, event_type, "
+    "row_number() OVER (ORDER BY event_id) - 1 AS rk "
+    "FROM events WHERE event_id < 800) t "
+    "WHERE rk >= (SELECT CAST(FLOOR(count(*) / 2) AS BIGINT) "
+    "FROM events WHERE event_id < 800) "
+    "GROUP BY event_type ORDER BY event_type",
+    tags=("source", "kafka", "streaming"),
+)
+def q_kt1(spark, sf_dir):
+    # S4 StartAt=timestamp EXECUTED (reference
+    # pkg/internal/types/kafka_adapter.go:95-97 — replay-from-instant,
+    # the consume option q_kc1's earliest-start round-trip does not
+    # reach): the events slice is produced SORTED onto one partition
+    # (one task → one segment, so broker offset k = k-th smallest
+    # event_id), then consumed with startingOffsetsByTimestamp at the
+    # mid-log instant. The fake broker's synthetic clock stamps offset
+    # k with ts = k seconds, so the cutoff is closed-form: starting at
+    # t = K*1000 ms must deliver exactly the suffix from the K-th
+    # smallest id on — which the oracle replays over the events table
+    # as a row_number() rank filter (no id-density assumption). The
+    # value-hash census over (event_type, n, n_ids) attests the exact
+    # suffix, not just its size; maxOffsetsPerTrigger pacing stays on
+    # (>=2 micro-batches asserted), as in q_kc1.
+    import json as _json
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from electrician_spark import kafka_fake
+    from electrician_spark.streaming.sinks import kafka_frame
+
+    kafka_fake.register(spark)
+    tmp = tempfile.mkdtemp(prefix="esk_kt1_")
+    broker = os.path.join(tmp, "broker")
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 800)
+        .select("event_id", "event_type")
+    )
+    expected = ev.count()  # closed-form slice size (bounded, <= 800)
+    cut = expected // 2  # mid-log offset; ts cutoff = cut*1000 ms
+    frame = kafka_frame(
+        ev.coalesce(1).sortWithinPartitions("event_id"),
+        value_cols=["event_id", "event_type"],
+        key_template="ev:{event_id}",
+        topic="events_ts",
+    )
+    frame.write.format("kafka_fake").options(
+        brokerDir=broker, topic="events_ts", numPartitions="1"
+    ).mode("append").save()
+
+    stream = (
+        spark.readStream.format("kafka_fake")
+        .options(
+            brokerDir=broker,
+            subscribe="events_ts",
+            startingOffsetsByTimestamp=_json.dumps({"events_ts": {"-1": cut * 1000}}),
+            maxOffsetsPerTrigger="100",
+        )
+        .load()
+    )
+    val_str = F.decode(F.col("value"), "utf-8")
+    decoded = stream.select(
+        F.get_json_object(val_str, "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object(val_str, "$.event_type").alias("event_type"),
+    )
+    name = "t_kt1_" + uuid.uuid4().hex[:8]
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    suffix = expected - cut
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline and spark.table(name).count() < suffix:
+            if q.exception() is not None:
+                break  # dead stream — fail below, don't burn the deadline
+            time.sleep(0.3)
+        got = spark.table(name).count()
+        paced = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    if q.exception() is not None:
+        raise q.exception()
+    assert got == suffix, (
+        f"timestamp start at offset {cut} consumed {got}, expected the "
+        f"{suffix}-record suffix"
+    )
+    # one partition × 100 offsets per trigger — 4 paced batches at the
+    # standard 400-record suffix, degrading gracefully with the fixture
+    min_batches = -(-suffix // 100)
+    assert len(paced) >= min_batches, (
+        f"poll pacing produced {len(paced)} batch(es), expected >= {min_batches}"
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("event_id").alias("n_ids"))
         .orderBy("event_type")
     )
 
@@ -6589,56 +6657,56 @@ def q_sj2(spark, sf_dir):
 # hot-key salted join (q_sk2 — r13 verdict item 2), and the
 # Aho-Corasick blocklist census (q_ac1 — r13 verdict item 6).
 _DRIVER_PRIORITY = [
-    "q_kc1_kafka_consume_census",
-    "q_sk2_salted_join",
-    "q_ac1_blocklist_scan",
-    "q_a1_pricing_summary",
-    "q_bl1_bloom_decontaminate",
-    "q_cb1_breaker_divert",
-    "q_ch1_chunk_documents",
-    "q_d3_minhash_lsh",
-    "q_d4_simhash",
-    "q_d5_embedding_near_dup",
-    "q_d6_dup_clusters",
-    "q_dm1_domain_mixture",
-    "q_ev1_eviction_flush",
-    "q_ex1_exif_census",
-    "q_fim1_fim_transform",
-    "q_id1_incremental_dedup",
-    "q_j1_broadcast_inner",
-    "q_j2_shipping_priority",
-    "q_k1_parquet_roundtrip",
-    "q_k2_ndjson_roundtrip",
-    "q_k4_upsert_idempotent",
-    "q_lr1_longest_repeated_run",
-    "q_n1_ann_bruteforce",
-    "q_n4_ann_ivf_probes",
-    "q_o2_grouped_topk",
-    "q_o3_priority_drain",
-    "q_pb1_proto_envelope",
-    "q_pg1_pagerank",
-    "q_r1_resequenced_replay",
-    "q_rb1_robots_gate",
-    "q_rs1_resequence_stateful",
-    "q_rt1_rate_limit_timeout",
-    "q_s1_full_scan",
-    "q_s2_projection_pushdown",
-    "q_s3_predicate_pushdown",
-    "q_sa1_suffix_spans",
-    "q_sc1_span_corrupt",
-    "q_sd1_semantic_dedup",
-    "q_se1_stream_static_enrich",
-    "q_sj1_stream_stream_interval",
-    "q_sv1_split_corpus",
-    "q_sx1_suffix_array_order",
-    "q_ug1_unigram_viterbi_encode",
-    "q_w1_tumbling_hour",
-    "q_w3_session_counts",
-    "q_wd1_webdataset_shards",
-    "q_wf1_rank",
-    "q_wm1_watermark_late_drop",
-    "q_x7_quality_filter_pipeline",
-    "q_x9_trained_gate_pipeline",
+    "q_kt1_kafka_timestamp_start",
+    "q_a7_rollup_subtotals",
+    "q_ab1_threshold_abort",
+    "q_af1_audio_fingerprint",
+    "q_aj1_asof_join",
+    "q_aq1_audio_quality",
+    "q_bp1_bpe_encode",
+    "q_bq1_binary_hamming_tier",
+    "q_c4_1_c4_cleaning",
+    "q_cm1_count_min",
+    "q_cml1_chatml_render",
+    "q_d2_ngram_jaccard",
+    "q_d9_lsh_near_dup",
+    "q_ds1_distinct_sketch",
+    "q_dw1_dedupe_within_watermark",
+    "q_em1_unigram_hard_em",
+    "q_fc1_frozen_linear_scores",
+    "q_fo1_fanout_dlq",
+    "q_gq1_gopher_battery",
+    "q_hh1_heavy_hitters",
+    "q_ht1_hypertable_rollup",
+    "q_hx1_html_main_text",
+    "q_ir1_dsir_select",
+    "q_j5_anti_join",
+    "q_lb1_length_batches",
+    "q_li1_langid_model",
+    "q_lm2_bigram_buckets",
+    "q_n3_ann_ivf_kmeans",
+    "q_or1_orc_roundtrip",
+    "q_ph1_image_phash",
+    "q_pp1_preference_pairs",
+    "q_pq1_pq_adc_topk",
+    "q_pr1_table_profile",
+    "q_px1_image_pixel_stats",
+    "q_q1_grouped_quantiles",
+    "q_r2_retry_backoff",
+    "q_rj1_range_join",
+    "q_rl1_rate_limit_stateful",
+    "q_rz1_resize_media",
+    "q_sj2_interval_join_outer",
+    "q_sk1_salted_agg",
+    "q_sp1_sequence_packing",
+    "q_u2_union_distinct",
+    "q_w7_ttl_expiry",
+    "q_wc1_warc_census",
+    "q_wf2_lag_gap",
+    "q_wp1_wordpiece_encode",
+    "q_x6_pii_redaction",
+    "q_x8_curation_pipeline",
+    "q_z1_compression_roundtrip",
 ]
 
 # (Round-11 rotation, executed and recorded: window = the 50 rows of

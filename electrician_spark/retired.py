@@ -1861,3 +1861,60 @@ def q_x3(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("predicted_lang")
     )
+
+
+@retired_query(
+    "q_k3_kafka_frame_roundtrip",
+    "SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS key, "
+    "o_orderkey, round(o_totalprice, 2) AS total, "
+    "o_orderpriority AS hdr_priority, 'orders' AS topic "
+    "FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
+    tags=("sink", "kafka"),
+)
+def q_k3(spark, sf_dir):
+    # Retired r15 (made room for q_kt1 timestamp-start replay): the K3
+    # producer contract (adapter/kafkaclient/writer.go:16-58,
+    # templates.go:9-60) this row attested through a FILE stand-in is
+    # now driven through the fake broker's real produce path by two
+    # live rows — q_kc1 (template keys, crc32 key-hash partitioning,
+    # paced consume census) and q_kt1 (sorted single-partition produce
+    # + by-timestamp replay) — and the header-template transport this
+    # row uniquely exercised stays pinned in test_kafka_fake's
+    # round-trip contract tests. The archived form still verifies the
+    # frame itself (key template, JSON value payload, header bytes)
+    # against the oracle's recomputation from the orders table.
+    import tempfile
+
+    from electrician_spark.streaming.sinks import kafka_frame, kafka_sink_options
+    from electrician_spark.streaming.sources import kafka_source_options
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    frame = kafka_frame(
+        orders,
+        value_cols=["o_orderkey", "o_totalprice"],
+        key_template="orders:{o_orderkey}",
+        header_templates={"priority": "{o_orderpriority}"},
+        topic="orders",
+    )
+    # The producer/consumer option maps must agree on the wire contract
+    # (headers shipped, same topic) even though no broker runs here.
+    sink_opts = kafka_sink_options("broker:9092", topic="orders", acks="all")
+    src_opts = kafka_source_options(["orders"], "broker:9092", start_at="earliest")
+    assert sink_opts["includeHeaders"] == "true" and src_opts["subscribe"] == "orders"
+    path = tempfile.mkdtemp(prefix="esk_k3_") + "/topic"
+    frame.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"key", "value", "headers", "topic"}, back.columns
+    return back.select(
+        "key",
+        F.get_json_object("value", "$.o_orderkey").cast("long").alias("o_orderkey"),
+        F.round(F.get_json_object("value", "$.o_totalprice").cast("double"), 2).alias("total"),
+        F.decode(F.element_at(F.col("headers"), 1).getField("value"), "utf-8").alias(
+            "hdr_priority"
+        ),
+        "topic",
+    ).orderBy("o_orderkey")

@@ -111,6 +111,39 @@ def test_stream_reader_rejects_unknown_offset_string(tmp_path):
         )
 
 
+def test_stream_pacing_respects_nonzero_start(spark, tmp_path):
+    """Spark may poll latestOffset() before the first batch plans; the
+    paced window must begin AT a non-zero start (JSON map or
+    by-timestamp), not at [0, cap) — the q_kt1 regression: an
+    unseeded pacing base of 0 made a timestamp-start stream consume a
+    prefix BELOW its cutoff."""
+    import json as _json
+
+    from electrician_spark.kafka_fake import KafkaFakeStreamReader
+    from electrician_spark.streaming.sinks import kafka_frame
+
+    broker = str(tmp_path / "broker")
+    df = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    frame = kafka_frame(df.coalesce(1), value_cols=["v"], key_template="{k}", topic="t")
+    frame.write.format("kafka_fake").options(
+        brokerDir=broker, topic="t", numPartitions="1"
+    ).mode("append").save()
+
+    for start_opts in (
+        {"startingoffsets": _json.dumps({"t": {"0": 6}})},
+        {"startingoffsetsbytimestamp": _json.dumps({"t": {"-1": 6000}})},
+    ):
+        r = KafkaFakeStreamReader(
+            {"brokerdir": broker, "subscribe": "t", "maxoffsetspertrigger": "2", **start_opts}
+        )
+        # latestOffset polled FIRST (no initialOffset call yet): the
+        # first poll window must be [6, 8), never [0, 2)
+        assert r.latestOffset() == {"t": {"0": 8}}, start_opts
+        assert r.initialOffset() == {"t": {"0": 6}}
+
+
 def test_kafka_append_offsets_and_poll_window(spark, tmp_path):
     """A second produced batch appends with increasing offsets, and
     maxOffsetsPerTrigger (the reference's poll window) caps the read."""
