@@ -67,7 +67,8 @@ def build_automaton(terms: list[str]) -> tuple[list[dict], list[int], list[list[
     """Compile terms into (goto, fail, out): goto[s] maps char→state,
     fail[s] is the longest proper suffix state, out[s] lists term
     indexes ending at s (including via fail links). Deterministic;
-    duplicate terms keep the first index."""
+    duplicate terms share an output state and every duplicate's index
+    is recorded (callers resolving to strings dedupe by term)."""
     goto: list[dict] = [{}]
     out: list[list[int]] = [[]]
     for ti, term in enumerate(terms):

@@ -2250,7 +2250,7 @@ def q_kt1(spark, sf_dir):
             brokerDir=broker,
             subscribe="events_ts",
             startingOffsetsByTimestamp=_json.dumps({"events_ts": {"-1": cut * 1000}}),
-            maxOffsetsPerTrigger="100",
+            maxOffsetsPerTrigger="200",
         )
         .load()
     )
@@ -2286,9 +2286,9 @@ def q_kt1(spark, sf_dir):
         f"timestamp start at offset {cut} consumed {got}, expected the "
         f"{suffix}-record suffix"
     )
-    # one partition × 100 offsets per trigger — 4 paced batches at the
+    # one partition × 200 offsets per trigger — 2 paced batches at the
     # standard 400-record suffix, degrading gracefully with the fixture
-    min_batches = -(-suffix // 100)
+    min_batches = -(-suffix // 200)
     assert len(paced) >= min_batches, (
         f"poll pacing produced {len(paced)} batch(es), expected >= {min_batches}"
     )
