@@ -155,20 +155,26 @@ def flatten_automaton(
     return FlatAutomaton(alphabet, delta, lengths > 0, out_indptr, out_terms)
 
 
-def build_flat_automaton(terms: list[str]) -> FlatAutomaton | None:
-    """Dense flat automaton for ``terms``, or None when the dense table
-    would exceed ``DENSE_BUDGET_BYTES`` (caller falls back to dicts)."""
-    goto, fail, out = build_automaton(terms)
+def _flatten_if_in_budget(goto, fail, out) -> FlatAutomaton | None:
+    """Flatten when the dense table fits ``DENSE_BUDGET_BYTES``."""
     alpha = {ch for row in goto for ch in row}
     if len(goto) * (len(alpha) + 1) * 4 > DENSE_BUDGET_BYTES:
         return None
     return flatten_automaton(goto, fail, out)
 
 
+def build_flat_automaton(terms: list[str]) -> FlatAutomaton | None:
+    """Dense flat automaton for ``terms``, or None when the dense table
+    would exceed ``DENSE_BUDGET_BYTES`` (caller falls back to dicts)."""
+    return _flatten_if_in_budget(*build_automaton(terms))
+
+
 def _classes(codes: np.ndarray, alphabet: np.ndarray) -> np.ndarray:
     """Map code points to alphabet classes; unknown chars → class A
     (the always-to-root column). One searchsorted per text."""
     a_n = len(alphabet)
+    if a_n == 0:  # empty vocabulary: every char is "other" → root
+        return np.zeros(len(codes), dtype=np.int64)
     idx = np.searchsorted(alphabet, codes)
     safe = np.minimum(idx, a_n - 1)
     known = (idx < a_n) & (alphabet[safe] == codes)
@@ -286,13 +292,19 @@ _BC_CACHE_MAX = 8
 def _automaton_broadcast(sc, terms: list[str]):
     """Broadcast (flat_automaton | None, dict_automaton | None, terms)
     for the vocabulary, cached per (application, vocabulary digest)."""
-    digest = hashlib.md5("\x00".join(terms).encode()).hexdigest()
-    key = (sc.applicationId, digest, DENSE_BUDGET_BYTES)
+    # length-prefixed digest: no separator byte a term could contain,
+    # so distinct vocabularies can't collide (e.g. ['a','b'] vs ['a\x00b'])
+    h = hashlib.md5()
+    for t in terms:
+        b = t.encode()
+        h.update(len(b).to_bytes(4, "big"))
+        h.update(b)
+    key = (sc.applicationId, h.hexdigest(), DENSE_BUDGET_BYTES)
     bc = _BC_CACHE.get(key)
     if bc is None:
-        flat = build_flat_automaton(terms)
-        auto = build_automaton(terms) if flat is None else None
-        bc = sc.broadcast((flat, auto, list(terms)))
+        auto = build_automaton(terms)  # built ONCE; reused by the fallback
+        flat = _flatten_if_in_budget(*auto)
+        bc = sc.broadcast((flat, None if flat is not None else auto, list(terms)))
         _BC_CACHE[key] = bc
         while len(_BC_CACHE) > _BC_CACHE_MAX:
             _, old = _BC_CACHE.popitem(last=False)

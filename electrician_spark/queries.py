@@ -6709,11 +6709,12 @@ _DRIVER_PRIORITY = [
     "q_z1_compression_roundtrip",
 ]
 
-# (Round-11 rotation, executed and recorded: window = the 50 rows of
-# CORRECTNESS_r11.json — 4 new rows q_em1/q_li1/q_ab1/q_dw1 placed
-# first, retiring q_j7/q_ah1/q_pq2/q_w2 to the archive. The full r11
-# list was replaced by the r12 list above; it is recorded verbatim in
-# CORRECTNESS_r11.json and in git history.)
+# (Round-15 rotation, executed and recorded: the list above = the r15
+# window — the 50 rows of CORRECTNESS_r13 (the complement of r14's
+# window) with the new q_kt1_kafka_timestamp_start placed first and
+# q_k3_kafka_frame_roundtrip retired to the archive. Prior windows are
+# recorded verbatim in their CORRECTNESS_r*.json files and in git
+# history.)
 
 
 def _reorder_registry() -> None:

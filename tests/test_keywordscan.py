@@ -95,6 +95,29 @@ def test_dense_budget_fallback(spark, monkeypatch):
     assert flag == {1: True, 2: None}
 
 
+def test_empty_vocabulary_matches_nothing(spark):
+    # terms=[] (a dynamically loaded blocklist that is empty this run)
+    # must return empty hits / False, never crash the scanner — the
+    # flat path's empty alphabet is the edge (review r15 finding).
+    flat = ks.build_flat_automaton([])
+    assert ks.scan_batch_flat(["hello", "", None], flat) == [set(), set(), None]
+    df = spark.createDataFrame([(1, "anything"), (2, None)], "id long, text string")
+    out = {r.id: r.keyword_hits for r in ks.keyword_hits(df, []).collect()}
+    assert out == {1: [], 2: None}
+    flag = {r.id: r.flagged for r in ks.contains_any_scaled(df, []).collect()}
+    assert flag == {1: False, 2: None}
+
+
+def test_cache_digest_distinguishes_nul_bearing_terms(spark):
+    # ['a','b'] and ['a\x00b'] must get DISTINCT cache entries (a
+    # separator-joined digest would collide and serve the wrong
+    # automaton).
+    ks._BC_CACHE.clear()
+    ks._automaton_broadcast(spark.sparkContext, ["a", "b"])
+    ks._automaton_broadcast(spark.sparkContext, ["a\x00b"])
+    assert len(ks._BC_CACHE) == 2
+
+
 def test_broadcast_cached_per_vocabulary(spark):
     # Repeated scans of the same vocabulary must reuse ONE broadcast
     # (a per-micro-batch caller would otherwise accumulate multi-MB
