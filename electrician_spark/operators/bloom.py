@@ -83,6 +83,14 @@ def with_bloom_membership(
     (possible member — false positives at the filter's FP rate, never
     false negatives). k broadcast left-joins of the word table; the
     probed rows never shuffle."""
+    helpers = {"_bit", *(f"_{p}{j}" for j in range(1, k + 1) for p in ("wi", "mk", "w"))}
+    clash = helpers & set(df.columns)
+    if clash:
+        # withColumn would silently overwrite (then drop) the caller's
+        # columns — reject rather than vanish user data
+        raise ValueError(
+            f"input columns collide with bloom probe helpers: {sorted(clash)}"
+        )
     cur = df
     flags = []
     for j in range(1, k + 1):

@@ -262,6 +262,26 @@ def ngram_jaccard_pairs(
     return _verify_pairs(cand, docs, threshold)
 
 
+def _check_banding(num_hashes: int, bands: int) -> None:
+    """LSH banding must tile the signature exactly. bands > num_hashes
+    makes rows_per_band 0 — every band hash degenerates to md5('') and
+    the candidate join becomes a full cross product; a non-divisible
+    split silently ignores the trailing hashes (quietly lower recall
+    than the caller configured). Both are config errors, not modes."""
+    if bands < 1 or bands > num_hashes:
+        raise ValueError(
+            f"bands must be in [1, num_hashes={num_hashes}], got {bands} "
+            f"(bands > num_hashes degenerates every band hash to a "
+            f"constant — an all-pairs candidate join)"
+        )
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} exactly "
+            f"(a remainder would silently drop the trailing "
+            f"{num_hashes % bands} hashes from banding)"
+        )
+
+
 def _minhash_aggs(num_hashes: int) -> list[Column]:
     """The k min-hash aggregate columns h_i = min over shingles of
     md5(i || ':' || shingle): whole-stage-codegen'd md5 + map-side
@@ -335,6 +355,7 @@ def minhash_lsh_pairs(
     collected arrays (interpreted HOFs — 1.9× q_d2), eager shingle
     checkpoint (above).
     """
+    _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n, None)
     sigs = sh.groupBy("_id").agg(*_minhash_aggs(num_hashes))

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from electrician_spark.functions import text as tx
-from electrician_spark.operators.dedup import _minhash_aggs, _shingle_table
+from electrician_spark.operators.dedup import _check_banding, _minhash_aggs, _shingle_table
 
 
 def build_dedup_index(
@@ -86,6 +86,7 @@ def _band_buckets(
     """(id, band, bh) band hashes from signature columns — md5 over the
     '|'-joined row minhashes, the exact ``minhash_lsh_pairs`` / oracle
     construction. NULL-signature rows (shingle-less docs) drop out."""
+    _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):

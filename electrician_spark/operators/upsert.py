@@ -27,11 +27,19 @@ def upsert(
     """Apply ``batch`` over ``existing``: rows with matching keys are
     replaced, new keys are inserted. ``order_by`` breaks ties *within*
     the batch (e.g. a seq column, highest wins); batch always beats
-    existing. Deterministic for any input order."""
+    existing. Deterministic for any input order: after ``order_by``
+    (or when none is given) remaining ties break on a content hash of
+    the full row, so the winner never depends on partition/arrival
+    order — a task retry or re-run keeps the same row."""
     tagged_existing = existing.withColumn("_src", F.lit(0))
     tagged_batch = batch.withColumn("_src", F.lit(1))
     merged = tagged_existing.unionByName(tagged_batch)
-    order = [F.col("_src").desc()] + ([o.desc() for o in order_by] if order_by else [])
+    content_tiebreak = F.xxhash64(*[F.col(c) for c in batch.columns])
+    order = (
+        [F.col("_src").desc()]
+        + ([o.desc() for o in order_by] if order_by else [])
+        + [content_tiebreak.asc()]
+    )
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         merged.withColumn("_rn", F.row_number().over(w))
@@ -51,6 +59,11 @@ def apply_idempotent(batch: DataFrame, keys: list[str], times: int = 2) -> DataF
 
 
 # -- SQL generation for JDBC sinks (postgresclient/sql.go:167-268) -----------
+
+def _quote_ident(name: str) -> str:
+    """Double-quote an SQL identifier (escaping embedded quotes)."""
+    return '"' + name.replace('"', '""') + '"'
+
 
 _PG_TYPES = {
     "string": "TEXT",
@@ -76,10 +89,16 @@ def create_table_ddl(df: DataFrame, table: str, keys: list[str] | None = None) -
     JSONB column)."""
     cols = []
     for f in df.schema.fields:
-        pg = _PG_TYPES.get(f.dataType.typeName(), "JSONB")
+        t = f.dataType.typeName()
+        if t == "decimal":  # NUMERIC, not the JSONB fallback
+            pg = f"NUMERIC({f.dataType.precision}, {f.dataType.scale})"
+        else:
+            pg = _PG_TYPES.get(t, "JSONB")
         null = "" if f.nullable else " NOT NULL"
         cols.append(f'"{f.name}" {pg}{null}')
-    pk = f', PRIMARY KEY ({", ".join(keys)})' if keys else ""
+    # keys quoted like the column list — an unquoted mixed-case or
+    # reserved-word key would fold/parse differently than its column
+    pk = f', PRIMARY KEY ({", ".join(_quote_ident(k) for k in keys)})' if keys else ""
     return f'CREATE TABLE IF NOT EXISTS {table} ({", ".join(cols)}{pk})'
 
 
@@ -94,9 +113,12 @@ def upsert_sql(df: DataFrame, table: str, keys: list[str]) -> str:
     action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
     quoted = ", ".join(f'"{c}"' for c in names)
     placeholders = ", ".join("?" for _ in names)
+    # conflict keys quoted like the column list (mixed-case / reserved
+    # names must resolve to the same columns the INSERT names)
+    conflict = ", ".join(_quote_ident(k) for k in keys)
     return (
         f"INSERT INTO {table} ({quoted}) VALUES ({placeholders}) "
-        f'ON CONFLICT ({", ".join(keys)}) {action}'
+        f"ON CONFLICT ({conflict}) {action}"
     )
 
 
@@ -121,7 +143,14 @@ def merge_sql(df: DataFrame, table: str, keys: list[str]) -> str:
     Parameter order: key values (ON), non-key values (UPDATE), then all
     columns (INSERT) — see :func:`jdbc_upsert` for the executor."""
     names = [f.name for f in df.schema.fields]
-    types = {f.name: _DERBY_TYPES.get(f.dataType.typeName(), "VARCHAR(32672)") for f in df.schema.fields}
+    types = {
+        f.name: (
+            f"DECIMAL({f.dataType.precision}, {f.dataType.scale})"
+            if f.dataType.typeName() == "decimal"
+            else _DERBY_TYPES.get(f.dataType.typeName(), "VARCHAR(32672)")
+        )
+        for f in df.schema.fields
+    }
     non_keys = [c for c in names if c not in keys]
     on = " AND ".join(f"{table}.{k} = CAST(? AS {types[k]})" for k in keys)
     sets = ", ".join(f"{c} = CAST(? AS {types[c]})" for c in non_keys)
@@ -152,6 +181,7 @@ _JDBC_TYPE_CODES = {
     "timestamp": "TIMESTAMP",
     "date": "DATE",
     "binary": "VARBINARY",
+    "decimal": "DECIMAL",
 }
 
 
@@ -209,6 +239,15 @@ def jdbc_upsert(
                 ps.executeBatch()
         ps.executeBatch()
         conn.commit()
+    except Exception:
+        # roll back before close: closing a connection with an open
+        # transaction makes embedded Derby raise from the close itself,
+        # which (inside finally) would mask the real failure
+        try:
+            conn.rollback()
+        except Exception:
+            pass
+        raise
     finally:
         conn.close()
     return n

@@ -45,8 +45,15 @@ from pyspark.sql import functions as F
 def with_dlq_split(df: DataFrame, error_cond: Column) -> tuple[DataFrame, DataFrame]:
     """Split a plan into (good, dlq) on an error condition. Both sides
     share the parent plan; with whole-stage codegen the predicate is
-    evaluated once per side off the same scan."""
-    marked = df.withColumn("_error", error_cond)
+    evaluated once per side off the same scan.
+
+    A NULL ``error_cond`` routes to the DLQ: under SQL three-valued
+    logic a bare filter(cond)/filter(~cond) pair silently drops
+    NULL-condition rows from BOTH sides — the one failure mode a DLQ
+    split must never have — and a condition that cannot be evaluated
+    (NULL operand) marks exactly the kind of record the DLQ exists
+    for."""
+    marked = df.withColumn("_error", F.coalesce(error_cond, F.lit(True)))
     good = marked.filter(~F.col("_error")).drop("_error")
     bad = marked.filter(F.col("_error")).drop("_error")
     return good, bad
@@ -89,6 +96,17 @@ class CircuitBreaker:
 
     def record_error(self) -> None:
         now = self.clock()
+        if self.is_half_open():
+            # A failed half-open trial re-opens IMMEDIATELY (state.go
+            # half-open semantics): neither the debounce nor the
+            # rolling-window count applies to the trial — debouncing it
+            # away, or letting old errors age out of the window, would
+            # leave a permanently permissive breaker after the trial
+            # failure the half-open state exists to test for.
+            self._opened_at = now
+            self._last_error_at = now
+            self._errors = [now]
+            return
         if self._last_error_at is not None and now - self._last_error_at < self.debounce_sec:
             return
         self._last_error_at = now
@@ -195,7 +213,9 @@ def to_retry_table(
     failed: DataFrame, priority_col: str = "priority", retry_col: str = "retry_count"
 ) -> DataFrame:
     """Failed rows → retry-table rows: bump retry_count, stamp queue
-    entry time. Priority is *recomputed at drain time* from entry time
+    entry time, and stamp ``priority_col`` = 0 when the input has no
+    priority column (so drain never fails on an unstamped table).
+    Priority is *recomputed at drain time* from entry time
     (operators.priority.effective_priority), which is the reference's
     aging tick (element.go:80-98) without mutable state."""
     cols = failed.columns
@@ -203,6 +223,8 @@ def to_retry_table(
         retry_col,
         (F.col(retry_col) + 1) if retry_col in cols else F.lit(1),
     )
+    if priority_col not in cols:
+        out = out.withColumn(priority_col, F.lit(0))
     return out.withColumn("_enqueued_at", F.current_timestamp())
 
 
@@ -231,6 +253,11 @@ def drain_retry_table(
     eff = effective_priority(
         F.col(priority_col), F.col("_enqueued_at"), F.current_timestamp(), F.col(retry_col)
     )
-    return drain(table.withColumn("_eff", eff), F.col("_eff"), n, [F.col(c) for c in id_cols]).drop(
-        "_eff"
-    )
+    # drain() is deterministic only with explicit tiebreak keys; with
+    # no id_cols, tie-break on every payload column so two drains of
+    # the same table pick the same rows (no double-retry / starvation
+    # from partition-order luck).
+    tiebreak_cols = list(id_cols) or [c for c in table.columns if c != "_enqueued_at"]
+    return drain(
+        table.withColumn("_eff", eff), F.col("_eff"), n, [F.col(c) for c in tiebreak_cols]
+    ).drop("_eff")

@@ -113,3 +113,18 @@ def test_decontamination_broadcast_guard_fallback_equal(spark):
         ).collect()
     }
     assert fast == guarded
+
+
+def test_probe_rejects_helper_column_collision(spark):
+    # A caller column named like a probe helper (_bit, _w1, ...) would
+    # be silently overwritten then dropped — must raise instead (r15
+    # review finding).
+    import pytest
+
+    from electrician_spark.operators.bloom import build_bloom, with_bloom_membership
+
+    keys = spark.createDataFrame([("k1",)], "key string")
+    bloom = build_bloom(keys, "key", m_bits=1 << 10, k=2)
+    probe = spark.createDataFrame([("k1", 1)], "key string, _bit int")
+    with pytest.raises(ValueError, match="_bit"):
+        with_bloom_membership(probe, "key", bloom, m_bits=1 << 10, k=2)

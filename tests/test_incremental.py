@@ -272,3 +272,23 @@ def test_sink_bootstrap_on_empty_existing_dir(spark, tmp_path):
     )
     incremental.incremental_dedup_sink(str(empty), sink)(batch, 0)
     assert spark.read.parquet(str(empty)).count() == 1
+
+
+def test_banding_config_rejected_when_degenerate(spark):
+    # bands > num_hashes makes rows_per_band 0 (every band hash a
+    # constant => all-pairs candidate join); a non-divisible split
+    # silently drops trailing hashes. Both are config errors (r15
+    # review finding).
+    import pytest
+
+    from electrician_spark.operators.dedup import minhash_lsh_pairs
+    from electrician_spark.operators.incremental import build_dedup_index, incremental_dedup
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=20)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+    index = build_dedup_index(docs.limit(0), num_hashes=16)
+    with pytest.raises(ValueError, match="bands"):
+        incremental_dedup(docs, index, num_hashes=16, bands=20)

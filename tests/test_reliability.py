@@ -117,6 +117,59 @@ def test_dlq_split(spark):
     assert "_error" not in good.columns
 
 
+def test_dlq_split_null_condition_routes_to_dlq(spark):
+    # 3VL hazard (r15 review): filter(cond)/filter(~cond) both exclude
+    # a NULL condition — the row would vanish from BOTH sides. A DLQ
+    # must never lose rows: NULL-cond rows go to the DLQ.
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0)], "id int, amount double"
+    )
+    good, bad = with_dlq_split(df, F.col("amount") < 0)
+    assert sorted(r.id for r in good.collect()) == [1]
+    assert sorted(r.id for r in bad.collect()) == [2, 3]
+
+
+def test_breaker_half_open_trial_failure_reopens():
+    # A failed half-open trial must re-open IMMEDIATELY — neither the
+    # debounce nor the rolling window applies to the trial (r15 review:
+    # debounce_sec=5 with reset_timeout=3 left the breaker permanently
+    # permissive after a failed trial).
+    clk = FakeClock()
+    cb = CircuitBreaker(
+        threshold=1, window_sec=60, reset_timeout_sec=3, debounce_sec=5, clock=clk
+    )
+    cb.record_error()
+    assert cb.is_open()
+    clk.advance(3.5)  # half-open
+    assert cb.is_half_open()
+    cb.record_error()  # trial fails (would be debounced away before)
+    assert cb.is_open()
+    # window-expiry variant: all prior errors aged out at trial time
+    clk2 = FakeClock()
+    cb2 = CircuitBreaker(threshold=3, window_sec=60, reset_timeout_sec=90, clock=clk2)
+    for _ in range(3):
+        cb2.record_error()
+        clk2.advance(1)
+    assert cb2.is_open()
+    clk2.advance(90)
+    assert cb2.is_half_open()
+    cb2.record_error()  # trial failure; window is empty but must re-open
+    assert cb2.is_open()
+
+
+def test_retry_table_stamps_priority_and_drains_deterministically(spark):
+    # input without a priority column gets priority 0 stamped at
+    # enqueue (the priority_col parameter was dead before r15), and a
+    # drain with no id_cols still picks a deterministic set (tiebreak
+    # over payload columns).
+    failed = spark.createDataFrame([(3,), (1,), (2,)], "id int")
+    table = to_retry_table(failed)
+    assert "priority" in table.columns
+    a = sorted(r.id for r in drain_retry_table(table, 2).collect())
+    b = sorted(r.id for r in drain_retry_table(table, 2).collect())
+    assert a == b == [1, 2]  # equal priorities → payload-column tiebreak
+
+
 def test_retry_table_roundtrip(spark):
     failed = spark.createDataFrame([(1, 5), (2, 9), (3, 1)], "id int, priority int")
     table = to_retry_table(failed)

@@ -148,13 +148,50 @@ def test_create_table_ddl_and_upsert_sql(spark):
     ddl = upsert.create_table_ddl(df, "events", keys=["id"])
     assert ddl == (
         'CREATE TABLE IF NOT EXISTS events ("id" BIGINT, "name" TEXT, '
-        '"v" DOUBLE PRECISION, PRIMARY KEY (id))'
+        '"v" DOUBLE PRECISION, PRIMARY KEY ("id"))'
     )
     sql = upsert.upsert_sql(df, "events", keys=["id"])
     assert sql == (
         'INSERT INTO events ("id", "name", "v") VALUES (?, ?, ?) '
-        'ON CONFLICT (id) DO UPDATE SET "name" = EXCLUDED."name", "v" = EXCLUDED."v"'
+        'ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", "v" = EXCLUDED."v"'
     )
+
+
+def test_upsert_sql_quotes_keys_and_maps_decimal(spark):
+    # Mixed-case / reserved-word KEYS must be quoted in PRIMARY KEY and
+    # ON CONFLICT exactly like the column list (unquoted Postgres folds
+    # 'userId' -> 'userid' and errors); DecimalType maps to NUMERIC,
+    # not the JSONB map/struct fallback.
+    from decimal import Decimal
+
+    from electrician_spark.operators import upsert
+
+    df = spark.createDataFrame(
+        [(1, Decimal("1.50"))], "userId long, price decimal(12,2)"
+    )
+    ddl = upsert.create_table_ddl(df, "t", keys=["userId"])
+    assert 'PRIMARY KEY ("userId")' in ddl and '"price" NUMERIC(12, 2)' in ddl
+    sql = upsert.upsert_sql(df, "t", keys=["userId"])
+    assert 'ON CONFLICT ("userId")' in sql
+    merge = upsert.merge_sql(df, "t", keys=["userId"])
+    assert "CAST(? AS DECIMAL(12, 2))" in merge
+
+
+def test_upsert_duplicate_key_winner_is_partition_independent(spark):
+    # No order_by + duplicate keys in the batch: the winner must not
+    # depend on partition/arrival order (r15 review: row_number over
+    # _src alone let a task retry keep a different row). The content
+    # hash tiebreak makes any layout pick the same row.
+    from electrician_spark.operators import upsert
+
+    rows = [(1, "x"), (1, "y"), (1, "z"), (2, "a")]
+    batch = spark.createDataFrame(rows, "k long, v string")
+    base = batch.limit(0)
+    winners = set()
+    for layout in (batch.coalesce(1), batch.repartition(7, "v"), batch.repartition(3)):
+        got = {(r.k, r.v) for r in upsert.upsert(base, layout, keys=["k"]).collect()}
+        winners.add(frozenset(got))
+    assert len(winners) == 1, winners
 
 
 def test_upsert_sql_all_keys_do_nothing(spark):
