@@ -92,8 +92,17 @@ def wrap(
         if ttl_seconds is not None
         else F.lit(None).cast("timestamp")
     )
+    # id mixes the ordering key: two streams' records with the same
+    # payload and seq (session A/B both at seq 1) are distinct records
+    # and must not share an id (the reference's ULIDs are per-record);
+    # keyless wrapping stays content-addressed (idempotent re-wrap).
+    id_src = F.concat(
+        F.col("_json"),
+        F.col("seq").cast("string"),
+        F.coalesce(F.col("ordering_key"), F.lit("")),
+    )
     return out.select(
-        F.sha2(F.concat(F.col("_json"), F.col("seq").cast("string")), 256).alias("id"),
+        F.sha2(id_src, 256).alias("id"),
         "ts",
         payload.alias("payload"),
         "seq",
@@ -143,7 +152,15 @@ def unwrap(
     if dedupe:
         # Batch receiver dedupe; on a stream use
         # dropDuplicatesWithinWatermark(["dedupe_key"]) after withWatermark.
-        out = out.dropDuplicates(["dedupe_key"])
+        # No dedupe key → no dedupe (reference proto:31-33 semantics):
+        # dropDuplicates treats NULLs as equal, so a bare call would
+        # collapse EVERY keyless record into one surviving row.
+        keyless = out.filter(F.col("dedupe_key").isNull())
+        out = (
+            out.filter(F.col("dedupe_key").isNotNull())
+            .dropDuplicates(["dedupe_key"])
+            .unionByName(keyless)
+        )
     return out
 
 

@@ -418,10 +418,16 @@ def with_time_partitions(df: DataFrame, ts_col: str, template: str) -> tuple[Dat
     layout, and Spark partition pruning replaces prefix listing."""
     cols: list[str] = []
     out = df
-    for token, (col_name, fmt) in _TEMPLATE_COLS.items():
-        if token in template:
-            out = out.withColumn(col_name, F.date_format(F.col(ts_col), fmt))
-            cols.append(col_name)
+    # iterate tokens in TEMPLATE order, not dict order — the returned
+    # partition-column order IS the directory layout, and the contract
+    # is parity with the reference's key template ('{HH}/{yyyy}' must
+    # not silently become yyyy/HH)
+    present = [
+        (token, spec) for token, spec in _TEMPLATE_COLS.items() if token in template
+    ]
+    for token, (col_name, fmt) in sorted(present, key=lambda kv: template.index(kv[0])):
+        out = out.withColumn(col_name, F.date_format(F.col(ts_col), fmt))
+        cols.append(col_name)
     return out, cols
 
 
@@ -593,10 +599,26 @@ def zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
         raise ValueError("zorder_code supports 1-4 columns")
     buckets = 1 << bits
     qs = [i / buckets for i in range(1, buckets)]
+    # ONE multi-column approxQuantile pass (not one full scan per
+    # clustered column) over the double-cast projection
+    zcols = [f"_z{i}" for i in range(n)]
+    # try_cast in the probe: under ANSI a non-numeric value would make
+    # the quantile job throw a cast error deep in the scan — NULLing it
+    # here lets the empty-bounds check raise a clear rejection instead
+    all_bounds = df.select(
+        *[F.col(c).try_cast("double").alias(z) for c, z in zip(cols, zcols)]
+    ).approxQuantile(zcols, qs, 0.001)
     codes = []
-    for c in cols:
+    for c, bounds in zip(cols, all_bounds):
         dcol = F.col(c).cast("double")
-        bounds = df.select(dcol.alias("_z")).approxQuantile("_z", qs, 0.001)
+        if not bounds:
+            # all-NULL after the double cast (non-numeric column):
+            # every row would silently rank-code to a constant 0 and
+            # the z-layout would carry no information for this column
+            raise ValueError(
+                f"zorder column {c!r} has no numeric values (cast to "
+                f"double is all NULL) — z-ordering it would be a no-op"
+            )
         uniq: list[float] = []
         for b in bounds:
             if not uniq or b > uniq[-1]:
@@ -692,8 +714,16 @@ def write_webdataset_shards(
 
     from electrician_spark.operators.sampling import shard_of, shuffle_key
 
+    import glob as _glob
+
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics: clear tars from any previous export — a
+    # re-export with fewer shards (or a filtered dataset) must not
+    # leave stale shard-NNNNN.tar files that the shard-*.tar reader
+    # glob would silently mix into the new epoch
+    for stale in _glob.glob(os.path.join(path, "shard-*.tar")):
+        os.remove(stale)
     cols = [df[c] for c in {v: None for v in members.values()}]
     keyed = (
         df.select(F.col(id_col).alias("_id"), *cols)

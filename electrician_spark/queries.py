@@ -6184,7 +6184,7 @@ def q_lr1(spark, sf_dir):
     "'{\"o_orderkey\":' || o_orderkey || '}' AS js FROM s), "
     "q AS (SELECT *, CAST(row_number() OVER (PARTITION BY ck ORDER BY js) "
     "AS BIGINT) AS seq FROM e) "
-    "SELECT o_orderkey, seq, sha256(js || seq) AS id, "
+    "SELECT o_orderkey, seq, sha256(js || seq || ck) AS id, "
     "CAST(96 + length(js) + length(ck) AS BIGINT) AS wire_len, "
     "CAST(1705323600 AS BIGINT) AS exp_epoch "
     "FROM q ORDER BY o_orderkey",

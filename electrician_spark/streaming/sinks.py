@@ -140,6 +140,16 @@ class ForEachBatchRouter:
     error_ratio_abort: float | None = None
     on_abort: Callable[[], None] | None = None
 
+    def __post_init__(self) -> None:
+        if self.error_ratio_abort is not None and self.error_condition is None:
+            # the abort check lives on the error path — without a
+            # condition it would never evaluate and the stream would
+            # keep writing bad batches with no signal
+            raise ValueError(
+                "error_ratio_abort requires error_condition (the ratio "
+                "is computed from the DLQ split)"
+            )
+
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         if self.blackout is not None and self.blackout.active():
             if self.stash is not None:
@@ -151,26 +161,30 @@ class ForEachBatchRouter:
                 b(batch, epoch_id)
             return
 
-        main = batch
-        if self.error_condition is not None:
-            from electrician_spark.reliability import with_dlq_split
-
-            main, bad = with_dlq_split(batch, self.error_condition)
-            if self.dlq_sink is not None:
-                self.dlq_sink(bad, epoch_id)
-            if self.error_ratio_abort is not None:
-                total = batch.count()
-                n_bad = bad.count()
-                if total and n_bad / total >= self.error_ratio_abort:
-                    if self.on_abort is not None:
-                        self.on_abort()
-                    raise RuntimeError(
-                        f"error ratio {n_bad}/{total} >= {self.error_ratio_abort} — aborting"
-                    )
-
-        if len(self.sinks) > 1:
-            main = main.persist()
+        # the error path consumes the batch up to 4× (two counts, DLQ
+        # write, primary sinks) — persist the SOURCE batch so a Kafka/
+        # file micro-batch is fetched once, not per consumer
+        persisted = self.error_condition is not None or len(self.sinks) > 1
+        if persisted:
+            batch = batch.persist()
         try:
+            main = batch
+            if self.error_condition is not None:
+                from electrician_spark.reliability import with_dlq_split
+
+                main, bad = with_dlq_split(batch, self.error_condition)
+                if self.dlq_sink is not None:
+                    self.dlq_sink(bad, epoch_id)
+                if self.error_ratio_abort is not None:
+                    total = batch.count()
+                    n_bad = bad.count()
+                    if total and n_bad / total >= self.error_ratio_abort:
+                        if self.on_abort is not None:
+                            self.on_abort()
+                        raise RuntimeError(
+                            f"error ratio {n_bad}/{total} >= {self.error_ratio_abort} — aborting"
+                        )
+
             run = lambda: [s(main, epoch_id) for s in self.sinks]  # noqa: E731
             if self.breaker is not None:
                 try:
@@ -181,8 +195,8 @@ class ForEachBatchRouter:
             else:
                 run()
         finally:
-            if len(self.sinks) > 1:
-                main.unpersist()
+            if persisted:
+                batch.unpersist()
 
 
 # -- Kafka producer frame (K3, types/kafka_adapter.go:48-81) -----------------

@@ -198,9 +198,14 @@ def rate_limit(
         rows.sort(key=lambda r: r[0])  # event-time order within the batch
         out_t, out_p, out_a = [], [], []
         for t, p in rows:
-            if last_s is not None and t > last_s:
-                tokens = min(float(capacity), tokens + (t - last_s) * refill_per_sec)
-            last_s = t if last_s is None else max(last_s, t)
+            # NaN event time (null/dirty row): admit/divert on current
+            # tokens but never let NaN into last_s — a NaN stored as the
+            # first-ever last_s disables refill for the key FOREVER
+            # (every later `t > NaN` is False and max(NaN, t) keeps NaN)
+            if t == t:  # not NaN
+                if last_s is not None and t > last_s:
+                    tokens = min(float(capacity), tokens + (t - last_s) * refill_per_sec)
+                last_s = t if last_s is None else max(last_s, t)
             if tokens >= 1.0:
                 tokens -= 1.0
                 out_a.append("admit")

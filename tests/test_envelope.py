@@ -117,3 +117,24 @@ def test_compression_codecs_round_trip(spark):
 def test_unknown_codec_rejected(spark):
     with pytest.raises(ValueError, match="not available"):
         codecs.compress(F.lit(b"x"), "nope")
+
+
+def test_receiver_dedupe_keyless_rows_all_survive(spark, payload):
+    # No dedupe key → no dedupe (reference proto:31-33): dropDuplicates
+    # treats NULLs as equal, so a bare call would collapse every
+    # keyless record into one (r15 review finding).
+    env = envelope.wrap(payload, payload_cols=payload.columns)  # dedupe_key NULL
+    out = envelope.unwrap(env, SCHEMA, dedupe=True)
+    assert out.count() == payload.count()
+
+
+def test_id_distinct_across_ordering_keys(spark):
+    # Same payload + same seq under DIFFERENT ordering keys are
+    # distinct records and must not share an id (r15 review finding:
+    # the id hashed only payload+seq).
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("A", 1), ("B", 1)], "sess string, amount int")
+    env = envelope.wrap(df, payload_cols=["amount"], ordering_key="sess")
+    ids = [r.id for r in env.select("id").collect()]
+    assert len(set(ids)) == 2, ids

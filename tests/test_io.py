@@ -427,3 +427,33 @@ def test_orc_roundtrip_pushdown_and_partitioning(spark, tmp_path):
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pplan and "bucket" in pplan  # dir-level prune
     assert pruned.count() == orders.filter(F.col("o_orderkey") % 4 == 2).count()
+
+
+def test_zorder_rejects_non_numeric_column(spark):
+    # A string column casts to all-NULL doubles: every row would
+    # silently rank-code to constant 0 (no clustering, no pruning) —
+    # reject instead (r15 review finding).
+    import pytest
+
+    from electrician_spark.io import zorder_code
+
+    df = spark.createDataFrame([(1, "us"), (2, "de")], "v long, country string")
+    with pytest.raises(ValueError, match="country"):
+        zorder_code(df, ["v", "country"])
+
+
+def test_time_partitions_follow_template_order(spark):
+    # The returned partition-column order IS the directory layout; a
+    # non-canonical template like {HH}/{yyyy} must not silently become
+    # yyyy/HH (r15 review finding).
+    from pyspark.sql import functions as F
+
+    from electrician_spark.io import with_time_partitions
+
+    df = spark.createDataFrame([("2024-03-05 07:00:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    _, cols = with_time_partitions(df, "ts", "{HH}/{yyyy}/{MM}")
+    assert cols == ["_hh", "_yyyy", "_mm"], cols
+    _, cols2 = with_time_partitions(df, "ts", "{yyyy}/{MM}/{HH}")
+    assert cols2 == ["_yyyy", "_mm", "_hh"], cols2

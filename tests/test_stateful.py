@@ -206,3 +206,35 @@ def test_rate_limit_idle_timeout_resets_bucket(spark, tmp_path):
     ).collect()
     marks = {r.payload: r.admitted for r in out}
     assert marks == {"p1": "admit", "p2": "admit", "p3": "divert", "q1": "admit", "p4": "admit"}
+
+
+def test_rate_limit_nan_timestamp_does_not_poison_key(spark, tmp_path):
+    # A null/NaN event time as a key's FIRST record must not become
+    # last_s: stored NaN disables refill forever (t > NaN is always
+    # False, max(NaN, t) keeps NaN) — r15 review finding. The dirty
+    # row spends a token; refill resumes from the first real
+    # timestamp.
+    src = str(tmp_path / "src")
+    _write_batches(
+        src,
+        [
+            [
+                {"key": "a", "event_time_s": None, "payload": "p0"},
+                {"key": "a", "event_time_s": 0.0, "payload": "p1"},
+                {"key": "a", "event_time_s": 0.0, "payload": "p2"},
+            ],
+            [{"key": "a", "event_time_s": 5.0, "payload": "p3"}],
+        ],
+    )
+    stream = file_stream(spark, src, RATE_SCHEMA, max_files_per_trigger=1, fmt="json")
+    out = _run(
+        spark,
+        stateful.rate_limit(stream, capacity=2, refill_per_sec=1.0),
+        "t_rate_nan",
+        str(tmp_path / "ck"),
+    ).collect()
+    decisions = {r.payload: r.admitted for r in out}
+    # capacity 2: two of the first batch admit, one diverts; the +5s
+    # batch MUST refill and admit (a poisoned NaN last_s would divert)
+    assert sum(1 for v in decisions.values() if v == "admit") == 3
+    assert decisions["p3"] == "admit", decisions

@@ -226,3 +226,11 @@ def test_checkpoint_restart_processes_each_file_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(out)
     assert rows.count() == 80
     assert rows.select("id").distinct().count() == 80  # exactly once, no dups
+
+
+def test_router_abort_requires_error_condition(spark):
+    # error_ratio_abort without error_condition would silently never
+    # evaluate (the check lives on the error path) — reject at
+    # construction (r15 review finding).
+    with pytest.raises(ValueError, match="error_condition"):
+        ForEachBatchRouter(sinks=[memory_sink([])], error_ratio_abort=0.5)

@@ -134,3 +134,23 @@ def test_webdataset_read_roundtrip(spark, media_df, tmp_path):
         by_shard.setdefault(r["shard"], []).append(r["key"])
     for ks in by_shard.values():
         assert ks == sorted(ks)
+
+
+def test_reexport_with_fewer_shards_clears_stale_tars(spark, media_df, tmp_path):
+    # Re-export into the same path with fewer shards must remove the
+    # previous epoch's extra tars — the shard-*.tar reader glob would
+    # otherwise silently mix epochs (r15 review finding).
+    import glob
+    import os
+
+    from electrician_spark import io as eio
+
+    path = str(tmp_path / "wds")
+    eio.write_webdataset_shards(
+        media_df, path, n_shards=4, members={"txt": "caption"}, id_col="doc_id"
+    )
+    assert len(glob.glob(os.path.join(path, "shard-*.tar"))) == 4
+    eio.write_webdataset_shards(
+        media_df, path, n_shards=2, members={"txt": "caption"}, id_col="doc_id"
+    )
+    assert len(glob.glob(os.path.join(path, "shard-*.tar"))) == 2
