@@ -641,7 +641,21 @@ def unigram_hard_em_round(
     except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
         pass
 
-    def _obj_and_pieces(m: list[tuple[str, float]]):
+    def _obj_and_counts(m: list[tuple[str, float]]):
+        """Objective AND per-piece counts from ONE aggregation job.
+
+        The pre-r15 form ran the Viterbi encode twice per model — once
+        under an `agg(sum)` for the objective, once under a
+        `groupBy(piece)` for the M-step counts (the encode is the
+        round's dominant cost: an Arrow pass over every distinct
+        word). Both quantities are derivable from the same bounded
+        (piece, lp_u, Σcount) census — obj = Σ lp_u·c over in-support
+        pieces (out-of-support pieces contributed 0 via the old
+        coalesce), counts = the in-support rows — so one groupBy
+        collect (≤ support + fallback alphabet rows) replaces two full
+        encode passes (guide §1.2: remove passes before tuning them;
+        r15 interleaved A/B: the round 2.87→2.13 s median at sf0.1,
+        model and stats byte-identical)."""
         mdf = spark.createDataFrame(
             [(p, int(round(lp * q))) for p, lp in m], "piece string, lp_u long"
         )
@@ -658,19 +672,16 @@ def unigram_hard_em_round(
         pe = enc.select("token", "count", F.explode("pieces").alias("piece")).join(
             F.broadcast(mdf), "piece", "left"
         )
-        obj = pe.agg(
-            F.sum(F.coalesce(F.col("lp_u"), F.lit(0)) * F.col("count")).alias("o"),
-        ).first()["o"]
-        return int(obj or 0), pe, mdf
+        rows = (
+            pe.groupBy("piece", "lp_u").agg(F.sum("count").alias("c")).collect()
+        )  # bounded: <= model support + distinct fallback chars
+        obj = sum(int(r["lp_u"]) * int(r["c"]) for r in rows if r["lp_u"] is not None)
+        counts = {
+            r["piece"]: int(r["c"]) for r in rows if r["lp_u"] is not None
+        }
+        return int(obj), counts
 
-    old_obj, pe, mdf = _obj_and_pieces(model)
-    counts = {
-        r["piece"]: int(r["c"])
-        for r in pe.filter(F.col("lp_u").isNotNull())
-        .groupBy("piece")
-        .agg(F.sum("count").alias("c"))
-        .collect()  # bounded: <= model support
-    }
+    old_obj, counts = _obj_and_counts(model)
     k = len(model)
     total = sum(counts.values())
     # M-step ln/floor runs DRIVER-side in C libm — the library SQL
@@ -689,7 +700,7 @@ def unigram_hard_em_round(
     new_model = sorted(
         ((p, lu / q) for p, lu in new_lp_u.items()), key=lambda kv: (-kv[1], kv[0])
     )
-    new_obj, _, _ = _obj_and_pieces(new_model)
+    new_obj, _ = _obj_and_counts(new_model)
     stats = {
         "old_obj_u": old_obj,
         "new_obj_u": new_obj,

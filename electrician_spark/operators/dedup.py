@@ -853,15 +853,25 @@ def contamination_scores(
     """
     sh_c = _shingle_table(corpus, id_col, text_col, n, None)
     sh_t = _shingle_table(testset, id_col, text_col, n, None).select("_s").distinct()
+    sh_t = sh_t.withColumn("_hit", F.lit(1))
     if broadcast_testset:
         sh_t = F.broadcast(sh_t)
-    sz = sh_c.groupBy("_id").agg(F.count("*").alias("n_shingles"))
-    hits = sh_c.join(sh_t, "_s").groupBy("_id").agg(F.count("*").alias("n_hits"))
-    return sz.join(hits, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        "n_shingles",
-        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-        (F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles")).alias("containment"),
+    # ONE aggregation pass over the corpus shingle stream (r15): a LEFT
+    # join attaches the membership marker, then count(*) / count(_hit)
+    # give n_shingles and n_hits together. The previous form aggregated
+    # the stream twice (sz + hits) and outer-joined the two censuses —
+    # one extra corpus-wide aggregation + one shuffle join for nothing
+    # (guide §2.3 "aggregate before you shuffle", §2.4).
+    return (
+        sh_c.join(sh_t, "_s", "left")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_shingles"), F.count("_hit").alias("n_hits"))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_shingles")).alias("containment"),
+        )
     )
 
 

