@@ -91,6 +91,19 @@ def with_bloom_membership(
         raise ValueError(
             f"input columns collide with bloom probe helpers: {sorted(clash)}"
         )
+    # Materialize the word table ONCE before fanning it out k times:
+    # each probe join broadcasts it under per-j aliases, and the renamed
+    # projections defeat ReuseExchange (sameResult fails), so an
+    # unmaterialized bloom_df re-executed its whole build subtree — the
+    # key-set scan, shingle explode, bit explode and groupBy — once per
+    # hash function (measured at sf0.1: the k=4 probe re-ran the
+    # build 4x; guide §2.4 — don't recompute a shared subtree). The
+    # cached artifact is the ≤ ⌈m/63⌉-row word table, bounded by the
+    # module contract, never the key set.
+    try:
+        bloom_df = bloom_df.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
     cur = df
     flags = []
     for j in range(1, k + 1):

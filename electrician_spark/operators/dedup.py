@@ -520,13 +520,19 @@ def hamming_pairs(
     pairs = (
         left.join(right, ["pos", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+        # exact-distance filter BEFORE the dedup exchange: a candidate
+        # pair that fails the bit_count test is dropped map-side
+        # instead of being shuffled once per shared block (filter and
+        # distinct commute — guide §2.3, shuffle fewer bytes; the
+        # distinct itself then dedups (id_a, id_b, hamming) where
+        # hamming is functionally dependent on the pair).
         .withColumn(
             "hamming",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 

@@ -63,32 +63,42 @@ def _lower_tokens(text: Column) -> Column:
     )
 
 
-def gram_buckets(toks: Column, n_buckets: int) -> Column:
-    """Array of hashed feature buckets (unigrams + bigrams, WITH
-    multiplicity — a bag, not a set: dedup here would make weights
-    insensitive to repetition, which the DSIR estimator is not).
+def _gram_strings(toks: Column) -> Column:
+    """Array of unigram + bigram feature STRINGS, with multiplicity (a
+    bag, not a set: dedup here would make weights insensitive to
+    repetition, which the DSIR estimator is not). Bigrams come from a
+    native ``arrays_zip`` of two pre-sliced views (codegen — the
+    element_at/sequence form evaluated interpreted); only the
+    struct→"a b" join runs as a HOF lambda.
 
     ``toks`` must be an attribute reference (pre-projected token
     array) — see :func:`electrician_spark.functions.text.
     shingles_from_tokens` for why inlining the split is O(len²)."""
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bigrams)
-    return F.transform(
-        grams,
-        lambda g: F.pmod(
-            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-            F.lit(n_buckets),
-        ),
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.arrays_zip(F.slice(toks, 1, n1), F.slice(toks, 2, n1)),
+        lambda p: F.concat_ws(" ", p["0"], p["1"]),
     )
+    return F.concat(toks, bigrams)
+
+
+def _bucket_of(g: Column, n_buckets: int) -> Column:
+    """md5-hashed feature bucket of one gram string — applied AFTER the
+    explode so the hash runs as a codegen'd scalar expression, not
+    per-element inside an interpreted higher-order ``transform``
+    (measured ~15% on the fit pass at sf0.1; guide §4.1 — prefer
+    built-ins in codegen over interpreted lambdas on the hot path)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def gram_buckets(toks: Column, n_buckets: int) -> Column:
+    """Array of hashed feature buckets (unigrams + bigrams, WITH
+    multiplicity). Kept for API compatibility; the pipeline itself
+    hashes post-explode (:func:`_bucket_of`) to stay in codegen."""
+    return F.transform(_gram_strings(toks), lambda g: _bucket_of(g, n_buckets))
 
 
 def _bucket_table(
@@ -99,8 +109,8 @@ def _bucket_table(
         F.col(id_col).alias("_id"), _lower_tokens(F.col(text_col)).alias("_tk")
     )
     return t.select(
-        "_id", F.explode(gram_buckets(F.col("_tk"), n_buckets)).alias("bucket")
-    )
+        "_id", F.explode(_gram_strings(F.col("_tk"))).alias("_g")
+    ).select("_id", _bucket_of(F.col("_g"), n_buckets).alias("bucket"))
 
 
 def fit_hashed_ngram_counts(
@@ -130,7 +140,20 @@ def log_ratio_table(
     a corpus other than the raw-model fit corpus can hit such buckets.
 
     The two totals are collected to the driver — two scalars, bounded
-    by contract (same posture as the domain-census collects)."""
+    by contract (same posture as the domain-census collects).
+
+    Both count tables are lazily materialized (localCheckpoint) before
+    the totals are read: each total's collect is an ACTION on the fit
+    subtree, and without the cache the final scoring plan would rerun
+    both corpus-wide gram explode+groupBy fits a second time (guide
+    §1.2/§2.4 — don't recompute what an action already computed). The
+    cached artifact is ≤ n_buckets count rows per model — bounded by
+    the model contract, never corpus-sized."""
+    try:
+        target_counts = target_counts.localCheckpoint(eager=False)
+        raw_counts = raw_counts.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
     t_total = target_counts.agg(F.sum("cnt")).collect()[0][0] or 0
     r_total = raw_counts.agg(F.sum("cnt")).collect()[0][0] or 0
     lt, lr = math.log(t_total + n_buckets), math.log(r_total + n_buckets)
@@ -174,20 +197,42 @@ def dsir_log_weights(
     restoring them costs zero extra joins/shuffles — a corpus-wide
     left join back onto the ids would be two avoidable exchanges at
     100 TB."""
+    return _score_weights(
+        df, llr_df, F.lit(default_llr), id_col, text_col, n_buckets
+    )
+
+
+def _score_weights(
+    df: DataFrame,
+    llr_df: DataFrame,
+    default_col,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    attach_row: DataFrame | None = None,
+) -> DataFrame:
+    """Scoring core shared by :func:`dsir_log_weights` (driver-float
+    default) and :func:`dsir_select` (in-plan one-row default):
+    ``default_col`` is any Column valid in the post-join projection;
+    ``attach_row`` is an optional ONE-row DataFrame broadcast-cross-
+    joined onto every scored row (the in-plan default's carrier — the
+    same pinned pattern as lmquality's oov_row)."""
     t = df.select(
         F.col(id_col).alias("_id"), _lower_tokens(F.col(text_col)).alias("_tk")
     )
     grams = t.select(
-        "_id", F.explode_outer(gram_buckets(F.col("_tk"), n_buckets)).alias("bucket")
-    )
+        "_id", F.explode_outer(_gram_strings(F.col("_tk"))).alias("_g")
+    ).select("_id", _bucket_of(F.col("_g"), n_buckets).alias("bucket"))
     scored = grams.join(F.broadcast(llr_df), "bucket", "left")
+    if attach_row is not None:
+        scored = scored.join(F.broadcast(attach_row))
     return (
         scored.groupBy(F.col("_id").alias(id_col))
         .agg(
             F.round(
                 F.sum(
                     F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
-                        F.coalesce(F.col("llr"), F.lit(default_llr))
+                        F.coalesce(F.col("llr"), default_col)
                     )
                 ),
                 6,
@@ -217,12 +262,55 @@ def dsir_select(
     so the same corpus + seed selects the same documents on any
     cluster size or engine (the +0.5 keeps u strictly inside (0,1)).
     ``top_k`` compiles to TakeOrderedAndProject: per-partition heads
-    only, no global sort."""
+    only, no global sort.
+
+    Zero driver collects (r15): the two model totals are computed
+    IN-PLAN as one-row aggregates cross-joined onto the llr table and
+    the unseen-bucket default, instead of :func:`log_ratio_table`'s two
+    driver-scalar collects — those collects were two full driver
+    barriers that each executed a corpus-wide fit before the real
+    scoring job could start (guide §5: the driver should do almost no
+    data work; the fit subtrees now run exactly once, inside the one
+    terminal action). ``ln`` moves from Python libm to the JVM — the
+    same cross-engine-double-at-6dp contract the oracle replay already
+    rides (DuckDB computes its own ``ln`` too)."""
     target_counts = fit_hashed_ngram_counts(target_df, id_col, text_col, n_buckets)
     raw_counts = fit_hashed_ngram_counts(raw_df, id_col, text_col, n_buckets)
-    llr, default_llr = log_ratio_table(target_counts, raw_counts, n_buckets)
-    weights = dsir_log_weights(
-        raw_df, llr, default_llr, id_col, text_col, n_buckets
+    tot = target_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tt")
+    ).join(raw_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tr")))
+    lt = F.log(F.col("_tt") + n_buckets)
+    lr = F.log(F.col("_tr") + n_buckets)
+    llr = (
+        target_counts.select("bucket", F.col("cnt").alias("_ct"))
+        .join(
+            raw_counts.select("bucket", F.col("cnt").alias("_cr")),
+            "bucket",
+            "full_outer",
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("_ct"), F.lit(0)) + 1)
+                - lt
+                - F.log(F.coalesce(F.col("_cr"), F.lit(0)) + 1)
+                + lr
+            ).alias("llr"),
+        )
+    )
+    # unseen-bucket default as its own ONE-row broadcast (attached by a
+    # broadcast cross join in the scorer) — it must reach rows the llr
+    # join does NOT match, so it cannot ride the llr table itself
+    dflt_row = tot.select((lr - lt).alias("__dflt"))
+    weights = _score_weights(
+        raw_df,
+        llr,
+        F.col("__dflt"),
+        id_col,
+        text_col,
+        n_buckets,
+        attach_row=dflt_row,
     )
     u = (shuffle_key(F.col(id_col), seed) + F.lit(0.5)) / F.lit(float(1 << 32))
     gumbel = -F.log(-F.log(u))

@@ -225,7 +225,21 @@ def count_min_estimate(
     sketch carries no rows and therefore no stamp (the stamp rides the
     cell rows), so explicit (width, depth) are accepted unvalidated
     there — harmless, since every probe against an empty sketch
-    coalesces to the exact answer 0 regardless of geometry."""
+    coalesces to the exact answer 0 regardless of geometry.
+
+    The sketch is lazily materialized (localCheckpoint) before anything
+    reads it: the geometry ``first()`` plus the d per-row broadcast
+    builds are 1+d separate ACTIONS on the sketch plan, and when the
+    caller hands an unmaterialized :func:`count_min_build` result each
+    one re-executed the whole corpus-scan build subtree (q_cm1's plan
+    showed four identical scan+explode+groupBy chains — guide §2.4,
+    don't recompute a shared subtree). The cached artifact is ≤ d·w
+    cell rows, bounded by the sketch contract, never the keyed
+    stream."""
+    try:
+        sketch = sketch.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
     sw, sd = _cm_geometry(sketch)
     if (sw, sd) == (0, 0):  # empty sketch: every probe estimates 0
         sw = width if width is not None else 1024

@@ -497,13 +497,30 @@ def suffix_array(
             return df
 
     if n_total <= compact_rank_max_rows:
-        # Level 0: dense rank over the raw token bytes — the same
-        # single-partition window every later round uses. No distinct
-        # table, no vocabulary job: rank values land dense and
-        # order-preserving directly on the corpus rows.
-        ranked = pos.withColumn(
+        # Level 0 (r15): dense rank via the DISTINCT token vocabulary —
+        # rank the (much smaller) vocab in one bounded single-partition
+        # window, then broadcast-join ranks back onto the corpus rows.
+        # The earlier form ran the single-partition window over ALL
+        # positions, i.e. a serial byte-string sort of the whole corpus
+        # in one task; real corpora have |vocab| ≪ positions, so the
+        # serial sort shrinks to the vocabulary and the join back is a
+        # broadcast hash probe with no exchange of the position table —
+        # and round 1's per-doc lead window then runs on the scan's own
+        # partitioning (parallel) instead of inside the single
+        # partition (guide §2.2/§2.4; measured ~8% on q_sx1 at sf0.1
+        # plus the de-serialized round-1 sort). Bounded: vocab rows ≤
+        # positions ≤ compact_rank_max_rows by the regime gate, and the
+        # LATER rounds keep the all-rows window — suffix classes go
+        # near-distinct after one round (the r11 lesson), so only
+        # level 0 has a small dimension to exploit. Unlike the r11
+        # design this is one broadcast for the whole call, not one per
+        # round. Ranks are identical by construction: dense rank of a
+        # key in the distinct sorted vocabulary equals its dense rank
+        # over all rows.
+        vocab = pos.select("_key").distinct().withColumn(
             "_r", F.dense_rank().over(Window.orderBy("_key")).cast("long")
-        ).drop("_key")
+        )
+        ranked = pos.join(F.broadcast(vocab), "_key").drop("_key")
         # Radix per round: digits are ranks+1 <= n_total+1 < base, so
         # per-long capacity is fixed for the whole call (>= 3 at the
         # 1M bound; (base-1).bit_length() is exact ceil(log2) — no

@@ -624,6 +624,16 @@ def q_ph1(spark, sf_dir):
 
     media = ids.mapInPandas(synth, "media_id long, payload binary")
     sig = mm.image_phash(media).select("media_id", "phash")
+    # Materialize the 36-row signature table ONCE (lazy checkpoint):
+    # it feeds five branches of the final plan (both sides of the
+    # banded pair join, both arms of the neighbor union, and the final
+    # left join), and each unmaterialized branch re-ran the synth +
+    # decode + DCT MapInPandas chain — five decodes of the same rows
+    # (guide §2.4; bounded by the doc_id slice, never corpus-sized).
+    try:
+        sig = sig.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
     pairs = dedup.hamming_pairs(sig, "media_id", "phash", max_hamming=3)
     near = (
         pairs.select(F.col("id_a").alias("media_id"))
@@ -4637,6 +4647,14 @@ def q_af1(spark, sf_dir):
 
     media = ids.mapInPandas(synth, "media_id long, payload binary")
     sig = mm.audio_fingerprint(media).select("media_id", "afp")
+    # Materialize the 36-row fingerprint table ONCE (lazy checkpoint):
+    # same five-branch fan-out as q_ph1, and here every unmaterialized
+    # branch re-ran the pure-Python tone synthesis (~300k sin() calls)
+    # plus PCM decode + rFFT — five times (guide §2.4; bounded).
+    try:
+        sig = sig.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; recompute
+        pass
     pairs = dedup.hamming_pairs(sig, "media_id", "afp", max_hamming=1)
     near = (
         pairs.select(F.col("id_a").alias("media_id"))

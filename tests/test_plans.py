@@ -158,6 +158,12 @@ _BNLJ_ALLOWED = {
     # lm_score's single-row OOV bounds join rode here via q_lm1 until
     # its r12 retirement; lm_score_bigram carries the same shape live.
     "q_lm2_bigram_buckets",
+    # dsir_select's in-plan model totals (r15): the two ONE-row fit
+    # totals cross-join onto the llr table and the unseen-bucket
+    # default row onto the scored stream — the same sanctioned
+    # single-row broadcast bounds-join shape as q_lm2/q_dm1 (this
+    # replaced two corpus-rescanning driver collects; guide §5).
+    "q_ir1_dsir_select",
     # q_wd1 folds the one-row verify aggregate (bool_and over the
     # manifest rows) onto the shard census — the sanctioned single-row
     # broadcast bounds-join shape (q_sh1 carried it until its r9

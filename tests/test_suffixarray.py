@@ -175,17 +175,23 @@ def test_sa_spans_plan_single_exchange_ladder(spark):
 def test_suffix_array_compact_plan_is_pipelined(spark):
     """The compact regime's EXECUTED plan (the shape a collect runs —
     count() would prune the windows away, the r12 measurement hazard)
-    must actually CONTAIN the dense-rank windows, and none of the r11
-    design's machinery: no broadcast exchange, no join of any kind,
-    and no Python — the whole array is one lazy pipelined plan at
-    typical round counts. (A createDataFrame input surfaces as its
-    own ExistingRDD scan, so checkpoint-leaf absence is not pinnable
-    here; the no-cuts-under-4-rounds behavior is code-pinned by the
-    rounds % 4 cadence.)"""
+    must actually CONTAIN the dense-rank windows, plus (r15) EXACTLY
+    ONE broadcast hash join — the level-0 vocab-rank probe (rank the
+    distinct token vocabulary in the serial window, broadcast ranks
+    back onto the position table), which replaced the serial
+    corpus-wide byte-sort of ALL positions. Still none of the r11
+    per-round machinery: no shuffle join, no per-round broadcasts
+    (one join total regardless of round count), and no Python. (A
+    createDataFrame input surfaces as its own ExistingRDD scan, so
+    checkpoint-leaf absence is not pinnable here; the
+    no-cuts-under-4-rounds behavior is code-pinned by the rounds % 4
+    cadence.)"""
     corpus = _rand_corpus(5, n_docs=8)
     df = spark.createDataFrame(sorted(corpus.items()), "doc_id long, text string")
     plan = sa.suffix_array(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan, plan  # ranks really computed in this plan
-    assert "BroadcastExchange" not in plan, plan
-    assert "Join" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan  # level-0 vocab probe only
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
