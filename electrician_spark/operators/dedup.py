@@ -732,7 +732,12 @@ def connected_components_star(
             .distinct()
         )
         try:
-            small = small.localCheckpoint()
+            # LAZY cut (r15): the fixpoint aggregate below is a full
+            # consumption of `small` (groupBy reads every partition),
+            # so it materializes the checkpoint as a side effect — an
+            # eager checkpoint here was one extra driver barrier per
+            # round for nothing (the q_pg1 lesson, ce99ec9).
+            small = small.localCheckpoint(eager=False)
         except Exception:  # noqa: BLE001
             pass
         edges = small
@@ -757,7 +762,9 @@ def connected_components_star(
         )
         if use_freeze:
             try:  # bad feeds three consumers below — materialize once
-                bad = bad.localCheckpoint()
+                # (lazily: isEmpty may stop at the first non-empty
+                # partition; the flag joins fill in the rest on demand)
+                bad = bad.localCheckpoint(eager=False)
             except Exception:  # noqa: BLE001
                 pass
         if bad.isEmpty():
