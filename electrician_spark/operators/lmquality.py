@@ -166,41 +166,83 @@ def bigram_lm(
       determinism.
 
     Both tables are bounded (vocab_size / max_bigrams rows) and
-    MATERIALIZED — the reference corpus is scanned once per order.
-    Scale: the bigram explode is one slide-zip over the token array
-    (JVM), the count a map-side-combined groupBy; at 100 TB the
-    shuffle carries distinct bigrams only. The driver holds at most
-    max_bigrams rows — the same bounded-model contract as unigram_lm
-    (production KenLM swaps in as an executor-side pandas UDF)."""
-    uni = unigram_lm(ref_df, text_col=text_col, vocab_size=vocab_size, alpha=alpha)
-    vocab = {r["token"] for r in uni.collect()}  # bounded: vocab_size rows
-    # arrays_zip over two pre-projected slices, not zip_with: the
-    # native zip stays in codegen where the lambda form drops the
-    # whole projection to the interpreted evaluator (measured ~25%
-    # on the pair stage at sf0.1).
+    MATERIALIZED. Scale: ONE driver action trains BOTH orders (r15 —
+    was one explode+count pass AND one action per order): each token
+    position appears exactly once as ``token`` in the lagged
+    (prev, token) stream (prev NULL at position 1), so the unigram
+    counts are the prev-marginal of the (prev, token) pair census and
+    both top-K tables collect as a tagged union. In the executed plan
+    the optimizer pushes the bigram branch's prev-filter below the
+    census aggregate, so the two branches keep separate scan subtrees
+    — but they now run inside one job (overlapping stages instead of
+    two serialized actions; measured on q_lm2 at sf0.1: 2.83 → 2.44 s
+    interleaved medians, outputs identical). A lazy checkpoint of the
+    census (true single scan) was A/B'd and lost at this SF (0.81 vs
+    0.73 s — the block write costs more than the second codegen'd
+    explode, the q_d2/q_d3 recompute lesson); at corpus scale where
+    the ref-corpus scan dominates, materializing the bounded-ish pair
+    census before the two top-Ks is the documented swap. The driver
+    holds at most vocab_size + max_bigrams rows — the same
+    bounded-model contract as unigram_lm (production KenLM swaps in
+    as an executor-side pandas UDF)."""
+    # arrays_zip pads the shorter side with NULL, so zipping
+    # (NULL ++ toks) against toks yields exactly one row per token
+    # position carrying its predecessor (plus one trailing
+    # (last, NULL) row the token-filter drops) — the lm_score_bigram
+    # lag construction, reused here so train and score agree. Native
+    # zip, stays in codegen (zip_with lambdas evaluate interpreted —
+    # measured ~25% on the pair stage at sf0.1).
     tk = ref_df.select(_lm_tokens(F.col(text_col)).alias("tk"))
-    n1 = F.greatest(F.size("tk") - 1, F.lit(0))
-    pairs = (
-        tk.select(
-            F.explode(F.arrays_zip(F.slice("tk", 1, n1), F.slice("tk", 2, n1))).alias(
-                "bg"
-            )
-        )
-        .select(F.col("bg.0").alias("prev"), F.col("bg.1").alias("token"))
-        .filter((F.col("prev") != "") & (F.col("token") != ""))
+    lagged = F.arrays_zip(
+        F.concat(F.array(F.lit(None).cast("string")), F.col("tk")).alias("p"),
+        F.col("tk").alias("t"),
     )
-    bigram_rows = (
-        pairs.groupBy("prev", "token")
-        .agg(F.count("*").alias("c"))
+    rows = (
+        tk.select(F.explode(lagged).alias("bg"))
+        .select(F.col("bg.p").alias("prev"), F.col("bg.t").alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    census = rows.groupBy("prev", "token").agg(F.count("*").alias("c"))
+    # unigram counts = prev-marginal of the census: c(t) = Σ_prev c(prev, t)
+    # (every token position contributes exactly one census row).
+    uni_top = (
+        census.groupBy("token")
+        .agg(F.sum("c").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(vocab_size)
+        .select(F.lit("u").alias("kind"), F.lit(None).cast("string").alias("prev"), "token", "c")
+    )
+    bi_top = (
+        census.filter(F.col("prev").isNotNull() & (F.col("prev") != ""))
         .orderBy(F.col("c").desc(), "prev", "token")
         .limit(max_bigrams)
-        .collect()  # bounded driver fetch
+        .select(F.lit("b").alias("kind"), "prev", "token", "c")
+    )
+    fetched = uni_top.unionAll(bi_top).collect()  # ONE bounded driver fetch
+    # Rebuild unigram_lm's model exactly (same counts -> same floats):
+    # n/v/denom over the kept vocabulary only, count-then-token order.
+    count_rows = sorted(
+        ((r["token"], int(r["c"])) for r in fetched if r["kind"] == "u"),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    n = sum(c for _, c in count_rows)
+    v = len(count_rows)
+    denom = n + alpha * (v + 1)
+    oov_logprob = math.log(alpha / denom)
+    uni = ref_df.sparkSession.createDataFrame(
+        [(t, math.log((c + alpha) / denom), oov_logprob) for t, c in count_rows],
+        "token string, logprob double, oov_logprob double",
+    )
+    vocab = {t for t, _ in count_rows}
+    bigram_rows = sorted(
+        ((r["prev"], r["token"], int(r["c"])) for r in fetched if r["kind"] == "b"),
+        key=lambda kv: (-kv[2], kv[0], kv[1]),
     )
     prev_totals: dict[str, int] = {}
     kept = []
-    for r in bigram_rows:
-        if r["prev"] in vocab and r["token"] in vocab:
-            kept.append((r["prev"], r["token"], int(r["c"])))
+    for p, t, c in bigram_rows:
+        if p in vocab and t in vocab:
+            kept.append((p, t, c))
     # context totals from the SAME truncated table (the cutoff is part
     # of the model, like the vocab cutoff): c(v) = Σ_w c(v, w) over
     # kept bigrams, so scores stay ≤ 1 and deterministic.
