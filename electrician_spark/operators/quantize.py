@@ -602,22 +602,24 @@ def binary_quantize(
     # the d F.get terms (d-fold re-evaluation if CSE misses it).
     gv = "_bq_guarded"
     df = df.withColumn(gv, F.when(guard.isNull(), F.col(vec_col)))
-    vec = F.col(gv)
+    # The d per-bit terms are built as ONE SQL string per word and
+    # parsed in a single JVM call each (F.expr) — the simhash lesson:
+    # composing them as Column objects costs one py4j round-trip per
+    # operator, measured ~2.1 s of driver time per q_bq1 plan at d=64
+    # (construct-phase split, r15), vs ~0.1 s for string parsing.
+    # Execution is identical: same CASE WHEN / CAST tree.
     words = []
     for w in range(0, d, _WORD):
-        bits = []
+        terms = []
         for j in range(min(_WORD, d - w)):
-            weight = -(1 << 63) if j == 63 else (1 << j)
-            bits.append(
-                F.when(
-                    F.get(vec, w + j).cast("double") > 0.0,
-                    F.lit(weight).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
+            # -(2^63) has no BIGINT literal form; the two-term spelling
+            # is the repo-wide convention (simhash's bit-63 term)
+            weight = "-9223372036854775807 - 1" if j == 63 else str(1 << j)
+            terms.append(
+                f"(CASE WHEN CAST(get({gv}, {w + j}) AS DOUBLE) > CAST(0 AS DOUBLE) "
+                f"THEN CAST({weight} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
             )
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = acc + b
-        words.append(acc)
+        words.append(F.expr(" + ".join(terms)))
     return df.withColumn(out, F.array(*words)).drop(gv)
 
 
