@@ -282,15 +282,31 @@ def _check_banding(num_hashes: int, bands: int) -> None:
         )
 
 
+def _band_explode_sql(num_hashes: int, bands: int) -> str:
+    """``explode(array(struct(band, bh), ...))`` over the h0..h{k-1}
+    signature columns as ONE parsed SQL string — band hash = md5 of the
+    '|'-joined row minhashes, the exact oracle construction. Built as a
+    string for the same reason as :func:`_minhash_aggs`: the Column
+    form cost ~10 JVM round trips per band."""
+    rows_per_band = num_hashes // bands
+    structs = []
+    for b in range(bands):
+        parts = ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        structs.append(f"named_struct('band', {b}, 'bh', md5(concat_ws('|', {parts})))")
+    return f"explode(array({', '.join(structs)}))"
+
+
 def _minhash_aggs(num_hashes: int) -> list[Column]:
     """The k min-hash aggregate columns h_i = min over shingles of
     md5(i || ':' || shingle): whole-stage-codegen'd md5 + map-side
     partial min, so a shuffle carries one k-column row per (partition,
     doc). (An array_min/transform formulation over per-doc shingle
     arrays was measured 2× slower — higher-order functions evaluate
-    interpreted, outside codegen.)"""
+    interpreted, outside codegen.) Each agg is ONE parsed SQL string
+    (the simhash py4j lesson: Column composition costs a JVM round
+    trip per operator — ~5 per hash column here, ~80 per call site)."""
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"h{i}")
+        F.expr(f"min(md5(concat('{i}:', _s)))").alias(f"h{i}")
         for i in range(num_hashes)
     ]
 
@@ -359,13 +375,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n, None)
     sigs = sh.groupBy("_id").agg(*_minhash_aggs(num_hashes))
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
-        )
-    buckets = sigs.select("_id", F.explode(F.array(*band_cols)).alias("b")).select(
+    buckets = sigs.select("_id", F.expr(_band_explode_sql(num_hashes, bands)).alias("b")).select(
         "_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     left = buckets.select(F.col("_id").alias("id_a"), "band", "bh")

@@ -40,7 +40,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from electrician_spark.functions import text as tx
-from electrician_spark.operators.dedup import _check_banding, _minhash_aggs, _shingle_table
+from electrician_spark.operators.dedup import (
+    _band_explode_sql,
+    _check_banding,
+    _minhash_aggs,
+    _shingle_table,
+)
 
 
 def build_dedup_index(
@@ -87,16 +92,12 @@ def _band_buckets(
     '|'-joined row minhashes, the exact ``minhash_lsh_pairs`` / oracle
     construction. NULL-signature rows (shingle-less docs) drop out."""
     _check_banding(num_hashes, bands)
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
-        )
     return (
         index_like.filter(F.col("h0").isNotNull())
-        .select(F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("b"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.expr(_band_explode_sql(num_hashes, bands)).alias("b"),
+        )
         .select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     )
 
@@ -170,9 +171,13 @@ def incremental_dedup(
     pairs = cand_pairs.join(F.broadcast(cand_sigs), "_i_id").join(
         F.broadcast(bidx.select(F.col(id_col).alias("_b_id"), *hcols)), "_b_id"
     )
-    match_frac = sum(
-        F.when(F.col(h) == F.col(f"_i{h}"), 1).otherwise(0) for h in hcols
-    ) / F.lit(float(num_hashes))
+    # one parsed SQL string (the _minhash_aggs py4j note): the Column
+    # form cost ~5 JVM round trips per hash component
+    match_frac = F.expr(
+        "("
+        + " + ".join(f"(CASE WHEN {h} = _i{h} THEN 1 ELSE 0 END)" for h in hcols)
+        + f") / CAST({num_hashes} AS DOUBLE)"
+    )
     near = (
         pairs.withColumn("_est", match_frac)
         .filter(F.col("_est") >= F.lit(sim_threshold))
