@@ -538,19 +538,30 @@ def suffix_array(
         half = 1
         rounds = 0
         while half < maxlen:
-            digits = [F.col("_r")] + [
-                F.coalesce(F.lead("_r", half * j).over(w) + 1, F.lit(0).cast("long"))
-                for j in range(1, t)
-            ]
-            packs: list[Column] = []
+            # Digit/pack expressions as parsed SQL strings (the
+            # _minhash_aggs py4j note): the Column form cost ~8 JVM
+            # round trips per lead digit, ~130 per round at t=16. The
+            # t-1 lead exprs share one window spec, so the optimizer
+            # collapses them into the same single Window node either
+            # way — the executed plan is unchanged.
+            _over = "OVER (PARTITION BY _id ORDER BY _pos)"
+
+            def _digit(j: int) -> str:
+                if j == 0:
+                    return "_r"
+                return (
+                    f"coalesce(lead(_r, {half * j}) {_over} + "
+                    f"CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
+                )
+
+            packs_sql: list[str] = []
             for ci in range(0, t, per_long):
-                chunk = digits[ci : ci + per_long]
-                v = chunk[0]
-                for d in chunk[1:]:
-                    v = v * base + d
-                packs.append(v.alias(f"_v{len(packs)}"))
-            vcols = [f"_v{i}" for i in range(len(packs))]
-            keyed = ranked.select("_id", "_pos", *packs)
+                v = _digit(ci)
+                for j in range(ci + 1, min(ci + per_long, t)):
+                    v = f"({v} * {base} + {_digit(j)})"
+                packs_sql.append(f"{v} AS _v{len(packs_sql)}")
+            vcols = [f"_v{i}" for i in range(len(packs_sql))]
+            keyed = ranked.selectExpr("_id", "_pos", *packs_sql)
             ranked = keyed.withColumn(
                 "_r", F.dense_rank().over(Window.orderBy(*vcols)).cast("long")
             ).drop(*vcols)
