@@ -3295,20 +3295,20 @@ def q_gq1(spark, sf_dir):
     joined = tx.gopher_repetition_stats(planted, "doc_id", "text").withColumn(
         "f", tx.gopher_quality_flags(F.col("text"))
     )
+    # aggs as parsed SQL strings (the _minhash_aggs py4j note): the
+    # Column form cost ~7 JVM round trips per flag/repetition column
     return (
         joined.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             *[
-                F.sum(F.col(f"f.{k}").cast("long")).alias(f"n_{k}")
+                F.expr(f"sum(CAST(f.{k} AS BIGINT))").alias(f"n_{k}")
                 for k in _GQ_FLAGS
             ],
             *[
-                F.round(
-                    F.sum(F.round(F.col(r) * 1e6).cast("long"))
-                    / F.count("*")
-                    / F.lit(1e6),
-                    6,
+                F.expr(
+                    f"round(sum(CAST(round({r} * CAST(1000000 AS DOUBLE)) AS BIGINT))"
+                    f" / count(*) / CAST(1000000 AS DOUBLE), 6)"
                 ).alias(f"avg_{r}")
                 for r in _GQ_REPS
             ],
