@@ -99,7 +99,16 @@ def fan_out_small(df: DataFrame, target: int | None = None) -> DataFrame:
     try:  # .rdd / sparkContext are unavailable on Spark Connect sessions
         sc = df.sparkSession.sparkContext
         t = target or sc.defaultParallelism
-        n = df.rdd.getNumPartitions()
+        try:
+            # partition count straight off the JVM Dataset's RDD: the
+            # public df.rdd property additionally plans the
+            # JVM-to-Python pickle conversion (~70 ms of driver time
+            # per call, measured r15) that a count-only probe never
+            # needs; javaToPython is a map over this same RDD, so the
+            # partition count is identical.
+            n = df._jdf.rdd().getNumPartitions()
+        except Exception:  # noqa: BLE001 — private API moved: public path
+            n = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — degrade to the unmodified plan
         return df
     return df.repartition(t) if n < t else df

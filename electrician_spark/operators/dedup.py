@@ -80,9 +80,21 @@ def _shingle_table(
     # reference before shingling, or every element_at re-runs split()
     # (O(len²) per doc — 13× slower measured at sf0.1). CollapseProject
     # keeps them separate because _tk is referenced n times above.
+    # Both expressions are parsed SQL strings (the _minhash_aggs py4j
+    # note) — byte-identical trees to tx.tokens /
+    # tx.shingles_from_tokens, which stay the Column-API forms.
+    grams = ", ".join(
+        f"element_at(_tk, CAST((i + {j}) AS INT))" for j in range(n)
+    )
+    shingles_sql = (
+        f"CASE WHEN size(_tk) >= {n} THEN array_distinct(transform("
+        f"sequence(1, size(_tk) - {n - 1}), "
+        f"i -> concat_ws(' ', {grams}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
     base = fan_out_small(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
-    sh = base.select("_id", tx.tokens(F.col("_txt")).alias("_tk")).select(
-        "_id", F.explode(tx.shingles_from_tokens(F.col("_tk"), n)).alias("_s")
+    sh = base.select("_id", F.expr(r"split(trim(_txt), '\\s+')").alias("_tk")).select(
+        "_id", F.explode(F.expr(shingles_sql)).alias("_s")
     )
     if max_df is not None and (n_docs if n_docs is not None else df.count()) <= max_df:
         # A shingle's document frequency is bounded by the corpus row
