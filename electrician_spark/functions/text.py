@@ -505,14 +505,18 @@ def _with_repetition_fracs(df, id_col: str, text_col: str):
     no matter how many walks consume them.
     """
     tc = f"`{text_col}`"
+    # Regex/escape literals stay in Column form (a handful of py4j
+    # calls, once per call — not loop-shaped): as SQL strings their
+    # backslash escapes silently re-parse under
+    # spark.sql.parser.escapedStringLiterals=true and the signals
+    # diverge with no error (the r15 ADVICE dedup.py:93 hazard).
+    _nonblank = lambda x: F.trim(x) != F.lit("")  # noqa: E731
     base = df.withColumns(
         {
             "_gr_chars": F.expr(f"CAST(length({tc}) AS DOUBLE)"),
-            "_gr_tk": F.expr(f"split(trim({tc}), '\\\\s+')"),
-            "_gr_ln": F.expr(f"filter(split({tc}, '\\n'), x -> trim(x) != '')"),
-            "_gr_pa": F.expr(
-                f"filter(split({tc}, '\\n{{2,}}'), x -> trim(x) != '')"
-            ),
+            "_gr_tk": F.split(F.trim(F.col(text_col)), r"\s+"),
+            "_gr_ln": F.filter(F.split(F.col(text_col), "\n"), _nonblank),
+            "_gr_pa": F.filter(F.split(F.col(text_col), "\n{2,}"), _nonblank),
         }
     )
 

@@ -93,7 +93,11 @@ def _shingle_table(
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     base = fan_out_small(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
-    sh = base.select("_id", F.expr(r"split(trim(_txt), '\\s+')").alias("_tk")).select(
+    # The tokenize split stays the Column form (~3 extra py4j calls):
+    # as a SQL string its '\\s+' literal would silently parse as a
+    # different pattern under spark.sql.parser.escapedStringLiterals=
+    # true, diverging from tx.tokens with no error (r15 ADVICE item 1).
+    sh = base.select("_id", F.split(F.trim(F.col("_txt")), r"\s+").alias("_tk")).select(
         "_id", F.explode(F.expr(shingles_sql)).alias("_s")
     )
     if max_df is not None and (n_docs if n_docs is not None else df.count()) <= max_df:
@@ -384,7 +388,6 @@ def minhash_lsh_pairs(
     checkpoint (above).
     """
     _check_banding(num_hashes, bands)
-    rows_per_band = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n, None)
     sigs = sh.groupBy("_id").agg(*_minhash_aggs(num_hashes))
     buckets = sigs.select("_id", F.expr(_band_explode_sql(num_hashes, bands)).alias("b")).select(
