@@ -730,39 +730,56 @@ def connected_components_star(
         use_freeze = edges.count() >= freeze_min_edges
     except Exception:  # noqa: BLE001
         use_freeze = False
+    # Loop-invariant expression construction hoisted OUT of the round
+    # loop (r16; the _minhash_aggs py4j note): unresolved Columns bind
+    # by name at analysis, so ONE set of Column objects serves every
+    # round, and the multi-expression projections/filters parse as SQL
+    # strings — one JVM round trip each instead of one per col/alias/op.
+    # Parsed trees are identical to the previous Column chains; the
+    # executed plans are unchanged (equivalence + plan pins in
+    # test_dedup/test_plans).
+    min_v = F.min("v").alias("_mn")
+    agg_out = F.sum("s").alias("_out")
+    agg_roles = F.count_distinct("s").alias("_roles")
     for _ in range(max_iterations):
         # large-star over the bidirected neighbor lists. No intermediate
         # distinct()s: duplicates produced mid-round don't change any
         # min() and the terminal distinct removes them — each dropped
         # distinct was a full extra exchange per round (the r5 plan ran
         # three; this runs one).
-        bi = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        bi = edges.selectExpr("a AS u", "b AS v").unionByName(
+            edges.selectExpr("b AS u", "a AS v")
         )
-        mins = bi.groupBy("u").agg(F.min("v").alias("_mn"))
-        m = F.least(F.col("_mn"), F.col("u"))
+        mins = bi.groupBy("u").agg(min_v)
         large = (
             bi.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), m.alias("v"))
-            .filter(F.col("u") != F.col("v"))
+            .filter("v > u")
+            .selectExpr("v AS u", "least(_mn, u) AS v")
+            .filter("u != v")
         )
         # small-star over the (already min-oriented) large-star output.
-        smins = large.groupBy("u").agg(F.min("v").alias("_mn"))
+        smins = large.groupBy("u").agg(min_v)
         small = (
             large.join(smins, "u")
-            .select(F.col("v").alias("a"), F.col("_mn").alias("b"))
-            .unionByName(smins.select(F.col("u").alias("a"), F.col("_mn").alias("b")))
-            .filter(F.col("a") != F.col("b"))
+            .selectExpr("v AS a", "_mn AS b")
+            .unionByName(smins.selectExpr("u AS a", "_mn AS b"))
+            .filter("a != b")
             .distinct()
         )
         try:
-            # LAZY cut (r15): the fixpoint aggregate below is a full
-            # consumption of `small` (groupBy reads every partition),
-            # so it materializes the checkpoint as a side effect — an
-            # eager checkpoint here was one extra driver barrier per
-            # round for nothing (the q_pg1 lesson, ce99ec9).
-            small = small.localCheckpoint(eager=False)
+            # EAGER again (r16, reverting the r15 lazy cut): the lazy
+            # form measured consistently WORSE on the growth corpus —
+            # interleaved at 16x, 84.5 s process-tree CPU (lazy+union
+            # census) vs 71.5 s eager, and still +5% CPU / +3% wall
+            # after the census went single-scan; at 64x lazy read
+            # 20.3 s wall vs eager 18.0. The barrier the lazy form
+            # saves is one near-free job launch per round, while its
+            # first-action materialization overlaps block persistence
+            # with the round's shuffle and re-computes whatever the
+            # fixpoint take(1) escalation re-runs. The q_pg1 lazy win
+            # (ce99ec9) does not transfer: pagerank's per-round table
+            # has ONE consumer; `small` has four.
+            small = small.localCheckpoint()
         except Exception:  # noqa: BLE001
             pass
         edges = small
@@ -776,13 +793,21 @@ def connected_components_star(
         # r6-interim check (count-gate + membership-flag join) still ran
         # one FULL extra round to observe "nothing changed", ~half the
         # loop's wall time on clique-shaped near-dup graphs.
-        roles = small.select(F.col("a").alias("n"), F.lit(1).alias("s")).unionByName(
-            small.select(F.col("b").alias("n"), F.lit(0).alias("s"))
-        )
+        # ONE scan of `small` for the role census (r16): the union-of-
+        # two-selects form read the round's edge set twice where one
+        # explode pass emits both endpoint roles — same rows into the
+        # aggregate, half the block reads (and under any future lazy
+        # checkpoint, half the first-action computes — the 16x growth
+        # probe measured the union form costing the lazy round a
+        # double materialization).
+        roles = small.selectExpr(
+            "explode(array(named_struct('n', a, 's', 1), "
+            "named_struct('n', b, 's', 0))) AS _r"
+        ).selectExpr("_r.n AS n", "_r.s AS s")
         bad = (
             roles.groupBy("n")
-            .agg(F.sum("s").alias("_out"), F.count_distinct("s").alias("_roles"))
-            .filter((F.col("_out") > 1) | (F.col("_roles") > 1))
+            .agg(agg_out, agg_roles)
+            .filter("_out > 1 OR _roles > 1")
             .select("n")
         )
         if use_freeze:
@@ -811,20 +836,19 @@ def connected_components_star(
         # most components in round 1, so rounds 2+ touch a fraction
         # of the edges).
         flagged = (
-            small.join(bad.select(F.col("n").alias("a"), F.lit(1).alias("_ba")), "a", "left")
-            .join(bad.select(F.col("n").alias("b"), F.lit(1).alias("_bb")), "b", "left")
+            small.join(bad.selectExpr("n AS a", "1 AS _ba"), "a", "left")
+            .join(bad.selectExpr("n AS b", "1 AS _bb"), "b", "left")
         )
         root_bad = flagged.groupBy("b").agg(
-            F.max(F.coalesce(F.col("_ba"), F.lit(0))).alias("_rb")
+            F.expr("max(coalesce(_ba, 0))").alias("_rb")
         )
         # no checkpoint here: settled/active each re-run two cheap
         # joins off the ALREADY-checkpointed small+bad (next round's
         # checkpoint truncates the active lineage; done evaluates once)
         flagged = flagged.join(root_bad, "b")
-        frozen = F.col("_bb").isNull() & (F.col("_rb") == 0)
-        settled = flagged.filter(frozen).select("a", "b")
+        settled = flagged.filter("_bb IS NULL AND _rb = 0").select("a", "b")
         done = settled if done is None else done.unionByName(settled)
-        edges = flagged.filter(~frozen).select("a", "b")
+        edges = flagged.filter("NOT (_bb IS NULL AND _rb = 0)").select("a", "b")
 
     if done is not None:
         edges = done.unionByName(edges)

@@ -79,9 +79,10 @@ def build_dedup_index(
         # the fingerprint⨝signature join shuffle on id — building an
         # index from a whole corpus legitimately shuffles that corpus.
         sigs = F.broadcast(sigs)
-    return (
-        fps.join(sigs, "_id", "left")
-        .select(F.col("_id").alias(id_col), "fp", *[f"h{i}" for i in range(num_hashes)])
+    return fps.join(sigs, "_id", "left").selectExpr(
+        # one parsed projection (the _minhash_aggs py4j note) — string
+        # args to .select() cost one functions.col round trip each
+        f"_id AS `{id_col}`", "fp", *[f"h{i}" for i in range(num_hashes)]
     )
 
 
@@ -93,12 +94,12 @@ def _band_buckets(
     construction. NULL-signature rows (shingle-less docs) drop out."""
     _check_banding(num_hashes, bands)
     return (
-        index_like.filter(F.col("h0").isNotNull())
-        .select(
-            F.col(id_col).alias("_id"),
-            F.expr(_band_explode_sql(num_hashes, bands)).alias("b"),
+        index_like.filter("h0 IS NOT NULL")
+        .selectExpr(
+            f"`{id_col}` AS _id",
+            f"{_band_explode_sql(num_hashes, bands)} AS b",
         )
-        .select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        .selectExpr("_id", "b.band AS band", "b.bh AS bh")
     )
 
 
@@ -150,12 +151,10 @@ def incremental_dedup(
     idx_bands = _band_buckets(index_df, id_col, num_hashes, bands)
     cand_pairs = (
         idx_bands.join(
-            F.broadcast(
-                batch_bands.select(F.col("_id").alias("_b_id"), "band", "bh")
-            ),
+            F.broadcast(batch_bands.selectExpr("_id AS _b_id", "band", "bh")),
             ["band", "bh"],
         )
-        .select("_b_id", F.col("_id").alias("_i_id"))
+        .selectExpr("_b_id", "_id AS _i_id")
         .distinct()
     )
     try:
@@ -164,12 +163,15 @@ def incremental_dedup(
         pass
     # candidate index signatures: one more index scan, broadcast-semi
     # against the (small) candidate id set — still no index shuffle
-    cand_ids = cand_pairs.select(F.col("_i_id").alias(id_col)).distinct()
-    cand_sigs = index_df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-        F.col(id_col).alias("_i_id"), *[F.col(h).alias(f"_i{h}") for h in hcols]
+    cand_ids = cand_pairs.selectExpr(f"_i_id AS `{id_col}`").distinct()
+    # multi-column renames as ONE parsed selectExpr each (the
+    # _minhash_aggs py4j note: the Column form cost ~2 round trips per
+    # aliased signature column, ~70 across these three projections)
+    cand_sigs = index_df.join(F.broadcast(cand_ids), id_col, "left_semi").selectExpr(
+        f"`{id_col}` AS _i_id", *[f"{h} AS _i{h}" for h in hcols]
     )
     pairs = cand_pairs.join(F.broadcast(cand_sigs), "_i_id").join(
-        F.broadcast(bidx.select(F.col(id_col).alias("_b_id"), *hcols)), "_b_id"
+        F.broadcast(bidx.selectExpr(f"`{id_col}` AS _b_id", *hcols)), "_b_id"
     )
     # one parsed SQL string (the _minhash_aggs py4j note): the Column
     # form cost ~5 JVM round trips per hash component
@@ -185,27 +187,24 @@ def incremental_dedup(
         .agg(
             F.min_by(F.struct("_i_id", "_est"), F.struct("_i_id")).alias("_m"),
         )
-        .select(
+        .selectExpr(
             "_b_id",
-            F.col("_m._i_id").alias("_n_id"),
-            F.round(F.col("_m._est"), 6).cast("string").alias("_n_est"),
+            "_m._i_id AS _n_id",
+            "CAST(round(_m._est, 6) AS STRING) AS _n_est",
         )
     )
 
     out = (
         bidx.join(F.broadcast(matched_fp), "fp", "left")
         .join(F.broadcast(near), F.col(id_col) == F.col("_b_id"), "left")
-        .select(
-            id_col,
+        .selectExpr(
+            f"`{id_col}`",
             "fp",
             *hcols,
-            F.when(F.col("_x_id").isNotNull(), F.lit("exact"))
-            .when(F.col("_n_id").isNotNull(), F.lit("near"))
-            .alias("dup_kind"),
-            F.when(F.col("_x_id").isNotNull(), F.col("_x_id"))
-            .otherwise(F.col("_n_id"))
-            .alias("matched_id"),
-            F.when(F.col("_x_id").isNull(), F.col("_n_est")).alias("est_jaccard"),
+            "CASE WHEN _x_id IS NOT NULL THEN 'exact' "
+            "WHEN _n_id IS NOT NULL THEN 'near' END AS dup_kind",
+            "CASE WHEN _x_id IS NOT NULL THEN _x_id ELSE _n_id END AS matched_id",
+            "CASE WHEN _x_id IS NULL THEN _n_est END AS est_jaccard",
         )
     )
     return out

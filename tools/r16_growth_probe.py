@@ -316,6 +316,42 @@ def pagerank_chain(spark, mult: int):
 # --- harness ----------------------------------------------------------------
 
 
+def proc_tree_cpu() -> float:
+    """Total CPU seconds (utime+stime) of this process and every live
+    descendant (the JVM + Python workers), plus reaped-child CPU folded
+    into parents (cutime/cstime). Deltas of this across a run measure
+    the COMPUTE a variant burned even when concurrent scheduling hides
+    it from wall-clock — the metric that exposes k-fold subtree
+    re-execution on an idle local[32] (guide §1.1: decide whether the
+    time goes to compute, not just where the wall went)."""
+    import glob
+
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    stats = {}
+    for f in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            parts = open(f).read().rsplit(") ", 1)
+            pid = int(parts[0].split(" ", 1)[0])
+            rest = parts[1].split()
+            ppid = int(rest[1])
+            # utime, stime, cutime, cstime at fields 14-17 (1-based)
+            u, s_, cu, cs = (int(rest[i]) for i in (11, 12, 13, 14))
+            stats[pid] = (ppid, u + s_ + cu + cs)
+        except (OSError, ValueError, IndexError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        if p in stats:
+            total += stats[p][1]
+            stack.extend(kids.get(p, []))
+    return total / hz
+
+
 def canon(rows):
     out = []
     for r in rows:
@@ -381,6 +417,7 @@ def main() -> None:
             if revert_ctx is not None:
                 sides.append(("rev", revert_ctx))
             series: dict[str, list[float]] = {s: [] for s, _ in sides}
+            cpu: dict[str, list[float]] = {s: [] for s, _ in sides}
             warm: dict[str, float] = {}
             ref = None
             for rep in range(reps + 1):  # rep 0 = warm-up pair
@@ -389,15 +426,18 @@ def main() -> None:
                         spark.sparkContext.setJobDescription(
                             f"r16-growth:{key}:{mult}x:{label}:{rep}"
                         )
+                        c0 = proc_tree_cpu()
                         t0 = time.perf_counter()
                         rows = build(spark, d, mult).collect()
                         dt = time.perf_counter() - t0
+                        dc = proc_tree_cpu() - c0
                     got = canon(rows)
                     if ref is None:
                         ref = got
                     assert got == ref, f"output drift {key} {mult}x {label} rep {rep}"
                     if rep:
                         series[label].append(dt)
+                        cpu[label].append(dc)
                     else:
                         warm[label] = dt
                 if rep == 0 and max(warm.values()) > budget:
@@ -412,7 +452,19 @@ def main() -> None:
                 f"{s}={meds[s]:.3f}s {[round(x, 3) for x in series[s]]}"
                 for s in meds
             )
-            print(f"{key} {mult}x rows={len(ref)}: {msg}", flush=True)
+            cmsg = " ".join(
+                f"{s}={statistics.median(ts):.1f}s" for s, ts in cpu.items() if ts
+            )
+            print(f"{key} {mult}x rows={len(ref)}: {msg} | cpu: {cmsg}", flush=True)
+            # Between measurement points, OUTSIDE all timed regions:
+            # drop abandoned plan refs so the ContextCleaner frees
+            # checkpoint blocks (bench.py hygiene) — without this, a
+            # path running LAST in the session measured 3x its isolated
+            # wall (d6 16x: 16.1 s after the bl1/cm1/ph1/af1 series vs
+            # 5.8 s isolated, same code same corpus).
+            import gc
+
+            gc.collect()
         pts = results[key]
         if len(pts) >= 2:
             lo, hi = min(pts), max(pts)
