@@ -72,12 +72,15 @@ def _h(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
-def gen(out_dir: str, mult: int) -> str:
-    """documents (r13 regime + lang) and orders (scaled key stream)."""
+def gen(out_dir: str, mult: int, tables: tuple = ("documents", "orders")) -> str:
+    """documents (r13 regime + lang) and orders (scaled key stream).
+    ``tables`` bounds what gets written (bench.py's core-scaling
+    attestation needs only documents — the orders loop is the slow
+    part at 64x)."""
     path = os.path.join(out_dir, f"g{mult}")
     os.makedirs(path, exist_ok=True)
     fd = os.path.join(path, "documents.parquet")
-    if not os.path.exists(fd):
+    if "documents" in tables and not os.path.exists(fd):
         n = BASE_DOCS * mult
         ids, texts, langs = [], [], []
         for i in range(n):
@@ -103,7 +106,7 @@ def gen(out_dir: str, mult: int) -> str:
             fd,
         )
     fo = os.path.join(path, "orders.parquet")
-    if not os.path.exists(fo):
+    if "orders" in tables and not os.path.exists(fo):
         n = BASE_ORDERS * mult
         okeys = list(range(1, n + 1))
         ckeys = [_h(f"{i}:c") % 100_000 for i in range(n)]
