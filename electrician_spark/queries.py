@@ -4023,6 +4023,14 @@ def q_wp1(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="q_wp1_"), "wp.json")
     tk.save_tokenizer(path, "wordpiece", vocab)
     _kind, vocab2 = tk.load_tokenizer(path)
+    return _wp1_encode(spark, sf_dir, vocab2)
+
+
+def _wp1_encode(spark, sf_dir, vocab2):
+    """q_wp1's encode/census chain given a loaded vocabulary — shared
+    by the live-training correctness row and the frozen-artifact bench
+    variant (identical plan from here down; the q_ug1 pattern)."""
+    from electrician_spark.functions import tokenizer as tk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     enc = tk.wordpiece_encode(docs, vocab2)
@@ -4968,13 +4976,21 @@ def q_bp1(spark, sf_dir):
     import tempfile
 
     from electrician_spark.functions import tokenizer as tk
-    from electrician_spark.functions.text import bpe_pretokens
 
     mini = spark.createDataFrame([(t,) for t in _WP_MINI_CORPUS], "text string")
     merges = tk.train_bpe_merges(mini, num_merges=40, min_count=1)
     path = os.path.join(tempfile.mkdtemp(prefix="q_bp1_"), "bpe.json")
     tk.save_tokenizer(path, "bpe", merges)
     _kind, merges2 = tk.load_tokenizer(path)
+    return _bp1_encode(spark, sf_dir, merges2)
+
+
+def _bp1_encode(spark, sf_dir, merges2):
+    """q_bp1's encode/census chain given loaded merges — shared by the
+    live-training correctness row and the frozen-artifact bench
+    variant (identical plan from here down; the q_ug1 pattern)."""
+    from electrician_spark.functions import tokenizer as tk
+    from electrician_spark.functions.text import bpe_pretokens
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     enc = tk.bpe_encode(docs, merges2)

@@ -54,6 +54,28 @@ def test_unigram_artifact_matches_live_training(spark):
     )
 
 
+def test_wordpiece_bpe_artifacts_match_live_training(spark):
+    from electrician_spark.functions import tokenizer as tk
+    from electrician_spark.queries import _WP_MINI_CORPUS
+
+    mini = spark.createDataFrame([(t,) for t in _WP_MINI_CORPUS], "text string")
+    import tempfile
+
+    for kind, artifact, train in (
+        ("wordpiece", "wordpiece_q_wp1.json",
+         lambda: tk.train_wordpiece_vocab(mini, vocab_size=70, min_count=1)),
+        ("bpe", "bpe_q_bp1.json",
+         lambda: tk.train_bpe_merges(mini, num_merges=40, min_count=1)),
+    ):
+        p = os.path.join(tempfile.mkdtemp(), "m.json")
+        tk.save_tokenizer(p, kind, train())
+        art = os.path.join(ARTIFACT_DIR, artifact)
+        assert json.load(open(p)) == json.load(open(art)), (
+            f"{kind} training code drifted from the committed artifact — "
+            "re-run tools/freeze_bench_artifacts.py"
+        )
+
+
 def test_variant_output_equals_live_row(spark):
     # at the SF the artifact was frozen for, the variant is
     # row-identical to the live correctness row (deterministic training)

@@ -53,6 +53,18 @@ def main() -> None:
     tk.save_tokenizer(out, "unigram", qm)
     print(f"wrote {out} ({os.path.getsize(out)} bytes)")
 
+    # r16: wordpiece/BPE artifacts with q_wp1's / q_bp1's exact live
+    # training parameters (both SF-independent — literal mini-corpus)
+    vocab = tk.train_wordpiece_vocab(mini, vocab_size=70, min_count=1)
+    out = os.path.join(ARTIFACT_DIR, "wordpiece_q_wp1.json")
+    tk.save_tokenizer(out, "wordpiece", vocab)
+    print(f"wrote {out} ({os.path.getsize(out)} bytes)")
+
+    merges = tk.train_bpe_merges(mini, num_merges=40, min_count=1)
+    out = os.path.join(ARTIFACT_DIR, "bpe_q_bp1.json")
+    tk.save_tokenizer(out, "bpe", merges)
+    print(f"wrote {out} ({os.path.getsize(out)} bytes)")
+
 
 if __name__ == "__main__":
     main()
