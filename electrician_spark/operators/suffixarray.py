@@ -371,7 +371,7 @@ def _global_dense_rank(
 
 # Position-count bound for the COMPACT regime: below it every round's
 # dense rank runs as ONE single-partition window over the corpus —
-# a bounded task (1M rows x ~5 longs ~ 40 MB sort) with ZERO driver
+# a bounded task (4M rows x ~5 longs ~ 160 MB sort) with ZERO driver
 # traffic, zero broadcasts, and zero materialization barriers: the
 # whole array is one lazy pipelined plan. (The r11 design ranked a
 # distinct-key DIMENSION table per round and broadcast-joined it back;
@@ -385,7 +385,19 @@ def _global_dense_rank(
 # nothing.) Above the bound the distributed range-partitioned path
 # takes over, exactly like any bounded-task plan flips distributed
 # when the data outgrows one task.
-_COMPACT_RANK_MAX_ROWS = 1_000_000
+#
+# Bound history: r12 set 1M from a pre-level-0-vocab A/B. The r15
+# level-0 change cut the compact side's cost profile, and the r16
+# refresh (tools/r16_sx_regime_ab.py, interleaved, outputs identical)
+# reads compact/distributed = 3.54/8.30 s at 270k positions,
+# 10.4/14.8 s at 1.28M, 38.7/58.7 s at 5.1M — compact wins every
+# tested point, so the gate moves to 4M (the largest bound with a
+# measured compact win ABOVE it). The single-task sort at the bound is
+# 4M rows x ~5 longs ~ 160 MB — still a bounded task; past it the
+# distributed path's per-round fixed costs are the right trade because
+# the serial sort keeps growing linearly while range-partitioned rank
+# does not.
+_COMPACT_RANK_MAX_ROWS = 4_000_000
 
 
 def suffix_array(
@@ -430,7 +442,7 @@ def suffix_array(
     - **Compact regime** (positions <= ``compact_rank_max_rows``):
       every round's dense rank is ONE single-partition window over
       the corpus (``dense_rank() OVER (ORDER BY packed key)``) — a
-      bounded task under the regime gate (1M rows x ~5 longs ~ 40 MB
+      bounded task under the regime gate (4M rows x ~5 longs ~ 160 MB
       sort; WindowExec's no-partition warning here is the bounded
       contract, not an accident). The whole array is then ONE lazy
       pipelined plan: no distinct tables, no broadcasts, no driver
@@ -522,8 +534,8 @@ def suffix_array(
         )
         ranked = pos.join(F.broadcast(vocab), "_key").drop("_key")
         # Radix per round: digits are ranks+1 <= n_total+1 < base, so
-        # per-long capacity is fixed for the whole call (>= 3 at the
-        # 1M bound; (base-1).bit_length() is exact ceil(log2) — no
+        # per-long capacity is fixed for the whole call (>= 2 at the
+        # 4M bound; (base-1).bit_length() is exact ceil(log2) — no
         # float edge at powers of two; per_long*bits <= 63 keeps each
         # packed long < 2^63, and the multi-long key compares
         # lexicographically exactly like the digit tuple). Five longs
