@@ -54,6 +54,15 @@ from pyspark.sql import functions as F
 from electrician_spark.operators.relational import top_k
 from electrician_spark.operators.sampling import shuffle_key
 
+# Size-estimate gate for the pre-explode fan-out (io.fan_out_small):
+# below this the three extra exchanges cost more than the serial gram
+# hashing they parallelize. Measured interleaved (outputs identical):
+# 0.25 MB estimate (sf0.1) fan LOSES 1.93->2.37 s; 2.4 MB (4x growth)
+# fan WINS 4.14->2.50 s; 9.7 MB (16x) fan WINS 14.4->3.5 s. 1 MB sits
+# between the measured signs; at 100 TB the scan has enough splits and
+# the fan-out is a no-op regardless.
+_FAN_OUT_MIN_BYTES = 1 << 20
+
 
 def _lower_tokens(text: Column) -> Column:
     """Lower-cased whitespace tokens, empties dropped (so leading /
@@ -104,9 +113,23 @@ def gram_buckets(toks: Column, n_buckets: int) -> Column:
 def _bucket_table(
     df: DataFrame, id_col: str, text_col: str, n_buckets: int
 ) -> DataFrame:
-    """Exploded (``_id``, ``bucket``) feature rows, with multiplicity."""
-    t = df.select(
-        F.col(id_col).alias("_id"), _lower_tokens(F.col(text_col)).alias("_tk")
+    """Exploded (``_id``, ``bucket``) feature rows, with multiplicity.
+
+    ``fan_out_small`` before the explode (r16): the gram explode +
+    per-gram md5 is the CPU of the whole fit and runs on the SCAN's
+    partitioning — a one-file corpus (one split) serialized it on a
+    single core while the session idled (measured: q_ir1's 64×
+    growth point ran 66.5 s wall at 92.8 s process-tree CPU ≈ 4%
+    utilization of local[32]; guide §2.2 — the same reason
+    _shingle_table fans out). No-op at 100 TB (thousands of splits)
+    and on any input already at session parallelism."""
+    from electrician_spark.io import fan_out_small
+
+    t = fan_out_small(
+        df.select(
+            F.col(id_col).alias("_id"), _lower_tokens(F.col(text_col)).alias("_tk")
+        ),
+        min_bytes=_FAN_OUT_MIN_BYTES,
     )
     return t.select(
         "_id", F.explode(_gram_strings(F.col("_tk"))).alias("_g")
@@ -217,8 +240,16 @@ def _score_weights(
     ``attach_row`` is an optional ONE-row DataFrame broadcast-cross-
     joined onto every scored row (the in-plan default's carrier — the
     same pinned pattern as lmquality's oov_row)."""
-    t = df.select(
-        F.col(id_col).alias("_id"), _lower_tokens(F.col(text_col)).alias("_tk")
+    from electrician_spark.io import fan_out_small
+
+    # fan-out before the explode for the same reason as _bucket_table
+    # (r16): the scoring explode + hash is the pass's CPU and must not
+    # ride a one-split scan's partitioning.
+    t = fan_out_small(
+        df.select(
+            F.col(id_col).alias("_id"), _lower_tokens(F.col(text_col)).alias("_tk")
+        ),
+        min_bytes=_FAN_OUT_MIN_BYTES,
     )
     grams = t.select(
         "_id", F.explode_outer(_gram_strings(F.col("_tk"))).alias("_g")

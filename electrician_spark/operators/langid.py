@@ -89,6 +89,15 @@ def _exploded_grams(
     # 1.47 s for the identical 1.48M-gram table at sf0.1 (the r13
     # q_ug1 hazard, same fix as _shingle_table's two projections).
     base = df.select(*keep_cols, F.lower(F.col(text_col)).alias("_s"))
+    # Scale-adaptive fan-out before the explode (r16, the dsir lesson):
+    # the gram explode + substring + model join is the pass's CPU and
+    # otherwise runs on the SCAN's partitioning — a one-file corpus
+    # (one split) serializes it on a single core. Size-estimate gated
+    # so tiny inputs (where the extra exchange costs more than the
+    # serial work) keep their exchange-free plan; no-op at 100 TB.
+    from electrician_spark.io import fan_out_small
+
+    base = fan_out_small(base, min_bytes=1 << 20)
     cnt = F.length(F.col("_s")) - (n - 1)
     # guard: sequence(1, 0) would DESCEND ([1, 0]); null when out of
     # range and explode drops the row (also covers NULL text)

@@ -52,6 +52,17 @@ def _lm_tokens(text):
     return tokens(F.lower(text))
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fan-out before the token explodes (r16, the dsir
+    lesson): tokenize+explode is each pass's CPU and otherwise runs on
+    the SCAN's partitioning — a one-file corpus (one split) serializes
+    it on one core. Size-estimate gated (io.fan_out_small) so tiny
+    inputs keep their exchange-free plan; no-op at 100 TB."""
+    from electrician_spark.io import fan_out_small
+
+    return fan_out_small(df, min_bytes=1 << 20)
+
+
 def unigram_lm(
     ref_df: DataFrame,
     text_col: str = "text",
@@ -78,7 +89,8 @@ def unigram_lm(
     an uncached lineage would re-run the corpus aggregation per action
     (scoring join, oov fetch, every test assertion)."""
     count_rows = (
-        ref_df.select(F.explode(_lm_tokens(F.col(text_col))).alias("token"))
+        _fan(ref_df.select(F.col(text_col)))
+        .select(F.explode(_lm_tokens(F.col(text_col))).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("c"))
@@ -113,7 +125,8 @@ def lm_score(
     perplexity). Output: (id_col, n_tokens, mean_logprob, perplexity),
     perplexity = exp(−mean_logprob)."""
     toks = (
-        df.select(F.col(id_col), F.explode(_lm_tokens(F.col(text_col))).alias("token"))
+        _fan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(_lm_tokens(F.col(text_col))).alias("token"))
         .filter(F.col("token") != "")
     )
     joined = toks.join(F.broadcast(lm.select("token", "logprob")), "token", "left")
@@ -192,7 +205,9 @@ def bigram_lm(
     # lag construction, reused here so train and score agree. Native
     # zip, stays in codegen (zip_with lambdas evaluate interpreted —
     # measured ~25% on the pair stage at sf0.1).
-    tk = ref_df.select(_lm_tokens(F.col(text_col)).alias("tk"))
+    tk = _fan(ref_df.select(F.col(text_col))).select(
+        _lm_tokens(F.col(text_col)).alias("tk")
+    )
     lagged = F.arrays_zip(
         F.concat(F.array(F.lit(None).cast("string")), F.col("tk")).alias("p"),
         F.col("tk").alias("t"),
@@ -286,7 +301,8 @@ def lm_score_bigram(
         F.concat(F.array(F.lit(None).cast("string")), toks), toks
     )
     rows = (
-        df.select(F.col(id_col), F.explode(lagged).alias("bg"))
+        _fan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(lagged).alias("bg"))
         .select(
             F.col(id_col),
             F.col("bg.0").alias("prev"),
