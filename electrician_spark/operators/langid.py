@@ -95,9 +95,15 @@ def _exploded_grams(
     # (one split) serializes it on a single core. Size-estimate gated
     # so tiny inputs (where the extra exchange costs more than the
     # serial work) keep their exchange-free plan; no-op at 100 TB.
+    # The gate sits LOWER than dsir's 1 MB because this path's
+    # per-byte cost is far higher (one substring + model probe per
+    # CHARACTER position, plus whatever the caller computes alongside):
+    # measured at a 0.25 MB estimate, forcing the fan reads q_x9
+    # 2.60 -> 1.56 s (-40%) and langid_scores at 16x 62.4 -> 6.7 s,
+    # while a 1 MB gate left both serial.
     from electrician_spark.io import fan_out_small
 
-    base = fan_out_small(base, min_bytes=1 << 20)
+    base = fan_out_small(base, min_bytes=128 << 10)
     cnt = F.length(F.col("_s")) - (n - 1)
     # guard: sequence(1, 0) would DESCEND ([1, 0]); null when out of
     # range and explode drops the row (also covers NULL text)
